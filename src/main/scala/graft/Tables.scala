@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Testdata loaders + the schema-tolerant projected scan.
+  *
+  * The tolerant scan mirrors the reference's `read_parquet_safely`
+  * contract (prod_etl/ETL_1.py:201-243): select only wanted columns,
+  * back-fill the missing ones as typed nulls so downstream projections
+  * never fail. Column pruning happens at the parquet reader (check
+  * ReadSchema in .explain), so at 100 TB only the requested columns
+  * are ever decoded.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Schema-tolerant projected scan (SURVEY §2.1 S4). */
+  def readTolerant(spark: SparkSession, path: String,
+                   wanted: Seq[(String, String)]): DataFrame = {
+    val df = spark.read.parquet(path)
+    val have = df.columns.toSet
+    df.select(wanted.map { case (n, t) =>
+      if (have(n)) col(n).cast(t).as(n) else lit(null).cast(t).as(n)
+    }: _*)
+  }
+}
+
+/** Maps the driver's TPC-H-ish testdata onto the reference's MRF roles
+  * (FIXTURES.md §5): lineitem → negotiated-rate rows, supplier →
+  * provider groups, part → code dim, nation/region → geography.
+  *
+  * Every derivation here has an exact SQL twin in `RolesSql` used by
+  * the DuckDB oracle — keep the two in lockstep.
+  */
+object Roles {
+  import graft.functions.NormExprs._
+
+  /** lineitem viewed as the raw negotiated-rates feed. */
+  def rates(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey").cast("string").as("billing_code"),
+      when(col("l_partkey") % 10 === 0, "HCPCS").otherwise("CPT").as("code_type"),
+      when(col("l_returnflag") === "R", "professional")
+        .otherwise("institutional").as("billing_class"),
+      col("l_extendedprice").as("negotiated_rate"),
+      col("l_suppkey").cast("string").as("provider_reference_id"),
+      col("l_suppkey"),
+      when(col("l_linestatus") === "O", "negotiated")
+        .otherwise("fee schedule").as("negotiated_type"),
+      lit("ffs").as("negotiation_arrangement"),
+      concat(lit("payer_"), (col("l_suppkey") % 5).cast("string")).as("payer_slug"),
+      yearMonth(col("l_shipdate")).as("year_month"),
+      col("l_shipdate").as("last_updated_on"),
+      when(col("l_linenumber") === 7, "9999-12-31")
+        .when(col("l_linenumber") === 6, lit(null).cast("string"))
+        .otherwise(date_format(col("l_shipdate"), "yyyy-12-31")).as("expiration_date"),
+      // messy service_codes corpus (prod_etl/notebook.py:48-62 shapes)
+      when(col("l_linenumber") === 1, """["02","11"]""")
+        .when(col("l_linenumber") === 2, "[]")
+        .when(col("l_linenumber") === 3, "11,22")
+        .when(col("l_linenumber") === 4, "['n','u','l']")
+        .when(col("l_linenumber") === 5, "02; 11 |31")
+        .otherwise(lit(null).cast("string")).as("service_codes"))
+
+  /** supplier (⋈ nation) viewed as the provider-group table. */
+  def providers(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"), "left")
+      .select(
+        col("s_suppkey").cast("string").as("provider_group_id"),
+        col("s_name").as("provider_name"),
+        col("n_name").as("state"),
+        col("s_acctbal"))
+  }
+}
+
+/** SQL twins of [[Roles]] for the DuckDB oracle. */
+object RolesSql {
+  /** Same projection as Roles.rates, as a DuckDB CTE body. */
+  val rates: String = """
+    SELECT
+      l_orderkey, l_linenumber,
+      CAST(l_partkey AS VARCHAR) AS billing_code,
+      CASE WHEN l_partkey % 10 = 0 THEN 'HCPCS' ELSE 'CPT' END AS code_type,
+      CASE WHEN l_returnflag = 'R' THEN 'professional' ELSE 'institutional' END AS billing_class,
+      l_extendedprice AS negotiated_rate,
+      CAST(l_suppkey AS VARCHAR) AS provider_reference_id,
+      l_suppkey,
+      CASE WHEN l_linestatus = 'O' THEN 'negotiated' ELSE 'fee schedule' END AS negotiated_type,
+      'ffs' AS negotiation_arrangement,
+      'payer_' || CAST(l_suppkey % 5 AS VARCHAR) AS payer_slug,
+      strftime(l_shipdate, '%Y-%m') AS year_month,
+      l_shipdate AS last_updated_on,
+      CASE WHEN l_linenumber = 7 THEN '9999-12-31'
+           WHEN l_linenumber = 6 THEN NULL
+           ELSE strftime(l_shipdate, '%Y-12-31') END AS expiration_date,
+      CASE WHEN l_linenumber = 1 THEN '["02","11"]'
+           WHEN l_linenumber = 2 THEN '[]'
+           WHEN l_linenumber = 3 THEN '11,22'
+           WHEN l_linenumber = 4 THEN '[''n'',''u'',''l'']'
+           WHEN l_linenumber = 5 THEN '02; 11 |31'
+           ELSE NULL END AS service_codes
+    FROM lineitem"""
+
+  val providers: String = """
+    SELECT CAST(s_suppkey AS VARCHAR) AS provider_group_id,
+           s_name AS provider_name, n_name AS state, s_acctbal
+    FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey"""
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.NormExprs.pround
+import graft.queries.QueryPack
+
+/** Deduplication operators over the `documents` table: exact
+  * (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * Scale design:
+  *  - exact dedup is a single hash aggregation (map-side partial
+  *    combine, one shuffle on the 16-byte digest — never on the text);
+  *  - MinHash signatures are computed scan-side with built-in
+  *    expressions (codegen, no UDF); the LSH candidate join shuffles
+  *    only (band_idx, band_hash, doc_id) tuples, so the join input is
+  *    tiny compared to the corpus — this is the 100 TB path, since
+  *    candidate pairs (not all pairs) are materialized;
+  *  - SimHash reduces each doc to one small int; near-dup candidates
+  *    come from an equi-join on the signature (trivially shuffle-light);
+  *  - full Jaccard is only ever computed on candidate pairs.
+  *
+  * Hashes are md5-derived (not `hash`/`xxhash64`) so results are
+  * engine-independent and oracle-checkable.
+  */
+object Dedup extends QueryPack {
+
+  /** documents plus injected duplicates: exact copies of doc_id 0-9 and
+    * near-copies (suffix appended) of 10-19, at doc_id+100000. Gives the
+    * dedup operators known-positive pairs in the synthetic corpus. The
+    * DuckDB oracles build the identical augmentation. */
+  private def augmented(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+    val copies = docs.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      when(col("doc_id") < 10, col("text"))
+        .otherwise(concat(col("text"), lit(" extra suffix tokens"))).as("text"))
+    docs.unionByName(copies)
+  }
+
+  private val augmentedSql = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           CASE WHEN doc_id < 10 THEN text
+                ELSE text || ' extra suffix tokens' END AS text
+    FROM documents WHERE doc_id < 20"""
+
+  /** Cleaned word tokens of a text column. */
+  private def tokens(t: Column): Column =
+    filter(split(regexp_replace(lower(t), "[^a-z0-9 ]", " "), "\\s+"),
+      v => length(v) > 0)
+
+  /** 3-word shingles (whole text if fewer than 3 tokens). */
+  private def shingles(t: Column): Column = {
+    val tk = tokens(t)
+    when(size(tk) < 3, array(concat_ws(" ", tk)))
+      .otherwise(transform(sequence(lit(1), size(tk) - 2), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+  }
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a long. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val NumHashes = 16
+  private val BandSize = 4 // → 4 bands of 4 rows
+
+  def queries: Map[String, QFn] = Map(
+    // Exact dedup: group by content hash, keep lowest doc_id
+    "dedup_exact" -> ((s, d) =>
+      augmented(s, d).groupBy(md5(col("text")).as("text_hash"))
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))),
+
+    // MinHash + LSH banding: candidate near-dup pairs via band-bucket join
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sh = shingles(col("text"))
+      val sig = augmented(s, d).select(col("doc_id") +:
+        (0 until NumHashes).map(j =>
+          array_min(transform(sh, t => h60(concat(lit(s"$j:"), t))))
+            .as(s"h$j")): _*)
+      val bands = sig.select(col("doc_id"), posexplode(array(
+        (0 until NumHashes / BandSize).map(b =>
+          md5(concat_ws("-", (0 until BandSize).map(r =>
+            col(s"h${b * BandSize + r}")): _*))): _*)).as(Seq("band_idx", "band_hash")))
+      val a = bands.as("a")
+      val b = bands.as("b")
+      a.join(b, col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).cast("int").as("n_bands"))
+    }),
+
+    // SimHash: 16-bit signature; pairs with identical signatures
+    "dedup_simhash" -> ((s, d) => {
+      val tok = augmented(s, d).select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("th", h60(col("tok")))
+      val bitSums = (0 until 16).map(i => sum(when(shiftright(col("th"), i)
+        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
+      val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val sig = sums.select(col("doc_id"),
+        (0 until 16).map(i => when(col(s"b$i") >= 0, 1 << i).otherwise(0))
+          .reduce(_ + _).cast("int").as("simhash"))
+      val a = sig.as("a")
+      val b = sig.as("b")
+      a.join(b, col("a.simhash") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("simhash"))
+    }),
+
+    // n-gram Jaccard on known candidate pairs (original, injected copy)
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val aug = augmented(s, d)
+        .withColumn("sh", array_distinct(shingles(col("text"))))
+      val a = aug.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = aug.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("doc_a"),
+          col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, "doc_a").select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_shared"),
+        pround(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> s"""WITH aug AS ($augmentedSql)
+      SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+             COUNT(*) AS n_copies
+      FROM aug GROUP BY 1""",
+
+    // Shingle construction in SQL mirrors `shingles` exactly for docs
+    // with >= 3 tokens (all candidate docs here qualify).
+    "dedup_ngram_jaccard" -> s"""WITH aug AS ($augmentedSql),
+      tok AS (
+        SELECT doc_id, list_filter(string_split_regex(
+          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+          x -> x <> '') AS tk
+        FROM aug WHERE doc_id < 20 OR doc_id >= 100000),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i ->
+            tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1] ||
+            ' ' || tk[CAST(i AS INTEGER) + 2])) AS s
+          FROM tok)),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id < 20) a
+        JOIN (SELECT DISTINCT doc_id FROM sh WHERE doc_id >= 100000) b
+          ON b.doc_id = a.doc_id + 100000),
+      inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+        FROM pairs p
+        JOIN sh x ON x.doc_id = p.doc_a
+        JOIN sh y ON y.doc_id = p.doc_b AND y.s = x.s
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+      SELECT p.doc_a, p.doc_b,
+             CAST(coalesce(i.n_shared, 0) AS INTEGER) AS n_shared,
+             floor((coalesce(i.n_shared, 0) * 1.0 /
+                   (sa.n + sb.n - coalesce(i.n_shared, 0))) * 10000.0 + 0.5)
+               / 10000.0 AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b"""
+    // dedup_minhash_lsh / dedup_simhash: not SQL-expressible concisely →
+    // driver rows-only check; ScalaTest specs assert known-dup recovery.
+  )
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryPack
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, plus a feature-extraction pass.
+  *
+  * The real decode step (image/audio codecs) is STUBBED — this
+  * container has no media libraries — with a deterministic fake
+  * feature extractor (`fakeDecodeFeatures`). Everything around the
+  * stub is the real Spark plumbing that matters at 100 TB:
+  *  - payloads stay binary end to end (never stringified);
+  *  - metadata travels in a struct column next to the payload;
+  *  - per-record feature extraction is expressed scan-side (codegen),
+  *    so swapping the stub for a real decoder (native `Expression` or
+  *    `mapPartitions` batch over a codec) changes one function;
+  *  - "frame sampling" slices the payload without materializing
+  *    copies of the full blob per frame.
+  */
+object Multimodal extends QueryPack {
+
+  /** STUB decode: deterministic pseudo-features of a binary payload
+    * (crc32-seeded). Replace with a real codec behind the same
+    * (binary → struct) signature. */
+  private def fakeDecodeFeatures(payload: org.apache.spark.sql.Column) = struct(
+    (crc32(payload) % 1000 / lit(1000.0)).as("mean_luma"),
+    (octet_length(payload) % 640).as("width"),
+    (octet_length(payload) % 480).as("height"))
+
+  def queries: Map[String, QFn] = Map(
+    "multimodal_pipeline" -> ((s, d) => {
+      // documents stand in for a media table: text bytes = the payload
+      val media = Tables.load(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "utf-8").as("payload"),
+        struct(col("source").as("origin"), col("n_chars").as("raw_size"),
+          lit("text/fake").as("mime")).as("meta"))
+      val frames = 4
+      media.select(
+        col("media_id"),
+        octet_length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("content_hash"),
+        col("meta.origin").as("origin"),
+        fakeDecodeFeatures(col("payload")).as("features"),
+        // frame-sample: n evenly spaced 16-byte slices of the payload
+        transform(sequence(lit(0), lit(frames - 1)), i =>
+          md5(base64(col("payload")).substr(lit(1), lit(24) + i * 7)))
+          .as("frame_hashes"))
+        .select(col("media_id"), col("byte_len"), col("content_hash"),
+          col("origin"), col("features.mean_luma").as("mean_luma"),
+          col("features.width").as("width"), col("features.height").as("height"),
+          concat_ws(",", col("frame_hashes")).as("frame_hashes"))
+    })
+  )
+
+  // Binary plumbing is engine-specific → driver rows-only check;
+  // MultimodalSpec asserts schema, determinism, and batch shape.
+  def oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.NormExprs.pround
+import graft.queries.QueryPack
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * - `sim_cosine_pairs` / `sim_ann_topk`: exact brute-force cosine,
+  *   the correctness baseline. The query side is tiny and broadcast;
+  *   the candidate side streams — so the plan is a broadcast
+  *   nested-loop over a single scan (no shuffle of the corpus) and
+  *   scales linearly with candidates per executor.
+  * - `sim_ivf_topk`: the 100 TB path — IVF-style bucketing. Vectors
+  *   are assigned to their nearest centroid once (scan + broadcast of
+  *   K centroids), queries probe only the closest `nprobe` buckets, so
+  *   the search touches ~nprobe/K of the corpus. With bucketed storage
+  *   (`partitionBy(bucket)`), partition pruning makes each query read
+  *   only its probed buckets.
+  *
+  * Dot products use `zip_with`+`aggregate` over built-ins (codegen'd,
+  * no UDF); elements are cast to double before multiply so the oracle
+  * (which sums doubles) matches to 4 decimals.
+  */
+object Similarity extends QueryPack {
+
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def queries: Map[String, QFn] = Map(
+    // Fixed query/candidate pairing — ranking-free oracle check of the
+    // cosine kernel itself
+    "sim_cosine_pairs" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.filter(col("vec_id").between(250, 259))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      q.join(broadcast(c), col("cid") === col("qid") + 250)
+        .select(col("qid"), col("cid"),
+          pround(cosine(col("qe"), col("ce")), 4).as("cosine"))
+    }),
+
+    // Brute-force exact top-k: 10 queries × full corpus
+    "sim_ann_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .join(broadcast(q), col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("qid"), col("cid"), col("rank"),
+          pround(col("sim"), 4).as("cosine"))
+    }),
+
+    // IVF-bucketed approximate top-k (centroids = vec_id 0..7, nprobe=2)
+    "sim_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+      def nearest(df: DataFrame, vecCol: String, n: Int, out: String) = {
+        val w = Window.partitionBy(col("vid"))
+          .orderBy(col("csim").desc, col("centroid_id"))
+        df.join(broadcast(cents), lit(true))
+          .select(col("vid"), col(vecCol), col("centroid_id"),
+            cosine(col(vecCol), col("cent")).as("csim"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+          .select(col("vid"), col(vecCol), col("centroid_id").as(out))
+      }
+      val assigned = nearest(e.select(col("vec_id").as("vid"),
+        col("embedding").as("ce")), "ce", 1, "bucket")
+        .select(col("vid").as("cid"), col("ce"), col("bucket"))
+      val probes = nearest(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("vid"), col("embedding").as("qe")),
+        "qe", 2, "probe")
+      val scored = probes.join(assigned,
+          col("probe") === col("bucket") && col("cid") =!= col("vid"))
+        .select(col("vid").as("qid"), col("cid"),
+          cosine(col("qe"), col("ce")).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("qid"), col("cid"), col("rank"),
+          pround(col("sim"), 4).as("cosine"))
+    })
+  )
+
+  /** Shared SQL: per-(pair) double-precision dot products via UNNEST. */
+  private def dotSql(qTbl: String, cTbl: String, joinCond: String): String = s"""
+    SELECT qid, cid,
+           SUM(CAST(qe[CAST(i AS INTEGER)] AS DOUBLE) *
+               CAST(ce[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+           SUM(CAST(qe[CAST(i AS INTEGER)] AS DOUBLE) *
+               CAST(qe[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+           SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE) *
+               CAST(ce[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+    FROM (SELECT q.qid, c.cid, q.qe, c.ce FROM $qTbl q JOIN $cTbl c ON $joinCond),
+         range(1, 65) r(i)
+    GROUP BY qid, cid"""
+
+  def oracles: Map[String, String] = Map(
+    "sim_cosine_pairs" -> s"""WITH
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+            WHERE vec_id BETWEEN 250 AND 259),
+      dots AS (${dotSql("q", "c", "c.cid = q.qid + 250")})
+      SELECT qid, cid,
+             floor((dp / (sqrt(na) * sqrt(nb))) * 10000.0 + 0.5) / 10000.0
+          AS cosine FROM dots""",
+
+    "sim_ann_topk" -> s"""WITH
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+      dots AS (${dotSql("q", "c", "c.cid <> q.qid")}),
+      scored AS (SELECT qid, cid, dp / (sqrt(na) * sqrt(nb)) AS sim FROM dots),
+      ranked AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, cid) AS rank FROM scored)
+      SELECT qid, cid, CAST(rank AS INTEGER) AS rank,
+             floor((sim) * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM ranked WHERE rank <= 5"""
+    // sim_ivf_topk: approximate by construction → rows-only check.
+  )
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.NormExprs.pround
+import graft.Tables
+import graft.queries.QueryPack
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: quality scoring, heuristic language-ID, and
+  * document fingerprinting.
+  *
+  * All pure built-in column expressions — single narrow scan, no
+  * shuffle, whole-stage codegen end to end, so each runs at full scan
+  * speed on any input size.
+  */
+object TextAnalysis extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** lang → marker word; score = occurrence count of the marker.
+    * Shared by the Spark and oracle sides so they cannot drift. */
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "order", "zh" -> "join", "es" -> "slow",
+    "de" -> "customer", "fr" -> "scan")
+
+  def queries: Map[String, QFn] = Map(
+    // Quality scoring: length / punctuation / alpha-ratio heuristics
+    "text_quality" -> ((s, d) => {
+      val t = col("text")
+      val tokenCnt = size(split(trim(t), "\\s+"))
+      val alphaRatio = pround(
+        length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") / length(t), 4)
+      docs(s, d).filter(length(t) > 0).select(
+        col("doc_id"), col("n_chars"),
+        tokenCnt.as("token_cnt"),
+        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).as("punct_cnt"),
+        pround(length(regexp_replace(t, "\\s", "")).cast("double") / tokenCnt, 2)
+          .as("avg_token_len"),
+        alphaRatio.as("alpha_ratio"),
+        when(tokenCnt.between(5, 2000) && alphaRatio >= 0.5, 1).otherwise(0)
+          .as("quality_flag"))
+    }),
+
+    // Heuristic language-ID: argmax of marker-word occurrence counts
+    "text_langid" -> ((s, d) => {
+      val scored = docs(s, d).select(col("doc_id") +: col("lang") +:
+        markers.map { case (lg, m) =>
+          ((length(col("text")) - length(regexp_replace(col("text"),
+            java.util.regex.Pattern.quote(m), ""))) / lit(m.length))
+            .as(s"s_$lg")
+        }: _*)
+      val pred = markers.init.zipWithIndex.foldRight(
+        lit(markers.last._1): org.apache.spark.sql.Column) {
+        case (((lg, _), i), rest) =>
+          val ge = markers.drop(i + 1)
+            .map { case (o, _) => col(s"s_$lg") >= col(s"s_$o") }
+            .reduce(_ && _)
+          when(ge, lg).otherwise(rest)
+      }
+      scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+    }),
+
+    // Document fingerprint: md5 of the first 64 whitespace-normalized chars
+    "text_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        md5(substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 64))
+          .as("fingerprint")))
+  )
+
+  def oracles: Map[String, String] = {
+    val scoreSql = markers.map { case (lg, m) =>
+      s"(length(text) - length(replace(text, '$m', ''))) / ${m.length} AS s_$lg"
+    }.mkString(", ")
+    val predSql = markers.init.zipWithIndex.map { case ((lg, _), i) =>
+      val ge = markers.drop(i + 1)
+        .map { case (o, _) => s"s_$lg >= s_$o" }.mkString(" AND ")
+      s"WHEN $ge THEN '$lg'"
+    }.mkString("CASE ", " ", s" ELSE '${markers.last._1}' END")
+    Map(
+      "text_quality" -> """
+        SELECT doc_id, n_chars,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS token_cnt,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS INTEGER) AS punct_cnt,
+          floor((length(regexp_replace(text, '\s', '', 'g')) * 1.0 /
+                len(string_split_regex(trim(text), '\s+'))) * 100.0 + 0.5) / 100.0
+            AS avg_token_len,
+          floor((length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
+                length(text)) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 2000
+                AND floor((length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
+                          length(text)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+               THEN 1 ELSE 0 END AS quality_flag
+        FROM documents WHERE length(text) > 0""",
+
+      "text_langid" -> s"""
+        SELECT doc_id, lang, $predSql AS pred_lang
+        FROM (SELECT doc_id, lang, $scoreSql FROM documents)""",
+
+      "text_fingerprint" -> """
+        SELECT doc_id,
+               md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 64))
+          AS fingerprint
+        FROM documents"""
+    )
+  }
+}
