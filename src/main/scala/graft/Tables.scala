@@ -13,8 +13,24 @@ import org.apache.spark.sql.functions._
   * are ever decoded.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Load a testdata table, rebalancing pathological input splits.
+    *
+    * The testdata files are single-row-group parquet, which the reader
+    * cannot split — every downstream operator would run on ONE task no
+    * matter how many cores exist. A production dataset arrives as many
+    * splittable files, so this branch never fires at scale; locally it
+    * restores the parallelism a real cluster gets for free. Target
+    * partition count is sized from file bytes (~256 KiB per partition,
+    * capped at the session's core count) so tiny dims are not shuffled.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val bytes = new java.io.File(s"$dir/$name.parquet").length()
+    val target = math.min(spark.sparkContext.defaultParallelism.toLong,
+      math.max(1L, bytes / (256L << 10))).toInt
+    if (target > 1 && df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
 
   /** Schema-tolerant projected scan (SURVEY §2.1 S4). */
   def readTolerant(spark: SparkSession, path: String,

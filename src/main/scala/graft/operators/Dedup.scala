@@ -52,21 +52,51 @@ object Dedup extends QueryPack {
     filter(split(regexp_replace(lower(t), "[^a-z0-9 ]", " "), "\\s+"),
       v => length(v) > 0)
 
-  /** 3-word shingles (whole text if fewer than 3 tokens). */
-  private def shingles(t: Column): Column = {
-    val tk = tokens(t)
+  /** 3-word shingles over an already-materialized token-array COLUMN.
+    * Higher-order functions run interpreted (no common-subexpression
+    * elimination), so the token array must be a plain attribute here —
+    * inlining `tokens(text)` would re-tokenize the document once per
+    * shingle position. Callers stage `tokens` in a prior projection. */
+  private def shinglesOf(tk: Column): Column =
     when(size(tk) < 3, array(concat_ws(" ", tk)))
       .otherwise(transform(sequence(lit(1), size(tk) - 2), i =>
         concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
           element_at(tk, i + 2))))
-  }
+
+  /** doc_id + distinct 3-shingle array, staged projection per step. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    augmented(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), array_distinct(shinglesOf(col("tk"))).as("sh"))
 
   /** Portable 60-bit hash: first 15 hex chars of md5, as a long. */
   private def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Portable 32-bit hash: first 8 hex chars of md5, as a long in [0, 2^32). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   private val NumHashes = 16
   private val BandSize = 4 // → 4 bands of 4 rows
+
+  /** Universal-hash permutation constants for MinHash: minhash_j(h) =
+    * (a_j·h + b_j) mod P. a_j < 2^30 keeps a_j·h < 2^62 (no overflow);
+    * P prime > 2^32. One md5 per shingle + k multiply-adds replaces k
+    * md5s per shingle — the difference between scan-speed and hours at
+    * 100 TB. */
+  private val MinhashP = 4294967311L
+  private val minhashAB: Seq[(Long, Long)] = {
+    // deterministic LCG-derived odd multipliers / offsets
+    var x = 1103515245L
+    (0 until NumHashes).map { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L) >>> 3
+      val a = (x % (1L << 30)) | 1L
+      x = (x * 6364136223846793005L + 1442695040888963407L) >>> 3
+      val b = x % (1L << 31)
+      (a, b)
+    }
+  }
 
   def queries: Map[String, QFn] = Map(
     // Exact dedup: group by content hash, keep lowest doc_id
@@ -76,11 +106,15 @@ object Dedup extends QueryPack {
 
     // MinHash + LSH banding: candidate near-dup pairs via band-bucket join
     "dedup_minhash_lsh" -> ((s, d) => {
-      val sh = shingles(col("text"))
-      val sig = augmented(s, d).select(col("doc_id") +:
-        (0 until NumHashes).map(j =>
-          array_min(transform(sh, t => h60(concat(lit(s"$j:"), t))))
-            .as(s"h$j")): _*)
+      // One md5 per distinct shingle, materialized once per row…
+      val hashed = shingled(s, d).select(col("doc_id"),
+        transform(col("sh"), t => h32(t)).as("hs"))
+      // …then each of the k MinHash functions is a cheap permutation.
+      val sig = hashed.select(col("doc_id") +:
+        minhashAB.zipWithIndex.map { case ((a, b), j) =>
+          array_min(transform(col("hs"),
+            h => pmod(h * lit(a) + lit(b), lit(MinhashP)))).as(s"h$j")
+        }: _*)
       val bands = sig.select(col("doc_id"), posexplode(array(
         (0 until NumHashes / BandSize).map(b =>
           md5(concat_ws("-", (0 until BandSize).map(r =>
@@ -115,8 +149,7 @@ object Dedup extends QueryPack {
 
     // n-gram Jaccard on known candidate pairs (original, injected copy)
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val aug = augmented(s, d)
-        .withColumn("sh", array_distinct(shingles(col("text"))))
+      val aug = shingled(s, d)
       val a = aug.filter(col("doc_id") < 20)
         .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = aug.filter(col("doc_id") >= 100000)

@@ -172,16 +172,20 @@ object Inventory extends QueryPack {
         .join(existing, Seq("billing_code"), "left_anti")
     }),
 
-    // J12: idempotent upsert — existing ∪ (stage anti existing) (ETL_1.py:450-498)
+    // J12: idempotent upsert — existing ∪ (stage anti existing) (ETL_1.py:450-498).
+    // year_month is a grain key, so one shared aggregation feeds both
+    // sides (filter-after-agg ≡ filter-before-agg) — one shuffle, not two.
     "j12_upsert" -> ((s, d) => {
-      val r = rates(s, d)
-      def grain(df: DataFrame, src: String) = df
+      val grain = rates(s, d)
         .groupBy("billing_code", "payer_slug", "year_month")
         .agg(pround(min(col("negotiated_rate")), 2).as("rate"))
-        .select(uid(col("billing_code"), col("payer_slug"), col("year_month"))
-          .as("fact_uid"), col("rate"), lit(src).as("src"))
-      val existing = grain(r.filter(col("year_month") <= "1995-12"), "existing")
-      val stage = grain(r.filter(col("year_month") >= "1995-01"), "stage")
+        .select(col("year_month"),
+          uid(col("billing_code"), col("payer_slug"), col("year_month"))
+            .as("fact_uid"), col("rate"))
+      def side(cond: org.apache.spark.sql.Column, src: String) =
+        grain.filter(cond).select(col("fact_uid"), col("rate"), lit(src).as("src"))
+      val existing = side(col("year_month") <= "1995-12", "existing")
+      val stage = side(col("year_month") >= "1995-01", "stage")
       existing.unionByName(
         stage.join(existing.select("fact_uid"), Seq("fact_uid"), "left_anti"))
     }),
@@ -331,20 +335,22 @@ object Inventory extends QueryPack {
         phoneClean(synthPhone).as("phone"))
     }),
 
-    // F2: deterministic uid minting (pos_set_id, pg_uid, fact_uid)
+    // F2: deterministic uid minting (pos_set_id, pg_uid, fact_uid);
+    // uids staged as attributes so each md5 is minted exactly once
     "f2_uid_mint" -> ((s, d) => {
       val r = rates(s, d)
       val p = providers(s, d)
-      val members = posMembers(col("service_codes"))
-      val pg = pgUid(col("payer_slug"), lit("1.0.0"),
-        col("provider_reference_id"), col("provider_reference_id"))
       r.join(broadcast(p),
           r("provider_reference_id") === p("provider_group_id"), "left")
+        .withColumn("pos_members", posMembers(col("service_codes")))
+        .withColumn("pos_set_id", posSetId(col("pos_members")))
+        .withColumn("pg_uid", pgUid(col("payer_slug"), lit("1.0.0"),
+          col("provider_reference_id"), col("provider_reference_id")))
         .select(r("l_orderkey"), r("l_linenumber"),
-          posSetId(members).as("pos_set_id"), pg.as("pg_uid"),
+          col("pos_set_id"), col("pg_uid"),
           factUid(col("state"), col("year_month"), col("payer_slug"),
             col("billing_class"), col("code_type"), col("billing_code"),
-            pg, posSetId(members), col("negotiated_type"),
+            col("pg_uid"), col("pos_set_id"), col("negotiated_type"),
             col("negotiation_arrangement"), col("expiration_date"),
             col("negotiated_rate"), col("provider_reference_id")).as("fact_uid"))
     }),
@@ -362,26 +368,29 @@ object Inventory extends QueryPack {
         cat.getField("proc_group").as("proc_group"))
     }),
 
-    // §3.2: full star fact build (ETL_1.py:406-443)
+    // §3.2: full star fact build (ETL_1.py:406-443). Staged projections:
+    // each md5 uid is minted once as a materialized attribute rather than
+    // re-expanded inside every consumer expression (keeps generated
+    // methods small enough for whole-stage codegen).
     "star_fact_build" -> ((s, d) => {
       val r = rates(s, d)
       val p = providers(s, d)
-      val members = posMembers(col("service_codes"))
-      val posId = posSetId(members)
-      val pg = pgUid(col("payer_slug"), lit("1.0.0"),
-        col("provider_reference_id"), col("provider_reference_id"))
       r.join(broadcast(p),
           r("provider_reference_id") === p("provider_group_id"), "left")
+        .withColumn("pos_members", posMembers(col("service_codes")))
+        .withColumn("pos_set_id", posSetId(col("pos_members")))
+        .withColumn("pg_uid", pgUid(col("payer_slug"), lit("1.0.0"),
+          col("provider_reference_id"), col("provider_reference_id")))
         .select(
           factUid(col("state"), col("year_month"), col("payer_slug"),
             col("billing_class"), col("code_type"), col("billing_code"),
-            pg, posId, col("negotiated_type"), col("negotiation_arrangement"),
-            col("expiration_date"), col("negotiated_rate"),
-            col("provider_reference_id")).as("fact_uid"),
+            col("pg_uid"), col("pos_set_id"), col("negotiated_type"),
+            col("negotiation_arrangement"), col("expiration_date"),
+            col("negotiated_rate"), col("provider_reference_id")).as("fact_uid"),
           col("state"), col("year_month"), col("payer_slug"),
           col("billing_class"), col("code_type"),
-          col("billing_code").as("code"), pg.as("pg_uid"),
-          posId.as("pos_set_id"), col("negotiated_type"),
+          col("billing_code").as("code"), col("pg_uid"),
+          col("pos_set_id"), col("negotiated_type"),
           col("negotiation_arrangement"), col("negotiated_rate"),
           expirationSentinel(col("expiration_date")).as("expiration_date"),
           col("provider_reference_id").as("provider_group_id_raw"))
