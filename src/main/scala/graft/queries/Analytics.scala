@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Roles, RolesSql, Tables}
+import graft.functions.NormExprs._
+
+/** The remaining SURVEY.md §2 inventory: webapp-style analytic
+  * aggregates (A1-A3, A9, A10, A13), search/filter functions (F8, F9),
+  * query-time computed-key joins (J9), the 5-way star join (J10), the
+  * code-list file source (S5), the benchmark-builder cross product, and
+  * autocomplete distinct (§2.6).
+  *
+  * Scale notes: dims (nation/customer/supplier/part/orders at these
+  * SFs) are broadcast so the lineitem fact never shuffles for joins;
+  * wide countDistinct aggregates use Spark's expand+partial-agg (exact,
+  * matching the reference's exact distinct counts — SURVEY §2.4 note).
+  */
+object Analytics extends QueryPack {
+
+  private def rates(s: SparkSession, d: String) = Roles.rates(s, d)
+
+  private val R = s"WITH rates AS (${RolesSql.rates})"
+
+  private def avg2(c: Column) =
+    pround(sum(c.cast("decimal(18,2)")).cast("double") / count(c), 2)
+  private def prS(e: String, scale: Int = 2): String = {
+    val f = math.pow(10, scale)
+    s"floor(($e) * $f + 0.5) / $f"
+  }
+  private def avgS(x: String): String =
+    prS(s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / COUNT($x)")
+
+  /** Fixture code list (SURVEY §2.1 S5; cpt_codes.txt with blank lines,
+    * main.py:194-203). Read driver-side, broadcast as an IN-set — the
+    * reference's exact pattern. */
+  private val CodeListPath = "/root/repo/tools/cpt_codes.txt"
+
+  def queries: Map[String, QFn] = Map(
+    // S5: text-file code list → broadcast IN-set filter (main.py:194-203)
+    "s5_codelist_filter" -> ((s, d) => {
+      val codes = s.read.textFile(CodeListPath).collect()
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      rates(s, d).filter(col("billing_code").isin(codes: _*))
+        .select("l_orderkey", "l_linenumber", "billing_code", "negotiated_rate")
+    }),
+
+    // A1: filtered group-mean (state wage index; rate_calculator.py:95-117)
+    "a1_state_group_mean" -> ((s, d) =>
+      Roles.providers(s, d).filter(col("s_acctbal") > 0)
+        .groupBy("state")
+        .agg(avg2(col("s_acctbal")).as("state_wi_avg"),
+          count(lit(1)).as("n_rows"))),
+
+    // A2: regex-extracted key + multi-column group means
+    // (build_medicare_benchmarks.py:432-449)
+    "a2_regex_key_group_mean" -> ((s, d) =>
+      Tables.load(s, d, "part")
+        .groupBy(regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"))
+        .agg(avg2(col("p_retailprice")).as("avg_work"),
+          avg2(col("p_size")).as("avg_pe"),
+          avg2((col("p_partkey") % 100)).as("avg_mp"))),
+
+    // A3: national scalar means (build_medicare_benchmarks.py:316-319)
+    "a3_national_mean" -> ((s, d) =>
+      Tables.load(s, d, "part").agg(
+        avg2(col("p_retailprice")).as("nat_work"),
+        avg2(col("p_size")).as("nat_pe"),
+        avg2((col("p_partkey") % 100)).as("nat_mp"))),
+
+    // A9: category explore + drill-down paging (optimized_queries.py:828-899)
+    "a9_category_drilldown" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("record_count"),
+          countDistinct("o_custkey").as("unique_customers"),
+          countDistinct("o_orderpriority").as("unique_priorities"),
+          avg2(col("o_totalprice")).as("avg_price"),
+          pround(min(col("o_totalprice")), 2).as("min_price"),
+          pround(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("record_count").desc, col("c_mktsegment"))
+        .offset(1).limit(3)
+    }),
+
+    // A10: wide distinct-count pass over the star join
+    // (optimized_queries.py:798-826)
+    "a10_search_stats" -> ((s, d) => {
+      val l = Tables.load(s, d, "lineitem")
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+      val sup = Tables.load(s, d, "supplier")
+      val n = Tables.load(s, d, "nation")
+      l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"), "left")
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"), "left")
+        .agg(count(lit(1)).as("total_rows"),
+          countDistinct("l_partkey").as("unique_codes"),
+          countDistinct("l_suppkey").as("unique_providers"),
+          countDistinct("o_custkey").as("unique_customers"),
+          countDistinct("c_mktsegment").as("unique_segments"),
+          countDistinct("n_name").as("unique_states"),
+          countDistinct("o_orderpriority").as("unique_priorities"),
+          countDistinct("l_returnflag").as("unique_flags"),
+          countDistinct("l_linestatus").as("unique_modes"))
+    }),
+
+    // A13 + F8 + F9: ILIKE over synthesized search text, grouped stats
+    // (optimized_queries.py:265-457, 66-75)
+    "a13_search_grouped" -> ((s, d) => {
+      val sup = Tables.load(s, d, "supplier")
+      val n = Tables.load(s, d, "nation")
+      val joined = sup.join(broadcast(n),
+        sup("s_nationkey") === n("n_nationkey"), "left")
+      val searchText = lower(concat_ws(" ",
+        coalesce(col("s_name"), lit("")), coalesce(col("n_name"), lit(""))))
+      joined.filter(searchText.contains("e"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_providers"),
+          avg2(col("s_acctbal")).as("avg_bal"),
+          pround(min(col("s_acctbal")), 2).as("min_bal"),
+          pround(max(col("s_acctbal")), 2).as("max_bal"))
+        .orderBy(col("n_providers").desc, col("n_name"))
+    }),
+
+    // J9: equi-join on a query-time computed slug key
+    // (data_queries.py:303-332)
+    "j9_computed_slug_join" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+        .select(slugify(col("c_name")).as("cust_slug"),
+          col("c_mktsegment"), col("c_acctbal"))
+      val oKeyed = o.select(col("o_orderkey"), col("o_totalprice"),
+        concat(lit("customer_"),
+          lpad(col("o_custkey").cast("string"), 9, "0")).as("cust_slug"))
+      oKeyed.join(broadcast(c), Seq("cust_slug"), "left")
+        .select(col("o_orderkey"), col("cust_slug"), col("c_mktsegment"),
+          pround(col("o_totalprice"), 2).as("total_price"))
+    }),
+
+    // J10: 5-way star join with a join-side predicate
+    // (optimized_queries.py:653-689)
+    "j10_five_way_star" -> ((s, d) => {
+      val l = Tables.load(s, d, "lineitem")
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+      val sup = Tables.load(s, d, "supplier")
+      val n = Tables.load(s, d, "nation").filter(col("n_regionkey") === 1)
+      l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"), "left")
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("c_name"),
+          col("s_name"), col("n_name").as("state"),
+          col("o_orderpriority"), pround(col("l_extendedprice"), 2).as("rate"))
+    }),
+
+    // BenchmarkBuilder: state × code cross product + rate formula
+    // (build_medicare_benchmarks.py:122-281; F10 main.py:495-510)
+    "bench_crossjoin_build" -> ((s, d) => {
+      val states = Tables.load(s, d, "nation").select(col("n_name").as("state"),
+        (col("n_nationkey") % 10 / lit(10.0) + 0.8).as("work_gpci"),
+        (col("n_nationkey") % 7 / lit(10.0) + 0.9).as("pe_gpci"),
+        (col("n_nationkey") % 5 / lit(10.0) + 0.5).as("mp_gpci"))
+      val codes = Tables.load(s, d, "part").select(
+        col("p_partkey").cast("string").as("code"),
+        (col("p_retailprice") / 100.0).as("work_rvu"),
+        (col("p_size") / 10.0).as("pe_rvu"),
+        (col("p_partkey") % 13 / lit(100.0)).as("mp_rvu"))
+      states.crossJoin(broadcast(codes))
+        .select(col("state"), col("code"),
+          pround(medicareProfRate(col("work_rvu"), col("pe_rvu"), col("mp_rvu"),
+            col("work_gpci"), col("pe_gpci"), col("mp_gpci"),
+            lit(32.35)), 2).as("medicare_prof_rate"))
+    }),
+
+    // §2.6: autocomplete — alphabetical distinct with prefix filter
+    // (backend/main.py:804-888)
+    "autocomplete_distinct" -> ((s, d) =>
+      Tables.load(s, d, "part")
+        .filter(lower(col("p_name")).startsWith("bl"))
+        .select(col("p_name")).distinct()
+        .orderBy("p_name").limit(20))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s5_codelist_filter" -> s"""$R
+      SELECT l_orderkey, l_linenumber, billing_code, negotiated_rate FROM rates
+      WHERE billing_code IN ('17','42','100','417','998','1500','2000')""",
+
+    "a1_state_group_mean" -> s"""
+      SELECT n_name AS state, ${avgS("s_acctbal")} AS state_wi_avg,
+             COUNT(*) AS n_rows
+      FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_acctbal > 0 GROUP BY 1""",
+
+    "a2_regex_key_group_mean" -> s"""
+      SELECT regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+             ${avgS("p_retailprice")} AS avg_work,
+             ${avgS("p_size")} AS avg_pe,
+             ${avgS("p_partkey % 100")} AS avg_mp
+      FROM part GROUP BY 1""",
+
+    "a3_national_mean" -> s"""
+      SELECT ${avgS("p_retailprice")} AS nat_work,
+             ${avgS("p_size")} AS nat_pe,
+             ${avgS("p_partkey % 100")} AS nat_mp
+      FROM part""",
+
+    "a9_category_drilldown" -> s"""
+      SELECT c_mktsegment, COUNT(*) AS record_count,
+             COUNT(DISTINCT o_custkey) AS unique_customers,
+             COUNT(DISTINCT o_orderpriority) AS unique_priorities,
+             ${avgS("o_totalprice")} AS avg_price,
+             ${prS("MIN(o_totalprice)")} AS min_price,
+             ${prS("MAX(o_totalprice)")} AS max_price
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY record_count DESC, c_mktsegment
+      LIMIT 3 OFFSET 1""",
+
+    "a10_search_stats" -> """
+      SELECT COUNT(*) AS total_rows,
+             COUNT(DISTINCT l_partkey) AS unique_codes,
+             COUNT(DISTINCT l_suppkey) AS unique_providers,
+             COUNT(DISTINCT o_custkey) AS unique_customers,
+             COUNT(DISTINCT c_mktsegment) AS unique_segments,
+             COUNT(DISTINCT n_name) AS unique_states,
+             COUNT(DISTINCT o_orderpriority) AS unique_priorities,
+             COUNT(DISTINCT l_returnflag) AS unique_flags,
+             COUNT(DISTINCT l_linestatus) AS unique_modes
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN supplier ON l_suppkey = s_suppkey
+      LEFT JOIN nation ON s_nationkey = n_nationkey""",
+
+    "a13_search_grouped" -> s"""
+      SELECT n_name, COUNT(*) AS n_providers,
+             ${avgS("s_acctbal")} AS avg_bal,
+             ${prS("MIN(s_acctbal)")} AS min_bal,
+             ${prS("MAX(s_acctbal)")} AS max_bal
+      FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+      WHERE lower(coalesce(s_name, '') || ' ' || coalesce(n_name, ''))
+            LIKE '%e%'
+      GROUP BY 1 ORDER BY n_providers DESC, n_name""",
+
+    "j9_computed_slug_join" -> """
+      SELECT o_orderkey, o.cust_slug, c_mktsegment,
+             floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+      FROM (SELECT o_orderkey, o_totalprice,
+              'customer_' || lpad(CAST(o_custkey AS VARCHAR), 9, '0') AS cust_slug
+            FROM orders) o
+      LEFT JOIN (
+        SELECT regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', '_', 'g'),
+                              '^_+|_+$', '', 'g') AS cust_slug,
+               c_mktsegment
+        FROM customer) c
+      ON o.cust_slug = c.cust_slug""",
+
+    "j10_five_way_star" -> """
+      SELECT l_orderkey, l_linenumber, c_name, s_name, n_name AS state,
+             o_orderpriority,
+             floor((l_extendedprice) * 100.0 + 0.5) / 100.0 AS rate
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 1""",
+
+    "bench_crossjoin_build" -> """
+      SELECT n_name AS state, CAST(p_partkey AS VARCHAR) AS code,
+             floor(((
+               (p_retailprice / 100.0) * (n_nationkey % 10 / 10.0 + 0.8) +
+               (p_size / 10.0)         * (n_nationkey % 7 / 10.0 + 0.9) +
+               (p_partkey % 13 / 100.0) * (n_nationkey % 5 / 10.0 + 0.5)
+             ) * 32.35) * 100.0 + 0.5) / 100.0 AS medicare_prof_rate
+      FROM nation CROSS JOIN part""",
+
+    "autocomplete_distinct" -> """
+      SELECT DISTINCT p_name FROM part
+      WHERE lower(p_name) LIKE 'bl%' ORDER BY p_name LIMIT 20"""
+  )
+}

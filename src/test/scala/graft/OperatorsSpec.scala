@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.queries.Inventory
+
+/** Behavior specs for the non-SQL-expressible (rows-only) operators:
+  * known-duplicate recovery, ANN sanity, multimodal schema/determinism,
+  * and upsert idempotence. */
+class OperatorsSpec extends SparkSpec {
+
+  test("minhash LSH recovers all injected exact and near duplicates") {
+    // augmented() injects doc_id+100000 as exact copies (0-9) and
+    // near-copies (10-19); every such pair must be a candidate.
+    val pairs = Dedup.queries("dedup_minhash_lsh")(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach { id =>
+      assert(pairs.contains((id, id + 100000)),
+        s"doc $id / ${id + 100000} not recovered")
+    }
+  }
+
+  test("simhash: identical-signature pairs include all exact copies") {
+    val pairs = Dedup.queries("dedup_simhash")(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { id =>
+      assert(pairs.contains((id, id + 100000)),
+        s"exact copy $id not signature-identical")
+    }
+  }
+
+  test("exact dedup groups each injected copy with its original") {
+    val dups = Dedup.queries("dedup_exact")(spark, sf0001)
+      .filter(col("n_copies") >= 2)
+    assert(dups.count() == 10) // exactly the 10 injected exact copies
+    assert(dups.filter(col("keep_doc_id") < 10).count() == 10)
+  }
+
+  test("ngram jaccard: exact copies = 1.0, near copies < 1.0 but high") {
+    val rows = Dedup.queries("dedup_ngram_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Double]("jaccard")))
+    val (exact, near) = rows.partition(_._1 < 10)
+    assert(exact.forall(_._2 == 1.0))
+    assert(near.forall { case (_, j) => j > 0.5 && j < 1.0 })
+  }
+
+  test("ivf top-k: self-bucket probing finds high-similarity neighbors") {
+    val ivf = Similarity.queries("sim_ivf_topk")(spark, sf0001)
+    val exact = Similarity.queries("sim_ann_topk")(spark, sf0001)
+    assert(ivf.groupBy("qid").count().count() == 10)
+    // rank-1 of IVF must be in the exact top-5 (nprobe=2 of 8 buckets)
+    val ivfTop = ivf.filter(col("rank") === 1)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactTop = exact.select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfTop.intersect(exactTop).size >= 8,
+      s"IVF rank-1 should usually appear in the exact top-5: $ivfTop")
+  }
+
+  test("multimodal pipeline: schema, byte-level plumbing, determinism") {
+    val out = Multimodal.queries("multimodal_pipeline")(spark, sf0001)
+    assert(out.columns.toSeq == Seq("media_id", "byte_len", "content_hash",
+      "origin", "mean_luma", "width", "height", "frame_hashes"))
+    val r1 = out.orderBy("media_id").limit(5).collect()
+    val r2 = Multimodal.queries("multimodal_pipeline")(spark, sf0001)
+      .orderBy("media_id").limit(5).collect()
+    assert(r1.sameElements(r2), "stub decode must be deterministic")
+    assert(r1.forall(_.getAs[Int]("byte_len") > 0))
+  }
+
+  test("upsert is idempotent: applying the stage twice changes nothing") {
+    val once = Inventory.queries("j12_upsert")(spark, sf0001)
+    // re-apply: treat `once` as existing, same stage rows anti-joined in
+    val stage = once.filter(col("src") === "stage")
+    val again = once.unionByName(
+      stage.join(once.select("fact_uid"), Seq("fact_uid"), "left_anti"))
+    assert(again.count() == once.count())
+    assert(once.select("fact_uid").distinct().count() == once.count(),
+      "fact_uid unique after upsert")
+  }
+}
