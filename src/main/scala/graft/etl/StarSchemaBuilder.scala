@@ -1,0 +1,126 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Roles
+import graft.functions.NormExprs._
+
+/** Batch star-schema ETL: the write side of the reference's prod
+  * pipeline (SURVEY §2.1 S11-S15, §2.3 J11/J12, §3.2).
+  *
+  * Scale design:
+  *  - the normalized base is computed once and feeds every dim/xref
+  *    derivation (one scan, several cheap shuffles on small distinct
+  *    sets);
+  *  - append-unique and upsert are anti-joins on slim key projections —
+  *    the existing dataset is never rewritten except for the rows that
+  *    change (and the fact sink only rewrites touched partitions via
+  *    dynamic partition overwrite);
+  *  - the fact is hive-partitioned `state=/year_month=/` so queries with
+  *    the webapp's mandatory state+year_month filters prune at the file
+  *    listing (PruneFileSourcePartitions), the decisive 100 TB lever;
+  *  - zstd compression everywhere (prod_etl/ETL_1.py:372).
+  */
+object StarSchemaBuilder {
+
+  /** Normalized base frame: rates joined to providers with uids minted
+    * (prod_etl/ETL_1.py:250-279), staged so each md5 is computed once. */
+  def base(spark: SparkSession, dir: String): DataFrame = {
+    val r = Roles.rates(spark, dir)
+    val p = Roles.providers(spark, dir)
+    r.join(broadcast(p),
+        r("provider_reference_id") === p("provider_group_id"), "left")
+      .withColumn("version", defaultVersion(lit(null).cast("string")))
+      .withColumn("pos_members", posMembers(col("service_codes")))
+      .withColumn("pos_set_id", posSetId(col("pos_members")))
+      .withColumn("pg_uid", pgUid(col("payer_slug"), col("version"),
+        col("provider_reference_id"), col("provider_reference_id")))
+  }
+
+  /** The six dims/xrefs of prod_etl/ETL_1.py:281-352: (frame, dedup/
+    * append-unique keys) per name. */
+  def dims(b: DataFrame): Map[String, (DataFrame, Seq[String])] = Map(
+    "dim_code" -> (b.select(col("code_type"), col("billing_code").as("code"))
+      .na.drop().dropDuplicates("code_type", "code"),
+      Seq("code_type", "code")),
+    "dim_payer" -> (b.select(col("payer_slug"), col("version"))
+      .dropDuplicates("payer_slug"), Seq("payer_slug")),
+    "dim_provider_group" -> (b.select(col("pg_uid"), col("payer_slug"),
+      col("provider_reference_id").as("provider_group_id_raw"), col("version"))
+      .dropDuplicates("pg_uid"), Seq("pg_uid")),
+    "dim_pos_set" -> (b.select(col("pos_set_id"), col("pos_members"))
+      .dropDuplicates("pos_set_id"), Seq("pos_set_id")),
+    "xref_pos" -> (b.select(col("pos_set_id"), col("pos_members"))
+      .dropDuplicates("pos_set_id")
+      .select(col("pos_set_id"), explode(col("pos_members")).as("pos")),
+      Seq("pos_set_id", "pos")),
+    "xref_pg_member" -> (b.select(col("pg_uid"),
+      col("provider_reference_id").as("npi")).na.drop()
+      .dropDuplicates("pg_uid", "npi"), Seq("pg_uid", "npi")))
+
+  /** Fact at the 13-field grain with deterministic fact_uid
+    * (prod_etl/ETL_1.py:406-443). */
+  def fact(b: DataFrame): DataFrame =
+    b.select(
+      factUid(col("state"), col("year_month"), col("payer_slug"),
+        col("billing_class"), col("code_type"), col("billing_code"),
+        col("pg_uid"), col("pos_set_id"), col("negotiated_type"),
+        col("negotiation_arrangement"), col("expiration_date"),
+        col("negotiated_rate"), col("provider_reference_id")).as("fact_uid"),
+      col("state"), col("year_month"), col("payer_slug"),
+      col("billing_class"), col("code_type"), col("billing_code").as("code"),
+      col("pg_uid"), col("pos_set_id"), col("negotiated_type"),
+      col("negotiation_arrangement"), col("negotiated_rate"),
+      expirationSentinel(col("expiration_date")).as("expiration_date"),
+      col("provider_reference_id").as("provider_group_id_raw"))
+      .dropDuplicates("fact_uid")
+
+  /** J11 append-unique: write only new-keyed rows onto an existing
+    * parquet dataset (prod_etl/ETL_1.py:359-398). The existing side is
+    * read as a slim key projection — never the full payload. */
+  def appendUnique(spark: SparkSession, df: DataFrame, path: String,
+                   keys: Seq[String]): Unit = {
+    val fresh =
+      if (!exists(path)) df.dropDuplicates(keys)
+      else {
+        val existingKeys = spark.read.parquet(path).select(keys.map(col): _*)
+        df.dropDuplicates(keys)
+          .join(existingKeys, keys, "left_anti")
+      }
+    fresh.write.mode(SaveMode.Append)
+      .option("compression", "zstd").parquet(path)
+  }
+
+  /** J12 upsert-by-uid (prod_etl/ETL_1.py:450-498): same anti-join
+    * shape, append-only because fact rows are immutable at their uid. */
+  def upsertFact(spark: SparkSession, stage: DataFrame, path: String): Unit =
+    appendUnique(spark, stage, path, Seq("fact_uid"))
+
+  /** S13 hive-partitioned fact sink with dynamic partition overwrite
+    * (prod_etl/notebook.py:275-348): only the partitions present in
+    * `df` are rewritten; every other partition is untouched. */
+  def writePartitionedFact(spark: SparkSession, df: DataFrame,
+                           path: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy("state", "year_month")
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
+  /** Full batch build (SURVEY §3.2): dims append-unique + fact upsert. */
+  def runFull(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val b = base(spark, dir).cache()
+    try {
+      dims(b).foreach { case (name, (df, keys)) =>
+        appendUnique(spark, df, s"$outDir/$name", keys)
+      }
+      upsertFact(spark, fact(b), s"$outDir/fact_rate")
+    } finally b.unpersist()
+  }
+
+  private def exists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
+  }
+}

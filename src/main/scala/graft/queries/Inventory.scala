@@ -124,6 +124,37 @@ object Inventory extends QueryPack {
           r("negotiated_rate"), p("provider_name"), p("state"))
     }),
 
+    // J2+F13: left join + combine_first rate backfill (main.py:330-378)
+    "j2_coalesce_backfill" -> ((s, d) => {
+      val gaWc = Tables.load(s, d, "part")
+        .filter(col("p_size") % 3 === 0) // partial coverage, like GA-WC
+        .select(col("p_partkey").cast("string").as("wc_code"),
+          pround(col("p_retailprice") * 0.9, 2).as("wc_rate"))
+      val r = rates(s, d)
+      r.join(broadcast(gaWc), r("billing_code") === col("wc_code"), "left")
+        .select(r("l_orderkey"), r("l_linenumber"), r("billing_code"),
+          pround(coalesce(col("wc_rate"), r("negotiated_rate")), 2)
+            .as("final_rate"))
+    }),
+
+    // P8: not-in filter (notebooks/appendprod.ipynb cell 14)
+    "p8_notin_filter" -> ((s, d) =>
+      Tables.load(s, d, "part")
+        .filter(!col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .select("p_partkey", "p_brand")),
+
+    // F20: explode POS members → xref_pos (prod_etl/notebook.py:167) —
+    // the repo's one generator-shaped op
+    "f20_explode_pos" -> ((s, d) => {
+      val posSets = rates(s, d)
+        .select(col("service_codes"))
+        .withColumn("pos_members", posMembers(col("service_codes")))
+        .withColumn("pos_set_id", posSetId(col("pos_members")))
+        .select("pos_set_id", "pos_members").distinct()
+      posSets.select(col("pos_set_id"),
+        explode(col("pos_members")).as("pos"))
+    }),
+
     // J4: dedup key-frame → broadcast lookup chain → join back (main.py:441-526)
     "j4_keyframe_chain" -> ((s, d) => {
       val l = li(s, d)
@@ -467,6 +498,30 @@ object Inventory extends QueryPack {
                provider_name, state
         FROM rates LEFT JOIN providers
           ON rates.provider_reference_id = providers.provider_group_id""",
+
+      "j2_coalesce_backfill" -> s"""$R
+        SELECT l_orderkey, l_linenumber, billing_code,
+               floor((coalesce(wc_rate, negotiated_rate)) * 100.0 + 0.5) / 100.0
+                 AS final_rate
+        FROM rates LEFT JOIN (
+          SELECT CAST(p_partkey AS VARCHAR) AS wc_code,
+                 floor((p_retailprice * 0.9) * 100.0 + 0.5) / 100.0 AS wc_rate
+          FROM part WHERE p_size % 3 = 0) wc
+        ON billing_code = wc_code""",
+
+      "p8_notin_filter" -> """
+        SELECT p_partkey, p_brand FROM part
+        WHERE p_brand NOT IN ('Brand#11','Brand#22','Brand#33')""",
+
+      "f20_explode_pos" -> s"""$R, sets AS (
+          SELECT DISTINCT $posIdSql AS pos_set_id,
+            CASE l_linenumber
+              WHEN 1 THEN ['02','11'] WHEN 3 THEN ['11','22']
+              WHEN 4 THEN ['''l'']', '''u''', '[''n''']
+              WHEN 5 THEN ['02','11','31']
+              ELSE CAST([] AS VARCHAR[]) END AS members
+          FROM rates)
+        SELECT pos_set_id, unnest(members) AS pos FROM sets""",
 
       "j4_keyframe_chain" -> """
         SELECT l_orderkey, l_linenumber, l_partkey,

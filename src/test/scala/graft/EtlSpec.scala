@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.etl.StarSchemaBuilder
+
+/** Write-side semantics: append-unique, upsert idempotence at the file
+  * level, and the hive-partitioned fact sink with dynamic partition
+  * overwrite (SURVEY §2.1 S11-S14, §2.3 J11/J12). */
+class EtlSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_etl").toString
+
+  test("runFull builds dims + fact; second run adds nothing (idempotent)") {
+    val out = tmp()
+    StarSchemaBuilder.runFull(spark, sf0001, out)
+    val counts1 = Seq("dim_code", "dim_payer", "dim_provider_group",
+      "dim_pos_set", "xref_pos", "xref_pg_member", "fact_rate")
+      .map(t => t -> spark.read.parquet(s"$out/$t").count()).toMap
+    assert(counts1.values.forall(_ > 0), counts1.toString)
+    assert(counts1("dim_payer") == 5) // payer_0..payer_4 by construction
+    // fact uids unique
+    val fact = spark.read.parquet(s"$out/fact_rate")
+    assert(fact.select("fact_uid").distinct().count() == counts1("fact_rate"))
+
+    StarSchemaBuilder.runFull(spark, sf0001, out) // same batch again
+    val counts2 = counts1.keys
+      .map(t => t -> spark.read.parquet(s"$out/$t").count()).toMap
+    assert(counts2 == counts1, "second identical run must be a no-op")
+  }
+
+  test("appendUnique appends only rows with unseen keys") {
+    import spark.implicits._
+    val out = tmp() + "/t"
+    StarSchemaBuilder.appendUnique(spark,
+      Seq(("a", 1), ("b", 2)).toDF("k", "v"), out, Seq("k"))
+    StarSchemaBuilder.appendUnique(spark,
+      Seq(("b", 99), ("c", 3)).toDF("k", "v"), out, Seq("k"))
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows == Map("a" -> 1, "b" -> 2, "c" -> 3),
+      "existing key b must keep its first value")
+  }
+
+  test("partitioned fact sink: layout + dynamic partition overwrite") {
+    val out = tmp() + "/fact"
+    val fact = StarSchemaBuilder.fact(StarSchemaBuilder.base(spark, sf0001))
+    StarSchemaBuilder.writePartitionedFact(spark, fact, out)
+    val all = spark.read.parquet(out)
+    assert(all.count() == fact.count())
+    // hive layout present
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName)
+    assert(dirs.exists(_.startsWith("state=")), dirs.mkString(","))
+
+    // overwrite ONE partition with a single row; others must be intact
+    val (someState, someYm) = {
+      val r = fact.select("state", "year_month").head
+      (r.getString(0), r.getString(1))
+    }
+    val onePart = fact.filter(col("state") === someState &&
+      col("year_month") === someYm).limit(1)
+    val before = all.count()
+    val beforeInPart = fact.filter(col("state") === someState &&
+      col("year_month") === someYm).count()
+    StarSchemaBuilder.writePartitionedFact(spark, onePart, out)
+    val after = spark.read.parquet(out).count()
+    assert(after == before - beforeInPart + 1,
+      "only the rewritten partition may change")
+  }
+
+  test("partition pruning: state+year_month filter reads one partition") {
+    val out = tmp() + "/fact"
+    val fact = StarSchemaBuilder.fact(StarSchemaBuilder.base(spark, sf0001))
+    StarSchemaBuilder.writePartitionedFact(spark, fact, out)
+    val r = fact.select("state", "year_month").head
+    val pruned = spark.read.parquet(out)
+      .filter(col("state") === r.getString(0) &&
+        col("year_month") === r.getString(1))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters"), scan.take(500))
+    assert(pruned.count() > 0)
+  }
+}
