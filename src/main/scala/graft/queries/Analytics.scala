@@ -182,7 +182,56 @@ object Analytics extends QueryPack {
       Tables.load(s, d, "part")
         .filter(lower(col("p_name")).startsWith("bl"))
         .select(col("p_name")).distinct()
-        .orderBy("p_name").limit(20))
+        .orderBy("p_name").limit(20)),
+
+    // P1+P2: guarded rename map + drop list (main.py:225-262) — rename
+    // only columns that exist, drop ignoring missing
+    "p1_p2_rename_drop" -> ((s, d) => {
+      val renames = Map("l_extendedprice" -> "rate", "l_partkey" -> "code",
+        "not_present" -> "ghost")
+      val drops = Seq("l_discount", "l_tax", "also_not_present")
+      val df = Tables.load(s, d, "lineitem")
+      val present = renames.filter { case (k, _) => df.columns.contains(k) }
+      df.withColumnsRenamed(present).drop(drops: _*)
+        .select("l_orderkey", "l_linenumber", "code", "rate")
+    }),
+
+    // P11: required-fields row filter via na.drop (data_cleaner.py:66-77)
+    "p11_required_fields" -> ((s, d) =>
+      rates(s, d).na.drop(Seq("billing_code", "expiration_date", "payer_slug"))
+        .select("l_orderkey", "l_linenumber", "billing_code", "expiration_date")),
+
+    // S7: CMS reference-table load shape — year filter plus
+    // null-or-empty modifier (rate_calculator.py:23-50)
+    "s7_year_modifier_filter" -> ((s, d) => {
+      val withMod = Tables.load(s, d, "orders")
+        .withColumn("year", year(col("o_orderdate")))
+        .withColumn("modifier",
+          when(col("o_orderkey") % 5 === 0, "26")
+            .when(col("o_orderkey") % 5 === 1, "")
+            .otherwise(lit(null).cast("string")))
+      withMod.filter(col("year") === 1995 &&
+          (col("modifier").isNull || col("modifier") === ""))
+        .select("o_orderkey", "o_totalprice", "modifier")
+    }),
+
+    // J6: scalar map-lookup join (Series.map; main.py:747)
+    "j6_scalar_map_join" -> ((s, d) => {
+      val wi = Tables.load(s, d, "nation")
+        .select(col("n_name").as("state"),
+          pround(col("n_nationkey") / lit(25.0) + 0.7, 4).as("state_wi_avg"))
+      val p = Roles.providers(s, d)
+      p.join(broadcast(wi), Seq("state"), "left")
+        .select(col("provider_group_id"), col("state"), col("state_wi_avg"))
+    }),
+
+    // J14: conditional plan building via the param grammar (QueryApi;
+    // backend/main.py:117-125) — provider join attached only because a
+    // provider-side filter (state) is present
+    "j14_conditional_join" -> ((s, d) =>
+      QueryApi.rateSummary(s, d, QueryApi.RateFilter(
+        state = "GERMANY", yearMonth = "1995-06",
+        billingClass = Some("professional"), minRate = Some(100.0))))
   )
 
   def oracles: Map[String, String] = Map(
@@ -280,6 +329,53 @@ object Analytics extends QueryPack {
 
     "autocomplete_distinct" -> """
       SELECT DISTINCT p_name FROM part
-      WHERE lower(p_name) LIKE 'bl%' ORDER BY p_name LIMIT 20"""
+      WHERE lower(p_name) LIKE 'bl%' ORDER BY p_name LIMIT 20""",
+
+    "p1_p2_rename_drop" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey AS code,
+             l_extendedprice AS rate
+      FROM lineitem""",
+
+    "p11_required_fields" -> s"""$R
+      SELECT l_orderkey, l_linenumber, billing_code, expiration_date
+      FROM rates
+      WHERE billing_code IS NOT NULL AND expiration_date IS NOT NULL
+        AND payer_slug IS NOT NULL""",
+
+    "s7_year_modifier_filter" -> """
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 5 = 0 THEN '26'
+                  WHEN o_orderkey % 5 = 1 THEN ''
+                  ELSE NULL END AS modifier
+      FROM orders
+      WHERE year(o_orderdate) = 1995
+        AND (CASE WHEN o_orderkey % 5 = 0 THEN '26'
+                  WHEN o_orderkey % 5 = 1 THEN ''
+                  ELSE NULL END IS NULL
+             OR CASE WHEN o_orderkey % 5 = 0 THEN '26'
+                     WHEN o_orderkey % 5 = 1 THEN ''
+                     ELSE NULL END = '')""",
+
+    "j6_scalar_map_join" -> """
+      SELECT CAST(s_suppkey AS VARCHAR) AS provider_group_id,
+             n_name AS state,
+             floor((n_nationkey / 25.0 + 0.7) * 10000.0 + 0.5) / 10000.0
+               AS state_wi_avg
+      FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey""",
+
+    "j14_conditional_join" -> s"""$R
+      SELECT COUNT(*) AS rate_count,
+             ${avgS("negotiated_rate")} AS avg_rate,
+             ${prS("MIN(negotiated_rate)")} AS min_rate,
+             ${prS("MAX(negotiated_rate)")} AS max_rate,
+             ${prS("quantile_cont(negotiated_rate, 0.5)")} AS median_rate,
+             COUNT(DISTINCT billing_code) AS unique_codes
+      FROM rates LEFT JOIN (
+        SELECT CAST(s_suppkey AS VARCHAR) AS provider_group_id,
+               n_name AS state
+        FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey) p
+        ON rates.provider_reference_id = p.provider_group_id
+      WHERE year_month = '1995-06' AND billing_class = 'professional'
+        AND negotiated_rate >= 100.0 AND state = 'GERMANY'"""
   )
 }
