@@ -38,7 +38,12 @@ object Bench {
         try {
           val df = fn(spark, sfDir)
           if (explain) { println(s"=== $name ==="); df.explain("formatted") }
-          df.count()
+          // Hash-consume every output column: a bare count() lets Catalyst
+          // prune projections, so expression-heavy queries would time only
+          // their scan/join skeleton. xxhash64 over the full row struct
+          // forces evaluation of all columns while returning one row.
+          import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+          df.agg(sum(xxhash64(struct(col("*"))))).collect()
         } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }

@@ -81,7 +81,7 @@ object StarSchemaBuilder {
   def appendUnique(spark: SparkSession, df: DataFrame, path: String,
                    keys: Seq[String]): Unit = {
     val fresh =
-      if (!exists(path)) df.dropDuplicates(keys)
+      if (!exists(spark, path)) df.dropDuplicates(keys)
       else {
         val existingKeys = spark.read.parquet(path).select(keys.map(col): _*)
         df.dropDuplicates(keys)
@@ -100,13 +100,15 @@ object StarSchemaBuilder {
     * (prod_etl/notebook.py:275-348): only the partitions present in
     * `df` are rewritten; every other partition is untouched. */
   def writePartitionedFact(spark: SparkSession, df: DataFrame,
-                           path: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                           path: String): Unit =
+    // Per-write option, not a session conf mutation: a session-level
+    // partitionOverwriteMode=dynamic would silently change the semantics
+    // of every later Overwrite write in the same session.
     df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("state", "year_month")
       .option("compression", "zstd")
       .parquet(path)
-  }
 
   /** Full batch build (SURVEY §3.2): dims append-unique + fact upsert. */
   def runFull(spark: SparkSession, dir: String, outDir: String): Unit = {
@@ -119,8 +121,12 @@ object StarSchemaBuilder {
     } finally b.unpersist()
   }
 
-  private def exists(path: String): Boolean = {
+  /** Resolve with the session's Hadoop conf, not a bare Configuration —
+    * FS settings/credentials injected via spark.hadoop.* (s3a etc.) must
+    * apply, or the existence check could wrongly report false and make
+    * appendUnique skip its anti-join. */
+  private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 }

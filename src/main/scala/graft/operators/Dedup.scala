@@ -17,8 +17,11 @@ import graft.queries.QueryPack
   *    only (band_idx, band_hash, doc_id) tuples, so the join input is
   *    tiny compared to the corpus — this is the 100 TB path, since
   *    candidate pairs (not all pairs) are materialized;
-  *  - SimHash reduces each doc to one small int; near-dup candidates
-  *    come from an equi-join on the signature (trivially shuffle-light);
+  *  - SimHash reduces each doc to one 64-bit signature; near-dup
+  *    candidates come from equi-joins on 4×16-bit bands (any candidate
+  *    within Hamming ≤ 3 shares at least one intact band, by pigeonhole)
+  *    and are then verified with an exact `bit_count(xor)` check — no
+  *    full pairwise comparison ever happens;
   *  - full Jaccard is only ever computed on candidate pairs.
   *
   * Hashes are md5-derived (not `hash`/`xxhash64`) so results are
@@ -69,16 +72,38 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), array_distinct(shinglesOf(col("tk"))).as("sh"))
 
-  /** Portable 60-bit hash: first 15 hex chars of md5, as a long. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** Portable 32-bit hash: first 8 hex chars of md5, as a long in [0, 2^32). */
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   private val NumHashes = 16
   private val BandSize = 4 // → 4 bands of 4 rows
+  private val MaxBucket = 64 // LSH hot-bucket cap (skew guard)
+
+  /** SimHash Hamming verify threshold. 4 bands of 16 bits guarantee every
+    * pair within Hamming ≤ 3 shares an intact band (pigeonhole). */
+  val SimhashK = 3
+
+  /** 64-bit SimHash signatures per doc_id (exposed for the brute-force
+    * equivalence spec). Each md5 bit of a token is an independent ±1
+    * hyperplane projection; the signature bit is the sign of the sum. */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val tok = augmented(s, d).select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    // 64-bit token hash from two md5 halves (portable; sign bit is fine —
+    // bit ops treat the long as a raw 64-bit word).
+    val th = tok.select(col("doc_id"),
+      shiftleft(h32(col("tok")), 32)
+        .bitwiseOR(conv(substring(md5(col("tok")), 9, 8), 16, 10)
+          .cast("long")).as("th"))
+    val bitSums = (0 until 64).map(i => sum(when(shiftright(col("th"), i)
+      .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
+    val sums = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    sums.select(col("doc_id"),
+      (0 until 64).map(i =>
+        when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+        .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
 
   /** Universal-hash permutation constants for MinHash: minhash_j(h) =
     * (a_j·h + b_j) mod P. a_j < 2^30 keeps a_j·h < 2^62 (no overflow);
@@ -119,8 +144,18 @@ object Dedup extends QueryPack {
         (0 until NumHashes / BandSize).map(b =>
           md5(concat_ws("-", (0 until BandSize).map(r =>
             col(s"h${b * BandSize + r}")): _*))): _*)).as(Seq("band_idx", "band_hash")))
-      val a = bands.as("a")
-      val b = bands.as("b")
+      // Hot-bucket cap: a degenerate band value (e.g. the shared signature
+      // of near-empty docs) would make its bucket quadratic at corpus
+      // scale. Drop buckets over the cap — docs that pathological are not
+      // meaningful near-dup candidates anyway. The count and the self-join
+      // shuffle on the same (band_idx, band_hash) keys, so the extra agg
+      // reuses the exchange partitioning.
+      val keepBuckets = bands.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= MaxBucket).drop("bucket_n")
+      val capped = bands.join(keepBuckets, Seq("band_idx", "band_hash"))
+      val a = capped.as("a")
+      val b = capped.as("b")
       a.join(b, col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -128,23 +163,30 @@ object Dedup extends QueryPack {
         .agg(count(lit(1)).cast("int").as("n_bands"))
     }),
 
-    // SimHash: 16-bit signature; pairs with identical signatures
+    // SimHash: 64-bit signature; candidates from 4×16-bit band equi-joins
+    // (pigeonhole: Hamming ≤ 3 ⇒ ≥1 of the 4 bands is identical), then
+    // exact Hamming verification on the candidate pairs only — the
+    // Manku et al. WWW'07 web-dedup scheme. k=3/64 targets ~99% cosine
+    // similarity; the injected 95%-similar near-copies measure Hamming
+    // 6-11 (≈ arccos(0.95)/π · 64) and are MinHash-LSH's job, which
+    // recovers them (OperatorsSpec).
     "dedup_simhash" -> ((s, d) => {
-      val tok = augmented(s, d).select(col("doc_id"),
-        explode(array_distinct(tokens(col("text")))).as("tok"))
-        .withColumn("th", h60(col("tok")))
-      val bitSums = (0 until 16).map(i => sum(when(shiftright(col("th"), i)
-        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
-      val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      val sig = sums.select(col("doc_id"),
-        (0 until 16).map(i => when(col(s"b$i") >= 0, 1 << i).otherwise(0))
-          .reduce(_ + _).cast("int").as("simhash"))
-      val a = sig.as("a")
-      val b = sig.as("b")
-      a.join(b, col("a.simhash") === col("b.simhash") &&
+      val sig = simhashSignatures(s, d)
+      val bands = sig.select(col("doc_id"), col("simhash"), posexplode(array(
+        (0 until 4).map(bn =>
+          shiftright(col("simhash"), bn * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_val")))
+      val a = bands.as("a")
+      val b = bands.as("b")
+      a.join(b, col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("simhash"))
+          col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+        .dropDuplicates("doc_a", "doc_b") // a pair may collide in >1 band
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        .filter(col("hamming") <= SimhashK)
     }),
 
     // n-gram Jaccard on known candidate pairs (original, injected copy)
@@ -168,8 +210,8 @@ object Dedup extends QueryPack {
              COUNT(*) AS n_copies
       FROM aug GROUP BY 1""",
 
-    // Shingle construction in SQL mirrors `shingles` exactly for docs
-    // with >= 3 tokens (all candidate docs here qualify).
+    // Shingle construction in SQL mirrors `shinglesOf` exactly,
+    // including the <3-token single-shingle fallback.
     "dedup_ngram_jaccard" -> s"""WITH aug AS ($augmentedSql),
       tok AS (
         SELECT doc_id, list_filter(string_split_regex(
@@ -178,9 +220,11 @@ object Dedup extends QueryPack {
         FROM aug WHERE doc_id < 20 OR doc_id >= 100000),
       sh AS (
         SELECT DISTINCT doc_id, s FROM (
-          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i ->
-            tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1] ||
-            ' ' || tk[CAST(i AS INTEGER) + 2])) AS s
+          SELECT doc_id, unnest(
+            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                 ELSE list_transform(range(1, len(tk) - 1), i ->
+                   tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1] ||
+                   ' ' || tk[CAST(i AS INTEGER) + 2]) END) AS s
           FROM tok)),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

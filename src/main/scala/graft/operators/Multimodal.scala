@@ -45,10 +45,13 @@ object Multimodal extends QueryPack {
         md5(col("payload")).as("content_hash"),
         col("meta.origin").as("origin"),
         fakeDecodeFeatures(col("payload")).as("features"),
-        // frame-sample: n evenly spaced 16-byte slices of the payload
+        // frame-sample: n evenly spaced 16-byte slices of the raw
+        // payload (slice offsets stride byte_len/frames), hashed — the
+        // blob is never copied per frame, only sliced.
         transform(sequence(lit(0), lit(frames - 1)), i =>
-          md5(base64(col("payload")).substr(lit(1), lit(24) + i * 7)))
-          .as("frame_hashes"))
+          md5(col("payload").substr(
+            i * greatest(lit(1), octet_length(col("payload")) / frames) + 1,
+            lit(16)))).as("frame_hashes"))
         .select(col("media_id"), col("byte_len"), col("content_hash"),
           col("origin"), col("features.mean_luma").as("mean_luma"),
           col("features.width").as("width"), col("features.height").as("height"),

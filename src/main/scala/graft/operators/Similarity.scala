@@ -15,11 +15,16 @@ import graft.queries.QueryPack
   *   nested-loop over a single scan (no shuffle of the corpus) and
   *   scales linearly with candidates per executor.
   * - `sim_ivf_topk`: the 100 TB path — IVF-style bucketing. Vectors
-  *   are assigned to their nearest centroid once (scan + broadcast of
-  *   K centroids), queries probe only the closest `nprobe` buckets, so
-  *   the search touches ~nprobe/K of the corpus. With bucketed storage
-  *   (`partitionBy(bucket)`), partition pruning makes each query read
-  *   only its probed buckets.
+  *   are assigned to their nearest centroid via a `max_by` aggregation
+  *   (map-side partial combine collapses the K centroid scores per
+  *   vector before any shuffle — no window sort); queries probe only
+  *   the closest `nprobe` buckets, so the search touches ~nprobe/K of
+  *   the corpus.
+  * - `writeIvfIndex` / `probeIvfIndex`: the materialized form of the
+  *   same index — the corpus written `partitionBy(bucket)` once, then
+  *   probes push `bucket IN (...)` literals so PruneFileSourcePartitions
+  *   makes each query read only its probed buckets' files (asserted in
+  *   OperatorsSpec).
   *
   * Dot products use `zip_with`+`aggregate` over built-ins (codegen'd,
   * no UDF); elements are cast to double before multiply so the oracle
@@ -67,23 +72,13 @@ object Similarity extends QueryPack {
     // IVF-bucketed approximate top-k (centroids = vec_id 0..7, nprobe=2)
     "sim_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
-      def nearest(df: DataFrame, vecCol: String, n: Int, out: String) = {
-        val w = Window.partitionBy(col("vid"))
-          .orderBy(col("csim").desc, col("centroid_id"))
-        df.join(broadcast(cents), lit(true))
-          .select(col("vid"), col(vecCol), col("centroid_id"),
-            cosine(col(vecCol), col("cent")).as("csim"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
-          .select(col("vid"), col(vecCol), col("centroid_id").as(out))
-      }
-      val assigned = nearest(e.select(col("vec_id").as("vid"),
-        col("embedding").as("ce")), "ce", 1, "bucket")
-        .select(col("vid").as("cid"), col("ce"), col("bucket"))
-      val probes = nearest(e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("vid"), col("embedding").as("qe")),
-        "qe", 2, "probe")
+      val cents = centroids(e)
+      val assigned = assignBuckets(
+        e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        "cid", "ce", cents)
+      // Probe selection is over |queries|×K rows (tiny) — a window is fine.
+      val probes = probeBuckets(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("vid"), col("embedding").as("qe")), cents, 2)
       val scored = probes.join(assigned,
           col("probe") === col("bucket") && col("cid") =!= col("vid"))
         .select(col("vid").as("qid"), col("cid"),
@@ -94,6 +89,75 @@ object Similarity extends QueryPack {
           pround(col("sim"), 4).as("cosine"))
     })
   )
+
+  /** IVF centroids: at real scale these come from a k-means sample; the
+    * fixture uses the first K=8 corpus vectors. */
+  def centroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+
+  /** Nearest-centroid assignment as one aggregation: score each vector
+    * against the broadcast centroids, then `max_by` the argmax. Partial
+    * aggregation collapses the K scored rows per vector map-side, so
+    * nothing bigger than the corpus itself ever shuffles — no window
+    * sort. Ties break to the lowest centroid_id (hence the negated id in
+    * the ordering struct). */
+  def assignBuckets(vecs: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol), col("centroid_id"),
+        cosine(col(vecCol), col("cent")).as("csim"))
+      .groupBy(idCol)
+      .agg(first(col(vecCol)).as(vecCol),
+        max_by(col("centroid_id"),
+          struct(col("csim"), -col("centroid_id"))).as("bucket"))
+
+  /** Top-`nprobe` buckets per query vector (query side is tiny). */
+  private def probeBuckets(q: DataFrame, cents: DataFrame,
+                           nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    q.crossJoin(broadcast(cents))
+      .select(col("vid"), col("qe"), col("centroid_id"),
+        cosine(col("qe"), col("cent")).as("csim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+      .select(col("vid"), col("qe"), col("centroid_id").as("probe"))
+  }
+
+  /** Materialize the IVF index: corpus written hive-partitioned by
+    * bucket, so probe queries prune to ~nprobe/K of the files. This is
+    * the ETL half of the 100 TB design (build once, probe many). */
+  def writeIvfIndex(spark: SparkSession, dir: String, outPath: String): Unit = {
+    val e = emb(spark, dir)
+    assignBuckets(e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      "cid", "ce", centroids(e))
+      .write.mode("overwrite").partitionBy("bucket")
+      .option("compression", "zstd").parquet(outPath)
+  }
+
+  /** Probe a materialized IVF index. The probed bucket ids are resolved
+    * driver-side from the (by-definition tiny) query set and pushed as
+    * IN-literals, so the scan's PartitionFilters prune unprobed buckets
+    * at file listing — the serving-path read pattern of a real IVF. */
+  def probeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+                    nprobe: Int = 2, topK: Int = 5): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = probeBuckets(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("vid"), col("embedding").as("qe")),
+      centroids(e), nprobe)
+    val probedBuckets = probes.select("probe").distinct()
+      .collect().map(_.getLong(0))
+    val index = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(probedBuckets: _*))
+    val scored = probes.join(index,
+        col("probe") === col("bucket") && col("cid") =!= col("vid"))
+      .select(col("vid").as("qid"), col("cid"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("qid"), col("cid"), col("rank"),
+        pround(col("sim"), 4).as("cosine"))
+  }
 
   /** Shared SQL: per-(pair) double-precision dot products via UNNEST. */
   private def dotSql(qTbl: String, cTbl: String, joinCond: String): String = s"""

@@ -11,10 +11,12 @@ import graft.functions.NormExprs._
   * code-list file source (S5), the benchmark-builder cross product, and
   * autocomplete distinct (§2.6).
   *
-  * Scale notes: dims (nation/customer/supplier/part/orders at these
-  * SFs) are broadcast so the lineitem fact never shuffles for joins;
-  * wide countDistinct aggregates use Spark's expand+partial-agg (exact,
-  * matching the reference's exact distinct counts — SURVEY §2.4 note).
+  * Scale notes: only bounded dims (nation, supplier-as-dim, the 25-row
+  * states side of the benchmark cross product) carry broadcast hints;
+  * SF-scaled tables (orders, customer) go through shuffle joins so the
+  * plans survive a 100× scale-up (AQE may still localize them at small
+  * SF). Wide countDistinct aggregates use Spark's expand+partial-agg
+  * (exact, matching the reference's exact distinct counts — SURVEY §2.4).
   */
 object Analytics extends QueryPack {
 
@@ -72,7 +74,8 @@ object Analytics extends QueryPack {
     "a9_category_drilldown" -> ((s, d) => {
       val o = Tables.load(s, d, "orders")
       val c = Tables.load(s, d, "customer")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      // customer is SF-scaled — no broadcast hint; AQE picks the join
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("record_count"),
           countDistinct("o_custkey").as("unique_customers"),
@@ -92,8 +95,10 @@ object Analytics extends QueryPack {
       val c = Tables.load(s, d, "customer")
       val sup = Tables.load(s, d, "supplier")
       val n = Tables.load(s, d, "nation")
-      l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      // orders/customer are SF-scaled: shuffle-join them (AQE may still
+      // localize at small SF); broadcast only the bounded dims.
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"), "left")
         .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"), "left")
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"), "left")
         .agg(count(lit(1)).as("total_rows"),
@@ -135,7 +140,8 @@ object Analytics extends QueryPack {
       val oKeyed = o.select(col("o_orderkey"), col("o_totalprice"),
         concat(lit("customer_"),
           lpad(col("o_custkey").cast("string"), 9, "0")).as("cust_slug"))
-      oKeyed.join(broadcast(c), Seq("cust_slug"), "left")
+      // customer is SF-scaled — plain shuffle join on the computed slug
+      oKeyed.join(c, Seq("cust_slug"), "left")
         .select(col("o_orderkey"), col("cust_slug"), col("c_mktsegment"),
           pround(col("o_totalprice"), 2).as("total_price"))
     }),
@@ -148,8 +154,9 @@ object Analytics extends QueryPack {
       val c = Tables.load(s, d, "customer")
       val sup = Tables.load(s, d, "supplier")
       val n = Tables.load(s, d, "nation").filter(col("n_regionkey") === 1)
-      l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      // orders/customer are SF-scaled: no broadcast hint on them
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"), "left")
         .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"), "left")
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("c_name"),
@@ -169,7 +176,9 @@ object Analytics extends QueryPack {
         (col("p_retailprice") / 100.0).as("work_rvu"),
         (col("p_size") / 10.0).as("pe_rvu"),
         (col("p_partkey") % 13 / lit(100.0)).as("mp_rvu"))
-      states.crossJoin(broadcast(codes))
+      // Broadcast the 25-row states side and stream the SF-scaled codes
+      // table through BroadcastNestedLoopJoin — never the reverse.
+      codes.crossJoin(broadcast(states))
         .select(col("state"), col("code"),
           pround(medicareProfRate(col("work_rvu"), col("pe_rvu"), col("mp_rvu"),
             col("work_gpci"), col("pe_gpci"), col("mp_gpci"),

@@ -95,16 +95,19 @@ object Inventory extends QueryPack {
       li(s, d).select(col("l_returnflag").as("flag"),
         col("l_linestatus").as("status")).distinct()),
 
-    // W1: keyed keep-latest dedup via row_number (utils_nppes.py:226-252)
-    "w1_latest_dedup" -> ((s, d) => {
-      val w = Window.partitionBy("l_orderkey")
-        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc,
-          col("l_extendedprice").desc)
-      li(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // W1: keyed keep-latest dedup (utils_nppes.py:226-252). Expressed as
+    // max(struct(...)) — lexicographic max over the sort key — rather
+    // than a row_number window: the aggregate gets map-side partial
+    // combine and never sorts whole partitions, so at 100 TB the shuffle
+    // ships one candidate row per key per mapper instead of every row.
+    "w1_latest_dedup" -> ((s, d) =>
+      li(s, d).groupBy("l_orderkey")
+        .agg(max(struct(col("l_shipdate"), col("l_linenumber"),
+          col("l_extendedprice"))).as("top"))
         .select(col("l_orderkey"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd").as("last_updated"),
-          col("l_linenumber"), col("l_extendedprice").as("rate"))
-    }),
+          date_format(col("top.l_shipdate"), "yyyy-MM-dd").as("last_updated"),
+          col("top.l_linenumber").as("l_linenumber"),
+          col("top.l_extendedprice").as("rate"))),
 
     // W2: top-1 per key by ratio (api_clients.py:300-306)
     "w2_top1_per_key" -> ((s, d) => {
@@ -425,7 +428,11 @@ object Inventory extends QueryPack {
           col("negotiation_arrangement"), col("negotiated_rate"),
           expirationSentinel(col("expiration_date")).as("expiration_date"),
           col("provider_reference_id").as("provider_group_id_raw"))
-        .distinct()
+        // fact_uid is an md5 over the entire fact grain, so deduping on it
+        // alone is equivalent to a full-row distinct but shuffles one
+        // 32-char column instead of 14 wide ones (same trick as
+        // StarSchemaBuilder.fact). Oracle keeps SELECT DISTINCT.
+        .dropDuplicates("fact_uid")
     })
   )
 

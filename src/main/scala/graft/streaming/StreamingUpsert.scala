@@ -9,11 +9,12 @@ import graft.etl.StarSchemaBuilder
   * (SURVEY §2.11): the reference makes incremental batches idempotent
   * with deterministic uids + anti-join insert (prod_etl/ETL_1.py:450-498,
   * Data_Schema.md:356-361); here the same upsert runs per micro-batch
-  * via foreachBatch, with event-time watermark + dropDuplicates as the
-  * in-flight dedup stage.
+  * via foreachBatch, with event-time watermark +
+  * dropDuplicatesWithinWatermark as the in-flight dedup stage.
   *
-  * Scale notes: watermark state holds only uids within the lateness
-  * window; the sink-side anti-join reads just the slim uid projection of
+  * Scale notes: watermark-scoped dedup state holds only uids until the
+  * watermark passes their event time (bounded by the lateness window);
+  * the sink-side anti-join reads just the slim uid projection of
   * the existing data. Parallelism and partition layout are identical to
   * the batch path because foreachBatch reuses the exact batch writer.
   */
@@ -40,15 +41,18 @@ object StreamingUpsert {
     * parquet dataset at `outPath`.
     *
     * `lateness` bounds the dedup state AND defines how old an event may
-    * arrive before being discarded as late — rows older than
-    * max(event_time)-lateness are dropped by the stateful dedup. Size
-    * it to the source's real out-of-orderness; the sink-side anti-join
-    * still guarantees idempotence for whatever passes. */
+    * arrive before being discarded as late. The dedup must be
+    * `dropDuplicatesWithinWatermark`: a plain dropDuplicates(uid) never
+    * evicts its state (the uid key carries no event time), so state would
+    * grow unbounded; the WithinWatermark variant expires each uid once
+    * the watermark passes its event time. Size `lateness` to the
+    * source's real out-of-orderness; the sink-side anti-join still
+    * guarantees idempotence for whatever passes. */
   def run(spark: SparkSession, inDir: String, outPath: String,
           checkpoint: String, lateness: String = "1 hour"): StreamingQuery =
     readEventStream(spark, inDir)
       .withWatermark("event_time", lateness)
-      .dropDuplicates("fact_uid")
+      .dropDuplicatesWithinWatermark("fact_uid")
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>

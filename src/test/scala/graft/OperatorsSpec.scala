@@ -21,14 +21,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("simhash: identical-signature pairs include all exact copies") {
-    val pairs = Dedup.queries("dedup_simhash")(spark, sf0001)
-      .select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("simhash: banded join ≡ brute-force Hamming<=k; exact copies at 0") {
+    val out = Dedup.queries("dedup_simhash")(spark, sf0001).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
     (0L until 10L).foreach { id =>
       assert(pairs.contains((id, id + 100000)),
-        s"exact copy $id not signature-identical")
+        s"exact copy $id not recovered")
     }
+    assert(out.forall(_.getAs[Int]("hamming") <= Dedup.SimhashK))
+    // The 4×16-bit banding must lose nothing: compare against an exact
+    // all-pairs Hamming scan over the signatures.
+    val sig = Dedup.simhashSignatures(spark, sf0001)
+    val brute = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= Dedup.SimhashK)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == brute, "banded candidates must equal brute-force pairs")
+  }
+
+  test("simhash: 95%-similar near-copies sit beyond k=3 — minhash territory") {
+    // Adding 3 suffix tokens to a ~56-token doc gives cosine sim ≈ 0.95,
+    // i.e. expected Hamming ≈ arccos(.95)/π · 64 ≈ 6.5 — outside the
+    // Manku k=3 envelope by design. Pin the measured distances so a
+    // signature regression (e.g. the old 16-bit degenerate version,
+    // which collided everything to Hamming 0) is caught.
+    val sig = Dedup.simhashSignatures(spark, sf0001)
+    val near = sig.as("a").join(sig.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 100000 &&
+        col("a.doc_id").between(10, 19))
+      .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .collect().map(_.getInt(0))
+    assert(near.length == 10)
+    assert(near.forall(h => h > Dedup.SimhashK && h <= 20),
+      s"near-copy Hamming out of expected band: ${near.mkString(",")}")
   }
 
   test("exact dedup groups each injected copy with its original") {
