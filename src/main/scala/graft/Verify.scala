@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.ansi.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // S2 corrupt-parquet salvage (chunk_processor.py:34-50): skip
+      // unreadable files instead of failing the batch
+      .config("spark.sql.files.ignoreCorruptFiles", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,87 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Roles
+import graft.functions.NormExprs.pround
+
+/** The gold serving pre-aggregate `agg_market_rates`
+  * (prod_etl/notebook.py:360-419): per
+  * (year_month, state, payer_slug, billing_class, code_type, code)
+  * slice — distinct provider / TIN counts, exact p10..p90 quantiles,
+  * mean/min/max.
+  *
+  * This is S15, and it is how the reference reaches its 50-200 ms
+  * dashboard latency class (webapp/DASHBOARD_OPTIMIZATION_GUIDE.md):
+  * the fact is aggregated ONCE per refresh, dashboards read the tiny
+  * aggregate. The writer hive-partitions by (state, year_month) and
+  * refreshes per slice with dynamic partition overwrite — the Spark
+  * equivalent of the reference's DELETE + INSERT month slice.
+  *
+  * Scale notes: one shuffle on the 6-column grain; the two exact
+  * countDistincts ride the same aggregation (expand ×3, partial-agg
+  * friendly). Exact quantiles require the grouped values; at 100 TB
+  * swap `percentile` for `percentile_approx` per SURVEY §2.4's policy
+  * — the schema is unchanged.
+  */
+object GoldAggregates {
+
+  /** The aggregate as a query over the raw roles (inline form; the
+    * oracle-checked shape). */
+  def aggMarketRates(spark: SparkSession, dir: String): DataFrame = {
+    val r = Roles.rates(spark, dir)
+    val p = Roles.providers(spark, dir)
+    val tin = EnrichmentDims.xrefPgMemberTin(p)
+      .select(col("provider_group_id").as("tin_pgid"), col("tin_value"))
+    def q(pp: Double, n: String) =
+      pround(percentile(col("negotiated_rate"), lit(pp)), 2).as(n)
+    r.join(broadcast(p),
+        r("provider_reference_id") === p("provider_group_id"), "left")
+      .join(broadcast(tin),
+        r("provider_reference_id") === col("tin_pgid"), "left")
+      .groupBy("year_month", "state", "payer_slug", "billing_class",
+        "code_type", "billing_code")
+      .agg(
+        countDistinct("provider_reference_id").as("npi_count"),
+        countDistinct("tin_value").as("ein_count"),
+        q(0.10, "p10"), q(0.25, "p25"), q(0.50, "p50"),
+        q(0.75, "p75"), q(0.90, "p90"),
+        pround(sum(col("negotiated_rate").cast("decimal(18,2)"))
+          .cast("double") / count(col("negotiated_rate")), 2).as("mean"),
+        pround(min(col("negotiated_rate")), 2).as("min"),
+        pround(max(col("negotiated_rate")), 2).as("max"))
+      .withColumnRenamed("billing_code", "code")
+  }
+
+  /** Full materialization: write the aggregate hive-partitioned by
+    * (state, year_month) so dashboard reads prune to their slice. */
+  def materialize(spark: SparkSession, dir: String, outPath: String): Unit =
+    write(aggMarketRates(spark, dir), outPath)
+
+  /** Slice refresh (the reference's DELETE+INSERT per (state, ym),
+    * notebook.py:373-405): recompute only the given slices from the
+    * current input and dynamically overwrite exactly those partitions —
+    * all other partitions are untouched files. */
+  def refreshSlices(spark: SparkSession, dir: String, outPath: String,
+                    slices: Seq[(String, String)]): Unit = {
+    val agg = aggMarketRates(spark, dir)
+    val hit = slices.map { case (st, ym) =>
+      col("state") === st && col("year_month") === ym
+    }.reduce(_ || _)
+    write(agg.filter(hit), outPath)
+  }
+
+  private def write(df: DataFrame, outPath: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("state", "year_month")
+      .option("compression", "zstd")
+      .parquet(outPath)
+
+  /** Serving read: the dashboard path — partition filters prune to the
+    * requested slice at file listing. */
+  def readSlice(spark: SparkSession, path: String, state: String,
+                yearMonth: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("state") === state && col("year_month") === yearMonth)
+}

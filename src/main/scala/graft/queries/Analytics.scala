@@ -239,7 +239,7 @@ object Analytics extends QueryPack {
     // provider-side filter (state) is present
     "j14_conditional_join" -> ((s, d) =>
       QueryApi.rateSummary(s, d, QueryApi.RateFilter(
-        state = "GERMANY", yearMonth = "1995-06",
+        state = "NATION_9", yearMonth = "1995-09",
         billingClass = Some("professional"), minRate = Some(100.0))))
   )
 
@@ -384,7 +384,7 @@ object Analytics extends QueryPack {
                n_name AS state
         FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey) p
         ON rates.provider_reference_id = p.provider_group_id
-      WHERE year_month = '1995-06' AND billing_class = 'professional'
-        AND negotiated_rate >= 100.0 AND state = 'GERMANY'"""
+      WHERE year_month = '1995-09' AND billing_class = 'professional'
+        AND negotiated_rate >= 100.0 AND state = 'NATION_9'"""
   )
 }

@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Roles, RolesSql, Tables}
+import graft.etl.{EnrichmentDims, EnrichmentDimsSql, GoldAggregates, WideTableBuilder}
+import graft.functions.{Categorizer, NormExprs}
+import graft.functions.NormExprs.{pround, wageAdjFactor}
+
+/** Round-2 builder surface: the prod enrichment dims and gold layers as
+  * oracle-checked queries —
+  *  - dim_code_cat crosswalk categorization (the prod serving path,
+  *    webapp/utils/optimized_queries.py:131-149);
+  *  - the materialized `agg_market_rates` gold pre-agg, S15
+  *    (prod_etl/notebook.py:360-419);
+  *  - OPPS/ASC facility benchmarks with the wage-index state adjustment,
+  *    F11 applied (build_medicare_benchmarks.py:369-425, main.py:740-772);
+  *  - NPPES dims: build, fact join, keep-latest upsert
+  *    (prod_etl/utils/utils_nppes.py:127-252);
+  *  - TIN xref + the TIN-conditioned filter grammar
+  *    (prod_etl/notebook.py:221-224, webapp/backend/main.py:117-125);
+  *  - the staged-funnel drill-down grammar with cumulative filters
+  *    (webapp/staged_dashboard.py:95-310);
+  *  - the full legacy wide-table pipeline, §3.1 (main.py:54-164).
+  */
+object Builders extends QueryPack {
+
+  private val R = s"WITH rates AS (${RolesSql.rates})"
+  private val RP =
+    s"WITH rates AS (${RolesSql.rates}), providers AS (${RolesSql.providers})"
+
+  private def avg2(c: Column) =
+    pround(sum(c.cast("decimal(18,2)")).cast("double") / count(c), 2)
+  private def prS(e: String, scale: Int = 2): String = {
+    val f = math.pow(10, scale)
+    s"floor(($e) * $f + 0.5) / $f"
+  }
+  private def avgS(x: String): String =
+    prS(s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / COUNT($x)")
+  private def qS(x: String, p: String): String = prS(s"quantile_cont($x, $p)")
+
+  /** Spread the small billing_code space across the full 5-digit CPT
+    * range so the categorizer exercises all taxonomy branches (same
+    * synth as f_categorize). */
+  private def synthCode(c: Column): Column =
+    (lit(10000) + (c.cast("bigint") * 37) % 90000).cast("string")
+  private def synthCodeSql(e: String): String =
+    s"CAST(10000 + (CAST($e AS BIGINT) * 37) % 90000 AS VARCHAR)"
+
+  private val FunnelState = "NATION_9"
+  private val FunnelYm = "1995-09"
+
+  def queries: Map[String, QFn] = Map(
+    // §2.9 prod path: crosswalk dim build + broadcast categorization join
+    // with pre-computed search fields (optimized_queries.py:131-149)
+    "f_categorize_xwalk" -> ((s, d) => {
+      val fact = Roles.rates(s, d).select(col("l_orderkey"),
+        col("l_linenumber"), synthCode(col("billing_code")).as("code"))
+      val xwalk = EnrichmentDims.dimCodeCat(fact, "code")
+      EnrichmentDims.categorizeViaCrosswalk(fact, "code", xwalk)
+    }),
+
+    // S15: the agg_market_rates gold pre-agg (inline form; the writer
+    // materializes the same frame — EtlSpec asserts parity + pruning)
+    "s15_agg_market_rates" -> ((s, d) =>
+      GoldAggregates.aggMarketRates(s, d)),
+
+    // F11 applied: OPPS/ASC national + state-averaged facility
+    // benchmarks (build_medicare_benchmarks.py:369-425)
+    "bench_opps_asc_build" -> ((s, d) => {
+      val wi = Roles.providers(s, d).filter(col("s_acctbal") > 0)
+        .groupBy("state").agg(avg2(col("s_acctbal")).as("state_wi_avg"))
+        .select(col("state"), (col("state_wi_avg") / 5000.0).as("wi"))
+      val codes = Tables.load(s, d, "part").select(
+        col("p_partkey").cast("string").as("code"),
+        (col("p_retailprice") / 50.0).as("opps_weight"),
+        (col("p_retailprice") * 0.6).as("asc_nat_raw"))
+      val oppsNat = col("opps_weight") * 87.38
+      // broadcast the 25-row wage-index side; the code table streams
+      codes.crossJoin(broadcast(wi))
+        .select(col("state"), col("code"),
+          pround(oppsNat, 2).as("medicare_opps_national"),
+          pround(oppsNat * wageAdjFactor(col("wi"), 0.6), 2)
+            .as("medicare_opps_stateavg"),
+          pround(col("asc_nat_raw"), 2).as("medicare_asc_national"),
+          pround(col("asc_nat_raw") * wageAdjFactor(col("wi"), 0.5), 2)
+            .as("medicare_asc_stateavg"))
+    }),
+
+    // S8 dim shape: the 17-column dim_npi build (utils_nppes.py:127-157)
+    "dim_npi_build" -> ((s, d) =>
+      EnrichmentDims.dimNpi(Roles.providers(s, d))),
+
+    // J3 proper: fact ⋈ broadcast dim_npi (NPPES enrichment join)
+    "j3_dim_npi_join" -> ((s, d) => {
+      val r = Roles.rates(s, d)
+      val npi = EnrichmentDims.dimNpi(Roles.providers(s, d))
+      r.join(broadcast(npi), r("provider_reference_id") === npi("npi"), "left")
+        .select(r("l_orderkey"), r("l_linenumber"),
+          col("enumeration_type"), col("status"),
+          col("primary_taxonomy_code"), col("primary_taxonomy_desc"))
+    }),
+
+    // W1 on a dim: keep-latest upsert of a dim_npi delta batch
+    // (utils_nppes.py:226-252's ROW_NUMBER merge)
+    "w1_dim_npi_upsert" -> ((s, d) => {
+      val dim = EnrichmentDims.dimNpi(Roles.providers(s, d))
+        .select("npi", "status", "credential", "last_updated")
+      val delta = dim.filter(col("npi").cast("bigint") % 2 === 0)
+        .select(col("npi"), lit("A").as("status"), lit("DO").as("credential"),
+          lit("2025-01-15").as("last_updated"))
+      EnrichmentDims.upsertKeepLatest(dim, delta,
+        Seq("npi"), Seq("last_updated"))
+    }),
+
+    // xref_pg_member_tin build (prod_etl/notebook.py:223)
+    "xref_tin_build" -> ((s, d) =>
+      EnrichmentDims.xrefPgMemberTin(Roles.providers(s, d))),
+
+    // J14 TIN variant: the xref join attached only because tin_value is
+    // present (webapp/backend/main.py:117-125)
+    "j14_tin_conditional" -> ((s, d) =>
+      QueryApi.rateSummary(s, d, QueryApi.RateFilter(
+        state = "", yearMonth = "1995-06",
+        tinValue = Some("EIN000000003")))),
+
+    // Staged funnel stage 1: option list + counts under the mandatory
+    // filters (staged_dashboard.py:95-123)
+    "funnel_stage1_classes" -> ((s, d) => {
+      val r = Roles.rates(s, d)
+      val p = Roles.providers(s, d)
+      r.join(broadcast(p),
+          r("provider_reference_id") === p("provider_group_id"), "left")
+        .filter(col("state") === FunnelState &&
+          col("year_month") === FunnelYm && col("billing_class").isNotNull)
+        .groupBy("billing_class").agg(count(lit(1)).as("opt_count"))
+        .orderBy(col("opt_count").desc, col("billing_class"))
+    }),
+
+    // Staged funnel stage 3: cumulative filters (state, ym, class,
+    // payer set) + crosswalk-categorized option clamp
+    // (staged_dashboard.py:158-200)
+    "funnel_stage3_proc_sets" -> ((s, d) => {
+      val r = Roles.rates(s, d)
+        .withColumn("code", synthCode(col("billing_code")))
+      val p = Roles.providers(s, d)
+      val xwalk = EnrichmentDims.dimCodeCat(r, "code")
+      r.join(broadcast(p),
+          r("provider_reference_id") === p("provider_group_id"), "left")
+        .filter(col("state") === FunnelState &&
+          col("year_month") === FunnelYm &&
+          col("billing_class") === "professional" &&
+          col("payer_slug").isin("payer_0", "payer_1"))
+        .join(broadcast(xwalk), col("code") === col("proc_cd"), "left")
+        .groupBy(coalesce(col("proc_set"), lit("Unknown")).as("proc_set"))
+        .agg(count(lit(1)).as("opt_count"))
+        .orderBy(col("opt_count").desc, col("proc_set"))
+        .limit(15)
+    }),
+
+    // §3.1: the full legacy wide-table pipeline end to end
+    "wide_table_build" -> ((s, d) =>
+      WideTableBuilder.build(s, d,
+        Seq("17", "42", "100", "417", "998", "1500", "2000"), "NATION_9"))
+  )
+
+  def oracles: Map[String, String] = {
+    val (catSet, catCls, catGrp) = Categorizer.sqlCase("proc_cd")
+    val xwalkCte = s"""xwalk AS (
+      SELECT proc_cd, ($catSet) AS proc_set, ($catCls) AS proc_class,
+             ($catGrp) AS proc_group
+      FROM (SELECT DISTINCT ${synthCodeSql("billing_code")} AS proc_cd
+            FROM rates))"""
+    val (wSet, wCls, wGrp) = Categorizer.sqlCase("billing_code")
+    Map(
+      "f_categorize_xwalk" -> s"""$R, codes AS (
+          SELECT l_orderkey, l_linenumber,
+                 ${synthCodeSql("billing_code")} AS code FROM rates),
+        $xwalkCte
+        SELECT c.l_orderkey, c.l_linenumber, c.code,
+               x.proc_set, x.proc_class, x.proc_group,
+               lower(c.code || ' ' || coalesce(x.proc_set, '') || ' ' ||
+                     coalesce(x.proc_class, '') || ' ' ||
+                     coalesce(x.proc_group, '')) AS search_text,
+               lower(trim(coalesce(x.proc_class, ''))) AS proc_class_normalized,
+               lower(trim(coalesce(x.proc_group, ''))) AS proc_group_normalized
+        FROM codes c LEFT JOIN xwalk x ON c.code = x.proc_cd""",
+
+      "s15_agg_market_rates" -> s"""$RP,
+        tin AS (SELECT provider_group_id AS tin_pgid, tin_value
+                FROM (${EnrichmentDimsSql.xrefPgMemberTin}))
+        SELECT year_month, state, payer_slug, billing_class, code_type,
+               billing_code AS code,
+               COUNT(DISTINCT provider_reference_id) AS npi_count,
+               COUNT(DISTINCT tin_value) AS ein_count,
+               ${qS("negotiated_rate", "0.10")} AS p10,
+               ${qS("negotiated_rate", "0.25")} AS p25,
+               ${qS("negotiated_rate", "0.50")} AS p50,
+               ${qS("negotiated_rate", "0.75")} AS p75,
+               ${qS("negotiated_rate", "0.90")} AS p90,
+               ${avgS("negotiated_rate")} AS mean,
+               ${prS("MIN(negotiated_rate)")} AS min,
+               ${prS("MAX(negotiated_rate)")} AS max
+        FROM rates
+        LEFT JOIN providers
+          ON rates.provider_reference_id = providers.provider_group_id
+        LEFT JOIN tin ON rates.provider_reference_id = tin.tin_pgid
+        GROUP BY 1, 2, 3, 4, 5, 6""",
+
+      "bench_opps_asc_build" -> s"""
+        WITH providers AS (${RolesSql.providers}),
+        wi AS (SELECT state, ${avgS("s_acctbal")} / 5000.0 AS wi
+               FROM providers WHERE s_acctbal > 0 GROUP BY state)
+        SELECT state, CAST(p_partkey AS VARCHAR) AS code,
+          ${prS("(p_retailprice / 50.0) * 87.38")} AS medicare_opps_national,
+          ${prS("((p_retailprice / 50.0) * 87.38) * (0.6 * wi + 0.4)")}
+            AS medicare_opps_stateavg,
+          ${prS("p_retailprice * 0.6")} AS medicare_asc_national,
+          ${prS("(p_retailprice * 0.6) * (0.5 * wi + 0.5)")}
+            AS medicare_asc_stateavg
+        FROM part CROSS JOIN wi""",
+
+      "dim_npi_build" -> s"""
+        WITH providers AS (${RolesSql.providers})
+        ${EnrichmentDimsSql.dimNpi}""",
+
+      "j3_dim_npi_join" -> s"""$RP,
+        dim AS (${EnrichmentDimsSql.dimNpi})
+        SELECT l_orderkey, l_linenumber, enumeration_type, status,
+               primary_taxonomy_code, primary_taxonomy_desc
+        FROM rates LEFT JOIN dim ON rates.provider_reference_id = dim.npi""",
+
+      "w1_dim_npi_upsert" -> s"""
+        WITH providers AS (${RolesSql.providers}),
+        dim AS (SELECT npi, status, credential, last_updated
+                FROM (${EnrichmentDimsSql.dimNpi})),
+        delta AS (SELECT npi, 'A' AS status, 'DO' AS credential,
+                         '2025-01-15' AS last_updated
+                  FROM dim WHERE CAST(npi AS BIGINT) % 2 = 0),
+        allr AS (SELECT * FROM dim UNION ALL SELECT * FROM delta)
+        SELECT npi, status, credential, last_updated
+        FROM (SELECT *, row_number() OVER (PARTITION BY npi
+                ORDER BY last_updated DESC, status DESC, credential DESC) AS rn
+              FROM allr)
+        WHERE rn = 1""",
+
+      "xref_tin_build" -> s"""
+        WITH providers AS (${RolesSql.providers})
+        ${EnrichmentDimsSql.xrefPgMemberTin}""",
+
+      "j14_tin_conditional" -> s"""$RP,
+        xref AS (${EnrichmentDimsSql.xrefPgMemberTin})
+        SELECT COUNT(*) AS rate_count,
+               ${avgS("negotiated_rate")} AS avg_rate,
+               ${prS("MIN(negotiated_rate)")} AS min_rate,
+               ${prS("MAX(negotiated_rate)")} AS max_rate,
+               ${qS("negotiated_rate", "0.5")} AS median_rate,
+               COUNT(DISTINCT billing_code) AS unique_codes
+        FROM rates
+        WHERE year_month = '1995-06'
+          AND provider_reference_id IN (
+            SELECT provider_group_id FROM xref
+            WHERE tin_value = 'EIN000000003')""",
+
+      "funnel_stage1_classes" -> s"""$RP
+        SELECT billing_class, COUNT(*) AS opt_count
+        FROM rates LEFT JOIN providers
+          ON rates.provider_reference_id = providers.provider_group_id
+        WHERE state = '$FunnelState' AND year_month = '$FunnelYm'
+          AND billing_class IS NOT NULL
+        GROUP BY billing_class
+        ORDER BY opt_count DESC, billing_class""",
+
+      "funnel_stage3_proc_sets" -> s"""$RP, $xwalkCte
+        SELECT coalesce(x.proc_set, 'Unknown') AS proc_set,
+               COUNT(*) AS opt_count
+        FROM rates
+        LEFT JOIN providers
+          ON rates.provider_reference_id = providers.provider_group_id
+        LEFT JOIN xwalk x
+          ON ${synthCodeSql("billing_code")} = x.proc_cd
+        WHERE state = '$FunnelState' AND year_month = '$FunnelYm'
+          AND billing_class = 'professional'
+          AND payer_slug IN ('payer_0', 'payer_1')
+        GROUP BY 1
+        ORDER BY opt_count DESC, proc_set
+        LIMIT 15""",
+
+      "wide_table_build" -> s"""$RP,
+        base AS (
+          SELECT r.*, p.provider_name, p.state
+          FROM rates r LEFT JOIN providers p
+            ON r.provider_reference_id = p.provider_group_id
+          WHERE r.billing_code IN ('17','42','100','417','998','1500','2000')),
+        npi AS (SELECT npi, primary_taxonomy_code, primary_taxonomy_desc
+                FROM (${EnrichmentDimsSql.dimNpi})),
+        addr AS (SELECT provider_group_id AS addr_npi,
+                   lpad(CAST(CAST(provider_group_id AS BIGINT) * 13 % 99999
+                        AS VARCHAR), 5, '0') AS postal_code
+                 FROM providers),
+        gawc AS (SELECT CAST(p_partkey AS VARCHAR) AS wc_code,
+                   ${prS("p_retailprice * 0.9")} AS wc_rate_new
+                 FROM part WHERE p_size % 3 = 0),
+        bp AS (SELECT CAST(p_partkey AS VARCHAR) AS bp_code,
+                 ${prS("p_retailprice * 0.8")} AS bench_prof FROM part),
+        bo AS (SELECT CAST(p_partkey AS VARCHAR) AS bo_code,
+                 ${prS("p_retailprice * 1.1")} AS bench_opps FROM part)
+        SELECT b.l_orderkey, b.l_linenumber, b.billing_code AS code,
+               b.negotiated_rate AS rate, b.billing_class, b.state,
+               b.provider_name, npi.primary_taxonomy_code,
+               npi.primary_taxonomy_desc, addr.postal_code AS zip5,
+               ${prS("coalesce(gawc.wc_rate_new, b.negotiated_rate)")}
+                 AS final_rate,
+               ($wSet) AS proc_set, ($wCls) AS proc_class,
+               ($wGrp) AS proc_group,
+               CASE WHEN b.billing_class = 'professional' THEN bp.bench_prof
+                    ELSE bo.bench_opps END AS benchmark_rate,
+               ${prS("""b.negotiated_rate / nullif(
+                 CASE WHEN b.billing_class = 'professional' THEN bp.bench_prof
+                      ELSE bo.bench_opps END, 0)""", 4)} AS pct_of_medicare
+        FROM base b
+        LEFT JOIN npi ON b.provider_reference_id = npi.npi
+        LEFT JOIN addr ON b.provider_reference_id = addr.addr_npi
+        LEFT JOIN gawc ON b.billing_code = gawc.wc_code
+        LEFT JOIN bp ON b.billing_code = bp.bp_code
+        LEFT JOIN bo ON b.billing_code = bo.bo_code
+        WHERE b.state = 'NATION_9'"""
+    )
+  }
+}

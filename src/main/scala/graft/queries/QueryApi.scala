@@ -27,6 +27,7 @@ object QueryApi {
     billingClass: Option[String] = None,
     negotiatedType: Option[String] = None,
     providerGroup: Option[String] = None, // triggers the provider join (J14)
+    tinValue: Option[String] = None, // triggers the TIN xref join (main.py:117-125)
     minRate: Option[Double] = None,
     maxRate: Option[Double] = None)
 
@@ -55,6 +56,17 @@ object QueryApi {
       if (f.state.nonEmpty) df = df.filter(col("state") === f.state)
       f.providerGroup.foreach(g =>
         df = df.filter(col("provider_group_id") === g))
+    }
+    // TIN filter: attach the xref join ONLY when a tin_value is present
+    // (webapp/backend/main.py:117-125 appends the JOIN to base_from the
+    // same way). Inner join = the filter; the xref is a bounded dim.
+    f.tinValue.foreach { tin =>
+      val x = graft.etl.EnrichmentDims
+        .xrefPgMemberTin(Roles.providers(spark, dir))
+        .filter(col("tin_value") === tin)
+        .select(col("provider_group_id").as("tin_pgid"))
+      df = df.join(broadcast(x), df("provider_reference_id") === col("tin_pgid"))
+        .drop("tin_pgid")
     }
     df
   }

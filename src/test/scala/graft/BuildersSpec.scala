@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.etl.{EnrichmentDims, GoldAggregates, WideTableBuilder}
+
+/** Round-2 builder specs: gold pre-agg materialize/refresh, the legacy
+  * wide-table composition, the keep-latest dim upsert, and S2
+  * corrupt-file salvage. */
+class BuildersSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_builders").toString
+
+  test("agg_market_rates: materialized table equals inline aggregate") {
+    val out = tmp() + "/agg"
+    GoldAggregates.materialize(spark, sf0001, out)
+    val inline = GoldAggregates.aggMarketRates(spark, sf0001)
+    val matzd = spark.read.parquet(out)
+    assert(matzd.count() == inline.count())
+    assert(matzd.columns.sorted.sameElements(inline.columns.sorted))
+    // value parity on a sample slice
+    val r = inline.select("state", "year_month").head
+    val key = Seq("state", "year_month", "payer_slug", "billing_class",
+      "code_type", "code")
+    val a = inline.filter(col("state") === r.getString(0))
+      .orderBy(key.map(col): _*).collect().map(_.toSeq.toSet)
+    val b = matzd.filter(col("state") === r.getString(0))
+      .select(inline.columns.map(col): _*)
+      .orderBy(key.map(col): _*).collect().map(_.toSeq.toSet)
+    assert(a.sameElements(b))
+  }
+
+  test("agg_market_rates: slice refresh rewrites only its partitions") {
+    val out = tmp() + "/agg"
+    GoldAggregates.materialize(spark, sf0001, out)
+    val before = spark.read.parquet(out).count()
+    val slice = {
+      val r = spark.read.parquet(out).select("state", "year_month").head
+      (r.getString(0), r.getString(1))
+    }
+    // refresh one slice from the same input → byte-for-byte same rowset
+    GoldAggregates.refreshSlices(spark, sf0001, out, Seq(slice))
+    assert(spark.read.parquet(out).count() == before,
+      "refresh from identical input must be a no-op row-count-wise")
+    // serving read prunes partitions
+    val served = GoldAggregates.readSlice(spark, out, slice._1, slice._2)
+    val plan = served.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+    assert(served.count() > 0)
+  }
+
+  test("wide table pipeline: schema + rows end-to-end at sf0.001") {
+    val codes = Seq("17", "42", "100", "417", "998", "1500", "2000")
+    val wide = WideTableBuilder.build(spark, sf0001, codes, "NATION_18")
+    assert(wide.columns.toSeq == Seq("l_orderkey", "l_linenumber", "code",
+      "rate", "billing_class", "state", "provider_name",
+      "primary_taxonomy_code", "primary_taxonomy_desc", "zip5", "final_rate",
+      "proc_set", "proc_class", "proc_group", "benchmark_rate",
+      "pct_of_medicare"))
+    val rows = wide.collect()
+    assert(rows.nonEmpty, "NATION_18 slice must have rows at sf0.001")
+    assert(rows.forall(_.getAs[String]("state") == "NATION_18"))
+    assert(rows.forall(r => codes.contains(r.getAs[String]("code"))))
+    // zip5 always 5 digits from the LOCATION address
+    assert(rows.forall(_.getAs[String]("zip5").matches("\\d{5}")))
+    // sink runs
+    val out = tmp() + "/wide"
+    WideTableBuilder.run(spark, sf0001, codes, "NATION_18", out)
+    assert(spark.read.parquet(out).count() == rows.length)
+  }
+
+  test("keep-latest dim upsert prefers the newest last_updated per key") {
+    import spark.implicits._
+    val existing = Seq(("1", "A", "2024-01-15"), ("2", "A", "2024-02-15"))
+      .toDF("npi", "status", "last_updated")
+    val delta = Seq(("2", "I", "2025-01-15"), ("3", "A", "2024-03-15"))
+      .toDF("npi", "status", "last_updated")
+    val merged = EnrichmentDims
+      .upsertKeepLatest(existing, delta, Seq("npi"), Seq("last_updated"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(merged == Map(
+      "1" -> ("A", "2024-01-15"),
+      "2" -> ("I", "2025-01-15"), // delta wins: newer last_updated
+      "3" -> ("A", "2024-03-15")))
+  }
+
+  test("S2: corrupt parquet files are skipped, valid rows survive") {
+    import spark.implicits._
+    val dir = tmp() + "/mixed"
+    Seq((1L, "ok"), (2L, "ok")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    // drop a garbage .parquet file into the dataset directory
+    Files.write(java.nio.file.Paths.get(s"$dir/part-corrupt.parquet"),
+      "this is not a parquet file".getBytes)
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      val rows = spark.read.parquet(dir).count()
+      assert(rows == 2, "valid row-groups must survive a corrupt sibling")
+      // and with the guard off, the same read fails — documents the delta
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+      intercept[org.apache.spark.SparkException] {
+        spark.read.parquet(dir).count()
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+}

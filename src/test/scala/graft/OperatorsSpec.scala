@@ -85,6 +85,22 @@ class OperatorsSpec extends SparkSpec {
       s"IVF rank-1 should usually appear in the exact top-5: $ivfTop")
   }
 
+  test("ivf materialized index: probe prunes partitions, results match inline") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.writeIvfIndex(spark, sf0001, idx)
+    val probed = Similarity.probeIvfIndex(spark, sf0001, idx)
+    // The index scan must carry a non-empty PartitionFilters on bucket
+    // (AQE wraps the plan, so assert on the rendered scan node).
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined,
+      s"no partition filter on bucket in:\n$plan")
+    // same answer as the inline (non-materialized) IVF path
+    val inline = Similarity.queries("sim_ivf_topk")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(probed.collect().map(_.toSeq).toSet == inline)
+  }
+
   test("multimodal pipeline: schema, byte-level plumbing, determinism") {
     val out = Multimodal.queries("multimodal_pipeline")(spark, sf0001)
     assert(out.columns.toSeq == Seq("media_id", "byte_len", "content_hash",
