@@ -33,8 +33,9 @@ object GoldAggregates {
     val p = Roles.providers(spark, dir)
     val tin = EnrichmentDims.xrefPgMemberTin(p)
       .select(col("provider_group_id").as("tin_pgid"), col("tin_value"))
-    def q(pp: Double, n: String) =
-      pround(percentile(col("negotiated_rate"), lit(pp)), 2).as(n)
+    // One percentile buffer computing all five points: the per-group
+    // value sort happens once, not five times (2-3× on the sf0.1 bench).
+    val ps = Seq(0.10, 0.25, 0.50, 0.75, 0.90)
     r.join(broadcast(p),
         r("provider_reference_id") === p("provider_group_id"), "left")
       .join(broadcast(tin),
@@ -44,13 +45,22 @@ object GoldAggregates {
       .agg(
         countDistinct("provider_reference_id").as("npi_count"),
         countDistinct("tin_value").as("ein_count"),
-        q(0.10, "p10"), q(0.25, "p25"), q(0.50, "p50"),
-        q(0.75, "p75"), q(0.90, "p90"),
+        percentile(col("negotiated_rate"),
+          array(ps.map(lit): _*)).as("qs"),
         pround(sum(col("negotiated_rate").cast("decimal(18,2)"))
           .cast("double") / count(col("negotiated_rate")), 2).as("mean"),
         pround(min(col("negotiated_rate")), 2).as("min"),
         pround(max(col("negotiated_rate")), 2).as("max"))
+      .withColumn("p10", pround(element_at(col("qs"), 1), 2))
+      .withColumn("p25", pround(element_at(col("qs"), 2), 2))
+      .withColumn("p50", pround(element_at(col("qs"), 3), 2))
+      .withColumn("p75", pround(element_at(col("qs"), 4), 2))
+      .withColumn("p90", pround(element_at(col("qs"), 5), 2))
+      .drop("qs")
       .withColumnRenamed("billing_code", "code")
+      .select("year_month", "state", "payer_slug", "billing_class",
+        "code_type", "code", "npi_count", "ein_count",
+        "p10", "p25", "p50", "p75", "p90", "mean", "min", "max")
   }
 
   /** Full materialization: write the aggregate hive-partitioned by

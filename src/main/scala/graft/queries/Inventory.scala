@@ -285,18 +285,27 @@ object Inventory extends QueryPack {
           countDistinct("provider_group_id").as("unique_provider_groups"))
     }),
 
-    // A7: market-rate quantile profile p10..p90 (prod_etl/notebook.py:371-406)
+    // A7: market-rate quantile profile p10..p90 (prod_etl/notebook.py:371-406).
+    // All five points from ONE percentile buffer — the per-group sort
+    // happens once, not five times.
     "a7_market_profile" -> ((s, d) => {
-      def q(p: Double, n: String) =
-        pround(percentile(col("negotiated_rate"), lit(p)), 2).as(n)
+      val ps = Seq(0.10, 0.25, 0.50, 0.75, 0.90)
       rates(s, d).groupBy("year_month", "billing_class")
         .agg(countDistinct("provider_reference_id").as("n_providers"),
           count(lit(1)).as("n_rates"),
-          q(0.10, "p10"), q(0.25, "p25"), q(0.50, "p50"),
-          q(0.75, "p75"), q(0.90, "p90"),
+          percentile(col("negotiated_rate"), array(ps.map(lit): _*)).as("qs"),
           avg2(col("negotiated_rate")).as("avg_rate"),
           pround(min(col("negotiated_rate")), 2).as("min_rate"),
           pround(max(col("negotiated_rate")), 2).as("max_rate"))
+        .withColumn("p10", pround(element_at(col("qs"), 1), 2))
+        .withColumn("p25", pround(element_at(col("qs"), 2), 2))
+        .withColumn("p50", pround(element_at(col("qs"), 3), 2))
+        .withColumn("p75", pround(element_at(col("qs"), 4), 2))
+        .withColumn("p90", pround(element_at(col("qs"), 5), 2))
+        .drop("qs")
+        .select("year_month", "billing_class", "n_providers", "n_rates",
+          "p10", "p25", "p50", "p75", "p90", "avg_rate", "min_rate",
+          "max_rate")
     }),
 
     // A8: dimension-value counts (backend/main.py:505-580)

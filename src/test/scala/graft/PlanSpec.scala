@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Plan-shape guards for the 100 TB design rules: broadcast HINTS are
+  * allowed only on bounded dims. Catalyst may still auto-broadcast an
+  * SF-scaled table at small SF (size-based, disappears at scale) — what
+  * must never appear is a FORCED broadcast() hint on a table that grows
+  * with the fact, because a hint overrides the size estimate at any
+  * scale and OOMs a real cluster. */
+class PlanSpec extends SparkSpec {
+
+  /** Tables whose size is bounded by the schema (dims), not the fact:
+    * nation (geography), supplier (provider dim role), part (code dim
+    * role). orders/customer/lineitem grow with SF — never hint those. */
+  private val BoundedDims = Set("nation.parquet", "supplier.parquet",
+    "part.parquet")
+
+  private def hintedTables(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.analyzed.collect {
+      // A hint directly over an Aggregate is exempt: a distinct/groupBy
+      // output is bounded by its key universe (e.g. the dim_code_cat
+      // crosswalk = distinct codes), not by the fact row count, so
+      // broadcasting it stays safe at any SF.
+      case h: ResolvedHint
+        if h.child.collectFirst {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+          case _: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => ()
+        }.isEmpty =>
+        h.child.collect {
+          case r: LogicalRelation => r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.getName)
+            case _ => Seq.empty[String]
+          }
+        }.flatten
+    }.flatten
+  }
+
+  test("broadcast hints appear only on bounded dims, never on fact-scaled tables") {
+    val checked = Seq("a9_category_drilldown", "a10_search_stats",
+      "j9_computed_slug_join", "j10_five_way_star", "bench_crossjoin_build",
+      "j1_enrich_left", "star_fact_build", "s15_agg_market_rates",
+      "wide_table_build", "funnel_stage3_proc_sets")
+    checked.foreach { q =>
+      val hinted = hintedTables(q)
+      val offenders = hinted.filterNot(t =>
+        BoundedDims.exists(d => t.contains(d.stripSuffix(".parquet"))))
+      assert(offenders.isEmpty,
+        s"$q carries broadcast hints on fact-scaled tables: $offenders")
+    }
+  }
+
+  test("bench_crossjoin_build broadcasts the states side, not the code table") {
+    val hinted = hintedTables("bench_crossjoin_build")
+    assert(hinted.exists(_.contains("nation")),
+      s"expected the 25-row nation-derived side hinted, got: $hinted")
+    assert(!hinted.exists(_.contains("part")),
+      s"the SF-scaled part-derived code table must not be hinted: $hinted")
+  }
+}
