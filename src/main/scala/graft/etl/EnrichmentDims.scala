@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{Categorizer, NormExprs}
-import graft.functions.NormExprs.co
+import graft.functions.NormExprs.{co, pround}
 
 /** Enrichment dimensions: the prod ETL's lookup tables and their
   * builders.
@@ -124,6 +124,46 @@ object EnrichmentDims {
       co(col("address_purpose")), co(col("address_type")),
       co(col("address_1")), co(col("address_2")), co(col("city")),
       co(col("state")), co(col("postal_code")), co(col("country_code")))))
+  }
+
+  // ------------------------------------------------- geo dims (S9/S10)
+
+  /** dim_geo: census-geocoder result dim (S9 shape — the HTTP geocoder
+    * itself is out-of-band per SURVEY §2.1): deterministic
+    * lat/lon/county per distinct zip. */
+  def dimGeo(addresses: DataFrame): DataFrame = {
+    val z = col("zip5").cast("bigint")
+    addresses.filter(col("address_purpose") === "LOCATION")
+      .select(col("postal_code").as("zip5")).distinct()
+      .select(col("zip5"),
+        pround((z % 18000) / 100.0 - 90.0, 2).as("lat"),
+        pround((z * 7 % 36000) / 100.0 - 180.0, 2).as("lon"),
+        lpad((z % 3000).cast("string"), 5, "0").as("county_fips"))
+  }
+
+  /** HUD ZIP→CBSA crosswalk with the top-res_ratio dedup (S10; the
+    * reference keeps the best CBSA per zip by ratio —
+    * api_clients.py:300-306). Two candidate CBSAs per zip in the
+    * fixture; keep-top-1 via lexicographic max (map-side combine, no
+    * window sort). Ties break to the larger cbsa code, mirrored in the
+    * oracle's ORDER BY ... cbsa DESC. */
+  def dimZipCbsa(zips: DataFrame): DataFrame = {
+    val z = col("zip5").cast("bigint")
+    val cands = zips.select(col("zip5")).distinct()
+      .select(col("zip5"), posexplode(array(
+        struct(concat(lit("C"), lpad((z % 900).cast("string"), 4, "0"))
+          .as("cbsa"),
+          pround(lit(0.5) + (z % 5) / lit(10.0), 2).as("res_ratio")),
+        struct(concat(lit("D"), lpad((z % 900).cast("string"), 4, "0"))
+          .as("cbsa"),
+          pround(lit(0.5) - (z % 5) / lit(10.0), 2).as("res_ratio"))))
+        .as(Seq("i", "c")))
+      .select(col("zip5"), col("c.cbsa").as("cbsa"),
+        col("c.res_ratio").as("res_ratio"))
+    cands.groupBy("zip5")
+      .agg(max(struct(col("res_ratio"), col("cbsa"))).as("top"))
+      .select(col("zip5"), col("top.cbsa").as("cbsa"),
+        col("top.res_ratio").as("res_ratio"))
   }
 
   // -------------------------------------------------------- TIN tables

@@ -96,17 +96,27 @@ object StarSchemaBuilder {
   def upsertFact(spark: SparkSession, stage: DataFrame, path: String): Unit =
     appendUnique(spark, stage, path, Seq("fact_uid"))
 
+  /** The reference's gold-fact partition scheme — 5 levels, matching
+    * its `state=/year_month=/payer_slug=/billing_class=/code_type=`
+    * layout (prod_etl/notebook.py:385-405's read glob). Every level is
+    * bounded-cardinality (geography × month × payer × 2 × 2), so the
+    * directory count stays sane at 100 TB while the webapp's mandatory
+    * state+year_month filters — and any deeper ones — prune at file
+    * listing. */
+  val FactPartitionCols: Seq[String] =
+    Seq("state", "year_month", "payer_slug", "billing_class", "code_type")
+
   /** S13 hive-partitioned fact sink with dynamic partition overwrite
     * (prod_etl/notebook.py:275-348): only the partitions present in
     * `df` are rewritten; every other partition is untouched. */
-  def writePartitionedFact(spark: SparkSession, df: DataFrame,
-                           path: String): Unit =
+  def writePartitionedFact(spark: SparkSession, df: DataFrame, path: String,
+                           partitionCols: Seq[String] = FactPartitionCols): Unit =
     // Per-write option, not a session conf mutation: a session-level
     // partitionOverwriteMode=dynamic would silently change the semantics
     // of every later Overwrite write in the same session.
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("state", "year_month")
+      .partitionBy(partitionCols: _*)
       .option("compression", "zstd")
       .parquet(path)
 

@@ -84,6 +84,44 @@ object Dedup extends QueryPack {
     * pair within Hamming ≤ 3 shares an intact band (pigeonhole). */
   val SimhashK = 3
 
+  // -------------------------------------------- embedding near-dup (SRP)
+
+  /** 32 SRP bits in 4 bands of 8: a random pair (θ≈90°, bit-match 0.5)
+    * passes a band with p=2⁻⁸, so only ~1.6% of non-dup pairs become
+    * candidates; a cos≥0.98 pair (bit-flip p≈0.04) keeps a band intact
+    * with p≈0.72 per band → >98% recovery, and the verify step is exact
+    * so survivors are never false positives. */
+  val SrpBits = 32
+  val SrpBandBits = 8 // 4 bands of 8 bits
+  val SrpTau = 0.98 // exact-cosine verify threshold
+
+  /** Fixed pseudo-random hyperplanes (LCG-derived, 64-dim, in [-1, 1]);
+    * constants like the minhash permutations — identical across runs
+    * and executors. */
+  private val srpPlanes: IndexedSeq[Seq[Double]] = {
+    var x = 88172645463325252L
+    def next(): Double = {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (x >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+    IndexedSeq.fill(SrpBits)(Seq.fill(64)(next()))
+  }
+
+  /** embeddings plus injected duplicates at vec_id+100000: exact copies
+    * of 0-9, perturbed near-copies of 10-19 (one coordinate shifted, so
+    * cosine ≈ 0.99 — inside the SRP near-dup envelope). */
+  private def augmentedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.load(s, d, "embeddings").select(col("vec_id"),
+      col("embedding").as("emb"))
+    val copies = e.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      when(col("vec_id") < 10, col("emb"))
+        .otherwise( // bump coordinate 0 by 20% → cosine ≈ 0.999
+          transform(col("emb"),
+            (v, i) => when(i === 0, v * lit(1.2f)).otherwise(v))).as("emb"))
+    e.unionByName(copies)
+  }
+
   /** 64-bit SimHash signatures per doc_id (exposed for the brute-force
     * equivalence spec). Each md5 bit of a token is an independent ±1
     * hyperplane projection; the signature bit is the sign of the sum. */
@@ -187,6 +225,49 @@ object Dedup extends QueryPack {
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
         .filter(col("hamming") <= SimhashK)
+    }),
+
+    // Embedding-cosine near-dup: random-hyperplane (SRP) LSH over the
+    // embedding column — signature scan-side, banded candidate join,
+    // exact cosine verify on candidates only. The 100 TB shape matches
+    // minhash: only (band, doc_id) tuples shuffle, never the vectors
+    // of non-candidates.
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val emb = augmentedEmbeddings(s, d)
+      // 16 signature bits: sign of dot(v, h_j) for fixed pseudo-random
+      // hyperplanes; staged so each dot is computed once.
+      val sig = emb.select(col("vec_id") +: col("emb") +:
+        (0 until SrpBits).map { j =>
+          val h = array(srpPlanes(j).map(lit): _*)
+          when(aggregate(zip_with(col("emb"), h,
+            (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << j))
+            .otherwise(lit(0L)).as(s"b$j")
+        }: _*)
+        .select(col("vec_id"), col("emb"),
+          (0 until SrpBits).map(j => col(s"b$j")).reduce(_ + _).as("sig"))
+      val bands = sig.select(col("vec_id"), col("emb"), posexplode(array(
+        (0 until SrpBits / SrpBandBits).map(b =>
+          shiftright(col("sig"), b * SrpBandBits)
+            .bitwiseAND(lit((1L << SrpBandBits) - 1))): _*))
+        .as(Seq("band_idx", "band_val")))
+      val a = bands.as("a")
+      val b = bands.as("b")
+      val cand = a.join(b, col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+          col("a.emb").as("ea"), col("b.emb").as("eb"))
+        .dropDuplicates("doc_a", "doc_b")
+      def dot(x: Column, y: Column) = aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      cand.select(col("doc_a"), col("doc_b"),
+          (dot(col("ea"), col("eb")) /
+            (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+            .as("cos"))
+        .filter(col("cos") >= SrpTau)
+        .select(col("doc_a"), col("doc_b"), pround(col("cos"), 4).as("cosine"))
     }),
 
     // n-gram Jaccard on known candidate pairs (original, injected copy)

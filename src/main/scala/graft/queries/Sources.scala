@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Roles, RolesSql, Tables}
+import graft.etl.EnrichmentDims
+import graft.functions.NormExprs.pround
+
+/** Source-layer completions (SURVEY §2.1/§2.8 partials):
+  *  - S6: multi-sheet union with the guarded per-sheet SI=='J1' filter
+  *    (excel_extractor.py:18-40 — the filter applies only to the
+  *    Surgery sheet and only if the column exists);
+  *  - S9: census-geocode dim join (dim_geo; the HTTP geocoder is
+  *    out-of-band, the dim shape and join are the operator);
+  *  - S10: HUD ZIP→CBSA crosswalk with top-res_ratio dedup
+  *    (api_clients.py:300-306);
+  *  - F16: to_datetime(errors='coerce') on dirty strings via
+  *    try_to_timestamp format fallbacks (main.py date coercions);
+  *  - F21: NPPES-style JSON payload parsing — from_json + primary
+  *    taxonomy selection (utils_nppes.py:100-126: primary==True if
+  *    any, else first).
+  */
+object Sources extends QueryPack {
+
+  private val RP =
+    s"WITH rates AS (${RolesSql.rates}), providers AS (${RolesSql.providers})"
+
+  def queries: Map[String, QFn] = Map(
+    // S6: three "sheets", guarded SI filter on Surgery only, unionByName
+    // with missing columns null-filled
+    "s6_sheet_union" -> ((s, d) => {
+      val surg = Tables.load(s, d, "supplier").select(
+        col("s_name").as("name"), lit("Surgery").as("sheet"),
+        pround(col("s_acctbal"), 2).as("bal"),
+        when(col("s_suppkey") % 3 === 0, "J1").otherwise("X").as("si"))
+      val em = Tables.load(s, d, "customer").select(
+        col("c_name").as("name"),
+        lit("Evaluation and Management").as("sheet"),
+        pround(col("c_acctbal"), 2).as("bal"))
+      val rad = Tables.load(s, d, "part").select(
+        col("p_name").as("name"), lit("Radiology").as("sheet"),
+        pround(col("p_retailprice"), 2).as("bal"))
+      // guarded: filter only if the sheet carries the SI column
+      val surgFiltered =
+        if (surg.columns.contains("si")) surg.filter(col("si") === "J1")
+        else surg
+      surgFiltered
+        .unionByName(em, allowMissingColumns = true)
+        .unionByName(rad, allowMissingColumns = true)
+    }),
+
+    // S9: geocode dim join — provider → LOCATION zip → lat/lon/county
+    "s9_geo_enrich" -> ((s, d) => {
+      val p = Roles.providers(s, d)
+      val addr = EnrichmentDims.dimNpiAddress(p)
+        .filter(col("address_purpose") === "LOCATION")
+        .select(col("npi"), col("postal_code").as("zip5"))
+      val geo = EnrichmentDims.dimGeo(EnrichmentDims.dimNpiAddress(p))
+      addr.join(broadcast(geo), Seq("zip5"), "left")
+        .select(col("npi"), col("zip5"), col("lat"), col("lon"),
+          col("county_fips"))
+    }),
+
+    // S10: ZIP→CBSA with top-ratio dedup, joined back to providers
+    "s10_zip_cbsa_top1" -> ((s, d) => {
+      val p = Roles.providers(s, d)
+      val addr = EnrichmentDims.dimNpiAddress(p)
+        .filter(col("address_purpose") === "LOCATION")
+        .select(col("npi"), col("postal_code").as("zip5"))
+      val cbsa = EnrichmentDims.dimZipCbsa(addr)
+      addr.join(broadcast(cbsa), Seq("zip5"), "left")
+        .select(col("npi"), col("zip5"), col("cbsa"), col("res_ratio"))
+    }),
+
+    // F16: dirty-date coercion — format fallback chain, unparseable→null
+    "f16_datetime_coerce" -> ((s, d) => {
+      val sd = when(col("p_partkey") % 4 === 0, "2024-05-17")
+        .when(col("p_partkey") % 4 === 1, "05/17/2024")
+        .when(col("p_partkey") % 4 === 2, "not a date")
+        .otherwise(lit(null).cast("string"))
+      val parsed = coalesce(
+        try_to_timestamp(sd, lit("yyyy-MM-dd")),
+        try_to_timestamp(sd, lit("MM/dd/yyyy")))
+      Tables.load(s, d, "part").select(col("p_partkey"),
+        date_format(parsed, "yyyy-MM-dd").as("parsed_date"))
+    }),
+
+    // F21: JSON payload parse + primary-taxonomy selection
+    "f21_json_payload" -> ((s, d) => {
+      val k = col("s_suppkey")
+      val primary = when(k % 3 =!= 0, "true").otherwise("false")
+      val payload = concat(
+        lit("{\"basic\":{\"status\":\"A\",\"organization_name\":\"Org "),
+        k.cast("string"),
+        lit("\"},\"taxonomies\":[{\"code\":\"1"), (k % 10).cast("string"),
+        lit("X\",\"primary\":false},{\"code\":\"2"), (k % 10).cast("string"),
+        lit("Y\",\"primary\":"), primary, lit("}]}"))
+      val schema = "struct<basic:struct<status:string,organization_name:string>," +
+        "taxonomies:array<struct<code:string,primary:boolean>>>"
+      Tables.load(s, d, "supplier")
+        .select(col("s_suppkey"), from_json(payload, schema,
+          Map.empty[String, String]).as("j"))
+        .select(col("s_suppkey").cast("string").as("npi"),
+          col("j.basic.status").as("status"),
+          col("j.basic.organization_name").as("org_name"),
+          coalesce(
+            element_at(filter(col("j.taxonomies"),
+              t => t.getField("primary")), 1).getField("code"),
+            element_at(col("j.taxonomies"), 1).getField("code"))
+            .as("primary_taxonomy_code"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s6_sheet_union" -> """
+      SELECT s_name AS name, 'Surgery' AS sheet,
+             floor((s_acctbal) * 100.0 + 0.5) / 100.0 AS bal,
+             CASE WHEN s_suppkey % 3 = 0 THEN 'J1' ELSE 'X' END AS si
+      FROM supplier WHERE s_suppkey % 3 = 0
+      UNION ALL
+      SELECT c_name, 'Evaluation and Management',
+             floor((c_acctbal) * 100.0 + 0.5) / 100.0, NULL
+      FROM customer
+      UNION ALL
+      SELECT p_name, 'Radiology',
+             floor((p_retailprice) * 100.0 + 0.5) / 100.0, NULL
+      FROM part""",
+
+    "s9_geo_enrich" -> s"""
+      WITH providers AS (${RolesSql.providers}),
+      addr AS (SELECT provider_group_id AS npi,
+                 lpad(CAST(CAST(provider_group_id AS BIGINT) * 13 % 99999
+                      AS VARCHAR), 5, '0') AS zip5
+               FROM providers),
+      geo AS (SELECT zip5,
+                floor(((CAST(zip5 AS BIGINT) % 18000) / 100.0 - 90.0)
+                      * 100.0 + 0.5) / 100.0 AS lat,
+                floor(((CAST(zip5 AS BIGINT) * 7 % 36000) / 100.0 - 180.0)
+                      * 100.0 + 0.5) / 100.0 AS lon,
+                lpad(CAST(CAST(zip5 AS BIGINT) % 3000 AS VARCHAR), 5, '0')
+                  AS county_fips
+              FROM (SELECT DISTINCT zip5 FROM addr))
+      SELECT npi, addr.zip5, lat, lon, county_fips
+      FROM addr LEFT JOIN geo ON addr.zip5 = geo.zip5""",
+
+    "s10_zip_cbsa_top1" -> s"""
+      WITH providers AS (${RolesSql.providers}),
+      addr AS (SELECT provider_group_id AS npi,
+                 lpad(CAST(CAST(provider_group_id AS BIGINT) * 13 % 99999
+                      AS VARCHAR), 5, '0') AS zip5
+               FROM providers),
+      cands AS (
+        SELECT zip5,
+               'C' || lpad(CAST(z % 900 AS VARCHAR), 4, '0') AS cbsa,
+               floor((0.5 + (z % 5) / 10.0) * 100.0 + 0.5) / 100.0 AS res_ratio
+        FROM (SELECT DISTINCT zip5, CAST(zip5 AS BIGINT) AS z FROM addr)
+        UNION ALL
+        SELECT zip5,
+               'D' || lpad(CAST(z % 900 AS VARCHAR), 4, '0') AS cbsa,
+               floor((0.5 - (z % 5) / 10.0) * 100.0 + 0.5) / 100.0 AS res_ratio
+        FROM (SELECT DISTINCT zip5, CAST(zip5 AS BIGINT) AS z FROM addr)),
+      top1 AS (
+        SELECT zip5, cbsa, res_ratio
+        FROM (SELECT *, row_number() OVER (PARTITION BY zip5
+                ORDER BY res_ratio DESC, cbsa DESC) AS rn FROM cands)
+        WHERE rn = 1)
+      SELECT npi, addr.zip5, cbsa, res_ratio
+      FROM addr LEFT JOIN top1 ON addr.zip5 = top1.zip5""",
+
+    "f16_datetime_coerce" -> """
+      SELECT p_partkey,
+        strftime(coalesce(try_strptime(sd, '%Y-%m-%d'),
+                          try_strptime(sd, '%m/%d/%Y')), '%Y-%m-%d')
+          AS parsed_date
+      FROM (SELECT p_partkey,
+              CASE WHEN p_partkey % 4 = 0 THEN '2024-05-17'
+                   WHEN p_partkey % 4 = 1 THEN '05/17/2024'
+                   WHEN p_partkey % 4 = 2 THEN 'not a date'
+                   ELSE NULL END AS sd
+            FROM part)""",
+
+    // the oracle derives the expected values from first principles —
+    // hash-matching proves the Spark JSON parse extracted them correctly
+    "f21_json_payload" -> """
+      SELECT CAST(s_suppkey AS VARCHAR) AS npi,
+             'A' AS status,
+             'Org ' || CAST(s_suppkey AS VARCHAR) AS org_name,
+             CASE WHEN s_suppkey % 3 <> 0
+                  THEN '2' || CAST(s_suppkey % 10 AS VARCHAR) || 'Y'
+                  ELSE '1' || CAST(s_suppkey % 10 AS VARCHAR) || 'X'
+             END AS primary_taxonomy_code
+      FROM supplier"""
+  )
+}

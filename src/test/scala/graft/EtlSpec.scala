@@ -43,31 +43,38 @@ class EtlSpec extends SparkSpec {
       "existing key b must keep its first value")
   }
 
-  test("partitioned fact sink: layout + dynamic partition overwrite") {
+  test("partitioned fact sink: 5-level layout + dynamic partition overwrite") {
     val out = tmp() + "/fact"
     val fact = StarSchemaBuilder.fact(StarSchemaBuilder.base(spark, sf0001))
     StarSchemaBuilder.writePartitionedFact(spark, fact, out)
     val all = spark.read.parquet(out)
     assert(all.count() == fact.count())
-    // hive layout present
-    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
-      .map(_.getName)
-    assert(dirs.exists(_.startsWith("state=")), dirs.mkString(","))
+    // the reference's 5-level hive layout: state=/year_month=/payer_slug=/
+    // billing_class=/code_type=
+    val top = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(top.exists(_.getName.startsWith("state=")),
+      top.map(_.getName).mkString(","))
+    def firstDir(f: java.io.File) =
+      f.listFiles().filter(_.isDirectory).head
+    val leafPath = Iterator.iterate(top.filter(_.getName.startsWith("state="))
+      .head)(firstDir).drop(4).next()
+    assert(leafPath.getName.startsWith("code_type="),
+      s"expected 5 partition levels, leaf was ${leafPath.getName}")
 
-    // overwrite ONE partition with a single row; others must be intact
-    val (someState, someYm) = {
-      val r = fact.select("state", "year_month").head
-      (r.getString(0), r.getString(1))
+    // overwrite ONE leaf partition with a single row; others intact
+    val slice = {
+      val r = fact
+        .select(StarSchemaBuilder.FactPartitionCols.map(col): _*).head
+      StarSchemaBuilder.FactPartitionCols.zipWithIndex
+        .map { case (c, i) => col(c) === r.getString(i) }.reduce(_ && _)
     }
-    val onePart = fact.filter(col("state") === someState &&
-      col("year_month") === someYm).limit(1)
+    val onePart = fact.filter(slice).limit(1)
     val before = all.count()
-    val beforeInPart = fact.filter(col("state") === someState &&
-      col("year_month") === someYm).count()
+    val beforeInPart = fact.filter(slice).count()
     StarSchemaBuilder.writePartitionedFact(spark, onePart, out)
     val after = spark.read.parquet(out).count()
     assert(after == before - beforeInPart + 1,
-      "only the rewritten partition may change")
+      "only the rewritten leaf partition may change")
   }
 
   test("partition pruning: state+year_month filter reads one partition") {

@@ -57,6 +57,20 @@ class OperatorsSpec extends SparkSpec {
       s"near-copy Hamming out of expected band: ${near.mkString(",")}")
   }
 
+  test("embedding-cosine near-dup recovers injected exact and perturbed pairs") {
+    val out = Dedup.queries("dedup_embedding_cosine")(spark, sf0001).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach { id =>
+      assert(pairs.contains((id, id + 100000)),
+        s"embedding pair $id / ${id + 100000} not recovered")
+    }
+    // every reported pair passed the exact verify — no false positives
+    assert(out.forall(_.getAs[Double]("cosine") >= Dedup.SrpTau))
+    // random (non-injected) pairs at cos<0.5 must not appear
+    assert(out.length == 20,
+      s"only the 20 injected pairs are >= tau in this corpus, got ${out.length}")
+  }
+
   test("exact dedup groups each injected copy with its original") {
     val dups = Dedup.queries("dedup_exact")(spark, sf0001)
       .filter(col("n_copies") >= 2)
