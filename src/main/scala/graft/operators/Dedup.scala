@@ -124,7 +124,15 @@ object Dedup extends QueryPack {
 
   /** 64-bit SimHash signatures per doc_id (exposed for the brute-force
     * equivalence spec). Each md5 bit of a token is an independent ±1
-    * hyperplane projection; the signature bit is the sign of the sum. */
+    * hyperplane projection; the signature bit is the sign of the sum.
+    *
+    * The per-bit counts are accumulated SWAR-style — 4 sixteen-bit
+    * lanes per long, 16 packed sums instead of 64 scalar sums — which
+    * keeps the HashAggregate's generated update method small (a
+    * 64-buffer aggregate costs ~25 s of janino compilation on first
+    * run). Lane overflow is impossible: a lane holds the count of a
+    * bit over one doc's distinct tokens (≤ 65535 ≫ any doc here).
+    * Sign recovery: Σ±1 = 2·count − n ≥ 0 ⟺ 2·count ≥ n. */
   def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val tok = augmented(s, d).select(col("doc_id"),
       explode(array_distinct(tokens(col("text")))).as("tok"))
@@ -134,13 +142,21 @@ object Dedup extends QueryPack {
       shiftleft(h32(col("tok")), 32)
         .bitwiseOR(conv(substring(md5(col("tok")), 9, 8), 16, 10)
           .cast("long")).as("th"))
-    val bitSums = (0 until 64).map(i => sum(when(shiftright(col("th"), i)
-      .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
-    val sums = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // pack bits (4g, 4g+1, 4g+2, 4g+3) into 4 lanes of long p_g
+    val packed = th.select(col("doc_id") +: (0 until 16).map { g =>
+      (0 until 4).map { l =>
+        shiftright(col("th"), g * 4 + l).bitwiseAND(lit(1L)) *
+          lit(1L << (16 * l))
+      }.reduce(_ + _).as(s"p$g")
+    }: _*)
+    val sums = packed.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      (0 until 16).map(g => sum(col(s"p$g")).as(s"s$g")): _*)
     sums.select(col("doc_id"),
-      (0 until 64).map(i =>
-        when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-        .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+      (0 until 64).map { i =>
+        val (g, l) = (i / 4, i % 4)
+        val c = shiftright(col(s"s$g"), 16 * l).bitwiseAND(lit(0xFFFFL))
+        when(c * 2 >= col("n"), shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
 
   /** Universal-hash permutation constants for MinHash: minhash_j(h) =

@@ -65,8 +65,24 @@ object TextAnalysis extends QueryPack {
     "text_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         md5(substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 64))
-          .as("fingerprint")))
+          .as("fingerprint"))),
+
+    // Token counting: whitespace tokens, a BPE-ish lexer count (word
+    // runs + single digits + punctuation chars — the GPT-2 pre-tokenizer
+    // shape), and the chars/4 budget estimate
+    "text_token_count" -> ((s, d) => {
+      val t = col("text")
+      docs(s, d).select(col("doc_id"),
+        size(split(trim(t), "\\s+")).as("ws_tokens"),
+        regexp_count(t, lit(BpePattern)).cast("int").as("bpe_tokens"),
+        ceil(length(t) / lit(4.0)).cast("int").as("est_tokens"))
+    })
   )
+
+  /** Word runs, single digits, single punctuation marks — the shape of
+    * a byte-level BPE pre-tokenizer's coarse splits. Shared verbatim
+    * with the oracle. */
+  private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
   def oracles: Map[String, String] = {
     val scoreSql = markers.map { case (lg, m) =>
@@ -102,6 +118,15 @@ object TextAnalysis extends QueryPack {
         SELECT doc_id,
                md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 64))
           AS fingerprint
+        FROM documents""",
+
+      "text_token_count" -> s"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                 AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '$BpePattern')) AS INTEGER)
+                 AS bpe_tokens,
+               CAST(ceil(length(text) / 4.0) AS INTEGER) AS est_tokens
         FROM documents"""
     )
   }

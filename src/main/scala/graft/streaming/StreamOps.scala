@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators beyond the upsert (SURVEY §2.11
+  * Spark-native extensions): watermarked windowed aggregation and
+  * stateful sessionization.
+  *
+  *  - `windowedCounts`: the canonical watermark + tumbling-window agg.
+  *    State is bounded by the watermark: closed windows are emitted
+  *    (Append mode) and dropped from the store, so memory is
+  *    O(open windows), not O(stream length).
+  *  - `sessionize`: gap-based sessions via
+  *    `flatMapGroupsWithState` + event-time timeout — the custom-state
+  *    escape hatch for semantics window functions can't express. State
+  *    per key is one open session; the watermark timeout closes idle
+  *    sessions and frees their state.
+  *
+  * Both have exact batch twins (`windowedCountsBatch`,
+  * `sessionizeBatch`) asserted equal in StreamingSpec — the
+  * streaming/batch parity the Dataset API promises.
+  */
+object StreamOps {
+
+  // ------------------------------------------------- windowed aggregate
+
+  /** Tumbling-window event counts with a watermark. `feed` must carry
+    * event_time/event_type/value (StreamingUpsert.eventFeed shape). */
+  def windowedCounts(feed: DataFrame, windowLen: String,
+                     lateness: String): DataFrame =
+    feed.withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("double")).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Batch twin: identical plan minus the watermark. */
+  def windowedCountsBatch(feed: DataFrame, windowLen: String): DataFrame =
+    feed.groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("double")).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------------ sessionization
+
+  case class Event(user_id: Long, event_time: Timestamp)
+  case class SessionState(start: Long, last: Long, n: Int) // micros
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Int)
+
+  /** Timestamp ↔ epoch micros without precision loss (getTime alone
+    * drops sub-millisecond digits; events carry microseconds). */
+  private def toMicros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  /** Gap-based sessionization: events for a user belong to one session
+    * while consecutive gaps stay under `gapMs`. Streaming side uses
+    * event-time timeout so a session closes (and its state is freed)
+    * once the watermark passes last_event + gap. */
+  def sessionize(feed: DataFrame, gapMs: Long,
+                 lateness: String): Dataset[Session] = {
+    val spark = feed.sparkSession
+    import spark.implicits._
+    feed.withWatermark("event_time", lateness)
+      .select(col("user_id"), col("event_time")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapUs = gapMs * 1000L
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, fromMicros(s.start),
+              fromMicros(s.last), s.n))
+          } else {
+            // fold sorted events into sessions; emit every closed one
+            val ts = rows.map(e => toMicros(e.event_time)).toArray.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapUs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(uid, fromMicros(s.start),
+                    fromMicros(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last / 1000L + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch twin via window functions: a new session starts where the
+    * gap to the previous event exceeds gapMs; session id = running sum
+    * of starts. */
+  def sessionizeBatch(feed: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("event_time")
+    feed.select(col("user_id"), col("event_time"))
+      .withColumn("prev", lag(col("event_time"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          col("event_time").cast("long") * 1000 -
+            col("prev").cast("long") * 1000 > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("event_time").as("session_start"),
+        max("event_time").as("session_end"),
+        count(lit(1)).cast("int").as("n_events"))
+      .drop("session_id")
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.{StreamOps, StreamingUpsert}
+
+/** Streaming/batch parity for the windowed aggregate and the stateful
+  * sessionizer. Both run in Append mode, so results only emit when the
+  * watermark closes a window/session — the specs push the watermark
+  * with a far-future sentinel file written AFTER the real data is
+  * processed, then compare against the batch twins. */
+class StreamOpsSpec extends SparkSpec {
+
+  /** Write events as 3 time-ordered files (disjoint event-time ranges,
+    * increasing mtimes) so maxFilesPerTrigger=1 yields monotone
+    * micro-batches, then return (inDir, realFeedBatch). */
+  private def timeOrderedInput(work: String): String = {
+    val inDir = s"$work/in"
+    new java.io.File(inDir).mkdirs()
+    val events = Tables.load(spark, sf0001, "events")
+    val feed = StreamingUpsert.eventFeed(events)
+    val cuts = feed.select(col("event_time").cast("long").as("t"))
+      .stat.approxQuantile("t", Array(0.33, 0.66), 0.001).map(_.toLong)
+    val buckets = Seq(
+      col("event_time").cast("long") <= cuts(0),
+      col("event_time").cast("long") > cuts(0) &&
+        col("event_time").cast("long") <= cuts(1),
+      col("event_time").cast("long") > cuts(1))
+    buckets.zipWithIndex.foreach { case (cond, i) =>
+      val tmp = s"$work/b$i"
+      events.join(feed.filter(cond).select("event_id").distinct(),
+        Seq("event_id"), "left_semi").coalesce(1).write.parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$inDir/batch_$i.parquet")
+      Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    inDir
+  }
+
+  /** A single far-future event (event_id -1) that pushes the watermark
+    * past everything real + any gap/window. */
+  private def writeSentinel(inDir: String): Unit = {
+    import spark.implicits._
+    val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    val sentinel = Seq((-1L, -1L, "___sentinel", 0.0, far))
+      .toDF("event_id", "user_id", "event_type", "value", "event_time")
+      .select(col("event_id"),
+        (col("event_time").cast("long") * lit(1000000000L)).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val tmp = inDir + "_sentinel"
+    sentinel.coalesce(1).write.parquet(tmp)
+    val src = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$inDir/zz_sentinel.parquet")
+    Files.copy(src.toPath, dst.toPath)
+    dst.setLastModified(1700000000000L + 10 * 60000L)
+  }
+
+  test("watermarked windowed agg emits exactly the batch windows") {
+    val work = Files.createTempDirectory("graft_winagg").toString
+    val inDir = timeOrderedInput(work)
+    val outPath = s"$work/out"
+    val q = StreamOps.windowedCounts(
+      StreamingUpsert.readEventStream(spark, inDir), "30 days", "1 minute")
+      .writeStream.option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").format("parquet")
+      .option("path", outPath).start()
+    q.processAllAvailable()
+    writeSentinel(inDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outPath)
+      .filter(col("event_type") =!= "___sentinel")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamOps.windowedCountsBatch(
+      StreamingUpsert.eventFeed(spark.read.parquet(inDir))
+        .filter(col("event_type") =!= "___sentinel"), "30 days")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} windows vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful sessionization == batch gap-session twin") {
+    val work = Files.createTempDirectory("graft_sess").toString
+    val inDir = timeOrderedInput(work)
+    val gapMs = 30L * 24 * 3600 * 1000 // 30-day gap
+    val outPath = s"$work/out"
+    val q = StreamOps.sessionize(
+      StreamingUpsert.readEventStream(spark, inDir), gapMs, "1 minute")
+      .writeStream.option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").format("parquet")
+      .option("path", outPath).start()
+    q.processAllAvailable()
+    writeSentinel(inDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outPath)
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamOps.sessionizeBatch(
+      StreamingUpsert.eventFeed(spark.read.parquet(inDir))
+        .filter(col("user_id") =!= -1L), gapMs)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} sessions vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+}
