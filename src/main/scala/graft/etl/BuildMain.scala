@@ -18,10 +18,32 @@ object BuildMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // silver: star schema (dims + xrefs + fact upsert)
     StarSchemaBuilder.runFull(spark, sfDir, outDir)
+    // enrichment dims (NPPES / TIN / crosswalk / geo)
+    val providers = graft.Roles.providers(spark, sfDir)
+    val rates = graft.Roles.rates(spark, sfDir)
+    StarSchemaBuilder.appendUnique(spark,
+      EnrichmentDims.dimNpi(providers), s"$outDir/dim_npi", Seq("npi"))
+    StarSchemaBuilder.appendUnique(spark,
+      EnrichmentDims.dimNpiAddress(providers), s"$outDir/dim_npi_address",
+      Seq("npi", "address_hash"))
+    StarSchemaBuilder.appendUnique(spark,
+      EnrichmentDims.dimTin(providers), s"$outDir/dim_tin",
+      Seq("tin_type", "tin_value"))
+    StarSchemaBuilder.appendUnique(spark,
+      EnrichmentDims.xrefPgMemberTin(providers), s"$outDir/xref_pg_member_tin",
+      Seq("provider_group_id", "tin_value"))
+    StarSchemaBuilder.appendUnique(spark,
+      EnrichmentDims.dimCodeCat(rates, "billing_code"),
+      s"$outDir/dim_code_cat", Seq("proc_cd"))
+    // gold: the serving pre-aggregate, partitioned for slice reads
+    GoldAggregates.materialize(spark, sfDir, s"$outDir/agg_market_rates")
     // sanity counts, mirroring prod_etl/ETL_1.py:504-520
     Seq("dim_code", "dim_payer", "dim_provider_group", "dim_pos_set",
-      "xref_pos", "xref_pg_member", "fact_rate").foreach { t =>
+      "xref_pos", "xref_pg_member", "fact_rate", "dim_npi",
+      "dim_npi_address", "dim_tin", "xref_pg_member_tin", "dim_code_cat",
+      "agg_market_rates").foreach { t =>
       println(s"[build] $t rows=${spark.read.parquet(s"$outDir/$t").count()}")
     }
     spark.stop()
