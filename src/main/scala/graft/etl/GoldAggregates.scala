@@ -63,6 +63,49 @@ object GoldAggregates {
         "p10", "p25", "p50", "p75", "p90", "mean", "min", "max")
   }
 
+  /** The 100 TB opt-in tier (SURVEY §2.4 policy): same grain and
+    * schema, but sketches instead of exact buffers —
+    * `approx_count_distinct` (HLL, fixed-size state) replaces the
+    * expand×3 exact distincts and `percentile_approx` (KLL-style
+    * sketch) replaces the exact sort-based percentile. Use when a
+    * group's value set no longer fits an aggregation buffer; the
+    * serving schema is unchanged so dashboards cannot tell them apart.
+    * BuildersSpec pins the accuracy envelope vs the exact build. */
+  def aggMarketRatesApprox(spark: SparkSession, dir: String,
+                           rsd: Double = 0.02,
+                           accuracy: Int = 10000): DataFrame = {
+    val r = Roles.rates(spark, dir)
+    val p = Roles.providers(spark, dir)
+    val tin = EnrichmentDims.xrefPgMemberTin(p)
+      .select(col("provider_group_id").as("tin_pgid"), col("tin_value"))
+    val ps = Seq(0.10, 0.25, 0.50, 0.75, 0.90)
+    r.join(broadcast(p),
+        r("provider_reference_id") === p("provider_group_id"), "left")
+      .join(broadcast(tin),
+        r("provider_reference_id") === col("tin_pgid"), "left")
+      .groupBy("year_month", "state", "payer_slug", "billing_class",
+        "code_type", "billing_code")
+      .agg(
+        approx_count_distinct("provider_reference_id", rsd).as("npi_count"),
+        approx_count_distinct("tin_value", rsd).as("ein_count"),
+        percentile_approx(col("negotiated_rate"),
+          array(ps.map(lit): _*), lit(accuracy)).as("qs"),
+        pround(sum(col("negotiated_rate").cast("decimal(18,2)"))
+          .cast("double") / count(col("negotiated_rate")), 2).as("mean"),
+        pround(min(col("negotiated_rate")), 2).as("min"),
+        pround(max(col("negotiated_rate")), 2).as("max"))
+      .withColumn("p10", pround(element_at(col("qs"), 1), 2))
+      .withColumn("p25", pround(element_at(col("qs"), 2), 2))
+      .withColumn("p50", pround(element_at(col("qs"), 3), 2))
+      .withColumn("p75", pround(element_at(col("qs"), 4), 2))
+      .withColumn("p90", pround(element_at(col("qs"), 5), 2))
+      .drop("qs")
+      .withColumnRenamed("billing_code", "code")
+      .select("year_month", "state", "payer_slug", "billing_class",
+        "code_type", "code", "npi_count", "ein_count",
+        "p10", "p25", "p50", "p75", "p90", "mean", "min", "max")
+  }
+
   /** Full materialization: write the aggregate hive-partitioned by
     * (state, year_month) so dashboard reads prune to their slice. */
   def materialize(spark: SparkSession, dir: String, outPath: String): Unit =
