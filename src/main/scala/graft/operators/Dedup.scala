@@ -111,6 +111,7 @@ object Dedup extends QueryPack {
     * of 0-9, perturbed near-copies of 10-19 (one coordinate shifted, so
     * cosine ≈ 0.99 — inside the SRP near-dup envelope). */
   private def augmentedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSimF32.register(s) // native verify kernel
     val e = Tables.load(s, d, "embeddings").select(col("vec_id"),
       col("embedding").as("emb"))
     val copies = e.filter(col("vec_id") < 20).select(
@@ -275,13 +276,8 @@ object Dedup extends QueryPack {
         .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
           col("a.emb").as("ea"), col("b.emb").as("eb"))
         .dropDuplicates("doc_a", "doc_b")
-      def dot(x: Column, y: Column) = aggregate(
-        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
       cand.select(col("doc_a"), col("doc_b"),
-          (dot(col("ea"), col("eb")) /
-            (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
-            .as("cos"))
+          call_function("cosine_f32", col("ea"), col("eb")).as("cos"))
         .filter(col("cos") >= SrpTau)
         .select(col("doc_a"), col("doc_b"), pround(col("cos"), 4).as("cosine"))
     }),

@@ -32,14 +32,18 @@ import graft.queries.QueryPack
   */
 object Similarity extends QueryPack {
 
-  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+  private def emb(s: SparkSession, d: String) = {
+    // every Similarity path loads the corpus first, so this is the one
+    // registration point for the native kernel
+    graft.functions.CosineSimF32.register(s)
+    Tables.load(s, d, "embeddings")
+  }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
+  /** Cosine via the native codegen'd Expression (bit-identical to the
+    * HOF `aggregate∘zip_with` form — CosineNativeSpec — but stays in
+    * whole-stage codegen instead of the interpreted lambda path). */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    call_function("cosine_f32", a, b)
 
   def queries: Map[String, QFn] = Map(
     // Fixed query/candidate pairing — ranking-free oracle check of the
@@ -53,6 +57,22 @@ object Similarity extends QueryPack {
       q.join(broadcast(c), col("cid") === col("qid") + 250)
         .select(col("qid"), col("cid"),
           pround(cosine(col("qe"), col("ce")), 4).as("cosine"))
+    }),
+
+    // Same kernel through the native codegen'd Expression
+    // (functions.CosineSimF32) — identical double math, oracle-matched
+    // against the same SQL as sim_cosine_pairs
+    "sim_cosine_native" -> ((s, d) => {
+      graft.functions.CosineSimF32.register(s)
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.filter(col("vec_id").between(250, 259))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      q.join(broadcast(c), col("cid") === col("qid") + 250)
+        .select(col("qid"), col("cid"),
+          pround(call_function("cosine_f32", col("qe"), col("ce")), 4)
+            .as("cosine"))
     }),
 
     // Brute-force exact top-k: 10 queries × full corpus
@@ -174,6 +194,15 @@ object Similarity extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "sim_cosine_pairs" -> s"""WITH
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+            WHERE vec_id BETWEEN 250 AND 259),
+      dots AS (${dotSql("q", "c", "c.cid = q.qid + 250")})
+      SELECT qid, cid,
+             floor((dp / (sqrt(na) * sqrt(nb))) * 10000.0 + 0.5) / 10000.0
+          AS cosine FROM dots""",
+
+    "sim_cosine_native" -> s"""WITH
       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
       c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
             WHERE vec_id BETWEEN 250 AND 259),
