@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Builders, Inventory, QueryPack, Sources}
+import graft.queries.{Analytics, Builders, Inventory, QueryPack, Sources, SqlSurface}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,8 +14,8 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(Inventory, Analytics, Builders, Sources, TextAnalysis, Dedup,
-      Similarity, Multimodal)
+    Seq(Inventory, Analytics, Builders, Sources, SqlSurface, TextAnalysis,
+      Dedup, Similarity, Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
