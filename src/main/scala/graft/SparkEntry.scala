@@ -17,9 +17,11 @@ object SparkEntry {
     Seq(Inventory, Analytics, Builders, Sources, SqlSurface, TextAnalysis,
       Dedup, Similarity, Multimodal)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The star fact build is the engine's centerpiece: role
+    * mapping, uid minting, broadcast dim join, keyed dedup. */
   def entry(spark: SparkSession): DataFrame =
-    Inventory.queries("a4_rate_summary")(spark, "/root/testdata/sf0.001")
+    Inventory.queries("star_fact_build")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
