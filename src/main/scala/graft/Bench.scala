@@ -54,7 +54,28 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Serving-path latency: the reference's optimized dashboard class
+    // (50-200 ms, DASHBOARD_OPTIMIZATION_GUIDE.md:15-19) comes from
+    // reading a materialized pre-agg, not scanning the fact. Measure
+    // the same thing: build agg_market_rates once (untimed), then time
+    // partition-pruned slice reads; report the median in ms.
+    val servingMs: Double = try {
+      val goldDir = java.nio.file.Files.createTempDirectory("graft_gold")
+        .toString + "/agg"
+      graft.etl.GoldAggregates.materialize(spark, sfDir, goldDir)
+      val slices = spark.read.parquet(goldDir)
+        .select("state", "year_month").distinct().limit(21).collect()
+      import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+      val times = slices.drop(1).map { r => // first read pays listing init
+        val t0 = System.nanoTime()
+        graft.etl.GoldAggregates
+          .readSlice(spark, goldDir, r.getString(0), r.getString(1))
+          .agg(sum(xxhash64(struct(col("*"))))).collect()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      if (times.nonEmpty) times(times.length / 2) else -1.0
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
