@@ -30,6 +30,34 @@ object Multimodal extends QueryPack {
     (octet_length(payload) % 640).as("width"),
     (octet_length(payload) % 480).as("height"))
 
+  case class MediaIn(media_id: Long, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, byte_len: Int,
+                           mean_luma: Double, width: Int, height: Int)
+
+  /** The batch-decode seam: `mapPartitions` over typed rows — the
+    * Scala analogue of a mapInPandas decode stage. A real codec
+    * (JNI / native image lib) initializes ONCE per partition where the
+    * comment marks it, then streams the partition's payloads through;
+    * partition size is therefore the batch size, controlled by the
+    * upstream repartition. The stub computes the same crc32-seeded
+    * pseudo-features as the expression path, so MultimodalSeamSpec can
+    * assert the two paths agree byte-for-byte — swapping in a real
+    * decoder changes only the body of the loop. */
+  def decodePartitions(media: org.apache.spark.sql.Dataset[MediaIn])
+      : org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // <- real codec init goes here, once per partition/batch
+      it.map { m =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(m.payload)
+        MediaFeatures(m.media_id, m.payload.length,
+          (crc.getValue % 1000) / 1000.0,
+          m.payload.length % 640, m.payload.length % 480)
+      }
+    }
+  }
+
   def queries: Map[String, QFn] = Map(
     "multimodal_pipeline" -> ((s, d) => {
       // documents stand in for a media table: text bytes = the payload

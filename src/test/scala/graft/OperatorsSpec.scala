@@ -126,6 +126,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r1.forall(_.getAs[Int]("byte_len") > 0))
   }
 
+  test("mapPartitions decode seam == expression-path features") {
+    import spark.implicits._
+    val media = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "utf-8").as("payload"))
+      .as[Multimodal.MediaIn]
+    val seam = Multimodal.decodePartitions(media)
+      .collect().map(f => f.media_id ->
+        (f.byte_len, f.mean_luma, f.width, f.height)).toMap
+    val exprPath = Multimodal.queries("multimodal_pipeline")(spark, sf0001)
+      .select("media_id", "byte_len", "mean_luma", "width", "height")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getInt(3), r.getInt(4))).toMap
+    assert(seam == exprPath,
+      "batch seam must produce the expression path's exact features")
+  }
+
   test("upsert is idempotent: applying the stage twice changes nothing") {
     val once = Inventory.queries("j12_upsert")(spark, sf0001)
     // re-apply: treat `once` as existing, same stage rows anti-joined in
