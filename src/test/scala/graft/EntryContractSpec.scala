@@ -1,0 +1,30 @@
+package graft
+
+/** Guards on the driver contract: `SparkEntry.queries` is merged from
+  * several packs with `toMap`, so a duplicated name across packs would
+  * SILENTLY drop one implementation — fail loudly here instead. */
+class EntryContractSpec extends SparkSpec {
+
+  test("no query name collides across packs") {
+    val names = Seq(graft.queries.Inventory, graft.queries.Analytics,
+      graft.queries.Builders, graft.queries.Sources,
+      graft.queries.SqlSurface, graft.operators.TextAnalysis,
+      graft.operators.Dedup, graft.operators.Similarity,
+      graft.operators.Multimodal).flatMap(_.queries.keys)
+    val dups = names.groupBy(identity).collect {
+      case (n, occ) if occ.size > 1 => n
+    }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(names.toSet == SparkEntry.queries.keySet)
+  }
+
+  test("every oracle key names a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("query names are stable identifiers") {
+    val bad = SparkEntry.queries.keys.filterNot(_.matches("[a-z0-9_]+"))
+    assert(bad.isEmpty, s"non-identifier query names: $bad")
+  }
+}
