@@ -80,6 +80,36 @@ object Dedup extends QueryPack {
   private val BandSize = 4 // → 4 bands of 4 rows
   private val MaxBucket = 64 // LSH hot-bucket cap (skew guard)
 
+  /** MinHash signature frame (doc_id, h0..h15) via the native
+    * `minhash_sig` kernel — one imperative pass per row instead of the
+    * interpreted HOF chain (shingles → distinct → md5 → k permutation
+    * mins). MinHashNativeSpec proves value-parity with the HOF form. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      exprs => graft.functions.MinHashSig(exprs.head,
+        minhashAB.map(_._1), minhashAB.map(_._2), MinhashP))
+    augmented(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), call_function("minhash_sig", col("tk")).as("sig"))
+      .select(col("doc_id") +: (0 until NumHashes).map(j =>
+        element_at(col("sig"), j + 1).as(s"h$j")): _*)
+  }
+
+  /** The original composable (HOF) formulation, kept as the parity
+    * reference for MinHashNativeSpec. */
+  def minhashSignaturesHof(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingled(s, d).select(col("doc_id"),
+      transform(col("sh"), t => h32(t)).as("hs"))
+    hashed.select(col("doc_id") +:
+      minhashAB.zipWithIndex.map { case ((a, b), j) =>
+        array_min(transform(col("hs"),
+          h => pmod(h * lit(a) + lit(b), lit(MinhashP)))).as(s"h$j")
+      }: _*)
+  }
+
   /** SimHash Hamming verify threshold. 4 bands of 16 bits guarantee every
     * pair within Hamming ≤ 3 shares an intact band (pigeonhole). */
   val SimhashK = 3
@@ -186,15 +216,7 @@ object Dedup extends QueryPack {
 
     // MinHash + LSH banding: candidate near-dup pairs via band-bucket join
     "dedup_minhash_lsh" -> ((s, d) => {
-      // One md5 per distinct shingle, materialized once per row…
-      val hashed = shingled(s, d).select(col("doc_id"),
-        transform(col("sh"), t => h32(t)).as("hs"))
-      // …then each of the k MinHash functions is a cheap permutation.
-      val sig = hashed.select(col("doc_id") +:
-        minhashAB.zipWithIndex.map { case ((a, b), j) =>
-          array_min(transform(col("hs"),
-            h => pmod(h * lit(a) + lit(b), lit(MinhashP)))).as(s"h$j")
-        }: _*)
+      val sig = minhashSignatures(s, d)
       val bands = sig.select(col("doc_id"), posexplode(array(
         (0 until NumHashes / BandSize).map(b =>
           md5(concat_ws("-", (0 until BandSize).map(r =>
