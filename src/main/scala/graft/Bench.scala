@@ -10,8 +10,6 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // S2 corrupt-parquet salvage (chunk_processor.py:34-50)
-      .config("spark.sql.files.ignoreCorruptFiles", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -66,7 +64,16 @@ object Bench {
       val slices = spark.read.parquet(goldDir)
         .select("state", "year_month").distinct().limit(21).collect()
       import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
-      val times = slices.drop(1).map { r => // first read pays listing init
+      // Untimed warm read of the first slice: pays the one-time FS
+      // listing/session init so the timed loop measures steady-state
+      // (merely dropping the slice would leave the init cost on the
+      // first timed read).
+      slices.headOption.foreach { r =>
+        graft.etl.GoldAggregates
+          .readSlice(spark, goldDir, r.getString(0), r.getString(1))
+          .agg(sum(xxhash64(struct(col("*"))))).collect()
+      }
+      val times = slices.drop(1).map { r =>
         val t0 = System.nanoTime()
         graft.etl.GoldAggregates
           .readSlice(spark, goldDir, r.getString(0), r.getString(1))

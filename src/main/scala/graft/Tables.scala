@@ -32,6 +32,16 @@ object Tables {
     else df
   }
 
+  /** Corrupt-parquet salvage read (SURVEY §2.1 S2): skip unreadable
+    * files, keep every valid row-group — the reference's ingest
+    * tolerance (src/utils/chunk_processor.py:34-50). The option is
+    * scoped to THIS reader on purpose: globally enabling
+    * `spark.sql.files.ignoreCorruptFiles` would let a corrupt file
+    * silently shrink any query's input; outside the salvage ingest
+    * path, data loss should fail loudly. */
+  def readSalvage(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+
   /** Schema-tolerant projected scan (SURVEY §2.1 S4). */
   def readTolerant(spark: SparkSession, path: String,
                    wanted: Seq[(String, String)]): DataFrame = {

@@ -14,14 +14,19 @@ object Verify {
       .config("spark.sql.ansi.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // S2 corrupt-parquet salvage (chunk_processor.py:34-50): skip
-      // unreadable files instead of failing the batch
-      .config("spark.sql.files.ignoreCorruptFiles", "true")
+      // S2 salvage is per-read (Tables.readSalvage), NOT global: the
+      // verify harness must fail loudly if an input file is corrupt,
+      // or data loss would masquerade as an oracle mismatch.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local debugging: SPARK_GRAFT_ONLY=name1,name2 restricts the dump.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

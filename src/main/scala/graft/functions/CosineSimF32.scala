@@ -25,12 +25,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * equality on every corpus pair; the oracle-checked
   * `sim_cosine_native` query pins it against DuckDB too).
   *
-  * Shorter arrays dominate: the loop runs over min(len(a), len(b)) for
-  * the dot product while each norm uses its own full array — matching
-  * `zip_with`'s null-padding semantics would differ; instead both
-  * sides here are fixed-width embeddings (64), so lengths always
-  * match. Returns null if either input is null; NaN propagates like
-  * plain double arithmetic (0-norm → NaN via 0/0).
+  * Shorter arrays dominate: ALL THREE accumulators — dot product and
+  * both norms — run over min(len(a), len(b)) in one fused loop. For
+  * unequal lengths that is neither `zip_with` null-padding nor
+  * full-length norms; the contract here is fixed-width embeddings
+  * (64) on both sides, where the distinction vanishes. Extending to
+  * variable-length vectors requires choosing (and implementing) a
+  * per-side norm. Returns null if either input is null; NaN
+  * propagates like plain double arithmetic (0-norm → NaN via 0/0).
   */
 case class CosineSimF32(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -43,9 +43,14 @@ object SqlSurface extends QueryPack {
       initViews(s, d)
       s.sql("""
         SELECT billing_class, COUNT(*) AS rate_count,
-               floor((CAST(SUM(CAST(negotiated_rate AS DECIMAL(18,2)))
+               -- CAST to DOUBLE: Spark parses the 100.0 literal as
+               -- DECIMAL(4,1) and bigint/decimal division yields
+               -- DECIMAL(27,6); DuckDB yields DOUBLE. Without the cast
+               -- the two sides render differently (53188.900000 vs
+               -- 53188.9) and the driver's value hash diverges.
+               CAST(floor((CAST(SUM(CAST(negotiated_rate AS DECIMAL(18,2)))
                       AS DOUBLE) / COUNT(negotiated_rate)) * 100.0 + 0.5)
-                 / 100.0 AS avg_rate,
+                 / 100.0 AS DOUBLE) AS avg_rate,
                COUNT(DISTINCT billing_code) AS unique_codes
         FROM rates
         WHERE year_month BETWEEN '1995-01' AND '1995-12'
@@ -85,9 +90,9 @@ object SqlSurface extends QueryPack {
   def oracles: Map[String, String] = Map(
     "sql_rate_summary" -> s"""$R
       SELECT billing_class, COUNT(*) AS rate_count,
-             floor((CAST(SUM(CAST(negotiated_rate AS DECIMAL(18,2)))
+             CAST(floor((CAST(SUM(CAST(negotiated_rate AS DECIMAL(18,2)))
                     AS DOUBLE) / COUNT(negotiated_rate)) * 100.0 + 0.5)
-               / 100.0 AS avg_rate,
+               / 100.0 AS DOUBLE) AS avg_rate,
              COUNT(DISTINCT billing_code) AS unique_codes
       FROM rates
       WHERE year_month BETWEEN '1995-01' AND '1995-12'

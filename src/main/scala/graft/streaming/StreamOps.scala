@@ -120,9 +120,12 @@ object StreamOps {
     feed.select(col("user_id"), col("event_time"))
       .withColumn("prev", lag(col("event_time"), 1).over(byUser))
       .withColumn("new_session",
+        // unix_micros, not cast("long"): the cast truncates to whole
+        // seconds while the streaming path compares microseconds —
+        // sub-second gaps (or gapMs < 1000) would split differently.
         when(col("prev").isNull ||
-          col("event_time").cast("long") * 1000 -
-            col("prev").cast("long") * 1000 > gapMs, 1).otherwise(0))
+          unix_micros(col("event_time")) -
+            unix_micros(col("prev")) > gapMs * 1000L, 1).otherwise(0))
       .withColumn("session_id", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")

@@ -100,19 +100,13 @@ class BuildersSpec extends SparkSpec {
     // drop a garbage .parquet file into the dataset directory
     Files.write(java.nio.file.Paths.get(s"$dir/part-corrupt.parquet"),
       "this is not a parquet file".getBytes)
-    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
-    try {
-      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
-      val rows = spark.read.parquet(dir).count()
-      assert(rows == 2, "valid row-groups must survive a corrupt sibling")
-      // and with the guard off, the same read fails — documents the delta
-      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
-      intercept[org.apache.spark.SparkException] {
-        spark.read.parquet(dir).count()
-      }
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
-      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    // salvage reader skips the corrupt sibling, keeps valid row-groups
+    val rows = Tables.readSalvage(spark, dir).count()
+    assert(rows == 2, "valid row-groups must survive a corrupt sibling")
+    // an ordinary strict read of the same dir fails — the salvage
+    // tolerance is scoped to the reader, not session-global
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
     }
   }
 }

@@ -112,4 +112,53 @@ class StreamOpsSpec extends SparkSpec {
       s"streamed ${streamed.size} sessions vs batch ${batch.size}")
     assert(streamed.nonEmpty)
   }
+
+  test("sessionization parity holds for sub-second gaps (microseconds)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_sess_us").toString
+    val inDir = s"$work/in"
+    new java.io.File(inDir).mkdirs()
+    // user 1 at +0µs, +400000µs, +900100µs, +2000000µs with gapMs=500:
+    // gaps are 400.0ms (stay), 500.1ms (split), 1099.9ms (split) → 3
+    // sessions. A seconds-truncated gap computation sees 0/0/2000 ms
+    // and merges the first three events — this is the regression test
+    // for exactly that bug.
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    val offsets = Seq(0L, 400000L, 900100L, 2000000L)
+    offsets.zipWithIndex.map { case (off, i) =>
+      (i.toLong, (baseUs + off) * 1000L, 1L, "rate_change", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$work/b0")
+    val src = new java.io.File(s"$work/b0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$inDir/batch_0.parquet")
+    Files.copy(src.toPath, dst.toPath)
+    dst.setLastModified(1700000000000L)
+
+    val gapMs = 500L
+    val outPath = s"$work/out"
+    val q = StreamOps.sessionize(
+      StreamingUpsert.readEventStream(spark, inDir), gapMs, "1 minute")
+      .writeStream.option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").format("parquet")
+      .option("path", outPath).start()
+    q.processAllAvailable()
+    writeSentinel(inDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outPath)
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamOps.sessionizeBatch(
+      StreamingUpsert.eventFeed(spark.read.parquet(inDir))
+        .filter(col("user_id") =!= -1L), gapMs)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} sessions vs batch ${batch.size}")
+    assert(batch.size == 3, s"expected 3 sub-second sessions, got $batch")
+    assert(batch.toSeq.map(_(3).asInstanceOf[Int]).sum == 4)
+  }
 }
