@@ -80,12 +80,15 @@ object WideTableBuilder {
       .withColumn("final_rate",
         pround(coalesce(col("wc_rate_new"), col("wc_rate"), col("rate")), 2))
       .drop("wc_code", "wc_rate", "wc_rate_new", "wc_state")
-    // 11: categorize (legacy inline when-chain)
-    val cat = Categorizer.categorize(col("code"))
+    // 11: categorize (legacy inline when-chain). Stage the struct in
+    // its own projection: three getFields over an inline categorize
+    // would triplicate the ~40-branch chain in one generated method.
     val categorized = gaMerged
-      .withColumn("proc_set", cat.getField("proc_set"))
-      .withColumn("proc_class", cat.getField("proc_class"))
-      .withColumn("proc_group", cat.getField("proc_group"))
+      .withColumn("_cat", Categorizer.categorize(col("code")))
+      .withColumn("proc_set", col("_cat").getField("proc_set"))
+      .withColumn("proc_class", col("_cat").getField("proc_class"))
+      .withColumn("proc_group", col("_cat").getField("proc_group"))
+      .drop("_cat")
     // 12: class-routed benchmark + pct_of_medicare
     val part = graft.Tables.load(spark, dir, "part")
     val bp = part.select(col("p_partkey").cast("string").as("bp_code"),

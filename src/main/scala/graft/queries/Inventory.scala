@@ -404,11 +404,22 @@ object Inventory extends QueryPack {
         .when(col("p_partkey") % 77 === 0, "IME01")
         .when(col("p_partkey") % 88 === 0, "ABC")
         .otherwise((lit(10000) + (col("p_partkey") * 37) % 90000).cast("string"))
-      val cat = Categorizer.categorize(code)
-      Tables.load(s, d, "part").select(col("p_partkey"), code.as("code"),
-        cat.getField("proc_set").as("proc_set"),
-        cat.getField("proc_class").as("proc_class"),
-        cat.getField("proc_group").as("proc_group"))
+      // Staged projections, not one select: passing the `code` CASE
+      // directly into the ~40-branch categorizer inlines it into every
+      // branch (and the struct into every getField) — the generated
+      // method blows janino's 64 KB limit and the whole projection
+      // falls back to interpreted. As separate projections,
+      // CollapseProject keeps non-cheap exprs referenced more than
+      // once un-merged, so codegen computes `code` and the category
+      // struct once per row each.
+      Tables.load(s, d, "part")
+        .select(col("p_partkey"), code.as("code"))
+        .select(col("p_partkey"), col("code"),
+          Categorizer.categorize(col("code")).as("_cat"))
+        .select(col("p_partkey"), col("code"),
+          col("_cat").getField("proc_set").as("proc_set"),
+          col("_cat").getField("proc_class").as("proc_class"),
+          col("_cat").getField("proc_group").as("proc_group"))
     }),
 
     // §3.2: full star fact build (ETL_1.py:406-443). Staged projections:
