@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The library's `SparkSessionExtensions` entry point — the idiomatic
+  * way to ship custom Catalyst expressions with a Spark library
+  * (extension ladder rung (b), SURVEY §2.10/§4): a cluster opts in with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * and every session — SQL-only ones included — gets the native
+  * kernels as ordinary functions, no Scala import required:
+  *
+  *   - `cosine_f32(a, b)`: fused dot+norms cosine over array<float>
+  *     ([[graft.functions.CosineSimF32]])
+  *   - `minhash_sig(tokens)`: k-permutation MinHash signature over a
+  *     token array ([[graft.functions.MinHashSig]], default
+  *     16-permutation set)
+  *
+  * `registerAll` is the session-scoped equivalent for callers that
+  * build their own `SparkSession` without the config (the query packs
+  * use it so each query stays self-contained). Both paths share the
+  * same function descriptions, so SQL-text queries and the Column DSL
+  * resolve to the identical Expression.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** One shared description per kernel — injected by the extensions
+    * hook and by per-session registration alike. */
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("cosine_f32"),
+      new ExpressionInfo(
+        classOf[graft.functions.CosineSimF32].getName, "cosine_f32"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CosineSimF32(exprs.head, exprs(1))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.MinHashSig.fromDefaults(exprs.head)))
+
+  /** Register every kernel into an existing session's function
+    * registry. Idempotent (re-registration replaces the same entry). */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}

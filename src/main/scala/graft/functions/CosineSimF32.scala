@@ -93,12 +93,11 @@ case class CosineSimF32(left: Expression, right: Expression)
 }
 
 object CosineSimF32 {
-  /** Register `cosine_f32(a, b)` in the session's function registry so
-    * it is callable via `call_function`/SQL without any public Column
-    * constructor. Idempotent. */
+  /** Register the library's kernels (this one included) in the
+    * session's function registry so they are callable via
+    * `call_function`/SQL. Delegates to [[graft.GraftExtensions]] — the
+    * `spark.sql.extensions=graft.GraftExtensions` config is the
+    * cluster-wide equivalent. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_f32"),
-      new ExpressionInfo(classOf[CosineSimF32].getName, "cosine_f32"),
-      (exprs: Seq[Expression]) => CosineSimF32(exprs.head, exprs(1)))
+    graft.GraftExtensions.registerAll(spark)
 }

@@ -110,3 +110,29 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
 }
+
+object MinHashSig {
+  /** Universal-hash permutation defaults: minhash_j(h) = (a_j·h + b_j)
+    * mod P. a_j < 2^30 keeps a_j·h < 2^62 (no overflow); P prime >
+    * 2^32. One md5 per shingle + k multiply-adds replaces k md5s per
+    * shingle — the difference between scan-speed and hours at 100 TB.
+    * Deterministic (LCG-derived) so signatures are stable across runs
+    * and sessions — a requirement for incremental dedup, where today's
+    * signatures join against last month's. */
+  val DefaultP = 4294967311L
+  val DefaultK = 16
+  val defaultAB: Seq[(Long, Long)] = {
+    var x = 1103515245L
+    (0 until DefaultK).map { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L) >>> 3
+      val a = (x % (1L << 30)) | 1L
+      x = (x * 6364136223846793005L + 1442695040888963407L) >>> 3
+      val b = x % (1L << 31)
+      (a, b)
+    }
+  }
+
+  /** Registry builder using the default permutation set. */
+  def fromDefaults(e: Expression): MinHashSig =
+    MinHashSig(e, defaultAB.map(_._1), defaultAB.map(_._2), DefaultP)
+}

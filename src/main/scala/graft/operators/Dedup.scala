@@ -76,7 +76,7 @@ object Dedup extends QueryPack {
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  private val NumHashes = 16
+  private val NumHashes = graft.functions.MinHashSig.DefaultK // 16
   private val BandSize = 4 // → 4 bands of 4 rows
   private val MaxBucket = 64 // LSH hot-bucket cap (skew guard)
 
@@ -85,12 +85,7 @@ object Dedup extends QueryPack {
     * interpreted HOF chain (shingles → distinct → md5 → k permutation
     * mins). MinHashNativeSpec proves value-parity with the HOF form. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    s.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
-      exprs => graft.functions.MinHashSig(exprs.head,
-        minhashAB.map(_._1), minhashAB.map(_._2), MinhashP))
+    graft.GraftExtensions.registerAll(s)
     augmented(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), call_function("minhash_sig", col("tk")).as("sig"))
@@ -190,23 +185,13 @@ object Dedup extends QueryPack {
       }.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
 
-  /** Universal-hash permutation constants for MinHash: minhash_j(h) =
-    * (a_j·h + b_j) mod P. a_j < 2^30 keeps a_j·h < 2^62 (no overflow);
-    * P prime > 2^32. One md5 per shingle + k multiply-adds replaces k
-    * md5s per shingle — the difference between scan-speed and hours at
-    * 100 TB. */
-  private val MinhashP = 4294967311L
-  private val minhashAB: Seq[(Long, Long)] = {
-    // deterministic LCG-derived odd multipliers / offsets
-    var x = 1103515245L
-    (0 until NumHashes).map { _ =>
-      x = (x * 6364136223846793005L + 1442695040888963407L) >>> 3
-      val a = (x % (1L << 30)) | 1L
-      x = (x * 6364136223846793005L + 1442695040888963407L) >>> 3
-      val b = x % (1L << 31)
-      (a, b)
-    }
-  }
+  /** MinHash permutation constants live with the kernel
+    * ([[graft.functions.MinHashSig.defaultAB]]) so the extensions-
+    * injected SQL function and this pack compute identical
+    * signatures. */
+  private val MinhashP = graft.functions.MinHashSig.DefaultP
+  private val minhashAB: Seq[(Long, Long)] =
+    graft.functions.MinHashSig.defaultAB
 
   def queries: Map[String, QFn] = Map(
     // Exact dedup: group by content hash, keep lowest doc_id
