@@ -26,8 +26,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * resolve to the identical Expression.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Materialized-aggregate routing (plans/GoldRoutingRule): post-hoc
+    // resolution so the match key is the stable analyzed form and the
+    // optimizer still prunes/pushes into the routed scan.
+    ext.injectPostHocResolutionRule(graft.plans.GoldRoutingRule)
+  }
 }
 
 object GraftExtensions {

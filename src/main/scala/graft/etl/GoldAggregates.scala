@@ -107,22 +107,37 @@ object GoldAggregates {
   }
 
   /** Full materialization: write the aggregate hive-partitioned by
-    * (state, year_month) so dashboard reads prune to their slice. */
+    * (state, year_month) so dashboard reads prune to their slice.
+    * Afterwards the defining plan is registered in
+    * [[graft.plans.GoldCatalog]]: in sessions built with
+    * `GraftExtensions`, any analytically-identical aggregate is routed
+    * to this materialization instead of re-scanning the fact. The
+    * build itself runs with routing disabled — otherwise a re-build
+    * would match its own previous registration and read back the stale
+    * table instead of the base data. */
   def materialize(spark: SparkSession, dir: String, outPath: String): Unit =
-    write(aggMarketRates(spark, dir), outPath)
+    graft.plans.GoldCatalog.withRoutingDisabled(spark) {
+      val defining = aggMarketRates(spark, dir)
+      write(defining, outPath)
+      graft.plans.GoldCatalog.register(defining, outPath)
+    }
 
   /** Slice refresh (the reference's DELETE+INSERT per (state, ym),
     * notebook.py:373-405): recompute only the given slices from the
     * current input and dynamically overwrite exactly those partitions —
-    * all other partitions are untouched files. */
+    * all other partitions are untouched files. Runs with routing
+    * disabled (see [[materialize]]) and re-registers the refreshed
+    * table. */
   def refreshSlices(spark: SparkSession, dir: String, outPath: String,
-                    slices: Seq[(String, String)]): Unit = {
-    val agg = aggMarketRates(spark, dir)
-    val hit = slices.map { case (st, ym) =>
-      col("state") === st && col("year_month") === ym
-    }.reduce(_ || _)
-    write(agg.filter(hit), outPath)
-  }
+                    slices: Seq[(String, String)]): Unit =
+    graft.plans.GoldCatalog.withRoutingDisabled(spark) {
+      val agg = aggMarketRates(spark, dir)
+      val hit = slices.map { case (st, ym) =>
+        col("state") === st && col("year_month") === ym
+      }.reduce(_ || _)
+      write(agg.filter(hit), outPath)
+      graft.plans.GoldCatalog.register(agg, outPath)
+    }
 
   private def write(df: DataFrame, outPath: String): Unit =
     // Cluster rows by the partition columns before the partitioned
