@@ -6,6 +6,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions) // the library's own plugin path
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -82,7 +83,28 @@ object Bench {
       }.sorted
       if (times.nonEmpty) times(times.length / 2) else -1.0
     } catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"sf":"$sfDir"}""")
+    // Routed-dashboard latency: the SAME queries a dashboard would
+    // issue — the full inline aggregate plus a slice filter — but with
+    // GoldRoutingRule swapping the aggregate for the materialization
+    // registered by the serving block above. Measures what a user gets
+    // WITHOUT rewriting their query to read the gold table: plan
+    // build + routing + a partition-pruned slice read.
+    val routedMs: Double = try {
+      val slices = graft.etl.GoldAggregates
+        .aggMarketRates(spark, sfDir)
+        .select("state", "year_month").distinct().limit(11).collect()
+      import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+      val times = slices.drop(1).map { r =>
+        val t0 = System.nanoTime()
+        graft.etl.GoldAggregates.aggMarketRates(spark, sfDir)
+          .filter(col("state") === r.getString(0) &&
+            col("year_month") === r.getString(1))
+          .agg(sum(xxhash64(struct(col("*"))))).collect()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      if (times.nonEmpty) times(times.length / 2) else -1.0
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"routed_ms_p50":$routedMs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -126,8 +126,13 @@ object GoldAggregates {
     * notebook.py:373-405): recompute only the given slices from the
     * current input and dynamically overwrite exactly those partitions —
     * all other partitions are untouched files. Runs with routing
-    * disabled (see [[materialize]]) and re-registers the refreshed
-    * table. */
+    * disabled (see [[materialize]]). The refresh does NOT create a
+    * routing registration: a fresh path refreshed slice-by-slice holds
+    * only those slices, and registering the full defining plan against
+    * it would route full-table queries to a partial result. Only
+    * `materialize` (which writes everything) registers; a path that is
+    * already registered keeps its registration — the refresh only made
+    * it fresher. */
   def refreshSlices(spark: SparkSession, dir: String, outPath: String,
                     slices: Seq[(String, String)]): Unit =
     graft.plans.GoldCatalog.withRoutingDisabled(spark) {
@@ -136,7 +141,7 @@ object GoldAggregates {
         col("state") === st && col("year_month") === ym
       }.reduce(_ || _)
       write(agg.filter(hit), outPath)
-      graft.plans.GoldCatalog.register(agg, outPath)
+      graft.plans.GoldCatalog.refreshed(outPath) // drop stale file listings
     }
 
   private def write(df: DataFrame, outPath: String): Unit =

@@ -43,8 +43,15 @@ case class GoldRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * silently runs unrouted rather than failing. */
   private def route(sub: LogicalPlan,
                     entry: GoldCatalog.Entry): Option[LogicalPlan] = {
+    // Fresh relation instance per use: the cached plan shares its
+    // (expensive) FileIndex, but reusing its attribute ExprIds verbatim
+    // would collide if one query routes two subtrees (self-join of the
+    // same aggregate). newInstance() re-mints the output attributes.
     val scan = try {
-      spark.read.parquet(entry.path).queryExecution.analyzed
+      GoldCatalog.scanOf(spark, entry.path).transformUp {
+        case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+          m.newInstance().asInstanceOf[LogicalPlan]
+      }
     } catch { case _: Exception => return None }
     val byName = scan.output.map(a => a.name -> a).toMap
     if (!sub.output.forall(o => byName.contains(o.name))) return None
