@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.Roles
+import graft.etl.GoldAggregates
+import graft.functions.NormExprs.yearMonth
+
+/** Streaming serving-layer refresh (the streaming form of S15): a
+  * Structured Streaming feed of fact-delta files keeps the
+  * materialized `agg_market_rates` fresh, refreshing ONLY the
+  * (state, year_month) slices each micro-batch touches.
+  *
+  * The reference runs this as a scheduled notebook — recompute the
+  * month slices whose facts changed, DELETE+INSERT them
+  * (prod_etl/notebook.py:373-405). Here the delta feed drives the same
+  * per-slice dynamic partition overwrite via foreachBatch, so serving
+  * reads stay 50-200 ms while the table follows the feed.
+  *
+  * Scale notes: the per-batch work is (a) a distinct over the delta's
+  * slice keys — tiny, broadcast-joined to the bounded provider dim for
+  * state — and (b) `GoldAggregates.refreshSlices`, whose aggregation
+  * scans only `slice-filtered` base rows (partition pruning on a
+  * partitioned fact; filter pushdown here) and whose write replaces
+  * only the touched leaf dirs. Untouched slices are never read or
+  * written. Slice keys per batch are collected to the driver — that is
+  * bounded by |states|×|months| (the partition count of the gold
+  * table), not by delta row count.
+  */
+object ServingRefresh {
+
+  /** Distinct (state, year_month) slice keys present in a
+    * lineitem-shaped delta. State comes from the provider dim, exactly
+    * as in the gold aggregate itself. */
+  def touchedSlices(spark: SparkSession, dir: String,
+                    delta: DataFrame): Array[(String, String)] = {
+    val p = Roles.providers(spark, dir)
+      .select(col("provider_group_id"), col("state"))
+    delta.select(
+        col("l_suppkey").cast("string").as("provider_group_id"),
+        yearMonth(col("l_shipdate")).as("year_month"))
+      .join(broadcast(p), Seq("provider_group_id"), "left")
+      .select("state", "year_month").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+  }
+
+  /** Start the refresh stream over a directory of lineitem-shaped
+    * delta files. Assumes deltas land in the base dataset before (or
+    * with) their arrival here — refreshSlices recomputes from `dir`,
+    * the current base. */
+  def run(spark: SparkSession, deltaDir: String, dir: String,
+          goldPath: String, checkpoint: String): StreamingQuery = {
+    val schema = spark.read.parquet(deltaDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(deltaDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        val slices = touchedSlices(spark, dir, delta)
+        if (slices.nonEmpty)
+          GoldAggregates.refreshSlices(spark, dir, goldPath, slices.toSeq)
+      }
+      .start()
+  }
+}

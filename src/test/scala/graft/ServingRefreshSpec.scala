@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.etl.GoldAggregates
+import graft.streaming.ServingRefresh
+
+/** Streaming serving-layer refresh: feeding a fact delta for one
+  * (state, year_month) slice must rewrite exactly that slice's leaf
+  * dir of the gold table (fresh part files), leave every other slice's
+  * files untouched, and keep the refreshed slice equal to the inline
+  * recompute. */
+class ServingRefreshSpec extends SparkSpec {
+
+  /** Leaf dir → part-file names. Rewritten leaves get new random
+    * part-uuid names, so file-set equality detects untouched slices
+    * robustly (mtime granularity does not). */
+  private def leafFiles(gold: String): Map[String, Set[String]] = {
+    val root = new java.io.File(gold)
+    val leaves = for {
+      st <- root.listFiles().toSeq if st.getName.startsWith("state=")
+      ym <- st.listFiles().toSeq if ym.getName.startsWith("year_month=")
+    } yield s"${st.getName}/${ym.getName}" ->
+      ym.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    leaves.toMap
+  }
+
+  test("streaming refresh rewrites only the slices the delta touches") {
+    val work = Files.createTempDirectory("graft_srefresh").toString
+    val gold = s"$work/gold"
+    GoldAggregates.materialize(spark, sf0001, gold)
+    val before = leafFiles(gold)
+
+    // target slice = first populated (state, year_month) of the gold
+    val head = spark.read.parquet(gold).select("state", "year_month").head
+    val (s0, ym0) = (head.getString(0), head.getString(1))
+    val targetLeaf = s"state=$s0/year_month=$ym0"
+    assert(before.contains(targetLeaf))
+
+    // delta: the base fact rows of exactly that slice (provider state
+    // and shipdate month reproduce the slice keys through the roles)
+    val pg = Roles.providers(spark, sf0001)
+      .filter(col("state") === s0).select("provider_group_id")
+    val delta = Tables.load(spark, sf0001, "lineitem")
+      .filter(graft.functions.NormExprs.yearMonth(col("l_shipdate")) === ym0)
+      .join(pg, col("l_suppkey").cast("string") === col("provider_group_id"),
+        "left_semi")
+    assert(delta.count() > 0, s"no base rows for slice ($s0, $ym0)")
+    val deltaDir = s"$work/delta"
+    delta.coalesce(1).write.parquet(deltaDir)
+
+    val q = ServingRefresh.run(spark, deltaDir, sf0001, gold,
+      s"$work/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val after = leafFiles(gold)
+    assert(after(targetLeaf) != before(targetLeaf),
+      "touched slice must have been rewritten with fresh part files")
+    val untouched = before.keySet - targetLeaf
+    val changed = untouched.filter(k => before(k) != after.getOrElse(k, Set()))
+    assert(changed.isEmpty,
+      s"slices not in the delta were rewritten: ${changed.take(5)}")
+
+    // refreshed slice still equals the inline aggregate's slice
+    val inline = GoldAggregates.aggMarketRates(spark, sf0001)
+      .filter(col("state") === s0 && col("year_month") === ym0)
+      .drop("state", "year_month")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val servedRows = GoldAggregates.readSlice(spark, gold, s0, ym0)
+      .drop("state", "year_month")
+      .select(GoldAggregates.aggMarketRates(spark, sf0001)
+        .drop("state", "year_month").columns.map(col): _*)
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    assert(servedRows.toSeq == inline.toSeq)
+  }
+}
