@@ -58,6 +58,40 @@ object Multimodal extends QueryPack {
     }
   }
 
+  case class MediaResized(media_id: Long, payload: Array[Byte],
+                          width: Int, height: Int)
+
+  /** Resize in the same codec seam as `decodePartitions`: binary in,
+    * binary out, metadata updated — a real image scaler replaces the
+    * stub body (stride byte-resample down to ≤ targetBytes,
+    * deterministic, identity when already small enough). The
+    * Spark-side contract a 100 TB pipeline needs is exactly this
+    * shape: payloads never widen to strings, the output is again a
+    * typed binary column ready for the next stage, and batch size =
+    * partition size. */
+  def resizePartitions(media: org.apache.spark.sql.Dataset[MediaIn],
+                       targetBytes: Int)
+      : org.apache.spark.sql.Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // <- real scaler init goes here, once per partition/batch
+      it.map { m =>
+        val n = m.payload.length
+        val out = if (n <= targetBytes) m.payload
+        else {
+          val res = new Array[Byte](targetBytes)
+          var i = 0
+          while (i < targetBytes) {
+            res(i) = m.payload((i.toLong * n / targetBytes).toInt)
+            i += 1
+          }
+          res
+        }
+        MediaResized(m.media_id, out, out.length % 640, out.length % 480)
+      }
+    }
+  }
+
   def queries: Map[String, QFn] = Map(
     "multimodal_pipeline" -> ((s, d) => {
       // documents stand in for a media table: text bytes = the payload

@@ -143,6 +143,32 @@ class OperatorsSpec extends SparkSpec {
       "batch seam must produce the expression path's exact features")
   }
 
+  test("resize seam: ≤ target bytes, deterministic, identity when small") {
+    import spark.implicits._
+    val media = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "utf-8").as("payload"))
+      .as[Multimodal.MediaIn]
+    val target = 64
+    val r1 = Multimodal.resizePartitions(media, target).collect()
+      .map(m => m.media_id -> m.payload.toSeq).toMap
+    // bounded output, binary stays binary
+    assert(r1.values.forall(_.length <= target))
+    // deterministic across runs
+    val r2 = Multimodal.resizePartitions(media, target).collect()
+      .map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(r1 == r2)
+    // identity when the payload is already within target
+    val lens = media.collect().map(m => m.media_id -> m.payload.length).toMap
+    val small = lens.filter(_._2 <= target).keySet
+    val origs = media.collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(small.forall(id => r1(id) == origs(id)),
+      "payloads already within target must pass through unchanged")
+    // larger payloads hit the target exactly (stride resample)
+    assert(lens.filter(_._2 > target).keySet
+      .forall(id => r1(id).length == target))
+  }
+
   test("upsert is idempotent: applying the stage twice changes nothing") {
     val once = Inventory.queries("j12_upsert")(spark, sf0001)
     // re-apply: treat `once` as existing, same stage rows anti-joined in
