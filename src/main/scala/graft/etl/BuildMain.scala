@@ -11,6 +11,7 @@ object BuildMain {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -38,12 +39,17 @@ object BuildMain {
       EnrichmentDims.dimCodeCat(rates, "billing_code"),
       s"$outDir/dim_code_cat", Seq("proc_cd"))
     // gold: the serving pre-aggregate, partitioned for slice reads
+    // (also registers for GoldRoutingRule in extensions sessions)
     GoldAggregates.materialize(spark, sfDir, s"$outDir/agg_market_rates")
+    // similarity serving: the bucket-partitioned IVF index ("build
+    // once, probe many" — probes prune to their nprobe buckets)
+    graft.operators.Similarity.writeIvfIndex(spark, sfDir,
+      s"$outDir/ivf_index")
     // sanity counts, mirroring prod_etl/ETL_1.py:504-520
     Seq("dim_code", "dim_payer", "dim_provider_group", "dim_pos_set",
       "xref_pos", "xref_pg_member", "fact_rate", "dim_npi",
       "dim_npi_address", "dim_tin", "xref_pg_member_tin", "dim_code_cat",
-      "agg_market_rates").foreach { t =>
+      "agg_market_rates", "ivf_index").foreach { t =>
       println(s"[build] $t rows=${spark.read.parquet(s"$outDir/$t").count()}")
     }
     spark.stop()

@@ -118,6 +118,19 @@ object Multimodal extends QueryPack {
           col("origin"), col("features.mean_luma").as("mean_luma"),
           col("features.width").as("width"), col("features.height").as("height"),
           concat_ws(",", col("frame_hashes")).as("frame_hashes"))
+    }),
+
+    // resize in the codec seam: binary → bounded binary, metadata
+    // refreshed (rows-only — byte semantics pinned by OperatorsSpec)
+    "multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.load(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "utf-8").as("payload")).as[MediaIn]
+      resizePartitions(media, 64).toDF()
+        .select(col("media_id"), octet_length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("content_hash"),
+          col("width"), col("height"))
     })
   )
 
