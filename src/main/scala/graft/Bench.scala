@@ -90,19 +90,32 @@ object Bench {
     // WITHOUT rewriting their query to read the gold table: plan
     // build + routing + a partition-pruned slice read.
     val routedMs: Double = try {
-      val slices = graft.etl.GoldAggregates
-        .aggMarketRates(spark, sfDir)
-        .select("state", "year_month").distinct().limit(11).collect()
       import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
-      val times = slices.drop(1).map { r =>
-        val t0 = System.nanoTime()
-        graft.etl.GoldAggregates.aggMarketRates(spark, sfDir)
-          .filter(col("state") === r.getString(0) &&
-            col("year_month") === r.getString(1))
-          .agg(sum(xxhash64(struct(col("*"))))).collect()
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
-      if (times.nonEmpty) times(times.length / 2) else -1.0
+      // The metric is only meaningful if routing actually engaged —
+      // otherwise (e.g. the serving block failed before registering)
+      // we would report multi-second full re-aggregations under a
+      // label that promises routed reads. Probe the plan first.
+      val probe = graft.etl.GoldAggregates.aggMarketRates(spark, sfDir)
+      val routedPlan = probe.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty
+      if (!routedPlan) -1.0
+      else {
+        val slices = probe.select("state", "year_month")
+          .distinct().limit(11).collect()
+        def readSlice(r: org.apache.spark.sql.Row): Unit =
+          graft.etl.GoldAggregates.aggMarketRates(spark, sfDir)
+            .filter(col("state") === r.getString(0) &&
+              col("year_month") === r.getString(1))
+            .agg(sum(xxhash64(struct(col("*"))))).collect()
+        slices.headOption.foreach(readSlice) // untimed warm read
+        val times = slices.drop(1).map { r =>
+          val t0 = System.nanoTime()
+          readSlice(r)
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        if (times.nonEmpty) times(times.length / 2) else -1.0
+      }
     } catch { case _: Throwable => -1.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"routed_ms_p50":$routedMs,"sf":"$sfDir"}""")
     spark.stop()

@@ -38,8 +38,9 @@ object BuildMain {
     StarSchemaBuilder.appendUnique(spark,
       EnrichmentDims.dimCodeCat(rates, "billing_code"),
       s"$outDir/dim_code_cat", Seq("proc_cd"))
-    // gold: the serving pre-aggregate, partitioned for slice reads
-    // (also registers for GoldRoutingRule in extensions sessions)
+    // gold: the serving pre-aggregate, partitioned for slice reads.
+    // Routing registration is in-process only — a separate serving
+    // session calls GoldAggregates.registerExisting at startup.
     GoldAggregates.materialize(spark, sfDir, s"$outDir/agg_market_rates")
     // similarity serving: the bucket-partitioned IVF index ("build
     // once, probe many" — probes prune to their nprobe buckets)

@@ -122,6 +122,18 @@ object GoldAggregates {
       graft.plans.GoldCatalog.register(defining, outPath)
     }
 
+  /** Re-register an ALREADY-materialized gold table for routing. The
+    * catalog is in-process state: a registration made by the build JVM
+    * (BuildMain) dies with it, so a separate serving session calls
+    * this once at startup — asserting the table at `outPath` still
+    * holds the current result of the defining query over `dir` — to
+    * get routing without rebuilding anything. */
+  def registerExisting(spark: SparkSession, dir: String,
+                       outPath: String): Unit =
+    graft.plans.GoldCatalog.withRoutingDisabled(spark) {
+      graft.plans.GoldCatalog.register(aggMarketRates(spark, dir), outPath)
+    }
+
   /** Slice refresh (the reference's DELETE+INSERT per (state, ym),
     * notebook.py:373-405): recompute only the given slices from the
     * current input and dynamically overwrite exactly those partitions —
@@ -137,8 +149,14 @@ object GoldAggregates {
                     slices: Seq[(String, String)]): Unit =
     graft.plans.GoldCatalog.withRoutingDisabled(spark) {
       val agg = aggMarketRates(spark, dir)
+      // Null-safe slice predicates: rates whose provider is missing
+      // from the dim aggregate under state=null (the hive default
+      // partition). A plain === against a null key evaluates to null
+      // and would silently skip that slice's refresh forever.
+      def keyEq(c: String, v: String) =
+        if (v == null) col(c).isNull else col(c) === v
       val hit = slices.map { case (st, ym) =>
-        col("state") === st && col("year_month") === ym
+        keyEq("state", st) && keyEq("year_month", ym)
       }.reduce(_ || _)
       write(agg.filter(hit), outPath)
       graft.plans.GoldCatalog.refreshed(outPath) // drop stale file listings

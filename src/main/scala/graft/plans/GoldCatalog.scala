@@ -29,7 +29,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 object GoldCatalog {
 
-  final case class Entry(path: String, outputNames: Seq[String])
+  final case class Entry(path: String)
 
   /** Session conf that gates routing (default on). The gold writers
     * disable it around their own build — otherwise a slice refresh
@@ -45,17 +45,35 @@ object GoldCatalog {
     * `spark.read.parquet` lists them all to build its FileIndex. Doing
     * that once per routed query would cost more than the routing saves
     * (measured: ~5 s/query at sf0.1 vs ~200 ms with the cache), so the
-    * scan is built once and reused; every write path invalidates. */
-  private val scanCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), LogicalPlan]()
+    * scan is built once and reused; every write path invalidates.
+    * Size-bounded LRU: entries hold a SparkSession reference, and an
+    * unbounded map would pin short-lived sessions (and their file
+    * listings) forever in a long-running driver. */
+  private val ScanCacheMax = 64
+  private val scanCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String), LogicalPlan](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), LogicalPlan]) =
+        size() > ScanCacheMax
+    })
 
   /** Cached analyzed scan of a registered materialization. */
   private[plans] def scanOf(spark: SparkSession, path: String): LogicalPlan =
-    scanCache.computeIfAbsent((spark, path),
-      _ => spark.read.parquet(path).queryExecution.analyzed)
+    scanCache.synchronized {
+      val k = (spark, path)
+      val hit = scanCache.get(k)
+      if (hit != null) hit
+      else {
+        val scan = spark.read.parquet(path).queryExecution.analyzed
+        scanCache.put(k, scan)
+        scan
+      }
+    }
 
-  private def dropScans(path: String): Unit =
+  private def dropScans(path: String): Unit = scanCache.synchronized {
     scanCache.keySet().removeIf(k => k._2 == path)
+  }
 
   /** Register `path` as the materialization of `defining`. Call AFTER
     * the write completes, with the defining frame analyzed under
@@ -63,8 +81,7 @@ object GoldCatalog {
     * already-routed one). */
   def register(defining: DataFrame, path: String): Unit = {
     dropScans(path) // the table was just (re)written; relist on next use
-    entries.put(defining.queryExecution.analyzed.canonicalized,
-      Entry(path, defining.columns.toSeq))
+    entries.put(defining.queryExecution.analyzed.canonicalized, Entry(path))
   }
 
   /** The table at `path` was rewritten in place (slice refresh):
@@ -89,13 +106,22 @@ object GoldCatalog {
 
   def clear(): Unit = { entries.clear(); scanCache.clear() }
 
-  def routingEnabled(spark: SparkSession): Boolean =
-    spark.conf.get(RoutingConfKey, "true").toBoolean
+  /** Thread-local bypass used by the gold writers. A session conf
+    * would race: two threads rebuilding gold tables in one session
+    * (e.g. a streaming foreachBatch refresh next to a manual
+    * materialize) could restore the conf while the other thread's
+    * defining query is still being analyzed — and that query would
+    * route to the very table it is rebuilding. Analysis runs on the
+    * constructing thread, so a thread-local guard is exact. */
+  private val bypass = ThreadLocal.withInitial[java.lang.Integer](() => 0)
 
-  /** Run `f` with routing off (restores the previous setting). */
+  def routingEnabled(spark: SparkSession): Boolean =
+    bypass.get() == 0 && spark.conf.get(RoutingConfKey, "true").toBoolean
+
+  /** Run `f` with routing off on THIS thread (reentrant; the session
+    * conf is the user-facing whole-session switch). */
   def withRoutingDisabled[T](spark: SparkSession)(f: => T): T = {
-    val prev = spark.conf.get(RoutingConfKey, "true")
-    spark.conf.set(RoutingConfKey, "false")
-    try f finally spark.conf.set(RoutingConfKey, prev)
+    bypass.set(bypass.get() + 1)
+    try f finally bypass.set(bypass.get() - 1)
   }
 }

@@ -15,6 +15,11 @@ class BuildersSpec extends SparkSpec {
   test("agg_market_rates: materialized table equals inline aggregate") {
     val out = tmp() + "/agg"
     GoldAggregates.materialize(spark, sf0001, out)
+    // don't leak a temp-dir routing registration to later suites
+    try testBody(out) finally graft.plans.GoldCatalog.invalidate(out)
+  }
+
+  private def testBody(out: String): Unit = {
     val inline = GoldAggregates.aggMarketRates(spark, sf0001)
     val matzd = spark.read.parquet(out)
     assert(matzd.count() == inline.count())
@@ -54,6 +59,7 @@ class BuildersSpec extends SparkSpec {
     // partition columns survive the direct-path read via basePath
     assert(served.columns.contains("state") &&
       served.columns.contains("year_month"))
+    graft.plans.GoldCatalog.invalidate(out) // no temp-dir routing leak
   }
 
   test("wide table pipeline: schema + rows end-to-end at sf0.001") {

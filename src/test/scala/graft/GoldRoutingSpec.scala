@@ -92,16 +92,31 @@ class GoldRoutingSpec extends SparkSpec {
         "non-identical aggregate wrongly routed to the materialization")
 
       // 4: with routing disabled, even the identical plan re-aggregates
+      // (4a: the writers' thread-local bypass)
       GoldCatalog.withRoutingDisabled(s) {
         val off = GoldAggregates.aggMarketRates(s, sf0001)
         assert(aggNodes(off).nonEmpty)
       }
+      // (4b: the user-facing session conf)
+      s.conf.set(GoldCatalog.RoutingConfKey, "false")
+      try {
+        val off = GoldAggregates.aggMarketRates(s, sf0001)
+        assert(aggNodes(off).nonEmpty)
+      } finally s.conf.set(GoldCatalog.RoutingConfKey, "true")
 
       // 5: invalidate drops the registration
       GoldCatalog.invalidate(goldDir)
       val after = GoldAggregates.aggMarketRates(s, sf0001)
       assert(aggNodes(after).nonEmpty,
         "invalidated materialization still being routed to")
+
+      // 6: registerExisting re-attaches an already-built table (the
+      // path a fresh serving session takes after a BuildMain JVM)
+      GoldAggregates.registerExisting(s, sf0001, goldDir)
+      val reattached = GoldAggregates.aggMarketRates(s, sf0001)
+      assert(aggNodes(reattached).isEmpty &&
+        scanPaths(reattached).exists(_.contains("graft_goldroute")),
+        "registerExisting must restore routing without a rebuild")
     } finally {
       GoldCatalog.clear()
       SparkSession.setDefaultSession(base)

@@ -28,6 +28,17 @@ class ServingRefreshSpec extends SparkSpec {
   test("streaming refresh rewrites only the slices the delta touches") {
     val work = Files.createTempDirectory("graft_srefresh").toString
     val gold = s"$work/gold"
+    try {
+      runScenario(work, gold)
+    } finally {
+      // materialize registered a temp-dir table in the JVM-global
+      // catalog — leaking it would let a later extensions-session
+      // suite route aggMarketRates(sf0001) to this deleted dir.
+      graft.plans.GoldCatalog.invalidate(gold)
+    }
+  }
+
+  private def runScenario(work: String, gold: String): Unit = {
     GoldAggregates.materialize(spark, sf0001, gold)
     val before = leafFiles(gold)
 
