@@ -51,7 +51,12 @@ object GraftExtensions {
       new ExpressionInfo(
         classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) =>
-        graft.functions.MinHashSig.fromDefaults(exprs.head)))
+        graft.functions.MinHashSig.fromDefaults(exprs.head)),
+    (FunctionIdentifier("rolling_fp"),
+      new ExpressionInfo(
+        classOf[graft.functions.RollingFp].getName, "rolling_fp"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.RollingFp(exprs.head)))
 
   /** Register every kernel into an existing session's function
     * registry. Idempotent (re-registration replaces the same entry). */

@@ -21,8 +21,9 @@ object MinHashKernel {
   }
 
   /** First 4 md5 bytes of the UTF-8 string, as an unsigned 32-bit value
-    * in a long — identical to conv(substring(md5(s),1,8),16,10). */
-  private def h32(s: UTF8String): Long = {
+    * in a long — identical to conv(substring(md5(s),1,8),16,10).
+    * Shared with RollingFpKernel. */
+  private[functions] def h32(s: UTF8String): Long = {
     val d = digest.get()
     d.reset()
     val md = d.digest(s.getBytes)

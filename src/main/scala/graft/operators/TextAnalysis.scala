@@ -76,8 +76,45 @@ object TextAnalysis extends QueryPack {
         size(split(trim(t), "\\s+")).as("ws_tokens"),
         regexp_count(t, lit(BpePattern)).cast("int").as("bpe_tokens"),
         ceil(length(t) / lit(4.0)).cast("int").as("est_tokens"))
+    }),
+
+    // Rolling-hash fingerprint: hash every k-char gram of the
+    // normalized text, keep the bottom-B values — a bottom-k sketch of
+    // the gram set (the winnowing/MOSS family's sampling step). Robust
+    // to local edits in a way the prefix-md5 fingerprint is not:
+    // changing one sentence disturbs only the grams that overlap it,
+    // so ≥ (B - touched) of the bottom-B survive. Runs through the
+    // native `rolling_fp` kernel (one imperative pass; the HOF chain
+    // re-walks every gram through four interpreted lambdas —
+    // RollingFpNativeSpec pins value parity, the oracle pins DuckDB).
+    "text_fingerprint_rolling" -> ((s, d) => {
+      graft.GraftExtensions.registerAll(s)
+      docs(s, d)
+        .select(col("doc_id"),
+          regexp_replace(lower(col("text")), "\\s+", " ").as("norm"))
+        .select(col("doc_id"),
+          call_function("rolling_fp", col("norm")).as("fingerprint"))
     })
   )
+
+  /** The composable (HOF) formulation of `text_fingerprint_rolling`,
+    * kept as the parity reference for RollingFpNativeSpec. */
+  def rollingFingerprintHof(s: SparkSession, d: String): DataFrame = {
+    val k = graft.functions.RollingFpKernel.K
+    val bottom = graft.functions.RollingFpKernel.Bottom
+    docs(s, d)
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "\\s+", " ").as("norm"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), greatest(length(col("norm")) - (k - 1),
+          lit(1))), i => col("norm").substr(i, lit(k))).as("grams"))
+      .select(col("doc_id"),
+        transform(col("grams"), g =>
+          conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("hs"))
+      .select(col("doc_id"),
+        concat_ws("-", slice(array_sort(col("hs")), 1, bottom))
+          .as("fingerprint"))
+  }
 
   /** Word runs, single digits, single punctuation marks — the shape of
     * a byte-level BPE pre-tokenizer's coarse splits. Shared verbatim
@@ -127,7 +164,30 @@ object TextAnalysis extends QueryPack {
                CAST(len(regexp_extract_all(text, '$BpePattern')) AS INTEGER)
                  AS bpe_tokens,
                CAST(ceil(length(text) / 4.0) AS INTEGER) AS est_tokens
-        FROM documents"""
+        FROM documents""",
+
+      // k=8 char grams over normalized text, 32-bit md5-prefix hashes,
+      // bottom-4 joined — identical gram/hash definitions to the Spark
+      // side (conv(substr(md5,1,8)) == from_hex of the first 4 bytes)
+      "text_fingerprint_rolling" -> """
+        WITH norm AS (
+          SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS n
+          FROM documents),
+        grams AS (
+          SELECT doc_id, substr(n, CAST(i AS INTEGER), 8) AS g
+          FROM (SELECT doc_id, n,
+                       unnest(range(1, greatest(length(n) - 7, 1) + 1)) AS i
+                FROM norm)),
+        hashed AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY
+                   CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT), g) AS rn
+          FROM grams)
+        SELECT doc_id,
+               string_agg(CAST(h AS VARCHAR), '-' ORDER BY h) AS fingerprint
+        FROM hashed WHERE rn <= 4
+        GROUP BY doc_id"""
     )
   }
 }
