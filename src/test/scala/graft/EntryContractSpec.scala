@@ -27,4 +27,22 @@ class EntryContractSpec extends SparkSpec {
     val bad = SparkEntry.queries.keys.filterNot(_.matches("[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-identifier query names: $bad")
   }
+
+  /** Every query must be oracle-checked unless it is on the explicit
+    * rows-only allowlist (approximate/engine-specific by design). A
+    * new query silently missing its oracle would downgrade the
+    * driver's check without anyone noticing — fail here instead. */
+  test("un-oracled queries are exactly the documented rows-only set") {
+    val rowsOnlyByDesign = Set(
+      "dedup_minhash_lsh", // LSH banding: candidate set, not SQL-stable
+      "dedup_simhash", // banded Hamming candidates
+      "dedup_embedding_cosine", // SRP-bucketed near-dup candidates
+      "sim_ivf_topk", // approximate by construction
+      "multimodal_pipeline", // binary plumbing, engine-specific
+      "multimodal_resize") // codec-seam stub, engine-specific
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == rowsOnlyByDesign,
+      s"unexpected rows-only queries: ${unoracled -- rowsOnlyByDesign}; " +
+        s"allowlisted but now oracled: ${rowsOnlyByDesign -- unoracled}")
+  }
 }
