@@ -118,6 +118,11 @@ object StarSchemaBuilder {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .option("compression", "zstd")
+      // 256 MB row groups, the reference's layout target
+      // (prod_etl/notebook.py:30): bigger groups = fewer footer/page
+      // boundaries per scan task and better zstd ratios on the wide
+      // fact; still well under a task's split size at 100 TB.
+      .option("parquet.block.size", (256L << 20).toString)
       .parquet(path)
 
   /** Full batch build (SURVEY §3.2): dims append-unique + fact upsert. */
