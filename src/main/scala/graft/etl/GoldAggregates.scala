@@ -117,6 +117,14 @@ object GoldAggregates {
     * table instead of the base data. */
   def materialize(spark: SparkSession, dir: String, outPath: String): Unit =
     graft.plans.GoldCatalog.withRoutingDisabled(spark) {
+      // Deregister BEFORE rewriting in place: a concurrent query that
+      // routed to this path mid-overwrite would read deleted or
+      // half-committed part files. While unregistered, concurrent
+      // queries fall back to re-aggregating from base — slower, never
+      // wrong. (A query that routed before this line and is still
+      // executing can still observe the overwrite — the usual
+      // hive-layout caveat; snapshotting tables are out of scope.)
+      graft.plans.GoldCatalog.invalidate(outPath)
       val defining = aggMarketRates(spark, dir)
       write(defining, outPath)
       graft.plans.GoldCatalog.register(defining, outPath)
@@ -148,18 +156,21 @@ object GoldAggregates {
   def refreshSlices(spark: SparkSession, dir: String, outPath: String,
                     slices: Seq[(String, String)]): Unit =
     graft.plans.GoldCatalog.withRoutingDisabled(spark) {
+      // Same rewrite protocol as materialize: deregister while leaf
+      // files are being replaced, restore the registration (if one
+      // existed) once the write committed.
+      val wasRegistered = graft.plans.GoldCatalog.isRegistered(outPath)
+      graft.plans.GoldCatalog.invalidate(outPath)
       val agg = aggMarketRates(spark, dir)
-      // Null-safe slice predicates: rates whose provider is missing
-      // from the dim aggregate under state=null (the hive default
-      // partition). A plain === against a null key evaluates to null
-      // and would silently skip that slice's refresh forever.
-      def keyEq(c: String, v: String) =
-        if (v == null) col(c).isNull else col(c) === v
+      // Null-safe (<=>) slice predicates: rates whose provider is
+      // missing from the dim aggregate under state=null (the hive
+      // default partition); a plain === against a null key evaluates
+      // to null and would silently skip that slice's refresh forever.
       val hit = slices.map { case (st, ym) =>
-        keyEq("state", st) && keyEq("year_month", ym)
+        (col("state") <=> lit(st)) && (col("year_month") <=> lit(ym))
       }.reduce(_ || _)
       write(agg.filter(hit), outPath)
-      graft.plans.GoldCatalog.refreshed(outPath) // drop stale file listings
+      if (wasRegistered) graft.plans.GoldCatalog.register(agg, outPath)
     }
 
   private def write(df: DataFrame, outPath: String): Unit =

@@ -58,18 +58,23 @@ object GoldCatalog {
         size() > ScanCacheMax
     })
 
-  /** Cached analyzed scan of a registered materialization. */
-  private[plans] def scanOf(spark: SparkSession, path: String): LogicalPlan =
-    scanCache.synchronized {
-      val k = (spark, path)
-      val hit = scanCache.get(k)
-      if (hit != null) hit
-      else {
-        val scan = spark.read.parquet(path).queryExecution.analyzed
-        scanCache.put(k, scan)
-        scan
+  /** Cached analyzed scan of a registered materialization. The file
+    * listing happens OUTSIDE the cache monitor — it can take seconds
+    * on a many-slice table, and holding the global lock for it would
+    * stall every other routed query's analysis (two threads may race
+    * to build the same scan; the loser's work is discarded). */
+  private[plans] def scanOf(spark: SparkSession, path: String): LogicalPlan = {
+    val k = (spark, path)
+    val hit = scanCache.synchronized(scanCache.get(k))
+    if (hit != null) hit
+    else {
+      val scan = spark.read.parquet(path).queryExecution.analyzed
+      scanCache.synchronized {
+        val raced = scanCache.get(k)
+        if (raced != null) raced else { scanCache.put(k, scan); scan }
       }
     }
+  }
 
   private def dropScans(path: String): Unit = scanCache.synchronized {
     scanCache.keySet().removeIf(k => k._2 == path)
@@ -83,10 +88,6 @@ object GoldCatalog {
     dropScans(path) // the table was just (re)written; relist on next use
     entries.put(defining.queryExecution.analyzed.canonicalized, Entry(path))
   }
-
-  /** The table at `path` was rewritten in place (slice refresh):
-    * existing registrations stay, but cached file listings must go. */
-  def refreshed(path: String): Unit = dropScans(path)
 
   def lookup(plan: LogicalPlan): Option[Entry] =
     if (entries.isEmpty) None else Option(entries.get(plan.canonicalized))

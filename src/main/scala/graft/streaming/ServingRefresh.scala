@@ -51,7 +51,11 @@ object ServingRefresh {
     * the current base. */
   def run(spark: SparkSession, deltaDir: String, dir: String,
           goldPath: String, checkpoint: String): StreamingQuery = {
-    val schema = spark.read.parquet(deltaDir).schema
+    // Schema from the base table, not the delta dir: deltas are
+    // lineitem-shaped by contract, and inferring from deltaDir would
+    // crash a serving session that starts its refresh stream before
+    // the first delta file lands.
+    val schema = graft.Tables.load(spark, dir, "lineitem").schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(deltaDir)
       .writeStream

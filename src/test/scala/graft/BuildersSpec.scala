@@ -38,6 +38,12 @@ class BuildersSpec extends SparkSpec {
 
   test("agg_market_rates: slice refresh rewrites only its partitions") {
     val out = tmp() + "/agg"
+    // finally: a failed assert must not leak a temp-dir registration
+    try refreshBody(out)
+    finally graft.plans.GoldCatalog.invalidate(out)
+  }
+
+  private def refreshBody(out: String): Unit = {
     GoldAggregates.materialize(spark, sf0001, out)
     val before = spark.read.parquet(out).count()
     val slice = {
@@ -59,7 +65,6 @@ class BuildersSpec extends SparkSpec {
     // partition columns survive the direct-path read via basePath
     assert(served.columns.contains("state") &&
       served.columns.contains("year_month"))
-    graft.plans.GoldCatalog.invalidate(out) // no temp-dir routing leak
   }
 
   test("wide table pipeline: schema + rows end-to-end at sf0.001") {
