@@ -96,6 +96,23 @@ object StarSchemaBuilder {
   def upsertFact(spark: SparkSession, stage: DataFrame, path: String): Unit =
     appendUnique(spark, stage, path, Seq("fact_uid"))
 
+  /** Small-file compaction for a hive-partitioned dataset: every
+    * incremental append adds another part file per touched leaf, and
+    * after enough batches the listing + per-file open cost dominates
+    * reads (the reference's sharding guidance exists for the same
+    * reason — Data_Schema.md:28-34). Rewrites the dataset clustered by
+    * the partition columns — one writer per leaf, so each leaf ends up
+    * with a single ~row-group-sized file — into `outPath`, which the
+    * caller then atomically swaps in (S12's publish pattern). Writing
+    * a fresh copy is deliberate: Spark forbids overwriting a path
+    * that is being read, and in-place rewrites of a live hive layout
+    * are unsafe without a snapshotting table format anyway. */
+  def compactPartitions(spark: SparkSession, path: String, outPath: String,
+                        partitionCols: Seq[String] = FactPartitionCols): Unit =
+    writePartitionedFact(spark,
+      spark.read.parquet(path).repartition(partitionCols.map(col): _*),
+      outPath, partitionCols)
+
   /** The reference's gold-fact partition scheme — 5 levels, matching
     * its `state=/year_month=/payer_slug=/billing_class=/code_type=`
     * layout (prod_etl/notebook.py:385-405's read glob). Every level is

@@ -77,6 +77,36 @@ class EtlSpec extends SparkSpec {
       "only the rewritten leaf partition may change")
   }
 
+  test("compaction: fragmented leaves collapse to one file, rows equal") {
+    val base = tmp() + "/frag"
+    val out = tmp() + "/compact"
+    // three appends → ≥3 part files in every touched leaf
+    val df = StarSchemaBuilder.base(spark, sf0001)
+    val slice = df.limit(300)
+    (1 to 3).foreach { _ =>
+      slice.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy(StarSchemaBuilder.FactPartitionCols: _*)
+        .parquet(base)
+    }
+    def leafCounts(root: String): Map[String, Int] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getPath).map { case (k, v) => k -> v.size }
+    }
+    assert(leafCounts(base).values.forall(_ >= 3), "setup must fragment")
+    StarSchemaBuilder.compactPartitions(spark, base, out)
+    assert(leafCounts(out).values.forall(_ == 1),
+      s"compacted leaves must hold exactly one file: ${leafCounts(out).filter(_._2 > 1).take(3)}")
+    // byte-equivalent rowset
+    val a = spark.read.parquet(base).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val b = spark.read.parquet(out).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    assert(a.sameElements(b))
+  }
+
   test("partition pruning: state+year_month filter reads one partition") {
     val out = tmp() + "/fact"
     val fact = StarSchemaBuilder.fact(StarSchemaBuilder.base(spark, sf0001))
