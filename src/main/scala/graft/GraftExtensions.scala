@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolution so the match key is the stable analyzed form and the
     // optimizer still prunes/pushes into the routed scan.
     ext.injectPostHocResolutionRule(graft.plans.GoldRoutingRule)
+    // Opt-in approximate tier (plans/ApproxTierRule): injected AFTER
+    // routing on purpose. With both enabled, a query matching an exact
+    // materialization routes first — exact values at MV-read speed —
+    // and only unmatched aggregates degrade to the sketch. The
+    // routed/approx'd plans can never cross: a routed subtree has no
+    // Percentile left, and an approx'd subtree no longer canonically
+    // matches an exact registration.
+    ext.injectPostHocResolutionRule(graft.plans.ApproxTierRule)
   }
 }
 
