@@ -1,0 +1,414 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.NormExprs.pround
+import graft.queries.QueryPack
+
+/** Corpus-curation operators for a training-data pipeline over the
+  * `documents` table: dedup clustering/canonicalization, quality-rule
+  * filtering (the Gopher/C4 rule family), intra-document repetition
+  * metrics, PII scrubbing, and deterministic sampling / mixture
+  * weighting.
+  *
+  * Scale design:
+  *  - `connectedComponents` is min-label propagation (the hash-to-min
+  *    family): per iteration one shuffle of (id, label) pairs on the
+  *    edge key plus a min-aggregate — converges in O(graph diameter)
+  *    rounds, and dedup graphs are near-star-shaped (diameter ≤ small
+  *    constant), so 2–4 rounds in practice. Lineage is truncated with
+  *    `localCheckpoint` each round so the plan does not grow with the
+  *    iteration count.
+  *  - every other operator is a pure scan-side projection or a single
+  *    hash aggregation — no window sorts, no driver-side loops over
+  *    rows.
+  *  - sampling is content-hash deterministic (md5-derived uniforms),
+  *    so a sample is reproducible across runs, engines, and partition
+  *    layouts — the property a training-data pipeline needs for
+  *    dataset versioning (unlike `rand()`-based sampling).
+  */
+object Curation extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Same injected-duplicate augmentation as [[Dedup]]: exact copies of
+    * doc_id 0-9 and suffixed near-copies of 10-19, at doc_id+100000. */
+  private def augmented(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    val copies = base.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      when(col("doc_id") < 10, col("text"))
+        .otherwise(concat(col("text"), lit(" extra suffix tokens"))).as("text"))
+    base.unionByName(copies)
+  }
+
+  private val augmentedSql = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           CASE WHEN doc_id < 10 THEN text
+                ELSE text || ' extra suffix tokens' END AS text
+    FROM documents WHERE doc_id < 20"""
+
+  /** Cleaned word tokens (same normalization as [[Dedup]]). */
+  private def tokens(t: Column): Column =
+    filter(split(regexp_replace(lower(t), "[^a-z0-9 ]", " "), "\\s+"),
+      v => length(v) > 0)
+
+  /** 3-word shingles over a staged token-array column (HOFs run
+    * interpreted — the array must be a plain attribute, see Dedup). */
+  private def shinglesOf(tk: Column): Column =
+    when(size(tk) < 3, array(concat_ws(" ", tk)))
+      .otherwise(transform(sequence(lit(1), size(tk) - 2), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+
+  // --------------------------------------------- connected components
+
+  /** Connected components by min-label propagation. `nodes` carries
+    * `id`; `edges` carries `src`/`dst` (treated as undirected). Each
+    * round every node adopts the smallest label among itself and its
+    * neighbors; a fixpoint means every node holds its component's
+    * minimum id. Rounds = graph diameter; dedup graphs (near-cliques
+    * around a canonical doc) converge in 2-4. At cluster scale each
+    * round is one shuffle of slim (id, label) pairs — the vertex data
+    * never carries text — and `localCheckpoint` keeps the plan from
+    * growing linearly with rounds (lineage blowup is the classic
+    * iterative-Spark failure mode).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = und.join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  // ----------------------------------------------- PII / regex corpus
+
+  /** Shared regex literals (Java regex ≡ RE2 for this subset, so the
+    * DuckDB oracle uses the same strings verbatim). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiFooter = " Contact jane.doe@example.com or 555-123-4567 via 10.0.0.42."
+
+  /** Gopher-style stopword set (presence, not frequency). */
+  private val Stopwords = Seq("the", "be", "to", "of", "and", "that",
+    "have", "with")
+
+  def queries: Map[String, QFn] = Map(
+    // Dedup clustering: exact-hash groups + jaccard-verified near-dup
+    // pairs become edges; connected components assign each doc its
+    // cluster (labelled by the minimum member id); the canonical
+    // survivor is the label holder. This is the step after candidate
+    // generation (minhash/simhash) that actual corpus dedup needs —
+    // pairs alone don't dedup anything until they are clustered and
+    // one survivor is chosen per cluster.
+    "dedup_cluster_canonical" -> ((s, d) => {
+      val aug = augmented(s, d)
+      // exact edges as stars: every member links to its group min
+      val hashed = aug.select(col("doc_id"), md5(col("text")).as("hh"))
+      val roots = hashed.groupBy("hh").agg(min("doc_id").as("src"))
+      val exactE = hashed.join(roots, "hh")
+        .filter(col("doc_id") =!= col("src"))
+        .select(col("src"), col("doc_id").as("dst"))
+      // near edges: the injected candidate pairs, jaccard-verified.
+      // (At corpus scale the candidate pairs come from MinHash-LSH
+      // banding — dedup_minhash_lsh; the fixture uses the known pairs
+      // so the oracle stays deterministic.)
+      val sh = aug.filter(col("doc_id") < 20 || col("doc_id") >= 100000)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), array_distinct(shinglesOf(col("tk"))).as("sh"))
+      val a = sh.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("src"), col("sh").as("sh_a"))
+      val b = sh.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("src"),
+          col("doc_id").as("dst"), col("sh").as("sh_b"))
+      val nearE = a.join(b, "src")
+        .filter(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+        .select(col("src"), col("dst"))
+      val comps = connectedComponents(
+        aug.select(col("doc_id").as("id")), exactE.unionByName(nearE))
+      comps.select(col("id").as("doc_id"), col("comp").as("component"),
+        when(col("id") === col("comp"), 1).otherwise(0).as("is_canonical"))
+    }),
+
+    // Gopher-rule quality gate (Rae et al. 2021 §A1.1 thresholds):
+    // word count, mean word length, symbol-to-word ratio, stopword
+    // presence — each reported, plus the combined pass flag. Pure
+    // scan-side projection: full codegen, no shuffle.
+    "text_gopher_filter" -> ((s, d) => {
+      val t = col("text")
+      val wordCnt = size(split(trim(t), "\\s+"))
+      val meanLen = pround(
+        length(regexp_replace(t, "\\s", "")).cast("double") / wordCnt, 2)
+      val symRatio = pround(
+        regexp_count(t, lit("#|\\.\\.\\.")).cast("double") / wordCnt, 4)
+      val stopHits = Stopwords.map(w =>
+        when(lower(t).rlike(s"\\b$w\\b"), 1).otherwise(0))
+        .reduce(_ + _)
+      docs(s, d).filter(length(t) > 0)
+        .select(col("doc_id"), wordCnt.as("word_cnt"),
+          meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+          stopHits.as("stop_hits"))
+        .withColumn("gopher_pass",
+          when(col("word_cnt").between(50, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") < 0.1 &&
+            col("stop_hits") >= 2, 1).otherwise(0))
+    }),
+
+    // Intra-document repetition (the Gopher repetition family):
+    // duplicate-2-gram fraction from the staged gram array, plus the
+    // top-unigram share via one explode + two-level aggregation
+    // (partial combine on (doc_id, tok) first, so the shuffle carries
+    // counts, not tokens-per-occurrence).
+    "text_repetition" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val g2 = tok.select(col("doc_id"),
+        when(size(col("tk")) < 2, array())
+          .otherwise(transform(sequence(lit(1), size(col("tk")) - 1), i =>
+            concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1)))).as("g2"))
+        .select(col("doc_id"),
+          when(size(col("g2")) === 0, lit(0.0))
+            .otherwise(pround(lit(1.0) -
+              size(array_distinct(col("g2"))).cast("double") /
+                size(col("g2")), 4)).as("dup_2gram_frac"))
+      val uni = tok.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          pround(max(col("c")).cast("double") / sum(col("c")), 4)
+            .as("top_token_share"))
+      g2.join(uni, "doc_id")
+    }),
+
+    // PII scrubbing: deterministic redaction of emails / phones / IPv4
+    // with per-class counts. The fixture injects a PII footer on every
+    // 7th doc (the synthetic corpus carries none) — both sides build
+    // the identical augmentation. Counts are taken on the raw text;
+    // redaction applies email → phone → ip in that order.
+    "text_pii_scrub" -> ((s, d) => {
+      val withPii = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(PiiFooter)))
+          .otherwise(col("text")).as("text"))
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+      withPii.select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("int").as("n_email"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("int").as("n_phone"),
+        regexp_count(col("text"), lit(IpRe)).cast("int").as("n_ip"),
+        md5(scrubbed).as("scrubbed_hash"))
+    }),
+
+    // Deterministic stratified sampling: per-source keep-rates applied
+    // via a content-hash uniform (md5-derived, salted). Reproducible
+    // across runs/engines/partitionings — `rand()` is none of those.
+    "sample_hash_stratified" -> ((s, d) => {
+      val rate = (substring(col("source"), 4, 10).cast("int") % 4 + 1)
+        .cast("double") * 0.2
+      val u = conv(substring(md5(concat(lit("sample:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        .cast("double") / 4294967296.0
+      docs(s, d).select(col("doc_id"), col("source"),
+          rate.as("rate"), u.as("u"))
+        .filter(col("u") < col("rate"))
+        .select(col("doc_id"), col("source"), pround(col("u"), 6).as("u"))
+    }),
+
+    // Mixture weighting: per-source sampling weights w (possibly > 1 —
+    // up-sampling). Each doc appears in ceil(w) epochs; epoch e keeps
+    // the doc iff u(doc, e) < w − e, so full epochs always keep and the
+    // last epoch keeps the fractional remainder — the standard
+    // source-mixture construction for training corpora.
+    "sample_mixture_weighted" -> ((s, d) => {
+      val w = (substring(col("source"), 4, 10).cast("int") % 5)
+        .cast("double") * 0.6 + 0.3
+      val base = docs(s, d).select(col("doc_id"), col("source"), w.as("w"))
+        .withColumn("epoch",
+          explode(sequence(lit(0), ceil(col("w")).cast("int") - 1)))
+      val u = conv(substring(md5(concat_ws(":", lit("mix"),
+        col("doc_id").cast("string"), col("epoch").cast("string"))),
+        1, 8), 16, 10).cast("long").cast("double") / 4294967296.0
+      base.filter(u < col("w") - col("epoch"))
+        .select(col("doc_id"), col("source"), col("epoch"))
+    })
+  )
+
+  /** Jaccard CTEs shared with the cluster oracle (mirrors the Spark
+    * shingle construction exactly, incl. the <3-token fallback). */
+  private val jaccardCtes = """
+      tok AS (
+        SELECT doc_id, list_filter(string_split_regex(
+          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+          x -> x <> '') AS tk
+        FROM aug WHERE doc_id < 20 OR doc_id >= 100000),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                 ELSE list_transform(range(1, len(tk) - 1), i ->
+                   tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1] ||
+                   ' ' || tk[CAST(i AS INTEGER) + 2]) END) AS s
+          FROM tok)),
+      cpairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id < 20) a
+        JOIN (SELECT DISTINCT doc_id FROM sh WHERE doc_id >= 100000) b
+          ON b.doc_id = a.doc_id + 100000),
+      inter AS (
+        SELECT p.src, p.dst, COUNT(*) AS n_shared
+        FROM cpairs p
+        JOIN sh x ON x.doc_id = p.src
+        JOIN sh y ON y.doc_id = p.dst AND y.s = x.s
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      near_e AS (
+        SELECT p.src, p.dst
+        FROM cpairs p
+        LEFT JOIN inter i ON i.src = p.src AND i.dst = p.dst
+        JOIN sizes sa ON sa.doc_id = p.src
+        JOIN sizes sb ON sb.doc_id = p.dst
+        WHERE coalesce(i.n_shared, 0) * 1.0 /
+              (sa.n + sb.n - coalesce(i.n_shared, 0)) >= 0.5)"""
+
+  def oracles: Map[String, String] = {
+    val stopSql = Stopwords.map(w =>
+      s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    Map(
+      "dedup_cluster_canonical" -> s"""WITH RECURSIVE aug AS ($augmentedSql),
+        h AS (SELECT doc_id, md5(text) AS hh FROM aug),
+        roots AS (SELECT hh, min(doc_id) AS src FROM h GROUP BY 1),
+        exact_e AS (
+          SELECT r.src, h.doc_id AS dst FROM h
+          JOIN roots r ON r.hh = h.hh WHERE h.doc_id <> r.src),
+        $jaccardCtes,
+        edges AS (
+          SELECT src, dst FROM exact_e
+          UNION SELECT dst, src FROM exact_e
+          UNION SELECT src, dst FROM near_e
+          UNION SELECT dst, src FROM near_e),
+        reach(id, comp) AS (
+          SELECT doc_id, doc_id FROM aug
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        SELECT id AS doc_id, min(comp) AS component,
+               CASE WHEN id = min(comp) THEN 1 ELSE 0 END AS is_canonical
+        FROM reach GROUP BY id""",
+
+      "text_gopher_filter" -> s"""
+        WITH m AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+              AS word_cnt,
+            floor((length(regexp_replace(text, '\\s', '', 'g')) * 1.0 /
+                  len(string_split_regex(trim(text), '\\s+'))) * 100.0 + 0.5)
+              / 100.0 AS mean_word_len,
+            floor((len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0 /
+                  len(string_split_regex(trim(text), '\\s+'))) * 10000.0 + 0.5)
+              / 10000.0 AS symbol_ratio,
+            CAST($stopSql AS INTEGER) AS stop_hits
+          FROM documents WHERE length(text) > 0)
+        SELECT doc_id, word_cnt, mean_word_len, symbol_ratio, stop_hits,
+               CASE WHEN word_cnt BETWEEN 50 AND 100000
+                     AND mean_word_len BETWEEN 3.0 AND 10.0
+                     AND symbol_ratio < 0.1
+                     AND stop_hits >= 2 THEN 1 ELSE 0 END AS gopher_pass
+        FROM m""",
+
+      "text_repetition" -> """
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+            x -> x <> '') AS tk
+          FROM documents),
+        g2 AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) < 2 THEN []
+                 ELSE list_transform(range(1, len(tk)), i ->
+                   tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1])
+            END AS g2
+          FROM tok),
+        dup AS (
+          SELECT doc_id,
+            CASE WHEN len(g2) = 0 THEN 0.0
+                 ELSE floor((1.0 - len(list_distinct(g2)) * 1.0 / len(g2))
+                      * 10000.0 + 0.5) / 10000.0 END AS dup_2gram_frac
+          FROM g2),
+        uc AS (
+          SELECT doc_id, t AS tok, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(tk) AS t FROM tok)
+          GROUP BY 1, 2),
+        uni AS (
+          SELECT doc_id,
+            floor((max(c) * 1.0 / sum(c)) * 10000.0 + 0.5) / 10000.0
+              AS top_token_share
+          FROM uc GROUP BY 1)
+        SELECT d.doc_id, d.dup_2gram_frac, u.top_token_share
+        FROM dup d JOIN uni u ON u.doc_id = d.doc_id""",
+
+      "text_pii_scrub" -> s"""
+        WITH p AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN text || '$PiiFooter'
+                 ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER) AS n_email,
+          CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INTEGER) AS n_phone,
+          CAST(len(regexp_extract_all(text, '$IpRe')) AS INTEGER) AS n_ip,
+          md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '$EmailRe', '<EMAIL>', 'g'),
+            '$PhoneRe', '<PHONE>', 'g'),
+            '$IpRe', '<IP>', 'g')) AS scrubbed_hash
+        FROM p""",
+
+      "sample_hash_stratified" -> """
+        WITH s AS (
+          SELECT doc_id, source,
+            (CAST(substr(source, 4) AS INTEGER) % 4 + 1) *
+              CAST(0.2 AS DOUBLE) AS rate,
+            CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+              1, 8)) AS BIGINT) / 4294967296.0 AS u
+          FROM documents)
+        SELECT doc_id, source,
+               floor(u * 1000000.0 + 0.5) / 1000000.0 AS u
+        FROM s WHERE u < rate""",
+
+      "sample_mixture_weighted" -> """
+        WITH w AS (
+          SELECT doc_id, source,
+            (CAST(substr(source, 4) AS INTEGER) % 5) * CAST(0.6 AS DOUBLE)
+              + CAST(0.3 AS DOUBLE) AS w
+          FROM documents),
+        e AS (
+          SELECT doc_id, source, w,
+            unnest(range(0, CAST(ceil(w) AS BIGINT))) AS epoch
+          FROM w)
+        SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch
+        FROM e
+        WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)
+              || ':' || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296.0 < w - epoch"""
+    )
+  }
+}

@@ -48,6 +48,27 @@ object StreamOps {
         col("window.end").as("win_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  // ---------------------------------------------------- streaming dedup
+
+  /** Streaming ingest dedup: drop re-deliveries of the same key while
+    * keeping state bounded. `dropDuplicatesWithinWatermark` holds each
+    * seen key only until the watermark passes its event time, so state
+    * is O(keys per watermark window) — the property that makes exact
+    * dedup feasible on an unbounded ingest feed (a plain
+    * `dropDuplicates` on a stream accumulates state forever). The
+    * at-scale composition: this removes ingest re-deliveries
+    * exactly; content-level dedup (minhash et al., [[graft.operators.Dedup]])
+    * runs downstream in batch. */
+  def dedupStream(feed: DataFrame, lateness: String): DataFrame =
+    feed.withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Batch twin: keyed dedup, arbitrary survivor within a key (the
+    * streaming side keeps the first arrival; parity is per key set,
+    * not per surviving payload). */
+  def dedupStreamBatch(feed: DataFrame): DataFrame =
+    feed.dropDuplicates("event_id")
+
   // ------------------------------------------------------ sessionization
 
   case class Event(user_id: Long, event_time: Timestamp)

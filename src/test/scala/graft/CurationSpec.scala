@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Corpus-curation operators: connected-components clustering,
+  * quality/repetition/PII metrics, deterministic sampling. The DuckDB
+  * oracle pins exact values; these specs pin the semantic invariants
+  * the oracle can't express (graph properties, determinism,
+  * flag-vs-metric consistency). */
+class CurationSpec extends SparkSpec {
+
+  private def q(name: String) = Curation.queries(name)(spark, sf0001)
+
+  test("connectedComponents labels each node with its component minimum") {
+    import spark.implicits._
+    // two chains and an isolate: {1,2,3}, {5,6}, {4}
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (6L, 5L)).toDF("src", "dst")
+    val got = Curation.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents closes multi-hop chains (diameter > 1)") {
+    import spark.implicits._
+    // path graph 10-11-12-13-14: min label must travel 4 hops
+    val nodes = (10L to 14L).toDF("id")
+    val edges = (10L to 13L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Curation.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(10L))
+  }
+
+  test("dedup clusters: every injected copy joins its source's cluster") {
+    val rows = q("dedup_cluster_canonical").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val comp = rows.map { case (id, c, _) => id -> c }.toMap
+    // injected copies (exact 0-9, near 10-19) cluster with their source
+    (0L until 20L).foreach { i =>
+      assert(comp(i + 100000) == comp(i),
+        s"copy ${i + 100000} not clustered with source $i")
+    }
+    // the component label is the minimum member, and exactly the label
+    // holders are canonical
+    rows.foreach { case (id, c, canon) =>
+      assert(c <= id)
+      assert((canon == 1) == (id == c))
+    }
+    // one canonical doc per cluster
+    val canons = rows.filter(_._3 == 1).map(_._2).toSet
+    assert(canons == rows.map(_._2).toSet)
+  }
+
+  test("gopher flag agrees with its own reported metrics") {
+    val rows = q("text_gopher_filter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pass = r.getAs[Int]("word_cnt") >= 50 &&
+        r.getAs[Int]("word_cnt") <= 100000 &&
+        r.getAs[Double]("mean_word_len") >= 3.0 &&
+        r.getAs[Double]("mean_word_len") <= 10.0 &&
+        r.getAs[Double]("symbol_ratio") < 0.1 &&
+        r.getAs[Int]("stop_hits") >= 2
+      assert(r.getAs[Int]("gopher_pass") == (if (pass) 1 else 0))
+    }
+  }
+
+  test("pii scrub: every injected footer is counted and redacted") {
+    val rows = q("text_pii_scrub").collect()
+    val injected = rows.filter(_.getAs[Long]("doc_id") % 7 == 0)
+    assert(injected.nonEmpty)
+    injected.foreach { r =>
+      assert(r.getAs[Int]("n_email") >= 1)
+      assert(r.getAs[Int]("n_phone") >= 1)
+      assert(r.getAs[Int]("n_ip") >= 1)
+    }
+    // the corpus itself carries no PII: non-injected docs count zero
+    rows.filterNot(_.getAs[Long]("doc_id") % 7 == 0).foreach { r =>
+      assert(r.getAs[Int]("n_email") == 0 && r.getAs[Int]("n_phone") == 0 &&
+        r.getAs[Int]("n_ip") == 0)
+    }
+  }
+
+  test("hash sampling is deterministic and respects per-source rates") {
+    val a = q("sample_hash_stratified").collect().map(_.toSeq).toSet
+    val b = q("sample_hash_stratified").collect().map(_.toSeq).toSet
+    assert(a == b) // content-hash, not rand(): identical across runs
+    assert(a.nonEmpty)
+    // every kept row's uniform is under its source's rate
+    a.foreach { r =>
+      val rate = (r(1).asInstanceOf[String].drop(3).toInt % 4 + 1) * 0.2
+      assert(r(2).asInstanceOf[Double] < rate + 1e-6)
+    }
+  }
+
+  test("mixture weighting: full epochs always kept, epochs bounded by ceil(w)") {
+    val rows = q("sample_mixture_weighted").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val total = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def w(src: String): Double = (src.drop(3).toInt % 5) * 0.6 + 0.3
+    // epoch 0 of any source with w >= 1 keeps every doc (u < 1 always)
+    val kept0 = rows.filter(_._3 == 0).map(t => (t._1, t._2)).toSet
+    total.filter(t => w(t._2) >= 1.0).foreach { t =>
+      assert(kept0.contains(t), s"doc $t missing from its full epoch 0")
+    }
+    // no epoch at or beyond ceil(w)
+    rows.foreach { case (id, src, e) =>
+      assert(e < math.ceil(w(src)).toInt, s"epoch $e out of range for $src")
+    }
+    // up-sampling actually happened: some doc appears in >1 epoch
+    assert(rows.groupBy(t => (t._1, t._2)).values.exists(_.size > 1))
+  }
+}

@@ -113,6 +113,48 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup drops cross-batch re-deliveries exactly once") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_sdedup").toString
+    val inDir = s"$work/in"
+    new java.io.File(inDir).mkdirs()
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    def write(ids: Seq[Long], batch: Int): Unit = {
+      ids.map(i => (i, (baseUs + i * 1000000L) * 1000L, i % 3,
+          "rate_change", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(s"$work/b$batch")
+      val src = new java.io.File(s"$work/b$batch").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$inDir/batch_$batch.parquet")
+      Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + batch * 60000L)
+    }
+    // batch 1 re-delivers ids 5-9 (same payload, inside the lateness
+    // window) — the exact failure mode of at-least-once ingest
+    write(0L to 9L, 0)
+    write(5L to 14L, 1)
+
+    val outPath = s"$work/out"
+    val q = StreamOps.dedupStream(
+      StreamingUpsert.readEventStream(spark, inDir), "10 minutes")
+      .writeStream.option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").format("parquet")
+      .option("path", outPath).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedIds = spark.read.parquet(outPath)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    // each id exactly once — re-deliveries dropped, nothing lost
+    assert(streamedIds.sorted == (0L to 14L),
+      s"got ${streamedIds.sorted.mkString(",")}")
+    val batchIds = StreamOps.dedupStreamBatch(
+      StreamingUpsert.eventFeed(spark.read.parquet(inDir)))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamedIds.toSet == batchIds)
+  }
+
   test("sessionization parity holds for sub-second gaps (microseconds)") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_sess_us").toString
