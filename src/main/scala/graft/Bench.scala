@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // the library's own plugin path
       .config("spark.sql.shuffle.partitions", "32")
+      // Percentile/mode aggregates are TypedImperative → ObjectHashAggregate,
+      // whose default sort-based fallback threshold (128 in-memory groups)
+      // forces a per-task sort for ANY realistic grain (s15 has ~19k groups
+      // per task at sf0.1; measured 4.6s → 3.4s warm from this alone). 1M
+      // tiny buffers per task is tens of MB — safe at these heap sizes.
+      .config("spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -117,7 +123,28 @@ object Bench {
         if (times.nonEmpty) times(times.length / 2) else -1.0
       }
     } catch { case _: Throwable => -1.0 }
+    // Full-precision line first (local inspection)…
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"routed_ms_p50":$routedMs,"sf":"$sfDir"}""")
+    // …then a compact line LAST. The harness keeps only the final ~2000
+    // characters of stdout; with 80+ queries at full double precision the
+    // line above exceeds that window, truncating away the headline
+    // "metric"/"value" fields (observed: BENCH_r01..r04 all have
+    // parsed:null). Round to 3 dp and keep only the slowest queries up to
+    // a byte budget, so this line always survives the tail capture intact.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val budget = 1500 // line budget in chars, well under the 2000-char tail
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"serving_ms_p50":${r3(servingMs)},"routed_ms_p50":${r3(routedMs)},"sf":"$sfDir","queries":{"""
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = header.length + 60 // reserve room for the omitted-queries tail
+    for ((k, v) <- bySlowest) {
+      val e = "\"" + k + "\":" + r3(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    val omitted = bySlowest.drop(entries.length)
+    val tailFields =
+      s"""},"queries_omitted":${omitted.size},"omitted_sec":${r3(omitted.map(_._2).sum)}}"""
+    println(header + entries.mkString(",") + tailFields)
     spark.stop()
   }
 }

@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // the library's own plugin path
       .config("spark.sql.shuffle.partitions", cpus)
+      // See Bench.scala: default 128-group fallback forces per-task sorts
+      // under every percentile aggregation.
+      .config("spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long

@@ -13,6 +13,9 @@ object BuildMain {
       .master(s"local[$cpus]")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // See Bench.scala: default 128-group fallback forces per-task sorts
+      // under every percentile aggregation.
+      .config("spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

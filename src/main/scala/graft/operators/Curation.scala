@@ -12,14 +12,20 @@ import graft.queries.QueryPack
   * metrics, PII scrubbing, and deterministic sampling / mixture
   * weighting.
   *
+  * The corpus-generic entry points are [[connectedComponents]],
+  * [[clusterAndCanonicalize]], [[scrubPii]], [[hashUniform]],
+  * [[sampleStratified]] and [[mixtureWeighted]]; the `queries` map
+  * wraps them in the deterministic oracle fixture (injected duplicate
+  * copies, injected PII footer, synthetic per-source rates) so DuckDB
+  * can pin exact values.
+  *
   * Scale design:
   *  - `connectedComponents` is min-label propagation (the hash-to-min
   *    family): per iteration one shuffle of (id, label) pairs on the
   *    edge key plus a min-aggregate — converges in O(graph diameter)
   *    rounds, and dedup graphs are near-star-shaped (diameter ≤ small
-  *    constant), so 2–4 rounds in practice. Lineage is truncated with
-  *    `localCheckpoint` each round so the plan does not grow with the
-  *    iteration count.
+  *    constant), so 2–4 rounds in practice. Lineage is truncated each
+  *    round so the plan does not grow with the iteration count.
   *  - every other operator is a pure scan-side projection or a single
   *    hash aggregation — no window sorts, no driver-side loops over
   *    rows.
@@ -32,8 +38,10 @@ object Curation extends QueryPack {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  /** Same injected-duplicate augmentation as [[Dedup]]: exact copies of
-    * doc_id 0-9 and suffixed near-copies of 10-19, at doc_id+100000. */
+  /** Oracle-fixture augmentation (test/fixture layer, used only by the
+    * `queries` below — NOT by the generic operators): exact copies of
+    * doc_id 0-9 and suffixed near-copies of 10-19, at doc_id+100000,
+    * same construction as [[Dedup]]. */
   private def augmented(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "text")
     val copies = base.filter(col("doc_id") < 20).select(
@@ -73,29 +81,91 @@ object Curation extends QueryPack {
     * minimum id. Rounds = graph diameter; dedup graphs (near-cliques
     * around a canonical doc) converge in 2-4. At cluster scale each
     * round is one shuffle of slim (id, label) pairs — the vertex data
-    * never carries text — and `localCheckpoint` keeps the plan from
-    * growing linearly with rounds (lineage blowup is the classic
+    * never carries text — and per-round checkpointing keeps the plan
+    * from growing linearly with rounds (lineage blowup is the classic
     * iterative-Spark failure mode).
+    *
+    * Throws `IllegalStateException` if the labels have not reached a
+    * fixpoint within `maxIter` rounds (graph diameter > maxIter) —
+    * partial labels silently returned as converged would be a
+    * correctness bug, not a performance one.
+    *
+    * `checkpoint` defaults to `localCheckpoint()`, which stores blocks
+    * only on executor block managers: fine locally and for tests, but a
+    * single executor loss mid-iteration kills the job unrecoverably.
+    * For production-scale runs set a checkpoint dir and pass a reliable
+    * variant, e.g. `spark.sparkContext.setCheckpointDir(dir)` then
+    * `checkpoint = _.checkpoint()`.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
+                          maxIter: Int = 20,
+                          checkpoint: DataFrame => DataFrame =
+                            _.localCheckpoint()): DataFrame = {
+    val und = checkpoint(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+      .distinct())
+    var labels = checkpoint(nodes.select(col("id"), col("id").as("comp")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
+      val next = checkpoint(labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp")))
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.comp") =!= col("o.comp")).count()
       labels = next
       i += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(graph diameter exceeds maxIter); raise maxIter")
     labels
+  }
+
+  /** Corpus dedup clustering: the step AFTER candidate generation
+    * (minhash/simhash banding) that actually dedups — pairs alone
+    * remove nothing until they are clustered and one survivor is
+    * chosen per cluster.
+    *
+    * `documents` carries (`idCol`, `textCol`); `candidatePairs`
+    * carries (`src`, `dst`) id pairs from any candidate generator
+    * (e.g. [[Dedup]]'s minhash-LSH buckets). Exact duplicates are
+    * always edges (md5 group → star to the group min — never a
+    * quadratic clique). Candidate pairs become edges only if their
+    * shingle-set Jaccard ≥ `jaccardThreshold`; shingles are computed
+    * ONLY for ids appearing in some candidate pair (semi-join), so the
+    * verification cost scales with the candidate set, not the corpus.
+    * Returns (`idCol`, `component`, `is_canonical`) where the
+    * component label is the minimum member id and the label holder is
+    * the canonical survivor. */
+  def clusterAndCanonicalize(documents: DataFrame, idCol: String,
+                             textCol: String, candidatePairs: DataFrame,
+                             jaccardThreshold: Double = 0.5,
+                             checkpoint: DataFrame => DataFrame =
+                               _.localCheckpoint()): DataFrame = {
+    val hashed = documents.select(col(idCol), md5(col(textCol)).as("hh"))
+    val roots = hashed.groupBy("hh").agg(min(idCol).as("src"))
+    val exactE = hashed.join(roots, "hh")
+      .filter(col(idCol) =!= col("src"))
+      .select(col("src"), col(idCol).as("dst"))
+    val candIds = candidatePairs.select(col("src").as("cid"))
+      .unionByName(candidatePairs.select(col("dst").as("cid"))).distinct()
+    val sh = documents
+      .join(candIds, documents(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as("cid"), tokens(col(textCol)).as("tk"))
+      .select(col("cid"), array_distinct(shinglesOf(col("tk"))).as("sh"))
+    val nearE = candidatePairs
+      .join(sh.select(col("cid").as("src"), col("sh").as("sh_a")), "src")
+      .join(sh.select(col("cid").as("dst"), col("sh").as("sh_b")), "dst")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= jaccardThreshold)
+      .select(col("src"), col("dst"))
+    connectedComponents(documents.select(col(idCol).as("id")),
+        exactE.unionByName(nearE), checkpoint = checkpoint)
+      .select(col("id").as(idCol), col("comp").as("component"),
+        when(col("id") === col("comp"), 1).otherwise(0).as("is_canonical"))
   }
 
   // ----------------------------------------------- PII / regex corpus
@@ -107,47 +177,63 @@ object Curation extends QueryPack {
   private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val PiiFooter = " Contact jane.doe@example.com or 555-123-4567 via 10.0.0.42."
 
+  /** PII scrubbing over any text column: counts each class on the raw
+    * text, then redacts email → phone → IPv4 in that order. Adds
+    * `n_email` / `n_phone` / `n_ip` and replaces `textCol` with the
+    * redacted text. Pure scan-side projection — full codegen, no
+    * shuffle. */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_email", regexp_count(t, lit(EmailRe)).cast("int"))
+      .withColumn("n_phone", regexp_count(t, lit(PhoneRe)).cast("int"))
+      .withColumn("n_ip", regexp_count(t, lit(IpRe)).cast("int"))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(regexp_replace(
+          t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+  }
+
+  // ------------------------------------------- deterministic sampling
+
+  /** Content-hash uniform in [0, 1): md5 of (salt, key) → first 32
+    * bits. Deterministic across runs/engines/partition layouts —
+    * everything `rand()` is not. */
+  def hashUniform(key: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))),
+      1, 8), 16, 10).cast("long").cast("double") / 4294967296.0
+
+  /** Deterministic stratified sampling: keep a row iff its content-hash
+    * uniform is below `rate` (any per-row expression, e.g. a per-source
+    * rate map). */
+  def sampleStratified(df: DataFrame, rate: Column, key: Column,
+                       salt: String = "sample"): DataFrame =
+    df.filter(hashUniform(key, salt) < rate)
+
+  /** Mixture weighting: per-row weight `w` (possibly > 1 — up-sampling).
+    * Each row appears in ceil(w) epochs; epoch e keeps the row iff
+    * u(key, e) < w − e, so full epochs always keep and the last epoch
+    * keeps the fractional remainder — the standard source-mixture
+    * construction for training corpora. Adds an `epoch` column. */
+  def mixtureWeighted(df: DataFrame, w: Column, key: Column,
+                      salt: String = "mix"): DataFrame =
+    df.withColumn("epoch",
+        explode(sequence(lit(0), ceil(w).cast("int") - 1)))
+      .filter(hashUniform(concat_ws(":", key.cast("string"),
+        col("epoch").cast("string")), salt) < w - col("epoch"))
+
   /** Gopher-style stopword set (presence, not frequency). */
   private val Stopwords = Seq("the", "be", "to", "of", "and", "that",
     "have", "with")
 
   def queries: Map[String, QFn] = Map(
-    // Dedup clustering: exact-hash groups + jaccard-verified near-dup
-    // pairs become edges; connected components assign each doc its
-    // cluster (labelled by the minimum member id); the canonical
-    // survivor is the label holder. This is the step after candidate
-    // generation (minhash/simhash) that actual corpus dedup needs —
-    // pairs alone don't dedup anything until they are clustered and
-    // one survivor is chosen per cluster.
+    // Dedup clustering via the generic operator: the fixture supplies
+    // the injected candidate pairs (src, src+100000) so the oracle
+    // stays deterministic; at corpus scale the pairs come from
+    // MinHash-LSH banding (dedup_minhash_lsh).
     "dedup_cluster_canonical" -> ((s, d) => {
       val aug = augmented(s, d)
-      // exact edges as stars: every member links to its group min
-      val hashed = aug.select(col("doc_id"), md5(col("text")).as("hh"))
-      val roots = hashed.groupBy("hh").agg(min("doc_id").as("src"))
-      val exactE = hashed.join(roots, "hh")
-        .filter(col("doc_id") =!= col("src"))
-        .select(col("src"), col("doc_id").as("dst"))
-      // near edges: the injected candidate pairs, jaccard-verified.
-      // (At corpus scale the candidate pairs come from MinHash-LSH
-      // banding — dedup_minhash_lsh; the fixture uses the known pairs
-      // so the oracle stays deterministic.)
-      val sh = aug.filter(col("doc_id") < 20 || col("doc_id") >= 100000)
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .select(col("doc_id"), array_distinct(shinglesOf(col("tk"))).as("sh"))
-      val a = sh.filter(col("doc_id") < 20)
-        .select(col("doc_id").as("src"), col("sh").as("sh_a"))
-      val b = sh.filter(col("doc_id") >= 100000)
-        .select((col("doc_id") - 100000).as("src"),
-          col("doc_id").as("dst"), col("sh").as("sh_b"))
-      val nearE = a.join(b, "src")
-        .filter(size(array_intersect(col("sh_a"), col("sh_b")))
-          .cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
-        .select(col("src"), col("dst"))
-      val comps = connectedComponents(
-        aug.select(col("doc_id").as("id")), exactE.unionByName(nearE))
-      comps.select(col("id").as("doc_id"), col("comp").as("component"),
-        when(col("id") === col("comp"), 1).otherwise(0).as("is_canonical"))
+      val pairs = aug.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("src"), col("doc_id").as("dst"))
+      clusterAndCanonicalize(aug, "doc_id", "text", pairs)
     }),
 
     // Gopher-rule quality gate (Rae et al. 2021 §A1.1 thresholds):
@@ -201,54 +287,40 @@ object Curation extends QueryPack {
       g2.join(uni, "doc_id")
     }),
 
-    // PII scrubbing: deterministic redaction of emails / phones / IPv4
-    // with per-class counts. The fixture injects a PII footer on every
-    // 7th doc (the synthetic corpus carries none) — both sides build
-    // the identical augmentation. Counts are taken on the raw text;
-    // redaction applies email → phone → ip in that order.
+    // PII scrubbing via the generic operator. The fixture injects a
+    // PII footer on every 7th doc (the synthetic corpus carries none) —
+    // both sides build the identical augmentation.
     "text_pii_scrub" -> ((s, d) => {
       val withPii = docs(s, d).select(col("doc_id"),
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(PiiFooter)))
           .otherwise(col("text")).as("text"))
-      val scrubbed = regexp_replace(regexp_replace(regexp_replace(
-        col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
-      withPii.select(col("doc_id"),
-        regexp_count(col("text"), lit(EmailRe)).cast("int").as("n_email"),
-        regexp_count(col("text"), lit(PhoneRe)).cast("int").as("n_phone"),
-        regexp_count(col("text"), lit(IpRe)).cast("int").as("n_ip"),
-        md5(scrubbed).as("scrubbed_hash"))
+      scrubPii(withPii, "text")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          md5(col("text")).as("scrubbed_hash"))
     }),
 
-    // Deterministic stratified sampling: per-source keep-rates applied
-    // via a content-hash uniform (md5-derived, salted). Reproducible
-    // across runs/engines/partitionings — `rand()` is none of those.
+    // Stratified sampling via the generic kernel, with a fixture rate
+    // derived from the numeric source-id suffix ("src<N>" — the whole
+    // suffix, matching the oracle's substr(source, 4); non-numeric
+    // suffixes would yield a null rate here and a CAST error in
+    // DuckDB, so the fixture assumption is explicit on both sides).
     "sample_hash_stratified" -> ((s, d) => {
-      val rate = (substring(col("source"), 4, 10).cast("int") % 4 + 1)
-        .cast("double") * 0.2
-      val u = conv(substring(md5(concat(lit("sample:"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
-        .cast("double") / 4294967296.0
+      val rate = (substring(col("source"), 4, Int.MaxValue).cast("int")
+        % 4 + 1).cast("double") * 0.2
+      val u = hashUniform(col("doc_id"), "sample")
       docs(s, d).select(col("doc_id"), col("source"),
           rate.as("rate"), u.as("u"))
         .filter(col("u") < col("rate"))
         .select(col("doc_id"), col("source"), pround(col("u"), 6).as("u"))
     }),
 
-    // Mixture weighting: per-source sampling weights w (possibly > 1 —
-    // up-sampling). Each doc appears in ceil(w) epochs; epoch e keeps
-    // the doc iff u(doc, e) < w − e, so full epochs always keep and the
-    // last epoch keeps the fractional remainder — the standard
-    // source-mixture construction for training corpora.
+    // Mixture weighting via the generic operator; per-source fixture
+    // weights in [0.3, 2.7] exercise both up- and down-sampling.
     "sample_mixture_weighted" -> ((s, d) => {
-      val w = (substring(col("source"), 4, 10).cast("int") % 5)
+      val w = (substring(col("source"), 4, Int.MaxValue).cast("int") % 5)
         .cast("double") * 0.6 + 0.3
-      val base = docs(s, d).select(col("doc_id"), col("source"), w.as("w"))
-        .withColumn("epoch",
-          explode(sequence(lit(0), ceil(col("w")).cast("int") - 1)))
-      val u = conv(substring(md5(concat_ws(":", lit("mix"),
-        col("doc_id").cast("string"), col("epoch").cast("string"))),
-        1, 8), 16, 10).cast("long").cast("double") / 4294967296.0
-      base.filter(u < col("w") - col("epoch"))
+      mixtureWeighted(docs(s, d).select(col("doc_id"), col("source"),
+          w.as("w")), col("w"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("epoch"))
     })
   )

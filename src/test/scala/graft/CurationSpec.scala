@@ -33,6 +33,52 @@ class CurationSpec extends SparkSpec {
     assert(got.values.toSet == Set(10L))
   }
 
+  test("connectedComponents refuses to return unconverged labels") {
+    import spark.implicits._
+    // path graph of diameter 5: min label cannot reach the far end in 2
+    val nodes = (20L to 25L).toDF("id")
+    val edges = (20L to 24L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Curation.connectedComponents(nodes, edges, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents accepts a reliable checkpoint function") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val nodes = (30L to 33L).toDF("id")
+    val edges = (30L to 32L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Curation.connectedComponents(nodes, edges,
+        checkpoint = _.checkpoint())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(30L))
+  }
+
+  test("clusterAndCanonicalize is corpus-generic (no fixture baked in)") {
+    import spark.implicits._
+    // tiny synthetic corpus: 1 and 2 exact dups; 3 and 4 near dups via a
+    // candidate pair; 5 unrelated. No doc_id+100000 convention anywhere.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine ten eleven"),
+      (5L, "completely different text about something else entirely")
+    ).toDF("id", "body")
+    val pairs = Seq((3L, 4L), (3L, 5L)).toDF("src", "dst")
+    val got = Curation.clusterAndCanonicalize(corpus, "id", "body", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val comp = got.map(t => t._1 -> t._2).toMap
+    assert(comp(2L) == comp(1L))       // exact dup edge
+    assert(comp(4L) == comp(3L))       // jaccard-verified candidate
+    assert(comp(5L) == 5L)             // candidate pair failing jaccard
+    got.foreach { case (id, c, canon) =>
+      assert((canon == 1) == (id == c))
+    }
+  }
+
   test("dedup clusters: every injected copy joins its source's cluster") {
     val rows = q("dedup_cluster_canonical").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
