@@ -279,7 +279,13 @@ object Curation extends QueryPack {
             .otherwise(pround(lit(1.0) -
               size(array_distinct(col("g2"))).cast("double") /
                 size(col("g2")), 4)).as("dup_2gram_frac"))
-      val uni = tok.select(col("doc_id"), explode(col("tk")).as("tok"))
+      // positions-explode (the Decontaminate trap: a computed array in
+      // the generator is re-evaluated per emitted element)
+      val uni = tok
+        .select(col("doc_id"), col("tk"),
+          explode(when(size(col("tk")) < 1, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), size(col("tk"))))).as("i"))
+        .select(col("doc_id"), element_at(col("tk"), col("i")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(
           pround(max(col("c")).cast("double") / sum(col("c")), 4)

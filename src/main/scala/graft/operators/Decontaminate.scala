@@ -30,32 +30,62 @@ object Decontaminate extends QueryPack {
 
   /** Hashed word n-grams over a STAGED token-array attribute (HOFs run
     * interpreted with no CSE — `tk` must be a plain column, not an
-    * expression). Docs shorter than n words have no grams. */
+    * expression). Docs shorter than n words have no grams. Used only in
+    * non-Generate contexts (see [[flagContaminated]]'s explode note). */
   private def gramHashes(tk: Column, n: Int): Column =
     when(size(tk) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)), i =>
         substring(md5(concat_ws(" ",
           (0 until n).map(j => element_at(tk, i + j)): _*)), 1, 16)))
 
+  /** Valid gram start positions (1-based); empty below n tokens. */
+  private def gramPositions(tk: Column, n: Int): Column =
+    when(size(tk) < n, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(tk) - (n - 1)))
+
+  /** The gram hash at one staged position — a plain projection. */
+  private def gramAt(tk: Column, i: Column, n: Int): Column =
+    substring(md5(concat_ws(" ",
+      (0 until n).map(j => element_at(tk, i + j)): _*)), 1, 16)
+
+  /** (id?, gram) rows: explode the CHEAP position array, then compute
+    * the md5 gram as an ordinary projection above the Generate.
+    * Exploding the computed gram array directly re-evaluates the whole
+    * interpreted transform chain per emitted element — measured 240×
+    * slower (72 s vs 0.3 s on 5 000 docs) — so the expensive expression
+    * must stay out of the generator. */
+  private def gramRows(tokenized: DataFrame, n: Int,
+                       keep: Seq[Column]): DataFrame =
+    tokenized
+      .select(keep :+ col("tk") :+
+        explode(gramPositions(col("tk"), n)).as("i"): _*)
+      .select(keep :+ gramAt(col("tk"), col("i"), n).as("gram"): _*)
+
   /** Corpus-generic entry point: per training doc, the distinct-gram
     * count, how many of its grams appear anywhere in `benchmark`, and
     * the contamination flag. `documents` carries (`idCol`, `textCol`);
-    * `benchmark` carries `benchTextCol`. */
+    * `benchmark` carries `benchTextCol`.
+    *
+    * 100 TB shape: the corpus side never shuffles its grams — they are
+    * filtered against the broadcast benchmark set in the scan stage,
+    * and only the surviving hit pairs (rare by construction) reach the
+    * distinct-count aggregation. */
   def flagContaminated(documents: DataFrame, idCol: String, textCol: String,
                        benchmark: DataFrame, benchTextCol: String,
                        n: Int = 8): DataFrame = {
-    val grams = documents
-      .select(col(idCol), tokens(col(textCol)).as("tk"))
-      .select(col(idCol), array_distinct(gramHashes(col("tk"), n)).as("g"))
-    val benchGrams = benchmark
-      .select(tokens(col(benchTextCol)).as("tk"))
-      .select(explode(gramHashes(col("tk"), n)).as("gram"))
+    val tok = documents.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val benchGrams = gramRows(
+      benchmark.select(tokens(col(benchTextCol)).as("tk")), n, Seq.empty)
       .distinct()
-    val hits = grams.select(col(idCol), explode(col("g")).as("gram"))
+    // Duplicate grams within one doc survive the explode; they are
+    // deduped AFTER the broadcast filter (hit rows only) by the
+    // distinct count, so the full corpus gram stream is never shuffled.
+    val hits = gramRows(tok, n, Seq(col(idCol)))
       .join(broadcast(benchGrams), "gram")
-      .groupBy(idCol).agg(count(lit(1)).as("hits"))
-    grams.select(col(idCol), size(col("g")).as("n_grams"))
-      .join(hits, Seq(idCol), "left")
+      .groupBy(idCol).agg(countDistinct("gram").as("hits"))
+    val nGrams = tok.select(col(idCol),
+      size(array_distinct(gramHashes(col("tk"), n))).as("n_grams"))
+    nGrams.join(hits, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("hits"), lit(0L)).as("n_hits"),
         when(coalesce(col("hits"), lit(0L)) > 0, 1).otherwise(0)

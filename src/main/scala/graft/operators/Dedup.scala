@@ -160,8 +160,16 @@ object Dedup extends QueryPack {
     * bit over one doc's distinct tokens (≤ 65535 ≫ any doc here).
     * Sign recovery: Σ±1 = 2·count − n ≥ 0 ⟺ 2·count ≥ n. */
   def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val tok = augmented(s, d).select(col("doc_id"),
-      explode(array_distinct(tokens(col("text")))).as("tok"))
+    // Explode cheap positions, not the computed token array: a complex
+    // array in the generator is re-evaluated per emitted element (the
+    // Decontaminate trap — 240× measured there), so the distinct-token
+    // array is kept a child attribute and indexed above the Generate.
+    val tok = augmented(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("td"))
+      .select(col("doc_id"), col("td"),
+        explode(when(size(col("td")) < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("td"))))).as("i"))
+      .select(col("doc_id"), element_at(col("td"), col("i")).as("tok"))
     // 64-bit token hash from two md5 halves (portable; sign bit is fine —
     // bit ops treat the long as a raw 64-bit word).
     val th = tok.select(col("doc_id"),

@@ -10,7 +10,8 @@ class EntryContractSpec extends SparkSpec {
       graft.queries.Builders, graft.queries.Sources,
       graft.queries.SqlSurface, graft.operators.TextAnalysis,
       graft.operators.Dedup, graft.operators.Similarity,
-      graft.operators.Multimodal, graft.operators.Curation)
+      graft.operators.Multimodal, graft.operators.Curation,
+      graft.operators.Decontaminate)
       .flatMap(_.queries.keys)
     val dups = names.groupBy(identity).collect {
       case (n, occ) if occ.size > 1 => n
