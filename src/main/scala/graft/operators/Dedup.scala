@@ -201,6 +201,37 @@ object Dedup extends QueryPack {
   private val minhashAB: Seq[(Long, Long)] =
     graft.functions.MinHashSig.defaultAB
 
+  /** Corpus-generic MinHash-LSH candidate generation: signature frame →
+    * banded bucket self-join → (doc_a, doc_b, n_bands) candidate pairs.
+    * `sig` carries `doc_id` + `h0..h{k-1}` (from [[minhashSignatures]]
+    * or any equivalent). Feed the pairs to
+    * [[Curation.clusterAndCanonicalize]] for verification + clustering.
+    *
+    * Hot-bucket cap: a degenerate band value (e.g. the shared signature
+    * of near-empty docs) would make its bucket quadratic at corpus
+    * scale. Drop buckets over the cap — docs that pathological are not
+    * meaningful near-dup candidates anyway. The count and the self-join
+    * shuffle on the same (band_idx, band_hash) keys, so the extra agg
+    * reuses the exchange partitioning. */
+  def lshCandidatePairs(sig: DataFrame,
+                        maxBucket: Int = MaxBucket): DataFrame = {
+    val bands = sig.select(col("doc_id"), posexplode(array(
+      (0 until NumHashes / BandSize).map(b =>
+        md5(concat_ws("-", (0 until BandSize).map(r =>
+          col(s"h${b * BandSize + r}")): _*))): _*)).as(Seq("band_idx", "band_hash")))
+    val keepBuckets = bands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    val capped = bands.join(keepBuckets, Seq("band_idx", "band_hash"))
+    val a = capped.as("a")
+    val b = capped.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("int").as("n_bands"))
+  }
+
   def queries: Map[String, QFn] = Map(
     // Exact dedup: group by content hash, keep lowest doc_id
     "dedup_exact" -> ((s, d) =>
@@ -208,30 +239,8 @@ object Dedup extends QueryPack {
         .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))),
 
     // MinHash + LSH banding: candidate near-dup pairs via band-bucket join
-    "dedup_minhash_lsh" -> ((s, d) => {
-      val sig = minhashSignatures(s, d)
-      val bands = sig.select(col("doc_id"), posexplode(array(
-        (0 until NumHashes / BandSize).map(b =>
-          md5(concat_ws("-", (0 until BandSize).map(r =>
-            col(s"h${b * BandSize + r}")): _*))): _*)).as(Seq("band_idx", "band_hash")))
-      // Hot-bucket cap: a degenerate band value (e.g. the shared signature
-      // of near-empty docs) would make its bucket quadratic at corpus
-      // scale. Drop buckets over the cap — docs that pathological are not
-      // meaningful near-dup candidates anyway. The count and the self-join
-      // shuffle on the same (band_idx, band_hash) keys, so the extra agg
-      // reuses the exchange partitioning.
-      val keepBuckets = bands.groupBy("band_idx", "band_hash")
-        .agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") <= MaxBucket).drop("bucket_n")
-      val capped = bands.join(keepBuckets, Seq("band_idx", "band_hash"))
-      val a = capped.as("a")
-      val b = capped.as("b")
-      a.join(b, col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).cast("int").as("n_bands"))
-    }),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      lshCandidatePairs(minhashSignatures(s, d))),
 
     // SimHash: 64-bit signature; candidates from 4×16-bit band equi-joins
     // (pigeonhole: Hamming ≤ 3 ⇒ ≥1 of the 4 bands is identical), then
