@@ -18,11 +18,12 @@ import graft.functions.NormExprs.pround
   * refreshes per slice with dynamic partition overwrite — the Spark
   * equivalent of the reference's DELETE + INSERT month slice.
   *
-  * Scale notes: one shuffle on the 6-column grain; the two exact
-  * countDistincts ride the same aggregation (expand ×3, partial-agg
-  * friendly). Exact quantiles require the grouped values; at 100 TB
-  * swap `percentile` for `percentile_approx` per SURVEY §2.4's policy
-  * — the schema is unchanged.
+  * Scale notes: one un-expanded shuffle on the 6-column grain; the
+  * two exact distinct counts are collect_set sizes riding the same
+  * ObjectHashAggregate the percentile buffer requires. Exact quantiles
+  * require the grouped values; at 100 TB swap the exact buffers for
+  * the approx tier below per SURVEY §2.4's policy — the schema is
+  * unchanged.
   */
 object GoldAggregates {
 
@@ -35,6 +36,13 @@ object GoldAggregates {
       .select(col("provider_group_id").as("tin_pgid"), col("tin_value"))
     // One percentile buffer computing all five points: the per-group
     // value sort happens once, not five times (2-3× on the sf0.1 bench).
+    // Distinct counts as collect_set sizes, NOT countDistinct: two
+    // countDistincts plan an Expand that triples the shuffle input,
+    // while collect_set rides the ObjectHashAggregate the percentile
+    // buffer already requires — same per-group memory class (the
+    // percentile buffer stores every value anyway; the approx tier
+    // below is the escape hatch for unbounded groups), one un-expanded
+    // shuffle. Equivalent: both ignore nulls.
     val ps = Seq(0.10, 0.25, 0.50, 0.75, 0.90)
     r.join(broadcast(p),
         r("provider_reference_id") === p("provider_group_id"), "left")
@@ -43,8 +51,9 @@ object GoldAggregates {
       .groupBy("year_month", "state", "payer_slug", "billing_class",
         "code_type", "billing_code")
       .agg(
-        countDistinct("provider_reference_id").as("npi_count"),
-        countDistinct("tin_value").as("ein_count"),
+        size(collect_set(col("provider_reference_id"))).cast("long")
+          .as("npi_count"),
+        size(collect_set(col("tin_value"))).cast("long").as("ein_count"),
         percentile(col("negotiated_rate"),
           array(ps.map(lit): _*)).as("qs"),
         pround(sum(col("negotiated_rate").cast("decimal(18,2)"))

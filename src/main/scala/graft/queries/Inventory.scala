@@ -233,7 +233,11 @@ object Inventory extends QueryPack {
         .select("l_orderkey", "l_linenumber", "billing_code", "negotiated_rate")
     }),
 
-    // A4: filtered rate summary with exact median (data_queries.py:96-107)
+    // A4: filtered rate summary with exact median (data_queries.py:96-107).
+    // Distinct counts via collect_set: the exact-percentile buffer
+    // already forces an ObjectHashAggregate holding every value, so the
+    // sets add no new memory class but remove the countDistinct Expand
+    // (×3 the aggregation input).
     "a4_rate_summary" -> ((s, d) =>
       rates(s, d)
         .filter(col("billing_class") === "professional" &&
@@ -243,16 +247,18 @@ object Inventory extends QueryPack {
           pround(min(col("negotiated_rate")), 2).as("min_rate"),
           pround(max(col("negotiated_rate")), 2).as("max_rate"),
           pround(percentile(col("negotiated_rate"), lit(0.5)), 2).as("median_rate"),
-          countDistinct("billing_code").as("unique_codes"),
-          countDistinct("payer_slug").as("unique_payers"))),
+          size(collect_set(col("billing_code"))).cast("long").as("unique_codes"),
+          size(collect_set(col("payer_slug"))).cast("long").as("unique_payers"))),
 
-    // A5: per-payer stats, top-k by count (data_queries.py:130-199)
+    // A5: per-payer stats, top-k by count (data_queries.py:130-199).
+    // collect_set distinct count — rides the percentile's
+    // ObjectHashAggregate, no Expand (see A4).
     "a5_payer_stats" -> ((s, d) =>
       rates(s, d).groupBy("payer_slug")
         .agg(count(lit(1)).as("rate_count"),
           avg2(col("negotiated_rate")).as("avg_rate"),
           pround(percentile(col("negotiated_rate"), lit(0.5)), 2).as("median_rate"),
-          countDistinct("billing_code").as("unique_codes"))
+          size(collect_set(col("billing_code"))).cast("long").as("unique_codes"))
         .orderBy(col("rate_count").desc, col("payer_slug"))
         .limit(3)),
 
@@ -272,7 +278,11 @@ object Inventory extends QueryPack {
         .limit(25)
     }),
 
-    // A6: payer index aggregate (optimized_queries.py:151-169)
+    // A6: payer index aggregate (optimized_queries.py:151-169).
+    // Distinct counts as collect_set sizes: two countDistincts would
+    // plan an Expand tripling the aggregation input; the sets ride one
+    // un-expanded ObjectHashAggregate (bounded per group by the code /
+    // provider-group domains, which are dims — not SF-scaled).
     "a6_payer_index" -> ((s, d) => {
       val r = rates(s, d)
       val p = providers(s, d)
@@ -281,8 +291,10 @@ object Inventory extends QueryPack {
         .groupBy("payer_slug", "state", "year_month")
         .agg(count(lit(1)).as("rate_count"),
           avg2(col("negotiated_rate")).as("avg_rate"),
-          countDistinct("billing_code").as("unique_codes"),
-          countDistinct("provider_group_id").as("unique_provider_groups"))
+          size(collect_set(col("billing_code"))).cast("long")
+            .as("unique_codes"),
+          size(collect_set(col("provider_group_id"))).cast("long")
+            .as("unique_provider_groups"))
     }),
 
     // A7: market-rate quantile profile p10..p90 (prod_etl/notebook.py:371-406).
@@ -291,7 +303,8 @@ object Inventory extends QueryPack {
     "a7_market_profile" -> ((s, d) => {
       val ps = Seq(0.10, 0.25, 0.50, 0.75, 0.90)
       rates(s, d).groupBy("year_month", "billing_class")
-        .agg(countDistinct("provider_reference_id").as("n_providers"),
+        .agg(size(collect_set(col("provider_reference_id"))).cast("long")
+            .as("n_providers"),
           count(lit(1)).as("n_rates"),
           percentile(col("negotiated_rate"), array(ps.map(lit): _*)).as("qs"),
           avg2(col("negotiated_rate")).as("avg_rate"),
@@ -325,7 +338,8 @@ object Inventory extends QueryPack {
         count(when(col("billing_class") === "institutional" &&
           col("negotiated_rate") > 40000, 1)).as("inst_benchmarked"))),
 
-    // A12: availability matrix (data_queries.py:40-77)
+    // A12: availability matrix (data_queries.py:40-77). collect_set
+    // over the bounded payer/code domains, not countDistinct — see A6.
     "a12_availability" -> ((s, d) => {
       val r = rates(s, d)
       val p = providers(s, d)
@@ -333,8 +347,10 @@ object Inventory extends QueryPack {
           r("provider_reference_id") === p("provider_group_id"), "left")
         .groupBy("state", "year_month")
         .agg(count(lit(1)).as("record_count"),
-          countDistinct("payer_slug").as("unique_payers"),
-          countDistinct("billing_code").as("unique_codes"))
+          size(collect_set(col("payer_slug"))).cast("long")
+            .as("unique_payers"),
+          size(collect_set(col("billing_code"))).cast("long")
+            .as("unique_codes"))
     }),
 
     // §2.6: top-k by rate (optimized_queries.py:687-688)

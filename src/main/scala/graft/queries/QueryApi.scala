@@ -71,7 +71,11 @@ object QueryApi {
     df
   }
 
-  /** A4-style summary over the filtered set (data_queries.py:96-107). */
+  /** A4-style summary over the filtered set (data_queries.py:96-107).
+    * Distinct count via collect_set — the exact-percentile buffer
+    * already forces an ObjectHashAggregate over every value, so the
+    * set adds no new memory class but removes the countDistinct
+    * Expand. */
   def rateSummary(spark: SparkSession, dir: String, f: RateFilter): DataFrame =
     filteredRates(spark, dir, f).agg(
       count(lit(1)).as("rate_count"),
@@ -80,5 +84,5 @@ object QueryApi {
       pround(min(col("negotiated_rate")), 2).as("min_rate"),
       pround(max(col("negotiated_rate")), 2).as("max_rate"),
       pround(percentile(col("negotiated_rate"), lit(0.5)), 2).as("median_rate"),
-      countDistinct("billing_code").as("unique_codes"))
+      size(collect_set(col("billing_code"))).cast("long").as("unique_codes"))
 }
