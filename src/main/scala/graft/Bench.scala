@@ -39,7 +39,16 @@ object Bench {
     // Local iteration: run each query N times, keep the fastest (strips
     // JVM/codegen warmup noise). Driver runs use the default of 1.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    var sinceGc = 0
     val results = selected.map { case (name, fn) =>
+      // Suite hygiene between queries: ~90 sequential queries in one JVM
+      // accumulate dead broadcast blocks and generated classes; the
+      // ContextCleaner only reclaims broadcasts after a driver GC, so
+      // without this the tail of the suite runs under memory pressure
+      // and JIT/GC contention (s15 measured 24.7 s late in the suite vs
+      // 9.1 s in a fresh JVM, same plan). Untimed, every 8th query.
+      sinceGc += 1
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try {
