@@ -172,10 +172,10 @@ object Curation extends QueryPack {
 
   /** Shared regex literals (Java regex ≡ RE2 for this subset, so the
     * DuckDB oracle uses the same strings verbatim). */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private val PiiFooter = " Contact jane.doe@example.com or 555-123-4567 via 10.0.0.42."
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[operators] val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[operators] val PiiFooter = " Contact jane.doe@example.com or 555-123-4567 via 10.0.0.42."
 
   /** PII scrubbing over any text column: counts each class on the raw
     * text, then redacts email → phone → IPv4 in that order. Adds

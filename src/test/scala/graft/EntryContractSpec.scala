@@ -11,7 +11,8 @@ class EntryContractSpec extends SparkSpec {
       graft.queries.SqlSurface, graft.operators.TextAnalysis,
       graft.operators.Dedup, graft.operators.Similarity,
       graft.operators.Multimodal, graft.operators.Curation,
-      graft.operators.Decontaminate, graft.operators.Packing)
+      graft.operators.Decontaminate, graft.operators.Packing,
+      graft.operators.Pipeline)
       .flatMap(_.queries.keys)
     val dups = names.groupBy(identity).collect {
       case (n, occ) if occ.size > 1 => n
