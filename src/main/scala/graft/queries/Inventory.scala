@@ -147,15 +147,27 @@ object Inventory extends QueryPack {
         .select("p_partkey", "p_brand")),
 
     // F20: explode POS members → xref_pos (prod_etl/notebook.py:167) —
-    // the repo's one generator-shaped op
+    // the repo's one generator-shaped op. Two plan-shape rules apply:
+    //  - dedup-BEFORE-normalize (the J4 keyframe pattern): the raw
+    //    service_codes domain is tiny, so distinct first and the
+    //    interpreted from_json/HOF normalization runs once per distinct
+    //    value instead of once per fact row (distinct normalized values
+    //    can still collide, hence the second dedup on the set id);
+    //  - explode_outer, NOT explode: an inner explode lets
+    //    InferFiltersFromGenerate derive `size(members)>0 AND
+    //    isnotnull(members)` and push it below both distincts to the
+    //    SCAN, re-expanding the whole interpreted chain per fact row —
+    //    twice (measured 5.3 s; with the outer form + post-Generate
+    //    null filter, 0.9 s — identical rows, empty sets drop as null).
     "f20_explode_pos" -> ((s, d) => {
       val posSets = rates(s, d)
-        .select(col("service_codes"))
+        .select(col("service_codes")).distinct()
         .withColumn("pos_members", posMembers(col("service_codes")))
         .withColumn("pos_set_id", posSetId(col("pos_members")))
         .select("pos_set_id", "pos_members").distinct()
       posSets.select(col("pos_set_id"),
-        explode(col("pos_members")).as("pos"))
+          explode_outer(col("pos_members")).as("pos"))
+        .filter(col("pos").isNotNull)
     }),
 
     // J4: dedup key-frame → broadcast lookup chain → join back (main.py:441-526)
