@@ -18,6 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `minhash_sig(tokens)`: k-permutation MinHash signature over a
   *     token array ([[graft.functions.MinHashSig]], default
   *     16-permutation set)
+  *   - `rolling_fp(text)`: bottom-k rolling-gram fingerprint
+  *     ([[graft.functions.RollingFp]])
+  *   - `simhash_sig(tokens)`: 64-bit SimHash signature
+  *     ([[graft.functions.SimHashSig]])
   *
   * `registerAll` is the session-scoped equivalent for callers that
   * build their own `SparkSession` without the config (the query packs
@@ -64,7 +68,12 @@ object GraftExtensions {
       new ExpressionInfo(
         classOf[graft.functions.RollingFp].getName, "rolling_fp"),
       (exprs: Seq[Expression]) =>
-        graft.functions.RollingFp(exprs.head)))
+        graft.functions.RollingFp(exprs.head)),
+    (FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(
+        classOf[graft.functions.SimHashSig].getName, "simhash_sig"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.SimHashSig(exprs.head)))
 
   /** Register every kernel into an existing session's function
     * registry. Idempotent (re-registration replaces the same entry). */

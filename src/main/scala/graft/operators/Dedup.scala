@@ -148,18 +148,34 @@ object Dedup extends QueryPack {
     e.unionByName(copies)
   }
 
-  /** 64-bit SimHash signatures per doc_id (exposed for the brute-force
-    * equivalence spec). Each md5 bit of a token is an independent ±1
-    * hyperplane projection; the signature bit is the sign of the sum.
-    *
-    * The per-bit counts are accumulated SWAR-style — 4 sixteen-bit
-    * lanes per long, 16 packed sums instead of 64 scalar sums — which
-    * keeps the HashAggregate's generated update method small (a
-    * 64-buffer aggregate costs ~25 s of janino compilation on first
-    * run). Lane overflow is impossible: a lane holds the count of a
-    * bit over one doc's distinct tokens (≤ 65535 ≫ any doc here).
-    * Sign recovery: Σ±1 = 2·count − n ≥ 0 ⟺ 2·count ≥ n. */
+  /** 64-bit SimHash signatures per doc_id via the native `simhash_sig`
+    * kernel — one imperative pass over the distinct-token array, so
+    * the signature is a pure scan-side projection: the corpus is never
+    * exploded token-per-row and nothing shuffles until the band join.
+    * Each md5 bit of a token is an independent ±1 hyperplane
+    * projection; the signature bit is the sign of the sum.
+    * SimHashNativeSpec proves value parity with the SWAR aggregation
+    * form below. Empty-token docs are dropped, matching the SWAR
+    * form's explode semantics. */
   def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.registerAll(s)
+    // Empty-token filter as a cheap rlike on the RAW text, not
+    // size(td) > 0: tokens exist iff lower(text) has any [a-z0-9], and
+    // a filter on the computed array would be pushed through the
+    // projection, inlining (and re-running) the tokenizer chain per
+    // row in the filter.
+    augmented(s, d)
+      .filter(col("text").rlike("(?i)[a-z0-9]"))
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("td"))
+      .select(col("doc_id"), call_function("simhash_sig", col("td")).as("simhash"))
+  }
+
+  /** The original composable (SWAR) formulation, kept as the parity
+    * reference for SimHashNativeSpec: positions-explode, 4 sixteen-bit
+    * count lanes per long (16 packed sums — a 64-buffer aggregate
+    * costs ~25 s of janino compilation), then sign recovery
+    * Σ±1 = 2·count − n ≥ 0 ⟺ 2·count ≥ n. */
+  def simhashSignaturesSwar(s: SparkSession, d: String): DataFrame = {
     // Explode cheap positions, not the computed token array: a complex
     // array in the generator is re-evaluated per emitted element (the
     // Decontaminate trap — 240× measured there), so the distinct-token
