@@ -97,6 +97,12 @@ object Analytics extends QueryPack {
       val n = Tables.load(s, d, "nation")
       // orders/customer are SF-scaled: shuffle-join them (AQE may still
       // localize at small SF); broadcast only the bounded dims.
+      // Hybrid distinct strategy: countDistinct (expand + map-side
+      // partial distinct — the scale-safe shape for unbounded keys)
+      // only for the three high-cardinality ids; the five bounded-
+      // domain descriptors as collect_set sizes, which ride the same
+      // aggregation without multiplying the Expand. ×9 → ×4 on the
+      // aggregation input.
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"), "left")
         .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"), "left")
@@ -105,11 +111,15 @@ object Analytics extends QueryPack {
           countDistinct("l_partkey").as("unique_codes"),
           countDistinct("l_suppkey").as("unique_providers"),
           countDistinct("o_custkey").as("unique_customers"),
-          countDistinct("c_mktsegment").as("unique_segments"),
-          countDistinct("n_name").as("unique_states"),
-          countDistinct("o_orderpriority").as("unique_priorities"),
-          countDistinct("l_returnflag").as("unique_flags"),
-          countDistinct("l_linestatus").as("unique_modes"))
+          size(collect_set(col("c_mktsegment"))).cast("long")
+            .as("unique_segments"),
+          size(collect_set(col("n_name"))).cast("long").as("unique_states"),
+          size(collect_set(col("o_orderpriority"))).cast("long")
+            .as("unique_priorities"),
+          size(collect_set(col("l_returnflag"))).cast("long")
+            .as("unique_flags"),
+          size(collect_set(col("l_linestatus"))).cast("long")
+            .as("unique_modes"))
     }),
 
     // A13 + F8 + F9: ILIKE over synthesized search text, grouped stats
