@@ -78,6 +78,41 @@ object TextAnalysis extends QueryPack {
         ceil(length(t) / lit(4.0)).cast("int").as("est_tokens"))
     }),
 
+    // Vocabulary build: top-k token frequencies with cumulative
+    // corpus coverage — the profiling step before tokenizer training
+    // (how much of the token stream the next vocab entry buys).
+    // Scale shape: the count aggregation is map-side-combined on
+    // (token), top-k is TakeOrdered, and the ranking window runs over
+    // only the k surviving rows; the corpus total rides the same
+    // counts frame as a broadcast scalar.
+    "vocab_topk" -> ((s, d) => {
+      val k = 100
+      // positions-explode per the house rule (a computed array in the
+      // generator re-evaluates per element); all occurrences, not
+      // distinct — vocab wants frequencies
+      val tok = docs(s, d)
+        .select(col("doc_id"),
+          filter(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            "\\s+"), v => length(v) > 0).as("tk"))
+        .select(col("tk"),
+          explode(when(size(col("tk")) < 1, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), size(col("tk"))))).as("i"))
+        .select(element_at(col("tk"), col("i")).as("token"))
+      val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("total_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))
+      counts.orderBy(col("cnt").desc, col("token")).limit(k)
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_share",
+          pround(sum(col("cnt")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)).cast("double") /
+            col("total_tokens"), 6))
+        .select("rank", "token", "cnt", "cum_share")
+    }),
+
     // Rolling-hash fingerprint: hash every k-char gram of the
     // normalized text, keep the bottom-B values — a bottom-k sketch of
     // the gram set (the winnowing/MOSS family's sampling step). Robust
@@ -165,6 +200,24 @@ object TextAnalysis extends QueryPack {
                  AS bpe_tokens,
                CAST(ceil(length(text) / 4.0) AS INTEGER) AS est_tokens
         FROM documents""",
+
+      "vocab_topk" -> """
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+            x -> x <> '')) AS token
+          FROM documents),
+        counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        total AS (SELECT SUM(cnt) AS total_tokens FROM counts),
+        top AS (SELECT * FROM counts ORDER BY cnt DESC, token LIMIT 100)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER)
+                 AS rank,
+               token, cnt,
+               floor((CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / total_tokens) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cum_share
+        FROM top CROSS JOIN total""",
 
       // k=8 char grams over normalized text, 32-bit md5-prefix hashes,
       // bottom-4 joined — identical gram/hash definitions to the Spark
