@@ -39,7 +39,9 @@ object Pipeline extends QueryPack {
     * `sourceCol`); `benchmark` carries `benchTextCol` (the eval set,
     * raw text). `sampleRate` is any per-row expression over the doc
     * columns. Output: one row per surviving document with its PII
-    * counts, token count, and packed-sequence coordinates.
+    * counts, token count, and packed-sequence coordinates — slim on
+    * purpose (ids + numbers shuffle through packing, never text); a
+    * shard writer joins the payloads back on `idCol`.
     */
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
                    sourceCol: String, benchmark: DataFrame,
