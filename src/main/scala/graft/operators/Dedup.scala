@@ -84,14 +84,8 @@ object Dedup extends QueryPack {
     * `minhash_sig` kernel — one imperative pass per row instead of the
     * interpreted HOF chain (shingles → distinct → md5 → k permutation
     * mins). MinHashNativeSpec proves value-parity with the HOF form. */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    graft.GraftExtensions.registerAll(s)
-    augmented(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"), call_function("minhash_sig", col("tk")).as("sig"))
-      .select(col("doc_id") +: (0 until NumHashes).map(j =>
-        element_at(col("sig"), j + 1).as(s"h$j")): _*)
-  }
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashSignaturesFor(augmented(s, d), "doc_id", "text")
 
   /** The original composable (HOF) formulation, kept as the parity
     * reference for MinHashNativeSpec. */
@@ -229,12 +223,16 @@ object Dedup extends QueryPack {
     * meaningful near-dup candidates anyway. The count and the self-join
     * shuffle on the same (band_idx, band_hash) keys, so the extra agg
     * reuses the exchange partitioning. */
-  def lshCandidatePairs(sig: DataFrame,
-                        maxBucket: Int = MaxBucket): DataFrame = {
-    val bands = sig.select(col("doc_id"), posexplode(array(
+  /** (doc_id, band_idx, band_hash) rows of a signature frame. */
+  private def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(array(
       (0 until NumHashes / BandSize).map(b =>
         md5(concat_ws("-", (0 until BandSize).map(r =>
           col(s"h${b * BandSize + r}")): _*))): _*)).as(Seq("band_idx", "band_hash")))
+
+  def lshCandidatePairs(sig: DataFrame,
+                        maxBucket: Int = MaxBucket): DataFrame = {
+    val bands = bandRows(sig)
     val keepBuckets = bands.groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
@@ -246,6 +244,58 @@ object Dedup extends QueryPack {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).cast("int").as("n_bands"))
+  }
+
+  /** Corpus-generic MinHash signature frame for any (idCol, textCol)
+    * document frame — the [[minhashSignatures]] fixture query wraps
+    * this. Signatures are deterministic across runs and sessions
+    * (fixed permutation constants), which is what makes the
+    * incremental path below possible: today's signatures join against
+    * a store written months ago. */
+  def minhashSignaturesFor(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    graft.GraftExtensions.registerAll(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), call_function("minhash_sig", col("tk")).as("sig"))
+      .select(col("doc_id") +: (0 until NumHashes).map(j =>
+        element_at(col("sig"), j + 1).as(s"h$j")): _*)
+  }
+
+  /** Incremental LSH: candidate pairs for an ingest DELTA against an
+    * existing signature store — the reason a 100 TB corpus is
+    * re-minhashed never and re-paired only where the delta lands.
+    * Only the delta's bands probe; the store's bands are join targets,
+    * so cost scales with |delta| × bucket occupancy, not |corpus|².
+    * Old–old pairs (both sides in the store) are never produced — they
+    * were emitted when their younger member arrived. Pair values match
+    * [[lshCandidatePairs]] run on the full corpus, restricted to pairs
+    * touching a delta doc (IncrementalDedupSpec pins the equivalence).
+    *
+    * The store itself is plain parquet of the signature frame,
+    * maintained with the J11 anti-join append
+    * (`StarSchemaBuilder.appendUnique(…, keys = Seq("doc_id"))`);
+    * the hot-bucket cap is computed over store ∪ delta so a bucket
+    * that turns pathological after the merge is capped exactly as a
+    * full re-run would cap it. */
+  def lshCandidatePairsIncremental(storeSig: DataFrame, newSig: DataFrame,
+                                   maxBucket: Int = MaxBucket): DataFrame = {
+    val allB = bandRows(storeSig.unionByName(newSig))
+    val keepBuckets = allB.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    val cappedAll = allB.join(keepBuckets, Seq("band_idx", "band_hash"))
+    val cappedNew = bandRows(newSig).join(keepBuckets, Seq("band_idx", "band_hash"))
+    // delta probes store ∪ delta; normalize pair order, then distinct
+    // bands (a delta–delta pair arrives from both directions)
+    cappedNew.as("a").join(cappedAll.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.band_idx").as("band_idx"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct("band_idx").cast("int").as("n_bands"))
   }
 
   def queries: Map[String, QFn] = Map(
