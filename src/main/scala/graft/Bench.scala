@@ -35,7 +35,10 @@ object Bench {
       import org.apache.spark.sql.functions._
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
+        // tolerant like the per-query loop: a dir lacking some table
+        // (custom SPARK_GRAFT_SF_DIR) must not abort the whole bench
+        try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
+        catch { case _: Throwable => }
       }
       val w = spark.read.parquet(s"$sfDir/nation.parquet").select("n_nationkey")
       w.join(broadcast(w.limit(5)), Seq("n_nationkey"), "left")

@@ -280,11 +280,14 @@ object Curation extends QueryPack {
               size(array_distinct(col("g2"))).cast("double") /
                 size(col("g2")), 4)).as("dup_2gram_frac"))
       // positions-explode (the Decontaminate trap: a computed array in
-      // the generator is re-evaluated per emitted element)
+      // the generator is re-evaluated per emitted element); outer +
+      // null filter so no scan-side size() filter is inferred
+      // (InferFiltersFromGenerate, SURVEY §4)
       val uni = tok
         .select(col("doc_id"), col("tk"),
-          explode(when(size(col("tk")) < 1, array().cast("array<int>"))
+          explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))
             .otherwise(sequence(lit(1), size(col("tk"))))).as("i"))
+        .filter(col("i").isNotNull)
         .select(col("doc_id"), element_at(col("tk"), col("i")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(

@@ -53,12 +53,16 @@ object Decontaminate extends QueryPack {
     * Exploding the computed gram array directly re-evaluates the whole
     * interpreted transform chain per emitted element — measured 240×
     * slower (72 s vs 0.3 s on 5 000 docs) — so the expensive expression
-    * must stay out of the generator. */
+    * must stay out of the generator. explode_outer + null filter, not
+    * explode: the inner form infers `size(positions) > 0` and pushes
+    * it to the scan with the tokenizer chain inlined (the
+    * InferFiltersFromGenerate trap, SURVEY §4). */
   private def gramRows(tokenized: DataFrame, n: Int,
                        keep: Seq[Column]): DataFrame =
     tokenized
       .select(keep :+ col("tk") :+
-        explode(gramPositions(col("tk"), n)).as("i"): _*)
+        explode_outer(gramPositions(col("tk"), n)).as("i"): _*)
+      .filter(col("i").isNotNull)
       .select(keep :+ gramAt(col("tk"), col("i"), n).as("gram"): _*)
 
   /** Corpus-generic entry point: per training doc, the distinct-gram

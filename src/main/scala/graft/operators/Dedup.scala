@@ -157,9 +157,12 @@ object Dedup extends QueryPack {
     // size(td) > 0: tokens exist iff lower(text) has any [a-z0-9], and
     // a filter on the computed array would be pushed through the
     // projection, inlining (and re-running) the tokenizer chain per
-    // row in the filter.
+    // row in the filter. (?iu): UNICODE_CASE, because lower() folds
+    // the full Unicode range (e.g. U+212A KELVIN → 'k') while plain
+    // (?i) folds ASCII only — without the u flag such docs would lose
+    // their signature.
     augmented(s, d)
-      .filter(col("text").rlike("(?i)[a-z0-9]"))
+      .filter(col("text").rlike("(?iu)[a-z0-9]"))
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("td"))
       .select(col("doc_id"), call_function("simhash_sig", col("td")).as("simhash"))
   }
@@ -223,12 +226,13 @@ object Dedup extends QueryPack {
     * meaningful near-dup candidates anyway. The count and the self-join
     * shuffle on the same (band_idx, band_hash) keys, so the extra agg
     * reuses the exchange partitioning. */
-  /** (doc_id, band_idx, band_hash) rows of a signature frame. */
-  private def bandRows(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), posexplode(array(
+  /** (doc_id, extra…, band_idx, band_hash) rows of a signature frame. */
+  private def bandRows(sig: DataFrame,
+                       extra: Seq[String] = Nil): DataFrame =
+    sig.select((col("doc_id") +: extra.map(col)) :+ posexplode(array(
       (0 until NumHashes / BandSize).map(b =>
         md5(concat_ws("-", (0 until BandSize).map(r =>
-          col(s"h${b * BandSize + r}")): _*))): _*)).as(Seq("band_idx", "band_hash")))
+          col(s"h${b * BandSize + r}")): _*))): _*)).as(Seq("band_idx", "band_hash")): _*)
 
   def lshCandidatePairs(sig: DataFrame,
                         maxBucket: Int = MaxBucket): DataFrame = {
@@ -270,6 +274,12 @@ object Dedup extends QueryPack {
     * were emitted when their younger member arrived. Pair values match
     * [[lshCandidatePairs]] run on the full corpus, restricted to pairs
     * touching a delta doc (IncrementalDedupSpec pins the equivalence).
+    * Cap caveat: the equivalence is per ingest state — pairs emitted
+    * by earlier batches persist even if their bucket later grows past
+    * `maxBucket` (a full re-run would drop that whole bucket). For
+    * dedup that is the conservative direction: candidates found while
+    * the bucket was healthy are kept, only new probing of the
+    * now-degenerate bucket stops.
     *
     * The store itself is plain parquet of the signature frame,
     * maintained with the J11 anti-join append
@@ -279,15 +289,26 @@ object Dedup extends QueryPack {
     * full re-run would cap it. */
   def lshCandidatePairsIncremental(storeSig: DataFrame, newSig: DataFrame,
                                    maxBucket: Int = MaxBucket): DataFrame = {
-    val allB = bandRows(storeSig.unionByName(newSig))
+    // A doc present on both sides (re-delivered delta) is a STORE doc:
+    // the anti-join keeps the merged corpus free of duplicate band
+    // rows, which would otherwise inflate bucket counts past the cap
+    // and silently drop a bucket a full re-run keeps.
+    val newClean = newSig.join(storeSig.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    // One banding pass over the tagged union — the delta side is a
+    // filter on the same frame, not a second evaluation of the (often
+    // unpersisted) delta signature chain.
+    val allB = bandRows(
+      storeSig.withColumn("is_new", lit(false))
+        .unionByName(newClean.withColumn("is_new", lit(true))),
+      extra = Seq("is_new"))
     val keepBuckets = allB.groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
-    val cappedAll = allB.join(keepBuckets, Seq("band_idx", "band_hash"))
-    val cappedNew = bandRows(newSig).join(keepBuckets, Seq("band_idx", "band_hash"))
+    val capped = allB.join(keepBuckets, Seq("band_idx", "band_hash"))
     // delta probes store ∪ delta; normalize pair order, then distinct
     // bands (a delta–delta pair arrives from both directions)
-    cappedNew.as("a").join(cappedAll.as("b"),
+    capped.filter(col("is_new")).as("a").join(capped.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") =!= col("b.doc_id"))

@@ -90,13 +90,18 @@ object TextAnalysis extends QueryPack {
       // positions-explode per the house rule (a computed array in the
       // generator re-evaluates per element); all occurrences, not
       // distinct — vocab wants frequencies
+      // explode_outer + post-Generate null filter, per the
+      // InferFiltersFromGenerate trap (SURVEY §4): an inner explode
+      // would infer a scan-side filter that inlines the tokenizer
+      // chain per row
       val tok = docs(s, d)
         .select(col("doc_id"),
           filter(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
             "\\s+"), v => length(v) > 0).as("tk"))
         .select(col("tk"),
-          explode(when(size(col("tk")) < 1, array().cast("array<int>"))
+          explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))
             .otherwise(sequence(lit(1), size(col("tk"))))).as("i"))
+        .filter(col("i").isNotNull)
         .select(element_at(col("tk"), col("i")).as("token"))
       val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
       val total = counts.agg(sum("cnt").as("total_tokens"))

@@ -32,12 +32,16 @@ object SqlSurface extends QueryPack {
     * views once, so repeated queries must not re-pay 11 relation
     * resolutions each (measured ~1.4 s of the sql_rate_summary time).
     * Re-registers when the data dir changes (tests run several SFs in
-    * one session). */
+    * one session). Caveat of the skip: the views pin their file
+    * listing — if the data UNDER an already-registered dir is
+    * rewritten (compaction, regeneration), or a view name is dropped
+    * externally, call with `force = true` to re-resolve. */
   private val registered =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
-  def initViews(spark: SparkSession, dir: String): Unit = {
-    if (dir == registered.get(spark)) return
+  def initViews(spark: SparkSession, dir: String,
+                force: Boolean = false): Unit = {
+    if (!force && dir == registered.get(spark)) return
     Roles.rates(spark, dir).createOrReplaceTempView("rates")
     Roles.providers(spark, dir).createOrReplaceTempView("providers")
     Seq("part", "nation", "supplier", "orders", "customer", "lineitem",

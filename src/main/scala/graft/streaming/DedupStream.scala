@@ -26,6 +26,11 @@ import graft.operators.Dedup
   * Write order (pairs before store) makes the intermediate crash
   * states recoverable: pairs-written/store-missing replays to the same
   * pairs; both-written replays to the same both.
+  *
+  * The accumulated pairs sink equals a full-corpus run per ingest
+  * state — see the cap caveat on [[Dedup.lshCandidatePairsIncremental]]:
+  * pairs emitted before a bucket grew past the hot-bucket cap persist,
+  * where a from-scratch run would drop that bucket entirely.
   */
 object DedupStream {
 
@@ -36,8 +41,13 @@ object DedupStream {
                    pairsPath: String): Unit = {
     val spark = batch.sparkSession
     val sig = Dedup.minhashSignaturesFor(batch, idCol, textCol)
+    // hasCommittedData, not a bare path-exists check: a crash inside
+    // the very first store append can leave storePath holding only an
+    // uncommitted _temporary dir, and reading that throws "unable to
+    // infer schema" on every replay — the batch would be permanently
+    // stuck instead of recovering to the empty-store branch.
     val storePrev =
-      if (!exists(spark, storePath)) sig.limit(0)
+      if (!hasCommittedData(spark, storePath)) sig.limit(0)
       else spark.read.parquet(storePath)
         .filter(col("ingest_batch") =!= batchId).drop("ingest_batch")
     // anti-join also collapses same-batch re-deliveries of a doc the
@@ -69,9 +79,16 @@ object DedupStream {
       }
       .start()
 
-  private def exists(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Boolean = {
+  /** True only if the path holds at least one committed (non-hidden)
+    * file — `_temporary`/`_SUCCESS` residue from a crashed write does
+    * not count. */
+  private def hasCommittedData(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 }
