@@ -50,6 +50,27 @@ object ZOrder {
     spread16(rank16(a, aMin, aMax))
       .bitwiseOR(shiftleft(spread16(rank16(b, bMin, bMax)), 1))
 
+  /** N-column Morton key: column j's rank bit i lands at position
+    * i·k + j, so for k = 2 this is bit-identical to [[zkey]] (pinned
+    * by ZOrderSpec). Rank width shrinks to ⌊63 / k⌋ bits (≤ 16) so the
+    * key stays in a positive long; the per-bit shift cascade is plain
+    * column arithmetic, fully codegen'd. */
+  def zkeyN(cols: Seq[(Column, Double, Double)]): Column = {
+    require(cols.size >= 2, "zkeyN needs at least 2 columns")
+    val k = cols.size
+    val bits = math.min(16, 63 / k)
+    cols.zipWithIndex.map { case ((c, mn, mx), j) =>
+      val span = if (mx > mn) mx - mn else 1.0
+      val maxCell = (1L << bits) - 1
+      val r = least(greatest(
+        ((c.cast("double") - mn) / span * maxCell).cast("long"), lit(0L)),
+        lit(maxCell))
+      (0 until bits).map { i =>
+        shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * k + j)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
   /** Cluster `df` on the Morton key of (`colA`, `colB`) into
     * `numFiles` range partitions, each internally sorted — the layout
     * a z-ordered write produces. Bounds come from one scan-side
@@ -62,6 +83,20 @@ object ZOrder {
         .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
     df.withColumn("_zkey",
         zkey(col(colA), aMin, aMax, col(colB), bMin, bMax))
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+  }
+
+  /** N-column variant of [[cluster]] via [[zkeyN]]. */
+  def clusterN(df: DataFrame, cols: Seq[String],
+               numFiles: Int): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    df.withColumn("_zkey", zkeyN(cols.zipWithIndex.map { case (c, j) =>
+        (col(c), row.getDouble(2 * j), row.getDouble(2 * j + 1))
+      }))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .drop("_zkey")

@@ -42,6 +42,27 @@ class ZOrderSpec extends SparkSpec {
     assert(zb < 0.5, s"suppkey envelope $zb")
   }
 
+  test("zkeyN at k=2 is bit-identical to the specialized 2-D key") {
+    import spark.implicits._
+    val vals = Seq((3.0, 97.5), (0.0, 0.0), (100.0, 100.0), (42.0, 7.0),
+      (-1.0, 101.0), (55.5, 55.5))
+    val df = vals.toDF("a", "b").select(
+      ZOrder.zkey(col("a"), 0, 100, col("b"), 0, 100).as("fast"),
+      ZOrder.zkeyN(Seq((col("a"), 0, 100), (col("b"), 0, 100))).as("gen"))
+    assert(df.filter(col("fast") =!= col("gen")).count() == 0)
+  }
+
+  test("3-column clustering bounds every dimension's envelope") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_orderkey")
+    val zed = ZOrder.clusterN(li,
+      Seq("l_partkey", "l_suppkey", "l_orderkey"), 27)
+    Seq("l_partkey", "l_suppkey", "l_orderkey").foreach { c =>
+      val e = envelope(zed, c)
+      assert(e < 0.7, s"$c envelope $e")
+    }
+  }
+
   test("zkey is a total deterministic function of its inputs") {
     import spark.implicits._
     val df = Seq((0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0),
