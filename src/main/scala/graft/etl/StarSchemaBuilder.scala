@@ -153,12 +153,21 @@ object StarSchemaBuilder {
     } finally b.unpersist()
   }
 
-  /** Resolve with the session's Hadoop conf, not a bare Configuration —
-    * FS settings/credentials injected via spark.hadoop.* (s3a etc.) must
-    * apply, or the existence check could wrongly report false and make
+  /** True only if `path` holds at least one committed (non-hidden)
+    * entry — `_temporary`/`_SUCCESS` residue from a crashed write does
+    * not count, so an append that died before committing leaves a
+    * "fresh" target the retry can write into instead of an unreadable
+    * dir that fails schema inference forever. Resolved with the
+    * session's Hadoop conf, not a bare Configuration — FS
+    * settings/credentials injected via spark.hadoop.* (s3a etc.) must
+    * apply, or the check could wrongly report false and make
     * appendUnique skip its anti-join. */
-  private def exists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 }

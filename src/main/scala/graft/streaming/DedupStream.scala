@@ -41,13 +41,13 @@ object DedupStream {
                    pairsPath: String): Unit = {
     val spark = batch.sparkSession
     val sig = Dedup.minhashSignaturesFor(batch, idCol, textCol)
-    // hasCommittedData, not a bare path-exists check: a crash inside
+    // Committed-data check, not bare path existence: a crash inside
     // the very first store append can leave storePath holding only an
     // uncommitted _temporary dir, and reading that throws "unable to
     // infer schema" on every replay — the batch would be permanently
     // stuck instead of recovering to the empty-store branch.
     val storePrev =
-      if (!hasCommittedData(spark, storePath)) sig.limit(0)
+      if (!graft.etl.StarSchemaBuilder.exists(spark, storePath)) sig.limit(0)
       else spark.read.parquet(storePath)
         .filter(col("ingest_batch") =!= batchId).drop("ingest_batch")
     // anti-join also collapses same-batch re-deliveries of a doc the
@@ -79,16 +79,4 @@ object DedupStream {
       }
       .start()
 
-  /** True only if the path holds at least one committed (non-hidden)
-    * file — `_temporary`/`_SUCCESS` residue from a crashed write does
-    * not count. */
-  private def hasCommittedData(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
 }

@@ -55,4 +55,19 @@ class DedupStreamSpec extends SparkSpec {
     assert(pairSet == streamed)
     assert(spark.read.parquet(store).count() == storeIds.length)
   }
+
+  test("a store dir holding only crash residue counts as empty") {
+    // a driver killed inside the FIRST store append leaves the path
+    // existing with only _temporary/_SUCCESS-style entries; the replay
+    // must take the empty-store branch, not die reading no footers
+    val work = Files.createTempDirectory("graft_dcrash").toString
+    val store = s"$work/sig_store"
+    val pairs = s"$work/pairs"
+    new java.io.File(s"$store/_temporary/0").mkdirs()
+    DedupStream.processBatch(docs.limit(30), 0L, "doc_id", "text",
+      store, pairs)
+    // batch processed as the first: signatures landed, store readable
+    assert(spark.read.parquet(store).count() == 30)
+    assert(spark.read.parquet(store).columns.contains("ingest_batch"))
+  }
 }
