@@ -78,8 +78,10 @@ object Analytics extends QueryPack {
       o.join(c, o("o_custkey") === c("c_custkey"), "left")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("record_count"),
+          // hybrid per the a10 rule: expand only for the unbounded key
           countDistinct("o_custkey").as("unique_customers"),
-          countDistinct("o_orderpriority").as("unique_priorities"),
+          size(collect_set(col("o_orderpriority"))).cast("long")
+            .as("unique_priorities"),
           avg2(col("o_totalprice")).as("avg_price"),
           pround(min(col("o_totalprice")), 2).as("min_price"),
           pround(max(col("o_totalprice")), 2).as("max_price"))
