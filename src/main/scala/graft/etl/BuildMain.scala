@@ -49,13 +49,22 @@ object BuildMain {
     // once, probe many" — probes prune to their nprobe buckets)
     graft.operators.Similarity.writeIvfIndex(spark, sfDir,
       s"$outDir/ivf_index")
-    // sanity counts, mirroring prod_etl/ETL_1.py:504-520
-    Seq("dim_code", "dim_payer", "dim_provider_group", "dim_pos_set",
-      "xref_pos", "xref_pg_member", "fact_rate", "dim_npi",
+    // sanity counts, mirroring prod_etl/ETL_1.py:504-520; also written
+    // as a manifest so successive incremental builds can diff row
+    // counts (shrinking dims / exploding facts are the cheap drift
+    // signals the reference's count checks exist to catch)
+    val counts = Seq("dim_code", "dim_payer", "dim_provider_group",
+      "dim_pos_set", "xref_pos", "xref_pg_member", "fact_rate", "dim_npi",
       "dim_npi_address", "dim_tin", "xref_pg_member_tin", "dim_code_cat",
-      "agg_market_rates", "ivf_index").foreach { t =>
-      println(s"[build] $t rows=${spark.read.parquet(s"$outDir/$t").count()}")
+      "agg_market_rates", "ivf_index").map { t =>
+      val n = spark.read.parquet(s"$outDir/$t").count()
+      println(s"[build] $t rows=$n")
+      t -> n
     }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_manifest.json"),
+      counts.map { case (t, n) => s""""$t": $n""" }
+        .mkString("{\n  ", ",\n  ", "\n}\n"))
     spark.stop()
   }
 }

@@ -63,6 +63,31 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("zkeyN matches an independent bit-interleave reference (k=3)") {
+    import spark.implicits._
+    val vals = Seq((0.0, 0.0, 0.0), (100.0, 100.0, 100.0), (13.0, 77.0, 42.0),
+      (99.9, 0.1, 50.0), (-3.0, 103.0, 0.0))
+    val got = vals.toDF("a", "b", "c")
+      .select(ZOrder.zkeyN(Seq((col("a"), 0, 100), (col("b"), 0, 100),
+        (col("c"), 0, 100))).as("z"))
+      .collect().map(_.getLong(0))
+    val bits = 63 / 3 min 16 // = 16
+    def rank(v: Double): Long = {
+      val cell = ((v - 0) / 100.0 * ((1L << bits) - 1)).toLong
+      math.min(math.max(cell, 0L), (1L << bits) - 1)
+    }
+    def ref(a: Double, b: Double, c: Double): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc |
+          (((rank(a) >> i) & 1L) << (i * 3)) |
+          (((rank(b) >> i) & 1L) << (i * 3 + 1)) |
+          (((rank(c) >> i) & 1L) << (i * 3 + 2))
+      }
+    vals.zip(got).foreach { case ((a, b, c), z) =>
+      assert(z == ref(a, b, c), s"($a,$b,$c): got $z, ref ${ref(a, b, c)}")
+    }
+  }
+
   test("zkey is a total deterministic function of its inputs") {
     import spark.implicits._
     val df = Seq((0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0),
