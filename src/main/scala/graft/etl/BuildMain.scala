@@ -61,8 +61,7 @@ object BuildMain {
       println(s"[build] $t rows=$n")
       t -> n
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/_manifest.json"),
+    graft.FsUtils.writeString(spark, s"$outDir/_manifest.json",
       counts.map { case (t, n) => s""""$t": $n""" }
         .mkString("{\n  ", ",\n  ", "\n}\n"))
     spark.stop()

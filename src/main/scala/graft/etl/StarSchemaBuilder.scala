@@ -153,21 +153,9 @@ object StarSchemaBuilder {
     } finally b.unpersist()
   }
 
-  /** True only if `path` holds at least one committed (non-hidden)
-    * entry — `_temporary`/`_SUCCESS` residue from a crashed write does
-    * not count, so an append that died before committing leaves a
-    * "fresh" target the retry can write into instead of an unreadable
-    * dir that fails schema inference forever. Resolved with the
-    * session's Hadoop conf, not a bare Configuration — FS
-    * settings/credentials injected via spark.hadoop.* (s3a etc.) must
-    * apply, or the check could wrongly report false and make
-    * appendUnique skip its anti-join. */
-  private[graft] def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
+  /** Committed-data existence (see [[graft.FsUtils.committedExists]]):
+    * crash residue does not count, or appendUnique's read-existing
+    * branch would fail schema inference forever on a retry. */
+  private def exists(spark: SparkSession, path: String): Boolean =
+    graft.FsUtils.committedExists(spark, path)
 }

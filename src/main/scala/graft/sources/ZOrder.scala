@@ -74,28 +74,25 @@ object ZOrder {
   /** Cluster `df` on the Morton key of (`colA`, `colB`) into
     * `numFiles` range partitions, each internally sorted — the layout
     * a z-ordered write produces. Bounds come from one scan-side
-    * min/max aggregate (collected as 4 scalars; no shuffle). */
+    * min/max aggregate (collected scalars; no shuffle). Delegates to
+    * [[clusterN]] — ZOrderSpec pins `zkeyN` at k = 2 bit-identical to
+    * the specialized [[zkey]] cascade. */
   def cluster(df: DataFrame, colA: String, colB: String,
-              numFiles: Int): DataFrame = {
-    val Array(aMin, aMax, bMin, bMax) =
-      df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-          min(col(colB)).cast("double"), max(col(colB)).cast("double"))
-        .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
-    df.withColumn("_zkey",
-        zkey(col(colA), aMin, aMax, col(colB), bMin, bMax))
-      .repartitionByRange(numFiles, col("_zkey"))
-      .sortWithinPartitions("_zkey")
-      .drop("_zkey")
-  }
+              numFiles: Int): DataFrame =
+    clusterN(df, Seq(colA, colB), numFiles)
 
-  /** N-column variant of [[cluster]] via [[zkeyN]]. */
+  /** N-column clustering via [[zkeyN]]. Null bounds (empty input, or
+    * an all-null / non-castable column) degrade to [0, 0] — every row
+    * lands in cell 0 for that dimension instead of throwing, so a
+    * possibly-empty incremental delta clusters as a no-op. */
   def clusterN(df: DataFrame, cols: Seq[String],
                numFiles: Int): DataFrame = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def bound(i: Int): Double = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
     df.withColumn("_zkey", zkeyN(cols.zipWithIndex.map { case (c, j) =>
-        (col(c), row.getDouble(2 * j), row.getDouble(2 * j + 1))
+        (col(c), bound(2 * j), bound(2 * j + 1))
       }))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")

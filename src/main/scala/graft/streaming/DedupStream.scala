@@ -47,7 +47,7 @@ object DedupStream {
     // infer schema" on every replay — the batch would be permanently
     // stuck instead of recovering to the empty-store branch.
     val storePrev =
-      if (!graft.etl.StarSchemaBuilder.exists(spark, storePath)) sig.limit(0)
+      if (!graft.FsUtils.committedExists(spark, storePath)) sig.limit(0)
       else spark.read.parquet(storePath)
         .filter(col("ingest_batch") =!= batchId).drop("ingest_batch")
     // anti-join also collapses same-batch re-deliveries of a doc the
