@@ -40,9 +40,9 @@ object Multimodal extends QueryPack {
     * comment marks it, then streams the partition's payloads through;
     * partition size is therefore the batch size, controlled by the
     * upstream repartition. The stub computes the same crc32-seeded
-    * pseudo-features as the expression path, so MultimodalSeamSpec can
-    * assert the two paths agree byte-for-byte — swapping in a real
-    * decoder changes only the body of the loop. */
+    * pseudo-features as the expression path, so OperatorsSpec asserts
+    * the two paths agree byte-for-byte — swapping in a real decoder
+    * changes only the body of the loop. */
   def decodePartitions(media: org.apache.spark.sql.Dataset[MediaIn])
       : org.apache.spark.sql.Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -135,6 +135,6 @@ object Multimodal extends QueryPack {
   )
 
   // Binary plumbing is engine-specific → driver rows-only check;
-  // MultimodalSpec asserts schema, determinism, and batch shape.
+  // OperatorsSpec asserts schema, determinism, and batch shape.
   def oracles: Map[String, String] = Map.empty
 }
