@@ -15,8 +15,10 @@ import graft.functions.NormExprs._
   * states side of the benchmark cross product) carry broadcast hints;
   * SF-scaled tables (orders, customer) go through shuffle joins so the
   * plans survive a 100× scale-up (AQE may still localize them at small
-  * SF). Wide countDistinct aggregates use Spark's expand+partial-agg
-  * (exact, matching the reference's exact distinct counts — SURVEY §2.4).
+  * SF). Distinct counts are exact (matching the reference — SURVEY
+  * §2.4) with a hybrid plan: countDistinct's expand+partial-distinct
+  * for unbounded id columns, collect_set sizes for bounded-domain
+  * descriptors so the Expand multiplier stays at the unbounded count.
   */
 object Analytics extends QueryPack {
 
