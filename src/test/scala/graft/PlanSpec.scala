@@ -39,12 +39,18 @@ class PlanSpec extends SparkSpec {
     }.flatten
   }
 
+  /** Queries whose hint sits on a LITERAL-bounded slice of an
+    * SF-scaled table (the ANN query set: `vec_id < 10` is ≤ 10 rows at
+    * any scale). A predicate like `state = 'GA'` would NOT qualify —
+    * that slice still grows with the fact — so additions here need the
+    * same by-construction cardinality argument. */
+  private val LiteralBoundedHints = Set("sim_cosine_pairs",
+    "sim_cosine_native", "sim_ann_topk", "sim_ivf_topk")
+
   test("broadcast hints appear only on bounded dims, never on fact-scaled tables") {
-    val checked = Seq("a9_category_drilldown", "a10_search_stats",
-      "j9_computed_slug_join", "j10_five_way_star", "bench_crossjoin_build",
-      "j1_enrich_left", "star_fact_build", "s15_agg_market_rates",
-      "wide_table_build", "funnel_stage3_proc_sets")
-    checked.foreach { q =>
+    // EVERY declared query — a new operator with a scale-killer hint
+    // must fail here, not wait for a judge to read its plan
+    SparkEntry.queries.keys.filterNot(LiteralBoundedHints).foreach { q =>
       val hinted = hintedTables(q)
       val offenders = hinted.filterNot(t =>
         BoundedDims.exists(d => t.contains(d.stripSuffix(".parquet"))))
