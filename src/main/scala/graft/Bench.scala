@@ -149,14 +149,23 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
     // Full-precision line first (local inspection)…
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"routed_ms_p50":$routedMs,"sf":"$sfDir"}""")
-    // …then a compact line LAST. The harness keeps only the final ~2000
-    // characters of stdout; with 80+ queries at full double precision the
-    // line above exceeds that window, truncating away the headline
-    // "metric"/"value" fields (observed: BENCH_r01..r04 all have
-    // parsed:null). Round to 3 dp and keep only the slowest queries up to
-    // a byte budget, so this line always survives the tail capture intact.
+    // …then the compact line LAST (see [[compactLine]]).
+    println(compactLine(results.toSeq, total, servingMs, routedMs, sfDir))
+    spark.stop()
+  }
+
+  /** The driver-facing result line. The harness keeps only the final
+    * ~2000 characters of stdout; with 80+ queries at full double
+    * precision a naive line exceeds that window, truncating away the
+    * headline "metric"/"value" fields (observed: BENCH_r01..r04 all
+    * have parsed:null). Round to 3 dp and keep only the slowest
+    * queries up to a byte budget, so the line always survives the tail
+    * capture intact AND stays valid JSON — BenchLineSpec pins both. */
+  def compactLine(results: Seq[(String, Double)], total: Double,
+                  servingMs: Double, routedMs: Double,
+                  sfDir: String): String = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
-    val bySlowest = results.toSeq.sortBy(-_._2)
+    val bySlowest = results.sortBy(-_._2)
     val budget = 1500 // line budget in chars, well under the 2000-char tail
     val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"serving_ms_p50":${r3(servingMs)},"routed_ms_p50":${r3(routedMs)},"sf":"$sfDir","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -168,7 +177,6 @@ object Bench {
     val omitted = bySlowest.drop(entries.length)
     val tailFields =
       s"""},"queries_omitted":${omitted.size},"omitted_sec":${r3(omitted.map(_._2).sum)}}"""
-    println(header + entries.mkString(",") + tailFields)
-    spark.stop()
+    header + entries.mkString(",") + tailFields
   }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses the LAST line of the bench's captured stdout tail
+  * (~2000 chars). Four rounds shipped parsed:null because the line
+  * outgrew the window — pin the two properties that prevent a
+  * regression: the compact line always fits, and it is always valid
+  * JSON with the headline fields present. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def mkResults(n: Int): Seq[(String, Double)] =
+    (0 until n).map(i => s"some_quite_long_query_name_number_$i" -> i * 0.137)
+
+  test("compact line fits the 2000-char tail window at any query count") {
+    Seq(0, 1, 50, 94, 300).foreach { n =>
+      val line = Bench.compactLine(mkResults(n), 123.456, 101.2, 333.4,
+        "/root/testdata/sf0.1")
+      assert(line.length < 1700, s"n=$n: ${line.length} chars")
+    }
+  }
+
+  test("compact line is valid JSON with the headline fields") {
+    Seq(0, 94, 300).foreach { n =>
+      val line = Bench.compactLine(mkResults(n), 99.9, -1.0, -1.0, "/x")
+      val node = mapper.readTree(line) // throws on malformed JSON
+      assert(node.get("metric").asText() == "total")
+      assert(node.get("value").asDouble() == 99.9)
+      assert(node.get("n_queries").asInt() == n)
+      assert(node.get("queries").isObject)
+      assert(node.get("queries_omitted").asInt() ==
+        n - node.get("queries").size())
+    }
+  }
+
+  test("the slowest queries survive omission, never the fastest-first") {
+    val line = Bench.compactLine(mkResults(300), 1.0, 0, 0, "/x")
+    val node = mapper.readTree(line)
+    val kept = node.get("queries").fieldNames()
+    // slowest = highest index in mkResults; the first kept key is it
+    assert(kept.next() == "some_quite_long_query_name_number_299")
+  }
+}
