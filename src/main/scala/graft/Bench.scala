@@ -170,9 +170,15 @@ object Bench {
     val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"serving_ms_p50":${r3(servingMs)},"routed_ms_p50":${r3(routedMs)},"sf":"$sfDir","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = header.length + 60 // reserve room for the omitted-queries tail
-    for ((k, v) <- bySlowest) {
+    var full = false
+    // Stop at the FIRST entry that doesn't fit (no skip-and-continue):
+    // the kept set must be a strict prefix of bySlowest, or the
+    // drop(entries.length) below would misattribute which queries were
+    // omitted and double-count their seconds.
+    for ((k, v) <- bySlowest if !full) {
       val e = "\"" + k + "\":" + r3(v)
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else full = true
     }
     val omitted = bySlowest.drop(entries.length)
     val tailFields =

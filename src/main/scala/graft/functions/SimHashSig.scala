@@ -74,13 +74,27 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_sig"
 
-  override def nullSafeEval(v: Any): Any =
-    SimHashKernel.sign(v.asInstanceOf[ArrayData])
+  // An empty token array has no defined signature: sign() would emit
+  // all-64-bits-set (2·0 ≥ 0 for every bit), making every tokenless doc
+  // a Hamming-0 "near-dup" of every other one. NULL instead — a null
+  // band value never satisfies a join equality, so such docs simply
+  // produce no candidate pairs (the same outcome as the SWAR form,
+  // whose explode drops them entirely).
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() == 0) null else SimHashKernel.sign(a)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in =>
-      s"${ev.value} = graft.functions.SimHashKernel.sign($in);")
+      s"""if ($in.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.SimHashKernel.sign($in);
+         |}""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): SimHashSig =
     copy(child = c)

@@ -149,18 +149,22 @@ object Dedup extends QueryPack {
     * Each md5 bit of a token is an independent ±1 hyperplane
     * projection; the signature bit is the sign of the sum.
     * SimHashNativeSpec proves value parity with the SWAR aggregation
-    * form below. Empty-token docs are dropped, matching the SWAR
-    * form's explode semantics. */
+    * form below. Empty-token docs get a NULL signature (the kernel
+    * sentinel) and therefore never join in the band step — the same
+    * no-pairs outcome as the SWAR form's explode, which drops them. */
   def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.registerAll(s)
-    // Empty-token filter as a cheap rlike on the RAW text, not
-    // size(td) > 0: tokens exist iff lower(text) has any [a-z0-9], and
-    // a filter on the computed array would be pushed through the
-    // projection, inlining (and re-running) the tokenizer chain per
-    // row in the filter. (?iu): UNICODE_CASE, because lower() folds
-    // the full Unicode range (e.g. U+212A KELVIN → 'k') while plain
-    // (?i) folds ASCII only — without the u flag such docs would lose
-    // their signature.
+    // Cheap scan-side prefilter, NOT the correctness guard (that is
+    // the kernel's NULL-for-empty sentinel): most tokenless docs are
+    // pruned here before the md5 work. rlike on the RAW text rather
+    // than size(td) > 0 because a filter on the computed array would
+    // be pushed through the projection, inlining (and re-running) the
+    // tokenizer chain per row in the filter. (?iu): UNICODE_CASE,
+    // because lower() folds the full Unicode range (e.g. U+212A
+    // KELVIN → 'k') while plain (?i) folds ASCII only. The fold sets
+    // are not exactly identical (e.g. U+017F 'ſ' matches (?iu) but
+    // survives lower() untokenized) — docs in the gap reach the
+    // kernel with zero tokens and get the NULL signature.
     augmented(s, d)
       .filter(col("text").rlike("(?iu)[a-z0-9]"))
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("td"))
@@ -412,7 +416,125 @@ object Dedup extends QueryPack {
     })
   )
 
+  /** Shared DuckDB CTE: cleaned word tokens of the augmented corpus —
+    * the SQL twin of [[tokens]] over [[augmentedSql]]. */
+  private val tokSql = s"""aug AS ($augmentedSql),
+      tok AS (
+        SELECT doc_id, list_filter(string_split_regex(
+          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+          x -> x <> '') AS tk
+        FROM aug)"""
+
+  /** DuckDB twin of the full MinHash-LSH pipeline, generated from the
+    * SAME permutation constants as the Spark kernel
+    * ([[graft.functions.MinHashSig.defaultAB]]/[[MinhashP]]) so the two
+    * engines cannot drift: shingles → 32-bit md5-prefix hash → k
+    * permutation minima → 4-row band md5 → hot-bucket cap → bucket
+    * self-join. The kernel's distinct-by-h32 (vs distinct-by-text
+    * here) is value-equivalent: colliding shingles contribute the same
+    * h to every permutation minimum. */
+  private def minhashLshOracle: String = {
+    val sigCols = minhashAB.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * h + $b) % $MinhashP) AS h$j"
+    }.mkString(",\n               ")
+    val bandSelects = (0 until NumHashes / BandSize).map { bi =>
+      val joined = (0 until BandSize)
+        .map(r => s"CAST(h${bi * BandSize + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $bi AS band_idx, md5($joined) AS band_hash FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH $tokSql,
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                 ELSE list_transform(range(1, len(tk) - 1), i ->
+                   tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1] ||
+                   ' ' || tk[CAST(i AS INTEGER) + 2]) END) AS s
+          FROM tok)),
+      hs AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id,
+               $sigCols
+        FROM hs GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      keep AS (
+        SELECT band_idx, band_hash FROM bands
+        GROUP BY 1, 2 HAVING COUNT(*) <= $MaxBucket),
+      capped AS (
+        SELECT b.* FROM bands b JOIN keep USING (band_idx, band_hash))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS INTEGER) AS n_bands
+      FROM capped a
+      JOIN capped b ON a.band_idx = b.band_idx
+                   AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+      GROUP BY 1, 2"""
+  }
+
+  /** DuckDB twin of SimHash band dedup. The 64-bit signature is carried
+    * as two unsigned 32-bit halves (DuckDB BIGINT overflow is checked,
+    * so the signed long is never materialized): token hash = first 8
+    * md5 bytes big-endian, bit i counted across the doc's DISTINCT
+    * tokens, signature bit set iff 2·count ≥ n — exactly
+    * [[graft.functions.SimHashKernel.sign]]. Bands are 16-bit slices
+    * (lo%2^16, lo/2^16, hi%2^16, hi/2^16 == the masked shiftrights);
+    * Hamming = popcount(hi⊕hi') + popcount(lo⊕lo'). Tokenless docs are
+    * excluded, matching the kernel's NULL sentinel (NULL never joins). */
+  private def simhashOracle: String = {
+    val cDefs = (0 until 64).map { i =>
+      val (half, sh) = (if (i < 32) "lo" else "hi", i % 32)
+      s"SUM(($half >> $sh) & 1) AS c$i"
+    }.mkString(",\n               ")
+    def sigHalf(lo: Int): String = (0 until 32).map { b =>
+      s"CASE WHEN 2 * c${lo + b} >= n THEN ${1L << b} ELSE 0 END"
+    }.mkString(" +\n               ")
+    s"""WITH $tokSql,
+      tokd AS (
+        SELECT DISTINCT doc_id, t FROM (
+          SELECT doc_id, unnest(tk) AS t FROM tok WHERE len(tk) > 0)),
+      th AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hi,
+               CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS lo
+        FROM tokd),
+      cnt AS (
+        SELECT doc_id, COUNT(*) AS n,
+               $cDefs
+        FROM th GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id,
+               ${sigHalf(0)} AS sig_lo,
+               ${sigHalf(32)} AS sig_hi
+        FROM cnt),
+      bands AS (
+        SELECT doc_id, sig_hi, sig_lo, 0 AS band_idx, sig_lo % 65536 AS band_val FROM sig
+        UNION ALL SELECT doc_id, sig_hi, sig_lo, 1, sig_lo // 65536 FROM sig
+        UNION ALL SELECT doc_id, sig_hi, sig_lo, 2, sig_hi % 65536 FROM sig
+        UNION ALL SELECT doc_id, sig_hi, sig_lo, 3, sig_hi // 65536 FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig_hi AS ha, a.sig_lo AS la, b.sig_hi AS hb, b.sig_lo AS lb
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+                    AS INTEGER) AS hamming
+        FROM pairs)
+      WHERE hamming <= $SimhashK"""
+  }
+
   def oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_simhash" -> simhashOracle,
+
     "dedup_exact" -> s"""WITH aug AS ($augmentedSql)
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
              COUNT(*) AS n_copies
@@ -455,7 +577,8 @@ object Dedup extends QueryPack {
       LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
       JOIN sizes sa ON sa.doc_id = p.doc_a
       JOIN sizes sb ON sb.doc_id = p.doc_b"""
-    // dedup_minhash_lsh / dedup_simhash: not SQL-expressible concisely →
-    // driver rows-only check; ScalaTest specs assert known-dup recovery.
+    // dedup_embedding_cosine stays rows-only: the SRP hyperplanes are
+    // float-truncated doubles and the verify is float cosine — no
+    // bit-exact DuckDB twin without reimplementing fp32 accumulation.
   )
 }

@@ -9,8 +9,21 @@ import graft.operators.Dedup
   * is the ingest delta of [[Dedup.lshCandidatePairsIncremental]] —
   * signatures are computed for the batch only, candidate pairs against
   * the persisted signature store are emitted, and the batch's
-  * signatures join the store. The corpus is re-minhashed never; each
-  * batch costs O(batch) signature work plus the banded probe.
+  * signatures join the store. The corpus is re-minhashed never.
+  *
+  * Per-batch cost, honestly: O(batch) signature work (the expensive
+  * md5-per-shingle part), PLUS an O(|store|) banding pass — the
+  * incremental path re-derives the store's band rows and re-aggregates
+  * bucket counts over store ∪ delta every batch, because the exact
+  * hot-bucket cap must see post-merge totals. At 100 TB that term
+  * dominates small deltas: banding is 4 md5s per stored signature and
+  * the bucket count is a corpus-sized (but slim, ~40-byte-row) shuffle.
+  * The scale escape is to persist the banded rows and running bucket
+  * counts next to the signature store (updated by the same
+  * exactly-once append discipline) so a batch pays O(batch) bands +
+  * one bucketed probe join; that store layout is not implemented here
+  * — batch sizes in this engine's tests make the recompute the simpler
+  * correct choice.
   *
   * Exactly-once across foreachBatch replays (a batch re-runs whenever
   * the checkpoint commit didn't land):

@@ -35,6 +35,30 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("kept set is a strict slowest-prefix and omitted_sec reconciles") {
+    // A very long name ranked mid-pack: skip-and-continue packing would
+    // drop it yet keep later (faster) entries, so drop(entries.length)
+    // would misattribute which queries were omitted and their seconds.
+    val results = (0 until 200).map { i =>
+      val name = if (i == 50) "long_" * 400 else s"q$i"
+      name -> (200 - i) * 1.0
+    }
+    val node = mapper.readTree(Bench.compactLine(results, 0, 0, 0, "/x"))
+    val kept = {
+      val it = node.get("queries").fieldNames()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val bySlowest = results.sortBy(-_._2)
+    assert(kept == bySlowest.take(kept.size).map(_._1),
+      "kept keys must be exactly the slowest prefix")
+    assert(kept.size <= 50, "the unfittable long name must end the prefix")
+    val omittedSum = bySlowest.drop(kept.size).map(_._2).sum
+    assert(math.abs(node.get("omitted_sec").asDouble() - omittedSum) < 1e-6)
+    assert(node.get("queries_omitted").asInt() == 200 - kept.size)
+  }
+
   test("the slowest queries survive omission, never the fastest-first") {
     val line = Bench.compactLine(mkResults(300), 1.0, 0, 0, "/x")
     val node = mapper.readTree(line)

@@ -37,9 +37,7 @@ class EntryContractSpec extends SparkSpec {
     * driver's check without anyone noticing — fail here instead. */
   test("un-oracled queries are exactly the documented rows-only set") {
     val rowsOnlyByDesign = Set(
-      "dedup_minhash_lsh", // LSH banding: candidate set, not SQL-stable
-      "dedup_simhash", // banded Hamming candidates
-      "dedup_embedding_cosine", // SRP-bucketed near-dup candidates
+      "dedup_embedding_cosine", // SRP float-cosine: no bit-exact SQL twin
       "sim_ivf_topk", // approximate by construction
       "multimodal_pipeline", // binary plumbing, engine-specific
       "multimodal_resize") // codec-seam stub, engine-specific

@@ -22,6 +22,26 @@ class SimHashNativeSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("empty token array yields NULL (never all-bits-set) signature") {
+    // Without the sentinel, sign() on zero tokens emits 0xFFFF… (2·0 ≥ 0
+    // for every bit) and all tokenless docs band-collide as Hamming-0
+    // near-dups. NULL never joins, so they produce no candidate pairs.
+    GraftExtensions.registerAll(spark)
+    val sigs = spark.range(3).select(
+      call_function("simhash_sig",
+        array().cast("array<string>")).as("simhash"))
+    assert(sigs.count() == 3)
+    assert(sigs.filter(col("simhash").isNotNull).count() == 0)
+    // and the interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    assert(graft.functions.SimHashSig(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        new GenericArrayData(Array.empty[Any]),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+      .eval(null) == null)
+  }
+
   test("single-token signature equals the token's 64-bit md5 prefix") {
     // n=1: every set hash bit has count 1 (2·1 ≥ 1) and every clear
     // bit has 2·0 < 1, so the signature IS the token hash — pins the
