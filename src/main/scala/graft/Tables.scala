@@ -23,13 +23,69 @@ object Tables {
     * partition count is sized from file bytes (~256 KiB per partition,
     * capped at the session's core count) so tiny dims are not shuffled.
     */
+  /** Resolved base-table frames per (session, path). Building a scan —
+    * relation resolution, file listing, footer/schema read — costs
+    * ~40 ms per `spark.read.parquet` call, paid per query on the
+    * serving path (a routed dashboard query re-derives its defining
+    * plan from these loaders every time). The frame is immutable and
+    * reusable, so cache it; same LRU bound and rationale as
+    * [[graft.plans.GoldCatalog]]'s scan cache. Base tables are
+    * read-only inputs here — a pipeline that rewrites one mid-session
+    * must call [[invalidateCache]]. */
+  private val LoadCacheMax = 64
+  private val loadCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]) =
+        size() > LoadCacheMax
+    })
+
+  def invalidateCache(): Unit = loadCache.clear()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (spark, s"$dir/$name.parquet")
+    val hit = loadCache.synchronized(loadCache.get(key))
+    if (hit != null) hit
+    else {
+      // built outside the monitor (listing can take a while; racing
+      // builders are harmless — the loser's frame is discarded)
+      val built = buildLoad(spark, dir, name)
+      loadCache.synchronized {
+        val raced = loadCache.get(key)
+        if (raced != null) raced
+        else { loadCache.put(key, built); built }
+      }
+    }
+  }
+
+  private def buildLoad(spark: SparkSession, dir: String,
+                        name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val bytes = new java.io.File(s"$dir/$name.parquet").length()
-    val target = math.min(spark.sparkContext.defaultParallelism.toLong,
+    val cores = spark.sparkContext.defaultParallelism
+    val target = math.min(cores.toLong,
       math.max(1L, bytes / (256L << 10))).toInt
-    if (target > 1 && df.rdd.getNumPartitions < target) df.repartition(target)
-    else df
+    if (target <= 1) df
+    else {
+      // Estimate the scan's split count from the same inputs Spark's
+      // file bin-packing uses rather than asking df.rdd.getNumPartitions:
+      // touching .rdd runs analysis + optimization + physical planning
+      // for the scan (measured ~30-60 ms per load), which dominates the
+      // serving path where this loader runs once per dashboard query.
+      // Over- vs under-estimating by a split only changes a repartition
+      // decision, never results.
+      def bytesConf(key: String, dflt: Long): Long =
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get(key, dflt.toString))
+        catch { case _: Exception => dflt }
+      val maxPartition = bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20)
+      val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L << 20)
+      val maxSplit = math.min(maxPartition,
+        math.max(openCost, (bytes + openCost) / math.max(1, cores)))
+      val estSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+      if (estSplits < target) df.repartition(target) else df
+    }
   }
 
   /** Corrupt-parquet salvage read (SURVEY §2.1 S2): skip unreadable

@@ -60,17 +60,22 @@ object GoldAggregates {
           .cast("double") / count(col("negotiated_rate")), 2).as("mean"),
         pround(min(col("negotiated_rate")), 2).as("min"),
         pround(max(col("negotiated_rate")), 2).as("max"))
-      .withColumn("p10", pround(element_at(col("qs"), 1), 2))
-      .withColumn("p25", pround(element_at(col("qs"), 2), 2))
-      .withColumn("p50", pround(element_at(col("qs"), 3), 2))
-      .withColumn("p75", pround(element_at(col("qs"), 4), 2))
-      .withColumn("p90", pround(element_at(col("qs"), 5), 2))
-      .drop("qs")
-      .withColumnRenamed("billing_code", "code")
-      .select("year_month", "state", "payer_slug", "billing_class",
-        "code_type", "code", "npi_count", "ein_count",
-        "p10", "p25", "p50", "p75", "p90", "mean", "min", "max")
+      .select(finalColumns: _*)
   }
+
+  /** Post-agg projection shared by the exact and approx tiers. ONE
+    * select, not withColumn×5 + rename + select: every Dataset
+    * operation eagerly re-analyzes the whole plan (joins + percentile
+    * aggregate included), and on the routed serving path this builder
+    * runs per dashboard query — 9 chained ops cost ~9 analyses of the
+    * same aggregate (measured ~40 ms of the latency budget). */
+  private def finalColumns: Seq[org.apache.spark.sql.Column] =
+    Seq(col("year_month"), col("state"), col("payer_slug"),
+      col("billing_class"), col("code_type"),
+      col("billing_code").as("code"), col("npi_count"), col("ein_count")) ++
+      Seq("p10" -> 1, "p25" -> 2, "p50" -> 3, "p75" -> 4, "p90" -> 5).map {
+        case (n, i) => pround(element_at(col("qs"), i), 2).as(n)
+      } ++ Seq(col("mean"), col("min"), col("max"))
 
   /** The 100 TB opt-in tier (SURVEY §2.4 policy): same grain and
     * schema, but sketches instead of exact buffers —
@@ -103,16 +108,7 @@ object GoldAggregates {
           .cast("double") / count(col("negotiated_rate")), 2).as("mean"),
         pround(min(col("negotiated_rate")), 2).as("min"),
         pround(max(col("negotiated_rate")), 2).as("max"))
-      .withColumn("p10", pround(element_at(col("qs"), 1), 2))
-      .withColumn("p25", pround(element_at(col("qs"), 2), 2))
-      .withColumn("p50", pround(element_at(col("qs"), 3), 2))
-      .withColumn("p75", pround(element_at(col("qs"), 4), 2))
-      .withColumn("p90", pround(element_at(col("qs"), 5), 2))
-      .drop("qs")
-      .withColumnRenamed("billing_code", "code")
-      .select("year_month", "state", "payer_slug", "billing_class",
-        "code_type", "code", "npi_count", "ein_count",
-        "p10", "p25", "p50", "p75", "p90", "mean", "min", "max")
+      .select(finalColumns: _*)
   }
 
   /** Full materialization: write the aggregate hive-partitioned by
