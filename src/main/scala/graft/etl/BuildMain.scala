@@ -49,6 +49,19 @@ object BuildMain {
     // once, probe many" — probes prune to their nprobe buckets)
     graft.operators.Similarity.writeIvfIndex(spark, sfDir,
       s"$outDir/ivf_index")
+    // incremental-dedup serving: the corpus minhash signature store
+    // that later ingest deltas probe (DedupStream). Seeded idempotently
+    // with the same append-unique the stream uses, then compacted —
+    // micro-appended stores accrue a part file per batch per shuffle
+    // partition, and the compaction pass is the standing maintenance
+    // that keeps probe-side listing/open costs bounded.
+    graft.etl.StarSchemaBuilder.appendUnique(spark,
+      graft.operators.Dedup.minhashSignaturesFor(
+          graft.Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+        .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(0L)),
+      s"$outDir/minhash_sig_store", Seq("doc_id"))
+    graft.streaming.DedupStream.compactStore(spark,
+      s"$outDir/minhash_sig_store", maxFiles = 16)
     // sanity counts, mirroring prod_etl/ETL_1.py:504-520; also written
     // as a manifest so successive incremental builds can diff row
     // counts (shrinking dims / exploding facts are the cheap drift
@@ -56,7 +69,7 @@ object BuildMain {
     val counts = Seq("dim_code", "dim_payer", "dim_provider_group",
       "dim_pos_set", "xref_pos", "xref_pg_member", "fact_rate", "dim_npi",
       "dim_npi_address", "dim_tin", "xref_pg_member_tin", "dim_code_cat",
-      "agg_market_rates", "ivf_index").map { t =>
+      "agg_market_rates", "ivf_index", "minhash_sig_store").map { t =>
       val n = spark.read.parquet(s"$outDir/$t").count()
       println(s"[build] $t rows=$n")
       t -> n

@@ -8,10 +8,13 @@ import graft.queries.QueryPack
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, plus a feature-extraction pass.
   *
-  * The real decode step (image/audio codecs) is STUBBED — this
-  * container has no media libraries — with a deterministic fake
-  * feature extractor (`fakeDecodeFeatures`). Everything around the
-  * stub is the real Spark plumbing that matters at 100 TB:
+  * The decode seam is content-sniffed: PNG payloads are REALLY decoded
+  * (pure-JDK `javax.imageio` — no native libs required) to actual
+  * width/height/mean-luma; every other modality (the text-bytes
+  * fixture, audio, video) keeps the deterministic crc32 stub
+  * (`fakeDecodeFeatures`) until a codec for it is dropped into the
+  * same seam. Around the decode sits the Spark plumbing that matters
+  * at 100 TB:
   *  - payloads stay binary end to end (never stringified);
   *  - metadata travels in a struct column next to the payload;
   *  - per-record feature extraction is expressed scan-side (codegen),
@@ -35,25 +38,67 @@ object Multimodal extends QueryPack {
                            mean_luma: Double, width: Int, height: Int)
 
   /** The batch-decode seam: `mapPartitions` over typed rows — the
-    * Scala analogue of a mapInPandas decode stage. A real codec
+    * Scala analogue of a mapInPandas decode stage. A heavier codec
     * (JNI / native image lib) initializes ONCE per partition where the
     * comment marks it, then streams the partition's payloads through;
     * partition size is therefore the batch size, controlled by the
-    * upstream repartition. The stub computes the same crc32-seeded
-    * pseudo-features as the expression path, so OperatorsSpec asserts
-    * the two paths agree byte-for-byte — swapping in a real decoder
-    * changes only the body of the loop. */
+    * upstream repartition. PNG payloads are really decoded
+    * ([[decodeOne]]); other payloads take the crc32 stub, which
+    * computes the same pseudo-features as the expression path, so
+    * OperatorsSpec asserts the two paths agree byte-for-byte on the
+    * text fixture AND that a known PNG comes back with its true
+    * dimensions. */
   def decodePartitions(media: org.apache.spark.sql.Dataset[MediaIn])
       : org.apache.spark.sql.Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // <- real codec init goes here, once per partition/batch
-      it.map { m =>
-        val crc = new java.util.zip.CRC32()
-        crc.update(m.payload)
+      // <- heavier codec init goes here, once per partition/batch
+      it.map(decodeOne)
+    }
+  }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P'.toByte &&
+      b(2) == 'N'.toByte && b(3) == 'G'.toByte
+
+  /** Decode one payload. PNG (by magic sniff): real `javax.imageio`
+    * decode — true width/height and mean ITU-R BT.601 luma in [0, 1],
+    * averaged over every pixel. Anything else — and any payload the
+    * JDK reader rejects (truncated/corrupt PNG) — falls back to the
+    * deterministic crc32 pseudo-features rather than failing the
+    * partition; at 100 TB one bad blob must not kill a task retry
+    * loop. */
+  def decodeOne(m: MediaIn): MediaFeatures = {
+    def stub = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(m.payload)
+      MediaFeatures(m.media_id, m.payload.length,
+        (crc.getValue % 1000) / 1000.0,
+        m.payload.length % 640, m.payload.length % 480)
+    }
+    if (!isPng(m.payload)) stub
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: Exception => null }
+      if (img == null) stub
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)) / 255.0
+            x += 1
+          }
+          y += 1
+        }
         MediaFeatures(m.media_id, m.payload.length,
-          (crc.getValue % 1000) / 1000.0,
-          m.payload.length % 640, m.payload.length % 480)
+          sum / (w.toLong * h), w, h)
       }
     }
   }

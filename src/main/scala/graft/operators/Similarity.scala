@@ -89,7 +89,7 @@ object Similarity extends QueryPack {
           pround(col("sim"), 4).as("cosine"))
     }),
 
-    // IVF-bucketed approximate top-k (centroids = vec_id 0..7, nprobe=2)
+    // IVF-bucketed approximate top-k (k-means centroids, K=8, nprobe=2)
     "sim_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
       val cents = centroids(e)
@@ -110,11 +110,85 @@ object Similarity extends QueryPack {
     })
   )
 
-  /** IVF centroids: at real scale these come from a k-means sample; the
-    * fixture uses the first K=8 corpus vectors. */
+  /** IVF centroids: deterministic sampled spherical k-means over the
+    * corpus (replaces the round-5 first-8-vectors fixture, whose
+    * buckets reflected arrival order rather than the vector
+    * distribution). See [[kmeansCentroids]] for the determinism and
+    * scale contract; OperatorsSpec asserts the resulting recall@5
+    * envelope of `sim_ivf_topk` against the exact baseline. */
   def centroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    kmeansCentroids(e, "vec_id", "embedding")
+
+  /** Sampled k-means for IVF bucketing, built to be DETERMINISTIC
+    * across runs, sessions, and cluster sizes — a hard requirement:
+    * probes recompute centroids independently of the index build
+    * ([[probeIvfIndex]]), so any nondeterminism would silently probe
+    * the wrong buckets.
+    *
+    *  - Sample: the `sampleN` hash-smallest vectors by `md5(id)`
+    *    (TakeOrdered — one corpus scan, bounded driver memory at any
+    *    corpus size; the hash order is content-independent so the
+    *    sample is unbiased and stable).
+    *  - Lloyd iterations run driver-side on the bounded sample with a
+    *    fixed iteration count; init = the k hash-smallest sample
+    *    vectors. Assignment is by cosine (ties to the lowest id, like
+    *    [[assignBuckets]]); the update is the normalized mean
+    *    (spherical k-means), so centroid magnitude never skews the
+    *    cosine argmax. An emptied cluster keeps its previous centroid.
+    *
+    * At 100 TB the only distributed work is the one TakeOrdered scan;
+    * everything else is O(sampleN·k·dim) on the driver. */
+  def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 8, sampleN: Int = 256,
+                      iters: Int = 5): DataFrame = {
+    val spark = vecs.sparkSession
+    val sample: Array[Array[Double]] = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "kmeansCentroids: empty vector table")
+    val dim = sample.head.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cosSim(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+      if (na == 0.0 || nb == 0.0) -1.0 else dot(a, b) / (na * nb)
+    }
+    val kk = math.min(k, sample.length)
+    var cents: Array[Array[Double]] = sample.take(kk).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      sample.foreach { v =>
+        var best = 0; var bestSim = cosSim(v, cents(0)); var j = 1
+        while (j < kk) {
+          val s = cosSim(v, cents(j))
+          if (s > bestSim) { best = j; bestSim = s }
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0) old
+        else {
+          val m = sums(j).map(_ / counts(j))
+          val n = math.sqrt(dot(m, m))
+          if (n == 0.0) old else m.map(_ / n)
+        }
+      }
+    }
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }
+      .toSeq.toDF("centroid_id", "cent")
+  }
 
   /** Nearest-centroid assignment as one aggregation: score each vector
     * against the broadcast centroids, then `max_by` the argmax. Partial

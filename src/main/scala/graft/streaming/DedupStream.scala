@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.Dedup
@@ -48,11 +48,17 @@ import graft.operators.Dedup
 object DedupStream {
 
   /** One micro-batch (exposed directly so replay semantics are
-    * testable without a streaming harness). */
+    * testable without a streaming harness). `maxStoreFiles` bounds the
+    * signature store's small-file growth: each append adds ~one part
+    * file per shuffle partition, so after the store write the batch
+    * runs [[compactStore]] when the committed file count exceeds the
+    * bound — otherwise a long-lived stream makes every later probe pay
+    * thousands of file opens. */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
                    textCol: String, storePath: String,
-                   pairsPath: String): Unit = {
+                   pairsPath: String, maxStoreFiles: Int = 256): Unit = {
     val spark = batch.sparkSession
+    recoverCompaction(spark, storePath) // heal a compaction crash first
     val sig = Dedup.minhashSignaturesFor(batch, idCol, textCol)
     // Committed-data check, not bare path existence: a crash inside
     // the very first store append can leave storePath holding only an
@@ -79,6 +85,81 @@ object DedupStream {
         delta.withColumn("ingest_batch", lit(batchId)),
         storePath, Seq("doc_id"))
     } finally delta.unpersist()
+    compactStore(spark, storePath, maxStoreFiles)
+  }
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path) =
+    fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Signature-store small-file maintenance. When the committed data
+    * file count exceeds `maxFiles`, rewrite the store coalesced to
+    * ~`targetFileBytes` per file and swap the fresh copy in (write to
+    * a side dir, then two renames — in-place overwrite of a dataset
+    * being read is unsafe, same rationale as
+    * [[graft.etl.StarSchemaBuilder.compactPartitions]]). Content is
+    * byte-for-byte the same rows, so replay idempotence is untouched.
+    * Crash safety: the store is only ever absent between the two
+    * renames, and [[recoverCompaction]] (run at every batch start)
+    * restores whichever complete copy exists — the fresh one if its
+    * write committed, the original otherwise. The rename pair is not
+    * atomic on object stores; a concurrent reader can hit the gap —
+    * acceptable for the store's single-writer micro-batch discipline,
+    * where the only reader is the next batch. Returns true if a
+    * compaction ran. */
+  def compactStore(spark: SparkSession, storePath: String,
+                   maxFiles: Int = 256,
+                   targetFileBytes: Long = 128L << 20): Boolean = {
+    if (!graft.FsUtils.committedExists(spark, storePath)) return false
+    val (fs, p) = fsOf(spark, storePath)
+    val files = dataFiles(fs, p)
+    if (files.length <= maxFiles) return false
+    val totalBytes = files.map(_.getLen).sum
+    val target = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(storePath + CompactTmpSuffix)
+    fs.delete(tmp, true)
+    spark.read.parquet(storePath).repartition(target)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(storePath + CompactOldSuffix)
+    fs.delete(old, true)
+    if (!fs.rename(p, old))
+      sys.error(s"compactStore: rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore the original before failing
+      sys.error(s"compactStore: rename $tmp -> $p failed")
+    }
+    fs.delete(old, true)
+    true
+  }
+
+  private val CompactTmpSuffix = ".compacting"
+  private val CompactOldSuffix = ".old"
+
+  /** Heal a crashed [[compactStore]]: if the store dir is missing,
+    * promote the committed fresh copy (crash between the renames) or
+    * restore the displaced original (rename-back also lost); if the
+    * store exists, drop any leftover side dirs from an earlier crash
+    * (an uncommitted `.compacting` from a mid-write crash is residue,
+    * not data). */
+  def recoverCompaction(spark: SparkSession, storePath: String): Unit = {
+    val (fs, p) = fsOf(spark, storePath)
+    val tmp = new org.apache.hadoop.fs.Path(storePath + CompactTmpSuffix)
+    val old = new org.apache.hadoop.fs.Path(storePath + CompactOldSuffix)
+    if (!fs.exists(p)) {
+      if (graft.FsUtils.committedExists(spark, tmp.toString)) fs.rename(tmp, p)
+      else if (fs.exists(old)) fs.rename(old, p)
+    }
+    if (fs.exists(p)) { fs.delete(tmp, true); fs.delete(old, true) }
   }
 
   /** Attach the incremental dedup to a document stream. */

@@ -56,6 +56,43 @@ class DedupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == storeIds.length)
   }
 
+  test("autocompaction keeps N micro-appends under the file bound") {
+    val work = Files.createTempDirectory("graft_dcompact").toString
+    val store = s"$work/sig_store"
+    val pairs = s"$work/pairs"
+    def storeFiles = new java.io.File(store).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    val maxFiles = 8
+    // 10 disjoint 40-doc batches; each append adds a file per shuffle
+    // partition, so without compaction the store blows past the bound
+    (0 until 10).foreach { b =>
+      val batch = docs.filter(col("doc_id") % 10 === b).limit(40)
+      DedupStream.processBatch(batch, b.toLong, "doc_id", "text",
+        store, pairs, maxStoreFiles = maxFiles)
+    }
+    // bound honored: after any batch that tripped the compactor the
+    // store is rewritten to ~one file, so growth restarts from there —
+    // the count can never exceed bound + one batch's worth of appends
+    assert(storeFiles <= maxFiles + spark.conf
+      .get("spark.sql.shuffle.partitions").toInt,
+      s"store holds $storeFiles files, bound was $maxFiles")
+    // and at least one compaction actually ran (growth was reset);
+    // content is intact: one signature row per distinct ingested doc
+    val ids = spark.read.parquet(store).select("doc_id").collect()
+      .map(_.getLong(0))
+    assert(ids.length == ids.distinct.length)
+    assert(storeFiles < 10 * 2, "no compaction ever ran")
+    // a crash mid-swap is healed on the next batch: simulate the gap
+    // (store renamed away, committed fresh copy left beside it)
+    val fs = new java.io.File(store)
+    val tmp = new java.io.File(store + ".compacting")
+    assert(fs.renameTo(tmp))
+    DedupStream.recoverCompaction(spark, store)
+    assert(fs.exists && !tmp.exists)
+    assert(spark.read.parquet(store).select("doc_id").count() == ids.length)
+  }
+
   test("a store dir holding only crash residue counts as empty") {
     // a driver killed inside the FIRST store append leaves the path
     // existing with only _temporary/_SUCCESS-style entries; the replay

@@ -99,6 +99,24 @@ class OperatorsSpec extends SparkSpec {
       s"IVF rank-1 should usually appear in the exact top-5: $ivfTop")
   }
 
+  test("ivf recall@5 vs the exact baseline clears the stated bound") {
+    // The one 100 TB claim that needs a measured number: nprobe=2 of
+    // K=8 k-means buckets must recover most of the exact top-5. The
+    // bound is deliberately below the measured value so distribution
+    // drift in regenerated testdata doesn't flake the suite; a real
+    // regression (broken centroids / probe routing) lands near 0.
+    val ivf = Similarity.queries("sim_ivf_topk")(spark, sf0001)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.queries("sim_ann_topk")(spark, sf0001)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Measured 0.52 on the sf0.001 corpus — roughly 2× the nprobe/K
+    // chance floor (0.25), which is what IVF buys on near-uniform
+    // synthetic vectors; real clustered embeddings sit far higher.
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    info(f"IVF recall@5 at nprobe=2: $recall%.2f")
+    assert(recall >= 0.4, f"recall@5 $recall%.2f under bound 0.4")
+  }
+
   test("ivf materialized index: probe prunes partitions, results match inline") {
     val idx = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     Similarity.writeIvfIndex(spark, sf0001, idx)
@@ -141,6 +159,39 @@ class OperatorsSpec extends SparkSpec {
         (r.getInt(1), r.getDouble(2), r.getInt(3), r.getInt(4))).toMap
     assert(seam == exprPath,
       "batch seam must produce the expression path's exact features")
+  }
+
+  test("png payloads decode to true dimensions and mean luma") {
+    import spark.implicits._
+    // 8×6: top three rows pure white (luma 1.0), bottom three pure
+    // black (luma 0.0) → mean luma exactly 0.5
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 6).foreach(y => (0 until 8).foreach(x =>
+      img.setRGB(x, y, if (y < 3) 0xFFFFFF else 0x000000)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    // mixed-modality batch: one real PNG next to a text payload
+    val media = Seq(
+      Multimodal.MediaIn(1L, png),
+      Multimodal.MediaIn(2L, "just text bytes".getBytes("UTF-8")))
+      .toDS()
+    val out = Multimodal.decodePartitions(media).collect()
+      .map(f => f.media_id -> f).toMap
+    val p = out(1L)
+    assert((p.width, p.height) == (8, 6), s"decoded ${p.width}x${p.height}")
+    assert(math.abs(p.mean_luma - 0.5) < 1e-9, s"mean_luma ${p.mean_luma}")
+    assert(p.byte_len == png.length)
+    // the text payload stays on the deterministic stub path
+    val t = out(2L)
+    assert((t.width, t.height) ==
+      (t.byte_len % 640, t.byte_len % 480))
+    // a corrupt PNG (magic intact, body truncated) falls back to the
+    // stub instead of failing the partition
+    val corrupt = Multimodal.decodePartitions(
+      Seq(Multimodal.MediaIn(3L, png.take(12))).toDS()).collect().head
+    assert(corrupt.byte_len == 12)
   }
 
   test("resize seam: ≤ target bytes, deterministic, identity when small") {
