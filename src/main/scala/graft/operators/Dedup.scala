@@ -531,9 +531,86 @@ object Dedup extends QueryPack {
       WHERE hamming <= $SimhashK"""
   }
 
+  /** DuckDB twin of the SRP-LSH embedding near-dup. Feasible because
+    * nothing in the pipeline actually accumulates in fp32: the
+    * `cosine_f32` kernel widens every element to double and sums in
+    * fp64 (the same `SUM(CAST(x AS DOUBLE) * …)` DuckDB runs here —
+    * proven to hash-match on `sim_ann_topk`/`sim_cosine_native`). The
+    * two genuinely-fp32 steps are exact, not approximate: the plane
+    * literals are float-truncated constants (every float is exactly
+    * representable as the double DuckDB parses), and the `* 1.2f`
+    * perturbation multiplies two floats whose exact product fits in a
+    * double before rounding back to float — so `CAST(a * 1.2 AS
+    * FLOAT)` over doubles lands on the identical bit pattern. Sign
+    * bits compare `dp >= 0` (kernel divides by positive norms, which
+    * cannot flip sign); summation-order ulp drift could only matter
+    * for a dot product within ~1e-16 of zero or of the 0.98/rounding
+    * boundaries — not a case the synthetic corpus can hit. */
+  private def embeddingSrpOracle: String = {
+    val planeRows = (0 until SrpBits).map { j =>
+      val lst = srpPlanes(j).map(_.toFloat.toDouble.toString).mkString(", ")
+      s"($j, [$lst])"
+    }.mkString(",\n          ")
+    val bandSelects = (0 until SrpBits / SrpBandBits).map { b =>
+      s"SELECT vec_id, $b AS band_idx, (sig >> ${b * SrpBandBits}) & ${(1L << SrpBandBits) - 1} AS band_val FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH aug AS (
+        SELECT vec_id, embedding AS emb FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               CASE WHEN vec_id < 10 THEN embedding
+                    ELSE list_concat(
+                      [CAST(embedding[1] * 1.2 AS FLOAT)],
+                      embedding[2:]) END AS emb
+        FROM embeddings WHERE vec_id < 20),
+      planes AS (
+        FROM (VALUES
+          $planeRows) p(j, pl)),
+      dots AS (
+        SELECT a.vec_id, p.j,
+               SUM(CAST(emb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   pl[CAST(i AS INTEGER)]) AS dp
+        FROM aug a, planes p, range(1, 65) r(i)
+        GROUP BY 1, 2),
+      sig AS (
+        SELECT vec_id,
+               SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << j)
+                        ELSE 0 END) AS sig
+        FROM dots GROUP BY 1),
+      bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_val = b.band_val
+                    AND a.vec_id < b.vec_id),
+      pdots AS (
+        SELECT doc_a, doc_b,
+               SUM(CAST(ea[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(eb[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(ea[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(ea[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(eb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(eb[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM (SELECT c.doc_a, c.doc_b, x.emb AS ea, y.emb AS eb
+              FROM cand c
+              JOIN aug x ON x.vec_id = c.doc_a
+              JOIN aug y ON y.vec_id = c.doc_b),
+             range(1, 65) r(i)
+        GROUP BY 1, 2),
+      cos AS (
+        SELECT doc_a, doc_b, dp / (sqrt(na) * sqrt(nb)) AS cos
+        FROM pdots)
+      SELECT doc_a, doc_b,
+             floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM cos WHERE cos >= $SrpTau"""
+  }
+
   def oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_simhash" -> simhashOracle,
+    "dedup_embedding_cosine" -> embeddingSrpOracle,
 
     "dedup_exact" -> s"""WITH aug AS ($augmentedSql)
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
@@ -577,8 +654,5 @@ object Dedup extends QueryPack {
       LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
       JOIN sizes sa ON sa.doc_id = p.doc_a
       JOIN sizes sb ON sb.doc_id = p.doc_b"""
-    // dedup_embedding_cosine stays rows-only: the SRP hyperplanes are
-    // float-truncated doubles and the verify is float cosine — no
-    // bit-exact DuckDB twin without reimplementing fp32 accumulation.
   )
 }

@@ -87,6 +87,68 @@ object Builders extends QueryPack {
             .as("medicare_asc_stateavg"))
     }),
 
+    // The comprehensive benchmark table: the three per-facility-class
+    // benchmark builds concatenated with missing-column tolerance —
+    // pd.concat's NaN back-fill re-expressed as
+    // unionByName(allowMissingColumns = true), a zero-shuffle union
+    // (build_medicare_benchmarks.py:262-280,
+    // MEDICARE_BENCHMARK_SCHEMA.md:26-117). Each class keeps its own
+    // column set (RVUs for professional, weights/SI for OPPS, the
+    // national-rate carry for ASC); absent columns become typed nulls.
+    // `last_updated` is datetime.now() in the reference — replaced by
+    // the deterministic table_version stamp so the build is
+    // reproducible (and oracle-checkable).
+    "bench_medicare_comprehensive" -> ((s, d) => {
+      val wi = Roles.providers(s, d).filter(col("s_acctbal") > 0)
+        .groupBy("state").agg(avg2(col("s_acctbal")).as("state_wi_avg"))
+        .select(col("state"), (col("state_wi_avg") / 5000.0).as("wi"))
+      val part = Tables.load(s, d, "part")
+      val wr = pround(col("p_retailprice") / 1000.0, 4)
+      val pe = pround(col("p_retailprice") / 2000.0, 4)
+      val mp = pround(col("p_retailprice") / 10000.0, 4)
+      val profNat = (col("work_rvu") + col("practice_expense_rvu") +
+        col("malpractice_rvu")) * 32.74
+      val prof = part.filter(col("p_size") % 2 === 0)
+        .select(col("p_partkey").cast("string").as("code"),
+          lit("CPT").as("code_type"), wr.as("work_rvu"),
+          pe.as("practice_expense_rvu"), mp.as("malpractice_rvu"))
+        .crossJoin(broadcast(wi))
+        .select(col("state"), col("code"), col("code_type"),
+          col("work_rvu"), col("practice_expense_rvu"),
+          col("malpractice_rvu"), lit(32.74).as("conversion_factor"),
+          pround(profNat, 2).as("medicare_prof_national"),
+          pround(profNat * wageAdjFactor(col("wi"), 0.75), 2)
+            .as("medicare_prof_stateavg"),
+          lit("professional").as("benchmark_type"))
+      val oppsNat = col("opps_weight") * 87.38
+      val opps = part.filter(col("p_size") % 3 === 0)
+        .select(col("p_partkey").cast("string").as("code"),
+          lit("HCPCS").as("code_type"),
+          pround(col("p_retailprice") / 50.0, 4).as("opps_weight"))
+        .crossJoin(broadcast(wi))
+        .select(col("state"), col("code"), col("code_type"),
+          col("opps_weight"),
+          pround(oppsNat, 2).as("medicare_opps_national"),
+          pround(oppsNat * wageAdjFactor(col("wi"), 0.6), 2)
+            .as("medicare_opps_stateavg"),
+          lit("opps").as("benchmark_type"))
+      val asc = part.filter(col("p_size") % 5 === 0)
+        .select(col("p_partkey").cast("string").as("code"),
+          lit("CPT").as("code_type"),
+          pround(col("p_retailprice") * 0.6, 2).as("asc_nat_rate"))
+        .crossJoin(broadcast(wi))
+        .select(col("state"), col("code"), col("code_type"),
+          col("asc_nat_rate"),
+          col("asc_nat_rate").as("medicare_asc_national"),
+          pround(col("asc_nat_rate") * wageAdjFactor(col("wi"), 0.5), 2)
+            .as("medicare_asc_stateavg"),
+          lit("asc").as("benchmark_type"))
+      prof.unionByName(opps, allowMissingColumns = true)
+        .unionByName(asc, allowMissingColumns = true)
+        .withColumn("table_version", lit("1.0"))
+        .withColumn("data_year", lit(2025))
+    }),
+
     // S8 dim shape: the 17-column dim_npi build (utils_nppes.py:127-157)
     "dim_npi_build" -> ((s, d) =>
       EnrichmentDims.dimNpi(Roles.providers(s, d))),
@@ -219,6 +281,64 @@ object Builders extends QueryPack {
           ${prS("(p_retailprice * 0.6) * (0.5 * wi + 0.5)")}
             AS medicare_asc_stateavg
         FROM part CROSS JOIN wi""",
+
+      // Missing-column concat twin: DuckDB has UNION ALL BY NAME, but the
+      // explicit typed-NULL superset is version-proof and makes the
+      // back-fill semantics (absent column → typed null) visible.
+      "bench_medicare_comprehensive" -> s"""
+        WITH providers AS (${RolesSql.providers}),
+        wi AS (SELECT state, ${avgS("s_acctbal")} / 5000.0 AS wi
+               FROM providers WHERE s_acctbal > 0 GROUP BY state),
+        prof_rvu AS (
+          SELECT CAST(p_partkey AS VARCHAR) AS code,
+                 ${prS("p_retailprice / 1000.0", 4)} AS work_rvu,
+                 ${prS("p_retailprice / 2000.0", 4)} AS practice_expense_rvu,
+                 ${prS("p_retailprice / 10000.0", 4)} AS malpractice_rvu
+          FROM part WHERE p_size % 2 = 0),
+        opps_w AS (
+          SELECT CAST(p_partkey AS VARCHAR) AS code,
+                 ${prS("p_retailprice / 50.0", 4)} AS opps_weight
+          FROM part WHERE p_size % 3 = 0),
+        asc_r AS (
+          SELECT CAST(p_partkey AS VARCHAR) AS code,
+                 ${prS("p_retailprice * 0.6")} AS asc_nat_rate
+          FROM part WHERE p_size % 5 = 0),
+        unioned AS (
+          SELECT state, code, 'CPT' AS code_type,
+            work_rvu, practice_expense_rvu, malpractice_rvu,
+            CAST(32.74 AS DOUBLE) AS conversion_factor,
+            ${prS("(work_rvu + practice_expense_rvu + malpractice_rvu) * 32.74")}
+              AS medicare_prof_national,
+            ${prS("((work_rvu + practice_expense_rvu + malpractice_rvu) * 32.74) * (0.75 * wi + 0.25)")}
+              AS medicare_prof_stateavg,
+            'professional' AS benchmark_type,
+            CAST(NULL AS DOUBLE) AS opps_weight,
+            CAST(NULL AS DOUBLE) AS medicare_opps_national,
+            CAST(NULL AS DOUBLE) AS medicare_opps_stateavg,
+            CAST(NULL AS DOUBLE) AS asc_nat_rate,
+            CAST(NULL AS DOUBLE) AS medicare_asc_national,
+            CAST(NULL AS DOUBLE) AS medicare_asc_stateavg
+          FROM prof_rvu CROSS JOIN wi
+          UNION ALL
+          SELECT state, code, 'HCPCS',
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            'opps', opps_weight,
+            ${prS("opps_weight * 87.38")},
+            ${prS("(opps_weight * 87.38) * (0.6 * wi + 0.4)")},
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          FROM opps_w CROSS JOIN wi
+          UNION ALL
+          SELECT state, code, 'CPT',
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            'asc', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            CAST(NULL AS DOUBLE),
+            asc_nat_rate, asc_nat_rate,
+            ${prS("asc_nat_rate * (0.5 * wi + 0.5)")}
+          FROM asc_r CROSS JOIN wi)
+        SELECT unioned.*, '1.0' AS table_version, 2025 AS data_year
+        FROM unioned""",
 
       "dim_npi_build" -> s"""
         WITH providers AS (${RolesSql.providers})

@@ -103,6 +103,56 @@ class BuildersSpec extends SparkSpec {
       "3" -> ("A", "2024-03-15")))
   }
 
+  test("S2 limitation: a corrupt ROW GROUP drops the whole file, " +
+      "not just the group") {
+    // The reference's salvage is per-rowgroup
+    // (src/utils/chunk_processor.py:34-50): a file with one bad row
+    // group still yields the other groups' rows. Spark's
+    // ignoreCorruptFiles is per-FILE — the first decode error skips the
+    // rest of the file. This test pins that semantic delta so an ingest
+    // relying on finer-grained salvage finds the documented limitation
+    // here, not in production. (See Tables.readSalvage scaladoc.)
+    import spark.implicits._
+    val dir = tmp() + "/rowgroups"
+    // small block size forces several row groups in one file
+    spark.range(20000)
+      .select(col("id"), concat(lit("payload_"), col("id")).as("v"))
+      .coalesce(1).write
+      .option("parquet.block.size", 8192)
+      .mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    // prove the fixture really is multi-rowgroup, via the footer
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sessionState.newHadoopConf())).getFooter
+    val blocks = footer.getBlocks
+    assert(blocks.size > 1, s"fixture must have >1 row group, got ${blocks.size}")
+    val laterGroupRows =
+      (1 until blocks.size).map(blocks.get(_).getRowCount).sum
+    assert(laterGroupRows > 0)
+    // corrupt ONLY the first row group's data pages; footer + all later
+    // groups stay byte-identical
+    val raf = new java.io.RandomAccessFile(file, "rw")
+    try {
+      raf.seek(blocks.get(0).getStartingPos)
+      raf.write(Array.fill[Byte](64)(-1))
+    } finally raf.close()
+    // a per-rowgroup salvage would recover `laterGroupRows`; Spark's
+    // per-file tolerance yields ZERO rows from this file. NB: must
+    // project a real column — a bare count() reads only footer row
+    // counts (empty read schema) and never touches the corrupt pages.
+    val salvaged = Tables.readSalvage(spark, dir).select("id").collect()
+    assert(salvaged.isEmpty,
+      s"expected whole-file drop, got ${salvaged.length} rows " +
+        s"(reference would salvage $laterGroupRows rows)")
+    // and the strict read fails loudly
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).select("id", "v").collect()
+    }
+  }
+
   test("S2: corrupt parquet files are skipped, valid rows survive") {
     import spark.implicits._
     val dir = tmp() + "/mixed"
