@@ -323,6 +323,83 @@ object Dedup extends QueryPack {
       .agg(countDistinct("band_idx").cast("int").as("n_bands"))
   }
 
+  /** Public banding projection — (doc_id, band_idx, band_hash) rows of
+    * a signature frame — for callers that persist bands next to the
+    * signature store ([[graft.streaming.DedupStream.processBatchBanded]]). */
+  def bandRowsOf(sig: DataFrame): DataFrame = bandRows(sig)
+
+  /** Banded-store incremental LSH: the O(batch)-shuffle answer to
+    * [[lshCandidatePairsIncremental]]'s per-batch O(|store|) banding
+    * pass. The caller persists two datasets alongside the signature
+    * store — `storeBands`: the corpus's (doc_id, band_idx, band_hash)
+    * rows, and `storeCounts`: per-batch bucket-count PARTIALS
+    * (band_idx, band_hash, n), log-structured so maintenance can fold
+    * them without rewriting history. Then a delta batch costs:
+    *
+    *  - banding + bucket counts of the DELTA only (the md5 work the
+    *    recompute path re-pays for the whole corpus every batch);
+    *  - a broadcast semi-probe of `storeCounts` by the delta's bucket
+    *    keys — the store is SCANNED (slim 3-column parquet) but never
+    *    shuffled, and only rows of touched buckets survive the probe;
+    *  - the same broadcast probe of `storeBands` for candidate rows,
+    *    bounded by cap × touched-buckets;
+    *  - the pair join between two small frames.
+    *
+    * No corpus-sized shuffle, no corpus md5 work. The remaining
+    * O(|store|) term is the columnar scan behind the broadcast joins —
+    * at 100 TB that too can prune if the band store is laid out
+    * bucketed by band_hash, but the scan-not-shuffle shape is already
+    * the one that survives scale (it is the exact shape of J11's
+    * append-unique key probe).
+    *
+    * Cap semantics match [[lshCandidatePairsIncremental]] exactly: a
+    * bucket is kept iff its post-merge total (persisted partial sums +
+    * delta count) is ≤ `maxBucket`, computed only for delta-touched
+    * buckets — untouched buckets cannot produce pairs. The same
+    * already-emitted-pairs caveat applies when a bucket later outgrows
+    * the cap.
+    *
+    * `deltaBands` must be the [[bandRowsOf]] projection of a delta
+    * already anti-joined against the signature store (re-delivered
+    * docs would otherwise double-count their own bands). The broadcast
+    * side is O(delta bands) — right for the micro-batch regime this
+    * serves; a corpus-sized backfill "delta" should use
+    * [[lshCandidatePairsIncremental]] (or a fresh full run), whose
+    * shuffles don't assume a small side. */
+  def lshCandidatePairsFromBands(storeBands: DataFrame,
+                                 storeCounts: DataFrame,
+                                 deltaBands: DataFrame,
+                                 maxBucket: Int = MaxBucket): DataFrame = {
+    val deltaCounts = deltaBands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("delta_n"))
+    val priorTouched = storeCounts
+      .join(broadcast(deltaCounts.select("band_idx", "band_hash")),
+        Seq("band_idx", "band_hash"))
+      .groupBy("band_idx", "band_hash").agg(sum("n").as("prior_n"))
+    val keep = deltaCounts
+      .join(priorTouched, Seq("band_idx", "band_hash"), "left")
+      .filter(coalesce(col("prior_n"), lit(0L)) + col("delta_n") <= maxBucket)
+      .select("band_idx", "band_hash")
+    val keptDelta = deltaBands
+      .join(broadcast(keep), Seq("band_idx", "band_hash"))
+    val storeMatches = storeBands
+      .join(broadcast(keep), Seq("band_idx", "band_hash"))
+    val probeSide = storeMatches.unionByName(keptDelta)
+    // The delta side is the explicit broadcast: Catalyst can't know the
+    // probe side is cap-bounded (its size estimate is the band-store
+    // file size), and a SortMergeJoin here would shuffle exactly what
+    // this operator exists to avoid shuffling.
+    broadcast(keptDelta.as("a")).join(probeSide.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.band_idx").as("band_idx"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct("band_idx").cast("int").as("n_bands"))
+  }
+
   def queries: Map[String, QFn] = Map(
     // Exact dedup: group by content hash, keep lowest doc_id
     "dedup_exact" -> ((s, d) =>

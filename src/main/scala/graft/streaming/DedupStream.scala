@@ -18,12 +18,14 @@ import graft.operators.Dedup
   * hot-bucket cap must see post-merge totals. At 100 TB that term
   * dominates small deltas: banding is 4 md5s per stored signature and
   * the bucket count is a corpus-sized (but slim, ~40-byte-row) shuffle.
-  * The scale escape is to persist the banded rows and running bucket
-  * counts next to the signature store (updated by the same
-  * exactly-once append discipline) so a batch pays O(batch) bands +
-  * one bucketed probe join; that store layout is not implemented here
-  * — batch sizes in this engine's tests make the recompute the simpler
-  * correct choice.
+  * The scale escape is [[processBatchBanded]]: it persists the banded
+  * rows and log-structured bucket-count partials next to the signature
+  * store (same exactly-once discipline) so a batch pays O(batch) bands
+  * plus broadcast probes of the stores — scanned, never shuffled, no
+  * corpus md5 work ([[graft.operators.Dedup.lshCandidatePairsFromBands]]).
+  * This recompute path remains the right call for corpus-sized
+  * backfill batches, where the banded path's O(batch) broadcast
+  * assumption breaks.
   *
   * Exactly-once across foreachBatch replays (a batch re-runs whenever
   * the checkpoint commit didn't land):
@@ -130,16 +132,27 @@ object DedupStream {
     spark.read.parquet(storePath).repartition(target)
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(storePath + CompactOldSuffix)
+    swapDirs(fs, p, tmp)
+    true
+  }
+
+  /** The two-rename publish shared by [[compactStore]] and
+    * [[foldCounts]]: displace the live dir, promote the fresh copy,
+    * drop the displaced original. Uses the suffixes
+    * [[recoverCompaction]] heals, so a crash at any point between the
+    * renames is recovered at the next batch start. */
+  private def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path,
+                       tmp: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(p.toString + CompactOldSuffix)
     fs.delete(old, true)
     if (!fs.rename(p, old))
-      sys.error(s"compactStore: rename $p -> $old failed")
+      sys.error(s"swapDirs: rename $p -> $old failed")
     if (!fs.rename(tmp, p)) {
       fs.rename(old, p) // restore the original before failing
-      sys.error(s"compactStore: rename $tmp -> $p failed")
+      sys.error(s"swapDirs: rename $tmp -> $p failed")
     }
     fs.delete(old, true)
-    true
   }
 
   private val CompactTmpSuffix = ".compacting"
@@ -170,6 +183,122 @@ object DedupStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, storePath, pairsPath)
+      }
+      .start()
+
+  /** Banded-store micro-batch: the O(batch)-shuffle variant of
+    * [[processBatch]]. Persists two datasets next to the signature
+    * store — `bandsPath` ((doc_id, band_idx, band_hash), hive-
+    * partitioned by ingest_batch) and `countsPath` (per-batch bucket
+    * count partials, same layout) — so
+    * [[Dedup.lshCandidatePairsFromBands]] probes them by broadcast
+    * instead of re-banding and re-aggregating the corpus every batch.
+    *
+    * Exactly-once follows [[processBatch]]'s discipline extended to
+    * the two new stores: every read excludes the CURRENT batch id (a
+    * partition-pruned filter — replays see the identical pre-batch
+    * state), and every write is dynamic-partition-overwrite of the
+    * batch's own `ingest_batch=` partition (replays overwrite their
+    * own output, never append beside it). Write order — pairs, bands,
+    * counts, signature store — keeps every crash prefix replayable:
+    * whatever landed is overwritten with identical content on retry.
+    *
+    * Maintenance, run at batch start (so a replay of the current
+    * batch can never have been folded into history): [[foldCounts]]
+    * collapses the count partials once their partition count passes
+    * `foldAfter`, and [[recoverCompaction]] heals interrupted swaps
+    * on all three maintained dirs. Band-store small files are bounded
+    * the same way the pairs sink's are — per-partition appends — and
+    * compact via
+    * [[graft.etl.StarSchemaBuilder.compactPartitions]] offline. */
+  def processBatchBanded(batch: DataFrame, batchId: Long, idCol: String,
+                         textCol: String, storePath: String,
+                         bandsPath: String, countsPath: String,
+                         pairsPath: String, maxStoreFiles: Int = 256,
+                         foldAfter: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    recoverCompaction(spark, storePath)
+    recoverCompaction(spark, countsPath)
+    foldCounts(spark, countsPath, batchId, foldAfter)
+    val sig = Dedup.minhashSignaturesFor(batch, idCol, textCol)
+    val storePrev =
+      if (!graft.FsUtils.committedExists(spark, storePath)) sig.limit(0)
+      else spark.read.parquet(storePath)
+        .filter(col("ingest_batch") =!= batchId).drop("ingest_batch")
+    val delta = sig
+      .join(storePrev.select("doc_id"), Seq("doc_id"), "left_anti")
+      .persist()
+    val deltaBands = Dedup.bandRowsOf(delta).persist()
+    try {
+      def partitioned(path: String, empty: => DataFrame): DataFrame =
+        if (!graft.FsUtils.committedExists(spark, path)) empty
+        else spark.read.parquet(path)
+          .filter(col("ingest_batch") =!= batchId).drop("ingest_batch")
+      val storeBands = partitioned(bandsPath, deltaBands.limit(0))
+      val storeCounts = partitioned(countsPath,
+        deltaBands.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("n")).limit(0))
+      def writePartition(df: DataFrame, path: String): Unit =
+        df.withColumn("ingest_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .option("compression", "zstd").parquet(path)
+      writePartition(
+        Dedup.lshCandidatePairsFromBands(storeBands, storeCounts, deltaBands),
+        pairsPath)
+      writePartition(deltaBands, bandsPath)
+      writePartition(deltaBands.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("n")), countsPath)
+      graft.etl.StarSchemaBuilder.appendUnique(spark,
+        delta.withColumn("ingest_batch", lit(batchId)),
+        storePath, Seq("doc_id"))
+    } finally { deltaBands.unpersist(); delta.unpersist() }
+    compactStore(spark, storePath, maxStoreFiles)
+  }
+
+  /** Fold the log-structured bucket-count partials: collapse every
+    * partition EXCEPT the current batch's into one summed row per
+    * bucket, published under the sentinel partition `ingest_batch=-1`.
+    * The sentinel can never collide with a replayed batch (real ids
+    * are ≥ 0, and dynamic overwrite only ever targets the writing
+    * batch's own id), so folded history stays visible to every later
+    * batch's `=!= batchId` read while the fold itself is idempotent —
+    * re-folding folded rows re-sums to the same totals. Runs only when
+    * the store has more than `maxPartials` partition dirs; publishes
+    * via the same two-rename swap [[recoverCompaction]] heals. */
+  def foldCounts(spark: SparkSession, countsPath: String,
+                 currentBatchId: Long, maxPartials: Int = 16): Boolean = {
+    if (!graft.FsUtils.committedExists(spark, countsPath)) return false
+    val (fs, p) = fsOf(spark, countsPath)
+    val partitions = fs.listStatus(p).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("ingest_batch=")
+    }
+    if (partitions.length <= maxPartials) return false
+    val current = spark.read.parquet(countsPath)
+      .filter(col("ingest_batch") === currentBatchId)
+    val folded = spark.read.parquet(countsPath)
+      .filter(col("ingest_batch") =!= currentBatchId)
+      .groupBy("band_idx", "band_hash").agg(sum("n").as("n"))
+      .withColumn("ingest_batch", lit(-1L))
+    val tmp = new org.apache.hadoop.fs.Path(countsPath + CompactTmpSuffix)
+    fs.delete(tmp, true)
+    folded.unionByName(current)
+      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+      .option("compression", "zstd").parquet(tmp.toString)
+    swapDirs(fs, p, tmp)
+    true
+  }
+
+  /** Attach the banded-store incremental dedup to a document stream. */
+  def runBanded(docsStream: DataFrame, idCol: String, textCol: String,
+                storePath: String, bandsPath: String, countsPath: String,
+                pairsPath: String, checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchBanded(batch, batchId, idCol, textCol, storePath,
+          bandsPath, countsPath, pairsPath)
       }
       .start()
 

@@ -93,6 +93,133 @@ class DedupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(store).select("doc_id").count() == ids.length)
   }
 
+  test("banded store path: pairs == recompute path == full run; replay no-op") {
+    val work = Files.createTempDirectory("graft_banded").toString
+    val store = s"$work/sig_store"
+    val bands = s"$work/band_store"
+    val counts = s"$work/count_store"
+    val pairs = s"$work/pairs"
+    val b0 = docs
+    val copies = docs.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      when(col("doc_id") < 10, col("text"))
+        .otherwise(concat(col("text"), lit(" extra suffix tokens")))
+        .as("text"))
+    val b1 = copies.unionByName(docs.filter(col("doc_id") < 5))
+
+    DedupStream.processBatchBanded(b0, 0L, "doc_id", "text",
+      store, bands, counts, pairs)
+    DedupStream.processBatchBanded(b1, 1L, "doc_id", "text",
+      store, bands, counts, pairs)
+
+    def pairSet = spark.read.parquet(pairs)
+      .select("doc_a", "doc_b", "n_bands").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = pairSet
+    val full = Dedup.lshCandidatePairs(
+      Dedup.minhashSignaturesFor(b0.unionByName(copies), "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == full,
+      s"banded ${streamed.size} pairs vs full ${full.size}")
+    assert(streamed.nonEmpty)
+
+    // store invariants: 4 band rows per signature; count partials sum
+    // to the true bucket sizes (the cap decisions depend on this)
+    val nSigs = spark.read.parquet(store).count()
+    assert(spark.read.parquet(bands).count() == 4 * nSigs)
+    val fromPartials = spark.read.parquet(counts)
+      .groupBy("band_idx", "band_hash").agg(sum("n").as("n"))
+    val fromBands = spark.read.parquet(bands)
+      .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("n"))
+    assert(fromPartials.exceptAll(fromBands).isEmpty &&
+      fromBands.exceptAll(fromPartials).isEmpty)
+
+    // replay batch 1: every store and the pairs sink end identical
+    DedupStream.processBatchBanded(b1, 1L, "doc_id", "text",
+      store, bands, counts, pairs)
+    assert(pairSet == streamed)
+    assert(spark.read.parquet(store).count() == nSigs)
+    assert(spark.read.parquet(bands).count() == 4 * nSigs)
+  }
+
+  test("counts fold collapses partials without changing later batches") {
+    val work = Files.createTempDirectory("graft_fold").toString
+    def drive(sub: String, foldAfter: Int): Set[(Long, Long, Int)] = {
+      val (store, bands, counts, pairs) = (s"$work/$sub/sig",
+        s"$work/$sub/bands", s"$work/$sub/counts", s"$work/$sub/pairs")
+      // 5 disjoint slices, then the injected copies — pairs emit last
+      (0 until 5).foreach { b =>
+        DedupStream.processBatchBanded(
+          docs.filter(col("doc_id") % 5 === b), b.toLong, "doc_id", "text",
+          store, bands, counts, pairs, foldAfter = foldAfter)
+      }
+      val copies = docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        when(col("doc_id") < 10, col("text"))
+          .otherwise(concat(col("text"), lit(" extra suffix tokens")))
+          .as("text"))
+      DedupStream.processBatchBanded(copies, 5L, "doc_id", "text",
+        store, bands, counts, pairs, foldAfter = foldAfter)
+      if (foldAfter <= 2) { // the folded run must actually have folded
+        val dirs = new java.io.File(counts).listFiles()
+          .filter(_.isDirectory).map(_.getName)
+        assert(dirs.contains("ingest_batch=-1"),
+          s"no folded partition among ${dirs.mkString(",")}")
+        assert(dirs.length <= foldAfter + 2) // sentinel + recent batches
+      }
+      spark.read.parquet(pairs).select("doc_a", "doc_b", "n_bands")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val folded = drive("folded", foldAfter = 2)
+    val unfolded = drive("unfolded", foldAfter = 1000)
+    assert(folded == unfolded && folded.nonEmpty)
+  }
+
+  test("banded probe never puts the band store on a shuffled join side") {
+    val work = Files.createTempDirectory("graft_bandplan").toString
+    val (store, bands, counts, pairs) = (s"$work/sig",
+      s"$work/band_store", s"$work/count_store", s"$work/pairs")
+    DedupStream.processBatchBanded(docs, 0L, "doc_id", "text",
+      store, bands, counts, pairs)
+    val deltaB = Dedup.bandRowsOf(Dedup.minhashSignaturesFor(
+      docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"), col("text")),
+      "doc_id", "text"))
+    val pairsDf = Dedup.lshCandidatePairsFromBands(
+      spark.read.parquet(bands).drop("ingest_batch"),
+      spark.read.parquet(counts).drop("ingest_batch"), deltaB)
+    // Joins that scan band_store must be broadcast probes: a
+    // SortMergeJoin/ShuffledHashJoin above that scan would shuffle the
+    // corpus-sized store per batch — the cost this path exists to kill.
+    // (Aggregation exchanges above the scan are fine: their input is
+    // already bounded by the broadcast joins below.)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def scansBandStore(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collectLeaves().exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("band_store"))
+        case _ => false
+      }
+    val offenders = pairsDf.queryExecution.sparkPlan.collect {
+      case j: SortMergeJoinExec if scansBandStore(j) => j
+      case j: ShuffledHashJoinExec if scansBandStore(j) => j
+    }
+    assert(offenders.isEmpty,
+      s"band store reached a shuffled join:\n${offenders.mkString("\n")}")
+    // and the probe result is still correct off the persisted stores
+    val viaStores = pairsDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val recompute = Dedup.lshCandidatePairsIncremental(
+      spark.read.parquet(store).drop("ingest_batch"),
+      Dedup.minhashSignaturesFor(
+        docs.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000).as("doc_id"), col("text")),
+        "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaStores == recompute && viaStores.nonEmpty)
+  }
+
   test("a store dir holding only crash residue counts as empty") {
     // a driver killed inside the FIRST store append leaves the path
     // existing with only _temporary/_SUCCESS-style entries; the replay
