@@ -88,7 +88,7 @@ object Bench {
     // reading a materialized pre-agg, not scanning the fact. Measure
     // the same thing: build agg_market_rates once (untimed), then time
     // partition-pruned slice reads; report the median in ms.
-    val servingMs: Double = try {
+    val (servingMs, servingWarmMs): (Double, Double) = try {
       val goldDir = java.nio.file.Files.createTempDirectory("graft_gold")
         .toString + "/agg"
       graft.etl.GoldAggregates.materialize(spark, sfDir, goldDir)
@@ -104,15 +104,22 @@ object Bench {
           .readSlice(spark, goldDir, r.getString(0), r.getString(1))
           .agg(sum(xxhash64(struct(col("*"))))).collect()
       }
-      val times = slices.drop(1).map { r =>
-        val t0 = System.nanoTime()
-        graft.etl.GoldAggregates
-          .readSlice(spark, goldDir, r.getString(0), r.getString(1))
-          .agg(sum(xxhash64(struct(col("*"))))).collect()
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
-      if (times.nonEmpty) times(times.length / 2) else -1.0
-    } catch { case _: Throwable => -1.0 }
+      def sliceP50(): Double = {
+        val times = slices.drop(1).map { r =>
+          val t0 = System.nanoTime()
+          graft.etl.GoldAggregates
+            .readSlice(spark, goldDir, r.getString(0), r.getString(1))
+            .agg(sum(xxhash64(struct(col("*"))))).collect()
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        if (times.nonEmpty) times(times.length / 2) else -1.0
+      }
+      // Pass 1 (cold): every slice is a first read — resolution
+      // (listing + footer + planning) dominates. Pass 2 (warm): the
+      // same slices again, now served from the resolved-frame cache —
+      // the repeat-read latency a dashboard's hot working set sees.
+      (sliceP50(), sliceP50())
+    } catch { case _: Throwable => (-1.0, -1.0) }
     // Routed-dashboard latency: the SAME queries a dashboard would
     // issue — the full inline aggregate plus a slice filter — but with
     // GoldRoutingRule swapping the aggregate for the materialization
@@ -148,9 +155,10 @@ object Bench {
       }
     } catch { case _: Throwable => -1.0 }
     // Full-precision line first (local inspection)…
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"routed_ms_p50":$routedMs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"serving_warm_ms_p50":$servingWarmMs,"routed_ms_p50":$routedMs,"sf":"$sfDir"}""")
     // …then the compact line LAST (see [[compactLine]]).
-    println(compactLine(results.toSeq, total, servingMs, routedMs, sfDir))
+    println(compactLine(results.toSeq, total, servingMs, servingWarmMs,
+      routedMs, sfDir))
     spark.stop()
   }
 
@@ -162,12 +170,12 @@ object Bench {
     * queries up to a byte budget, so the line always survives the tail
     * capture intact AND stays valid JSON — BenchLineSpec pins both. */
   def compactLine(results: Seq[(String, Double)], total: Double,
-                  servingMs: Double, routedMs: Double,
-                  sfDir: String): String = {
+                  servingMs: Double, servingWarmMs: Double,
+                  routedMs: Double, sfDir: String): String = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val bySlowest = results.sortBy(-_._2)
     val budget = 1500 // line budget in chars, well under the 2000-char tail
-    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"serving_ms_p50":${r3(servingMs)},"routed_ms_p50":${r3(routedMs)},"sf":"$sfDir","queries":{"""
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"serving_ms_p50":${r3(servingMs)},"serving_warm_ms_p50":${r3(servingWarmMs)},"routed_ms_p50":${r3(routedMs)},"sf":"$sfDir","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = header.length + 60 // reserve room for the omitted-queries tail
     var full = false

@@ -130,8 +130,10 @@ object GoldAggregates {
       // executing can still observe the overwrite — the usual
       // hive-layout caveat; snapshotting tables are out of scope.)
       graft.plans.GoldCatalog.invalidate(outPath)
+      invalidateSlices(outPath)
       val defining = aggMarketRates(spark, dir)
       write(defining, outPath)
+      invalidateSlices(outPath) // drop frames cached mid-overwrite
       graft.plans.GoldCatalog.register(defining, outPath)
     }
 
@@ -174,7 +176,9 @@ object GoldAggregates {
       val hit = slices.map { case (st, ym) =>
         (col("state") <=> lit(st)) && (col("year_month") <=> lit(ym))
       }.reduce(_ || _)
+      invalidateSlices(outPath)
       write(agg.filter(hit), outPath)
+      invalidateSlices(outPath) // drop frames cached mid-overwrite
       if (wasRegistered) graft.plans.GoldCatalog.register(agg, outPath)
     }
 
@@ -193,10 +197,51 @@ object GoldAggregates {
 
   /** Serving read: the dashboard path. Addresses the slice directory
     * directly (basePath keeps the partition columns in the schema), so
-    * the read lists ONE leaf dir — no full-tree discovery; this is what
-    * puts slice reads in the reference's optimized 50-200 ms class. */
+    * the COLD read lists ONE leaf dir — no full-tree discovery.
+    *
+    * Steady-state reads skip even that: resolving a one-leaf read
+    * still re-lists the leaf and re-reads a parquet footer for schema
+    * inference on EVERY call, and at dashboard request rates that
+    * resolution — not the data — is most of the latency (measured at
+    * sf0.1: ~250 ms p50 per-call resolution vs ~150 ms on the routed
+    * path, whose relation cache was added for the same reason). The
+    * resolved frame is cached per (session, path, state, year_month);
+    * executions stay fresh reads of the listed files, and writers
+    * invalidate by path around every slice rewrite — the same
+    * freshness contract as [[graft.plans.GoldCatalog]]. */
   def readSlice(spark: SparkSession, path: String, state: String,
-                yearMonth: String): DataFrame =
-    spark.read.option("basePath", path)
-      .parquet(s"$path/state=$state/year_month=$yearMonth")
+                yearMonth: String): DataFrame = {
+    val k = (spark, path, state, yearMonth)
+    val hit = sliceCache.synchronized(sliceCache.get(k))
+    if (hit != null) hit
+    else {
+      val df = spark.read.option("basePath", path)
+        .parquet(s"$path/state=$state/year_month=$yearMonth")
+      sliceCache.synchronized {
+        val raced = sliceCache.get(k)
+        if (raced != null) raced else { sliceCache.put(k, df); df }
+      }
+    }
+  }
+
+  /** Drop every cached slice frame under `path`. Writers call this
+    * around slice rewrites: a cached frame pins the leaf's FILE LIST,
+    * and executing it after a dynamic-overwrite replaced those files
+    * would read deleted paths. */
+  def invalidateSlices(path: String): Unit = sliceCache.synchronized {
+    sliceCache.keySet().removeIf(
+      (k: (SparkSession, String, String, String)) => k._2 == path)
+  }
+
+  /** LRU-bounded for the same session-pinning reason as
+    * [[graft.plans.GoldCatalog]]'s scan cache; 256 because slices are
+    * per-(state, ym) — a dashboard's working set, not a table count. */
+  private val SliceCacheMax = 256
+  private val sliceCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String, String, String),
+        DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String, String),
+            DataFrame]) = size() > SliceCacheMax
+    })
 }

@@ -152,24 +152,19 @@ object Dedup extends QueryPack {
     * form below. Empty-token docs get a NULL signature (the kernel
     * sentinel) and therefore never join in the band step — the same
     * no-pairs outcome as the SWAR form's explode, which drops them. */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    graft.GraftExtensions.registerAll(s)
-    // Cheap scan-side prefilter, NOT the correctness guard (that is
-    // the kernel's NULL-for-empty sentinel): most tokenless docs are
-    // pruned here before the md5 work. rlike on the RAW text rather
-    // than size(td) > 0 because a filter on the computed array would
-    // be pushed through the projection, inlining (and re-running) the
-    // tokenizer chain per row in the filter. (?iu): UNICODE_CASE,
-    // because lower() folds the full Unicode range (e.g. U+212A
-    // KELVIN → 'k') while plain (?i) folds ASCII only. The fold sets
-    // are not exactly identical (e.g. U+017F 'ſ' matches (?iu) but
-    // survives lower() untokenized) — docs in the gap reach the
-    // kernel with zero tokens and get the NULL signature.
-    augmented(s, d)
-      .filter(col("text").rlike("(?iu)[a-z0-9]"))
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("td"))
-      .select(col("doc_id"), call_function("simhash_sig", col("td")).as("simhash"))
-  }
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    // Notes on the generic body (see simhashSignaturesFor): the rlike
+    // prefilter is a cheap scan-side prune, NOT the correctness guard
+    // (that is the kernel's NULL-for-empty sentinel) — rlike on the
+    // RAW text rather than size(td) > 0 because a filter on the
+    // computed array would be pushed through the projection, inlining
+    // (and re-running) the tokenizer chain per row in the filter.
+    // (?iu): UNICODE_CASE, because lower() folds the full Unicode
+    // range (e.g. U+212A KELVIN → 'k') while plain (?i) folds ASCII
+    // only. The fold sets are not exactly identical (e.g. U+017F 'ſ'
+    // matches (?iu) but survives lower() untokenized) — docs in the
+    // gap reach the kernel with zero tokens and get the NULL signature.
+    simhashSignaturesFor(augmented(s, d), "doc_id", "text")
 
   /** The original composable (SWAR) formulation, kept as the parity
     * reference for SimHashNativeSpec: positions-explode, 4 sixteen-bit
@@ -328,6 +323,55 @@ object Dedup extends QueryPack {
     * signature store ([[graft.streaming.DedupStream.processBatchBanded]]). */
   def bandRowsOf(sig: DataFrame): DataFrame = bandRows(sig)
 
+  /** Corpus-generic SimHash signature frame — the [[simhashSignatures]]
+    * fixture wraps this. No post-hoc null filter on the computed
+    * signature: that would push the filter through the projection and
+    * re-run the kernel per row (the documented trap above); tokenless
+    * docs keep their NULL sentinel, which never equi-joins in banding. */
+  def simhashSignaturesFor(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    graft.GraftExtensions.registerAll(docs.sparkSession)
+    docs.filter(col(textCol).rlike("(?iu)[a-z0-9]"))
+      .select(col(idCol).as("doc_id"),
+        array_distinct(tokens(col(textCol))).as("td"))
+      .select(col("doc_id"), call_function("simhash_sig", col("td")).as("simhash"))
+  }
+
+  /** (doc_id, band_idx, band_hash) rows of a SimHash signature frame:
+    * the 4×16-bit pigeonhole slices. NULL signatures band as NULL rows,
+    * which never match an equi-join — the sentinel stays inert. */
+  def simhashBandRowsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(array(
+      (0 until 4).map(bn =>
+        shiftright(col("simhash"), bn * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("band_idx", "band_hash")))
+
+  /** Corpus-generic SRP signature frame over an embedding column:
+    * (doc_id, emb, sig) with the 32 hyperplane sign bits packed into
+    * one long. The embedding rides along because the verify step needs
+    * it — the signature store doubles as the vector lookup. */
+  def srpSignaturesFor(vecs: DataFrame, idCol: String,
+                       embCol: String): DataFrame = {
+    graft.GraftExtensions.registerAll(vecs.sparkSession)
+    vecs.select(col(idCol).as("doc_id") +: col(embCol).as("emb") +:
+        (0 until SrpBits).map { j =>
+          val h = array(srpPlanes(j).map(v => lit(v.toFloat)): _*)
+          when(call_function("cosine_f32", col("emb"), h) >= 0,
+            lit(1L << j)).otherwise(lit(0L)).as(s"b$j")
+        }: _*)
+      .select(col("doc_id"), col("emb"),
+        (0 until SrpBits).map(j => col(s"b$j")).reduce(_ + _).as("sig"))
+  }
+
+  /** (doc_id, band_idx, band_hash) rows of an SRP signature frame:
+    * 4×8-bit slices of the sign-bit long. */
+  def srpBandRowsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(array(
+      (0 until SrpBits / SrpBandBits).map(b =>
+        shiftright(col("sig"), b * SrpBandBits)
+          .bitwiseAND(lit((1L << SrpBandBits) - 1))): _*))
+      .as(Seq("band_idx", "band_hash")))
+
   /** Banded-store incremental LSH: the O(batch)-shuffle answer to
     * [[lshCandidatePairsIncremental]]'s per-batch O(|store|) banding
     * pass. The caller persists two datasets alongside the signature
@@ -442,7 +486,6 @@ object Dedup extends QueryPack {
     // minhash: only (band, doc_id) tuples shuffle, never the vectors
     // of non-candidates.
     "dedup_embedding_cosine" -> ((s, d) => {
-      val emb = augmentedEmbeddings(s, d)
       // Signature bits: sign of the projection onto each fixed
       // hyperplane. sign(dot) == sign(cosine) (norms are positive), so
       // the native cosine_f32 kernel computes the bit in one fused
@@ -451,15 +494,10 @@ object Dedup extends QueryPack {
       // end-to-end on this query at sf0.1. Planes are truncated to
       // float to fit the kernel's array<float> contract (a ~1e-7
       // rotation — band-collision probabilities are unchanged).
-      val sig = emb.select(col("vec_id") +: col("emb") +:
-        (0 until SrpBits).map { j =>
-          val h = array(srpPlanes(j).map(v => lit(v.toFloat)): _*)
-          when(call_function("cosine_f32", col("emb"), h) >= 0,
-            lit(1L << j)).otherwise(lit(0L)).as(s"b$j")
-        }: _*)
-        .select(col("vec_id"), col("emb"),
-          (0 until SrpBits).map(j => col(s"b$j")).reduce(_ + _).as("sig"))
-      val bands = sig.select(col("vec_id"), col("emb"), posexplode(array(
+      val sig = srpSignaturesFor(augmentedEmbeddings(s, d), "vec_id", "emb")
+      // Bands carry the embedding so the verify step needs no second
+      // join back to the signature frame.
+      val bands = sig.select(col("doc_id"), col("emb"), posexplode(array(
         (0 until SrpBits / SrpBandBits).map(b =>
           shiftright(col("sig"), b * SrpBandBits)
             .bitwiseAND(lit((1L << SrpBandBits) - 1))): _*))
@@ -468,8 +506,8 @@ object Dedup extends QueryPack {
       val b = bands.as("b")
       val cand = a.join(b, col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.emb").as("ea"), col("b.emb").as("eb"))
         .dropDuplicates("doc_a", "doc_b")
       cand.select(col("doc_a"), col("doc_b"),

@@ -42,7 +42,8 @@ object Multimodal extends QueryPack {
     * (JNI / native image lib) initializes ONCE per partition where the
     * comment marks it, then streams the partition's payloads through;
     * partition size is therefore the batch size, controlled by the
-    * upstream repartition. PNG payloads are really decoded
+    * upstream repartition. JDK-decodable image payloads (PNG, JPEG,
+    * GIF, BMP) are really decoded
     * ([[decodeOne]]); other payloads take the crc32 stub, which
     * computes the same pseudo-features as the expression path, so
     * OperatorsSpec asserts the two paths agree byte-for-byte on the
@@ -57,17 +58,28 @@ object Multimodal extends QueryPack {
     }
   }
 
-  private def isPng(b: Array[Byte]): Boolean =
-    b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P'.toByte &&
-      b(2) == 'N'.toByte && b(3) == 'G'.toByte
+  /** Magic-byte sniff for the formats the JDK's ImageIO decodes
+    * without any external codec: PNG, JPEG, GIF, BMP. Video/audio
+    * containers (and anything unrecognized) take the stub — their
+    * decoders are exactly what the per-partition codec-init seam
+    * exists to plug in. */
+  private def isJdkImage(b: Array[Byte]): Boolean =
+    b.length >= 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P'.toByte &&
+        b(2) == 'N'.toByte && b(3) == 'G'.toByte) || // PNG
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte &&
+        b(2) == 0xFF.toByte) ||                      // JPEG
+      (b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == '8'.toByte) || // GIF87a/89a
+      (b(0) == 'B'.toByte && b(1) == 'M'.toByte))    // BMP
 
-  /** Decode one payload. PNG (by magic sniff): real `javax.imageio`
-    * decode — true width/height and mean ITU-R BT.601 luma in [0, 1],
-    * averaged over every pixel. Anything else — and any payload the
-    * JDK reader rejects (truncated/corrupt PNG) — falls back to the
-    * deterministic crc32 pseudo-features rather than failing the
-    * partition; at 100 TB one bad blob must not kill a task retry
-    * loop. */
+  /** Decode one payload. JDK-decodable images (by magic sniff — PNG,
+    * JPEG, GIF, BMP): real `javax.imageio` decode — true width/height
+    * and mean ITU-R BT.601 luma in [0, 1], averaged over every pixel.
+    * Anything else — and any payload the JDK reader rejects
+    * (truncated/corrupt image) — falls back to the deterministic crc32
+    * pseudo-features rather than failing the partition; at 100 TB one
+    * bad blob must not kill a task retry loop. */
   def decodeOne(m: MediaIn): MediaFeatures = {
     def stub = {
       val crc = new java.util.zip.CRC32()
@@ -76,7 +88,7 @@ object Multimodal extends QueryPack {
         (crc.getValue % 1000) / 1000.0,
         m.payload.length % 640, m.payload.length % 480)
     }
-    if (!isPng(m.payload)) stub
+    if (!isJdkImage(m.payload)) stub
     else {
       val img =
         try javax.imageio.ImageIO.read(

@@ -215,12 +215,88 @@ object DedupStream {
                          textCol: String, storePath: String,
                          bandsPath: String, countsPath: String,
                          pairsPath: String, maxStoreFiles: Int = 256,
-                         foldAfter: Int = 16): Unit = {
+                         foldAfter: Int = 16): Unit =
+    processBatchBandedGeneric(batch, batchId,
+      b => Dedup.minhashSignaturesFor(b, idCol, textCol),
+      Dedup.bandRowsOf,
+      (cand, _) => cand, // minhash emits band-count candidates directly
+      storePath, bandsPath, countsPath, pairsPath, maxStoreFiles, foldAfter)
+
+  /** SimHash family of [[processBatchBanded]]: 4×16-bit pigeonhole
+    * bands, then exact Hamming verify against the signature store —
+    * candidates are broadcast so the store-side signature lookups are
+    * scans, never shuffles. */
+  def processBatchBandedSimhash(batch: DataFrame, batchId: Long,
+                                idCol: String, textCol: String,
+                                storePath: String, bandsPath: String,
+                                countsPath: String, pairsPath: String,
+                                maxHamming: Int = Dedup.SimhashK,
+                                maxStoreFiles: Int = 256,
+                                foldAfter: Int = 16): Unit =
+    processBatchBandedGeneric(batch, batchId,
+      b => Dedup.simhashSignaturesFor(b, idCol, textCol),
+      Dedup.simhashBandRowsOf,
+      (cand, sigs) => {
+        val sa = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+        val sb = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+        broadcast(broadcast(cand.select("doc_a", "doc_b"))
+            .join(sa, Seq("doc_a")))
+          .join(sb, Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+      },
+      storePath, bandsPath, countsPath, pairsPath, maxStoreFiles, foldAfter)
+
+  /** SRP-embedding family of [[processBatchBanded]]: 4×8-bit sign-bit
+    * bands over an `array<float>` embedding column, then exact cosine
+    * verify (native kernel) against the store — which carries the
+    * vectors, so no separate vector lookup exists to fall out of sync. */
+  def processBatchBandedSrp(batch: DataFrame, batchId: Long,
+                            idCol: String, embCol: String,
+                            storePath: String, bandsPath: String,
+                            countsPath: String, pairsPath: String,
+                            minCosine: Double = Dedup.SrpTau,
+                            maxStoreFiles: Int = 256,
+                            foldAfter: Int = 16): Unit =
+    processBatchBandedGeneric(batch, batchId,
+      b => Dedup.srpSignaturesFor(b, idCol, embCol),
+      Dedup.srpBandRowsOf,
+      (cand, sigs) => {
+        val ea = sigs.select(col("doc_id").as("doc_a"), col("emb").as("ea"))
+        val eb = sigs.select(col("doc_id").as("doc_b"), col("emb").as("eb"))
+        broadcast(broadcast(cand.select("doc_a", "doc_b"))
+            .join(ea, Seq("doc_a")))
+          .join(eb, Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            call_function("cosine_f32", col("ea"), col("eb")).as("cos"))
+          .filter(col("cos") >= minCosine)
+          .select(col("doc_a"), col("doc_b"),
+            graft.functions.NormExprs.pround(col("cos"), 4).as("cosine"))
+      },
+      storePath, bandsPath, countsPath, pairsPath, maxStoreFiles, foldAfter)
+
+  /** The family-agnostic banded micro-batch: `sigOf` builds the
+    * batch's signature frame (must expose `doc_id`; any payload
+    * columns ride into the store for `verify` to use), `bandsOf`
+    * projects (doc_id, band_idx, band_hash) rows, and `verify` turns
+    * broadcast-probed candidates plus the merged signature frame
+    * (store ∪ delta — a pair's far side may be either) into the
+    * batch's emitted pairs. All replay/maintenance discipline is
+    * shared — see [[processBatchBanded]]'s scaladoc. */
+  def processBatchBandedGeneric(batch: DataFrame, batchId: Long,
+                                sigOf: DataFrame => DataFrame,
+                                bandsOf: DataFrame => DataFrame,
+                                verify: (DataFrame, DataFrame) => DataFrame,
+                                storePath: String, bandsPath: String,
+                                countsPath: String, pairsPath: String,
+                                maxStoreFiles: Int = 256,
+                                foldAfter: Int = 16): Unit = {
     val spark = batch.sparkSession
     recoverCompaction(spark, storePath)
     recoverCompaction(spark, countsPath)
     foldCounts(spark, countsPath, batchId, foldAfter)
-    val sig = Dedup.minhashSignaturesFor(batch, idCol, textCol)
+    val sig = sigOf(batch)
     val storePrev =
       if (!graft.FsUtils.committedExists(spark, storePath)) sig.limit(0)
       else spark.read.parquet(storePath)
@@ -228,7 +304,7 @@ object DedupStream {
     val delta = sig
       .join(storePrev.select("doc_id"), Seq("doc_id"), "left_anti")
       .persist()
-    val deltaBands = Dedup.bandRowsOf(delta).persist()
+    val deltaBands = bandsOf(delta).persist()
     try {
       def partitioned(path: String, empty: => DataFrame): DataFrame =
         if (!graft.FsUtils.committedExists(spark, path)) empty
@@ -244,9 +320,9 @@ object DedupStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("ingest_batch")
           .option("compression", "zstd").parquet(path)
-      writePartition(
-        Dedup.lshCandidatePairsFromBands(storeBands, storeCounts, deltaBands),
-        pairsPath)
+      val cand = Dedup.lshCandidatePairsFromBands(
+        storeBands, storeCounts, deltaBands)
+      writePartition(verify(cand, storePrev.unionByName(delta)), pairsPath)
       writePartition(deltaBands, bandsPath)
       writePartition(deltaBands.groupBy("band_idx", "band_hash")
         .agg(count(lit(1)).as("n")), countsPath)

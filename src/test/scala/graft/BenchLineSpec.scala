@@ -16,7 +16,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("compact line fits the 2000-char tail window at any query count") {
     Seq(0, 1, 50, 94, 300).foreach { n =>
-      val line = Bench.compactLine(mkResults(n), 123.456, 101.2, 333.4,
+      val line = Bench.compactLine(mkResults(n), 123.456, 101.2, 88.8, 333.4,
         "/root/testdata/sf0.1")
       assert(line.length < 1700, s"n=$n: ${line.length} chars")
     }
@@ -24,7 +24,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("compact line is valid JSON with the headline fields") {
     Seq(0, 94, 300).foreach { n =>
-      val line = Bench.compactLine(mkResults(n), 99.9, -1.0, -1.0, "/x")
+      val line = Bench.compactLine(mkResults(n), 99.9, -1.0, -1.0, -1.0, "/x")
       val node = mapper.readTree(line) // throws on malformed JSON
       assert(node.get("metric").asText() == "total")
       assert(node.get("value").asDouble() == 99.9)
@@ -43,7 +43,7 @@ class BenchLineSpec extends AnyFunSuite {
       val name = if (i == 50) "long_" * 400 else s"q$i"
       name -> (200 - i) * 1.0
     }
-    val node = mapper.readTree(Bench.compactLine(results, 0, 0, 0, "/x"))
+    val node = mapper.readTree(Bench.compactLine(results, 0, 0, 0, 0, "/x"))
     val kept = {
       val it = node.get("queries").fieldNames()
       val b = Seq.newBuilder[String]
@@ -60,7 +60,7 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("the slowest queries survive omission, never the fastest-first") {
-    val line = Bench.compactLine(mkResults(300), 1.0, 0, 0, "/x")
+    val line = Bench.compactLine(mkResults(300), 1.0, 0, 0, 0, "/x")
     val node = mapper.readTree(line)
     val kept = node.get("queries").fieldNames()
     // slowest = highest index in mkResults; the first kept key is it

@@ -220,6 +220,72 @@ class DedupStreamSpec extends SparkSpec {
     assert(viaStores == recompute && viaStores.nonEmpty)
   }
 
+  test("simhash banded family: batches compose, replay no-op, dups found") {
+    val work = Files.createTempDirectory("graft_bsim").toString
+    val copies = docs.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      when(col("doc_id") < 10, col("text"))
+        .otherwise(concat(col("text"), lit(" extra suffix tokens")))
+        .as("text"))
+    def run(sub: String, batches: Seq[(org.apache.spark.sql.DataFrame, Long)])
+        : Set[(Long, Long, Int)] = {
+      val p = s"$work/$sub"
+      batches.foreach { case (b, id) =>
+        DedupStream.processBatchBandedSimhash(b, id, "doc_id", "text",
+          s"$p/sig", s"$p/bands", s"$p/counts", s"$p/pairs")
+      }
+      spark.read.parquet(s"$p/pairs").select("doc_a", "doc_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val multi = run("multi", Seq((docs, 0L), (copies, 1L)))
+    val single = run("single", Seq((docs.unionByName(copies), 0L)))
+    assert(multi == single, s"multi ${multi.size} vs single ${single.size}")
+    // every exact copy (0-9) must surface as a Hamming-0 pair
+    (0L until 10L).foreach { i =>
+      assert(multi.contains((i, i + 100000, 0)), s"missing exact pair $i")
+    }
+    // replay the copies batch: identical end state
+    DedupStream.processBatchBandedSimhash(copies, 1L, "doc_id", "text",
+      s"$work/multi/sig", s"$work/multi/bands", s"$work/multi/counts",
+      s"$work/multi/pairs")
+    assert(run("multi", Nil) == multi)
+  }
+
+  test("SRP banded family: batches compose and recover injected near-dups") {
+    val work = Files.createTempDirectory("graft_bsrp").toString
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val copies = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      when(col("vec_id") < 10, col("embedding"))
+        .otherwise(transform(col("embedding"),
+          (v, i) => when(i === 0, v * lit(1.2f)).otherwise(v)))
+        .as("embedding"))
+    def run(sub: String, batches: Seq[(org.apache.spark.sql.DataFrame, Long)])
+        : Set[(Long, Long, Double)] = {
+      val p = s"$work/$sub"
+      batches.foreach { case (b, id) =>
+        DedupStream.processBatchBandedSrp(b, id, "vec_id", "embedding",
+          s"$p/sig", s"$p/bands", s"$p/counts", s"$p/pairs")
+      }
+      spark.read.parquet(s"$p/pairs").select("doc_a", "doc_b", "cosine")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val multi = run("multi", Seq((emb, 0L), (copies, 1L)))
+    val single = run("single", Seq((emb.unionByName(copies), 0L)))
+    assert(multi == single, s"multi ${multi.size} vs single ${single.size}")
+    // exact copies are cosine-1 pairs; SRP recovery of the perturbed
+    // ten is probabilistic per doc but >98% per pair (4 bands of 8) —
+    // requiring ≥ 15 of 20 keeps the test deterministic-in-practice
+    // while still proving the family finds what it exists to find
+    (0L until 10L).foreach { i =>
+      assert(multi.contains((i, i + 100000, 1.0)), s"missing exact pair $i")
+    }
+    val recovered = (0L until 20L).count(i =>
+      multi.exists(p => p._1 == i && p._2 == i + 100000))
+    assert(recovered >= 15, s"only $recovered/20 injected near-dups recovered")
+  }
+
   test("a store dir holding only crash residue counts as empty") {
     // a driver killed inside the FIRST store append leaves the path
     // existing with only _temporary/_SUCCESS-style entries; the replay

@@ -194,6 +194,34 @@ class OperatorsSpec extends SparkSpec {
     assert(corrupt.byte_len == 12)
   }
 
+  test("jpeg/gif/bmp payloads decode through the same seam") {
+    import spark.implicits._
+    // 10×4 mid-gray: a flat field survives JPEG's lossy round-trip
+    // with only quantization error, so luma stays assertable
+    val img = new java.awt.image.BufferedImage(10, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 10).foreach(x =>
+      img.setRGB(x, y, 0x808080)))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val media = Seq("jpg", "gif", "bmp").zipWithIndex.map { case (f, i) =>
+      Multimodal.MediaIn(i.toLong, enc(f))
+    }.toDS()
+    val out = Multimodal.decodePartitions(media).collect()
+    assert(out.length == 3)
+    out.foreach { f =>
+      assert((f.width, f.height) == (10, 4),
+        s"media ${f.media_id} decoded ${f.width}x${f.height}")
+      // 0x80/255 ≈ 0.5020; JPEG quantization moves a flat field by
+      // well under 2% — and GIF/BMP are lossless
+      assert(math.abs(f.mean_luma - 128.0 / 255.0) < 0.02,
+        s"media ${f.media_id} mean_luma ${f.mean_luma}")
+    }
+  }
+
   test("resize seam: ≤ target bytes, deterministic, identity when small") {
     import spark.implicits._
     val media = Tables.load(spark, sf0001, "documents")

@@ -85,4 +85,27 @@ class ServingRefreshSpec extends SparkSpec {
       .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
     assert(servedRows.toSeq == inline.toSeq)
   }
+
+  test("slice-read cache: repeats reuse the resolved frame, refresh drops it") {
+    val work = Files.createTempDirectory("graft_slicecache").toString
+    val gold = s"$work/gold"
+    try {
+      GoldAggregates.materialize(spark, sf0001, gold)
+      val head = spark.read.parquet(gold).select("state", "year_month").head
+      val (s0, ym0) = (head.getString(0), head.getString(1))
+      val first = GoldAggregates.readSlice(spark, gold, s0, ym0)
+      val n = first.count()
+      assert(n > 0)
+      // steady state: the resolved frame itself is reused — no
+      // re-listing, no footer re-read, plan-identical by construction
+      assert(GoldAggregates.readSlice(spark, gold, s0, ym0) eq first)
+      // a slice rewrite replaces the leaf's part files; the cached
+      // frame pins the OLD file list, so refresh must evict it — the
+      // post-refresh read resolves fresh and still serves the slice
+      GoldAggregates.refreshSlices(spark, sf0001, gold, Seq((s0, ym0)))
+      val after = GoldAggregates.readSlice(spark, gold, s0, ym0)
+      assert(!(after eq first), "refresh left a stale frame cached")
+      assert(after.count() == n)
+    } finally graft.plans.GoldCatalog.invalidate(gold)
+  }
 }
