@@ -378,4 +378,58 @@ object DedupStream {
       }
       .start()
 
+  /** Lay the band store out BUCKETED by band_hash — the last pruning
+    * step of the banded path's scale story. The plain parquet store is
+    * probed by broadcast join: no shuffle, but every batch still SCANS
+    * all of it, and min/max skipping can't help (md5 values are
+    * uniform, every row group spans the space). Hashing rows into
+    * buckets makes the probe key the layout key, so a probe by
+    * bucket-prunable predicate reads only the matching files:
+    * per-batch I/O drops from O(|corpus|) to
+    * O(touched buckets / total buckets × |corpus|).
+    *
+    * Offline maintenance, not per batch (a bucketed table can't take
+    * the per-partition dynamic-overwrite appends the live store
+    * needs): periodically fold the appended store into the bucketed
+    * table and let [[probeBandsBucketed]] serve reads between folds by
+    * unioning the bucketed bulk with the small still-unfolded tail. */
+  def bucketizeBandStore(spark: SparkSession, bandsPath: String,
+                         db: String, table: String, tablePath: String,
+                         buckets: Int = 64): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db " +
+      s"LOCATION '$tablePath/_db'")
+    spark.read.parquet(bandsPath).drop("ingest_batch")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "band_hash")
+      .option("path", s"$tablePath/$table")
+      .saveAsTable(s"$db.$table")
+  }
+
+  /** Bucket-pruned probe of a [[bucketizeBandStore]] table: collect
+    * the delta's distinct band keys (driver-bounded — O(4 × batch)
+    * values, same discipline as the IVF probed-bucket literals) and
+    * filter the table by them. The literal IN-set is what lets the
+    * planner compute the bucket set at optimization time — a join
+    * could not prune. Returns the matched band rows, ready to stand in
+    * for `storeBands` in
+    * [[graft.operators.Dedup.lshCandidatePairsFromBands]]. */
+  def probeBandsBucketed(spark: SparkSession, db: String, table: String,
+                         deltaBands: DataFrame): DataFrame = {
+    // DisableUnnecessaryBucketedScan sees no join/aggregate requiring
+    // the bucketed distribution and turns the bucketed scan off —
+    // which also forfeits bucket PRUNING, the whole point here. That
+    // auto-disable exists to spare full scans the bucketed-read
+    // penalty; a pruned point-probe is its worst case, so pin it off
+    // for this (serving) session. Left set deliberately: the setting
+    // only changes how bucketed tables are READ, and every probe this
+    // session makes wants pruning.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    val keys = deltaBands.select("band_hash").distinct()
+      .collect().map(_.get(0))
+    val t = spark.table(s"$db.$table")
+    if (keys.isEmpty) t.limit(0)
+    else t.filter(col("band_hash").isin(keys.toIndexedSeq: _*))
+  }
+
 }

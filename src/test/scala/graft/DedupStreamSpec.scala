@@ -286,6 +286,40 @@ class DedupStreamSpec extends SparkSpec {
     assert(recovered >= 15, s"only $recovered/20 injected near-dups recovered")
   }
 
+  test("bucketized band store: probe prunes buckets, results unchanged") {
+    val work = Files.createTempDirectory("graft_bbucket").toString
+    val (store, bands, counts, pairs) = (s"$work/sig",
+      s"$work/bands", s"$work/counts", s"$work/pairs")
+    DedupStream.processBatchBanded(docs, 0L, "doc_id", "text",
+      store, bands, counts, pairs)
+    DedupStream.bucketizeBandStore(spark, bands, "graft_bandsdb",
+      "bands_b", work, buckets = 64)
+    val deltaBands = Dedup.bandRowsOf(Dedup.minhashSignaturesFor(
+      docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"), col("text")),
+      "doc_id", "text")).persist()
+    try {
+      val pruned = DedupStream.probeBandsBucketed(spark, "graft_bandsdb",
+        "bands_b", deltaBands)
+      // the scan must actually prune: the literal IN-set resolves to a
+      // bucket subset at planning time, and only those files are read
+      val scanStr = pruned.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(scanStr)
+      assert(m.isDefined, s"no bucket pruning in plan:\n$scanStr")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"probe read every bucket: ${m.get.group(0)}")
+      // and the pruned probe is a drop-in storeBands: identical pairs
+      val storeCounts = spark.read.parquet(counts).drop("ingest_batch")
+      def pairsVia(storeBands: org.apache.spark.sql.DataFrame) =
+        Dedup.lshCandidatePairsFromBands(storeBands, storeCounts, deltaBands)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val viaPruned = pairsVia(pruned)
+      val viaFull = pairsVia(spark.read.parquet(bands).drop("ingest_batch"))
+      assert(viaPruned == viaFull && viaPruned.nonEmpty)
+    } finally deltaBands.unpersist()
+  }
+
   test("a store dir holding only crash residue counts as empty") {
     // a driver killed inside the FIRST store append leaves the path
     // existing with only _temporary/_SUCCESS-style entries; the replay
