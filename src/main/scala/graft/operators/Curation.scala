@@ -109,12 +109,21 @@ object Curation extends QueryPack {
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = und.join(labels, und("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = checkpoint(labels.unionByName(prop)
-        .groupBy("id").agg(min("comp").as("comp")))
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
+        .select(col("dst").as("id"), col("comp"),
+          lit(null).cast(nodes.schema("id").dataType).as("old"))
+      // The node's own label rides the same aggregation tagged as
+      // `old` (exactly one per id; min ignores the prop rows' nulls),
+      // so convergence is a filter-count over the NEXT frame — already
+      // materialized by the checkpoint — instead of a second
+      // labels-vs-next join that would shuffle the vertex set twice
+      // per round. comp ≤ old always (old is in the min set), so
+      // changed ⟺ comp < old.
+      val next = checkpoint(labels
+        .select(col("id"), col("comp"), col("comp").as("old"))
+        .unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"), min("old").as("old")))
+      changed = next.filter(col("comp") < col("old")).count()
+      labels = next.select("id", "comp")
       i += 1
     }
     if (changed > 0) throw new IllegalStateException(
