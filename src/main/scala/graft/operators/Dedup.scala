@@ -454,6 +454,21 @@ object Dedup extends QueryPack {
     "dedup_minhash_lsh" -> ((s, d) =>
       lshCandidatePairs(minhashSignatures(s, d))),
 
+    // The INCREMENTAL path as an oracle-checked query: the injected
+    // copies arrive as an ingest delta against a store of the base
+    // corpus. By the delta-restriction property (pinned cross-run by
+    // IncrementalDedupSpec, and here cross-ENGINE), its pairs are
+    // exactly the full run's pairs touching a delta doc — the
+    // hot-bucket cap sees store ∪ delta = the full corpus either way.
+    "dedup_minhash_incremental" -> ((s, d) => {
+      val aug = augmented(s, d)
+      lshCandidatePairsIncremental(
+        minhashSignaturesFor(aug.filter(col("doc_id") < 100000),
+          "doc_id", "text"),
+        minhashSignaturesFor(aug.filter(col("doc_id") >= 100000),
+          "doc_id", "text"))
+    }),
+
     // SimHash: 64-bit signature; candidates from 4×16-bit band equi-joins
     // (pigeonhole: Hamming ≤ 3 ⇒ ≥1 of the 4 bands is identical), then
     // exact Hamming verification on the candidate pairs only — the
@@ -724,6 +739,11 @@ object Dedup extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashLshOracle,
+
+    // Delta restriction of the full-run oracle (see the query's note).
+    "dedup_minhash_incremental" -> s"""SELECT * FROM (
+      $minhashLshOracle
+      ) WHERE doc_a >= 100000 OR doc_b >= 100000""",
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding_cosine" -> embeddingSrpOracle,
 
