@@ -55,10 +55,16 @@ object BuildMain {
     // micro-appended stores accrue a part file per batch per shuffle
     // partition, and the compaction pass is the standing maintenance
     // that keeps probe-side listing/open costs bounded.
+    // ingest_batch = -1, NOT 0: streaming batch ids start at 0, and
+    // processBatch reads the store excluding the CURRENT batch id for
+    // replay safety — a seed tagged 0 would make the very first
+    // micro-batch treat the entire seeded corpus as its own replay
+    // residue and silently emit no seed-vs-delta pairs. -1 is the
+    // same can-never-collide sentinel foldCounts uses.
     graft.etl.StarSchemaBuilder.appendUnique(spark,
       graft.operators.Dedup.minhashSignaturesFor(
           graft.Tables.load(spark, sfDir, "documents"), "doc_id", "text")
-        .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(0L)),
+        .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(-1L)),
       s"$outDir/minhash_sig_store", Seq("doc_id"))
     graft.streaming.DedupStream.compactStore(spark,
       s"$outDir/minhash_sig_store", maxFiles = 16)

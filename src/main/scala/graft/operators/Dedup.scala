@@ -363,14 +363,17 @@ object Dedup extends QueryPack {
         (0 until SrpBits).map(j => col(s"b$j")).reduce(_ + _).as("sig"))
   }
 
-  /** (doc_id, band_idx, band_hash) rows of an SRP signature frame:
-    * 4×8-bit slices of the sign-bit long. */
-  def srpBandRowsOf(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), posexplode(array(
+  /** (doc_id, extra…, band_idx, band_hash) rows of an SRP signature
+    * frame: 4×8-bit slices of the sign-bit long. `extra` carries
+    * payload columns through the banding (the fixture query rides the
+    * embedding along so its verify step needs no join-back) — same
+    * shape as the minhash `bandRows`. */
+  def srpBandRowsOf(sig: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    sig.select((col("doc_id") +: extra.map(col)) :+ posexplode(array(
       (0 until SrpBits / SrpBandBits).map(b =>
         shiftright(col("sig"), b * SrpBandBits)
           .bitwiseAND(lit((1L << SrpBandBits) - 1))): _*))
-      .as(Seq("band_idx", "band_hash")))
+      .as(Seq("band_idx", "band_hash")): _*)
 
   /** Banded-store incremental LSH: the O(batch)-shuffle answer to
     * [[lshCandidatePairsIncremental]]'s per-batch O(|store|) banding
@@ -512,15 +515,11 @@ object Dedup extends QueryPack {
       val sig = srpSignaturesFor(augmentedEmbeddings(s, d), "vec_id", "emb")
       // Bands carry the embedding so the verify step needs no second
       // join back to the signature frame.
-      val bands = sig.select(col("doc_id"), col("emb"), posexplode(array(
-        (0 until SrpBits / SrpBandBits).map(b =>
-          shiftright(col("sig"), b * SrpBandBits)
-            .bitwiseAND(lit((1L << SrpBandBits) - 1))): _*))
-        .as(Seq("band_idx", "band_val")))
+      val bands = srpBandRowsOf(sig, extra = Seq("emb"))
       val a = bands.as("a")
       val b = bands.as("b")
       val cand = a.join(b, col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
+          col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.emb").as("ea"), col("b.emb").as("eb"))
@@ -670,8 +669,13 @@ object Dedup extends QueryPack {
     * literals are float-truncated constants (every float is exactly
     * representable as the double DuckDB parses), and the `* 1.2f`
     * perturbation multiplies two floats whose exact product fits in a
-    * double before rounding back to float — so `CAST(a * 1.2 AS
-    * FLOAT)` over doubles lands on the identical bit pattern. Sign
+    * double before rounding back to float — so `CAST(a * L AS FLOAT)`
+    * lands on the identical bit pattern PROVIDED `L` is the exact
+    * double value of float 1.2f (interpolated below as
+    * `1.2f.toDouble`); the decimal literal `1.2` parses to a
+    * DIFFERENT double (≈1 ulp low) whose product can round to the
+    * neighboring float and shift a cosine across the τ/rounding
+    * boundary. Sign
     * bits compare `dp >= 0` (kernel divides by positive norms, which
     * cannot flip sign); summation-order ulp drift could only matter
     * for a dot product within ~1e-16 of zero or of the 0.98/rounding
@@ -690,7 +694,7 @@ object Dedup extends QueryPack {
         SELECT vec_id + 100000 AS vec_id,
                CASE WHEN vec_id < 10 THEN embedding
                     ELSE list_concat(
-                      [CAST(embedding[1] * 1.2 AS FLOAT)],
+                      [CAST(embedding[1] * ${1.2f.toDouble} AS FLOAT)],
                       embedding[2:]) END AS emb
         FROM embeddings WHERE vec_id < 20),
       planes AS (

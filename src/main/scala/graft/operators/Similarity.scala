@@ -120,10 +120,11 @@ object Similarity extends QueryPack {
     kmeansCentroids(e, "vec_id", "embedding")
 
   /** Sampled k-means for IVF bucketing, built to be DETERMINISTIC
-    * across runs, sessions, and cluster sizes — a hard requirement:
-    * probes recompute centroids independently of the index build
-    * ([[probeIvfIndex]]), so any nondeterminism would silently probe
-    * the wrong buckets.
+    * across runs, sessions, and cluster sizes. Probes read the
+    * centroids persisted beside the index (the [[writeIvfIndex]]
+    * sidecar), so version skew is structurally closed; determinism
+    * still matters so that inline queries and incremental index
+    * rebuilds over the same corpus agree.
     *
     *  - Sample: the `sampleN` hash-smallest vectors by `md5(id)`
     *    (TakeOrdered — one corpus scan, bounded driver memory at any
@@ -220,25 +221,48 @@ object Similarity extends QueryPack {
 
   /** Materialize the IVF index: corpus written hive-partitioned by
     * bucket, so probe queries prune to ~nprobe/K of the files. This is
-    * the ETL half of the 100 TB design (build once, probe many). */
+    * the ETL half of the 100 TB design (build once, probe many).
+    *
+    * The centroid frame is persisted NEXT TO the index
+    * (`<outPath>_centroids`) and is the index's versioning: bucket
+    * membership is meaningful only under the centroids that assigned
+    * it, so probes must read THESE centroids rather than recompute —
+    * a probe recomputing under a changed centroid definition (or a
+    * changed corpus) would silently probe wrong buckets, and
+    * recomputation also costs a full-corpus sample scan + driver
+    * k-means per probe call. */
   def writeIvfIndex(spark: SparkSession, dir: String, outPath: String): Unit = {
     val e = emb(spark, dir)
+    val cents = centroids(e)
     assignBuckets(e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
-      "cid", "ce", centroids(e))
+      "cid", "ce", cents)
       .write.mode("overwrite").partitionBy("bucket")
       .option("compression", "zstd").parquet(outPath)
+    cents.write.mode("overwrite")
+      .option("compression", "zstd").parquet(centroidsPathOf(outPath))
   }
+
+  /** The centroid sidecar of a materialized index. */
+  def centroidsPathOf(indexPath: String): String = s"${indexPath}_centroids"
 
   /** Probe a materialized IVF index. The probed bucket ids are resolved
     * driver-side from the (by-definition tiny) query set and pushed as
     * IN-literals, so the scan's PartitionFilters prune unprobed buckets
-    * at file listing — the serving-path read pattern of a real IVF. */
+    * at file listing — the serving-path read pattern of a real IVF.
+    * Centroids come from the index's persisted sidecar — see
+    * [[writeIvfIndex]]; a missing sidecar fails loudly rather than
+    * recomputing into possible version skew. */
   def probeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
                     nprobe: Int = 2, topK: Int = 5): DataFrame = {
     val e = emb(spark, dir)
+    val centsPath = centroidsPathOf(indexPath)
+    require(graft.FsUtils.committedExists(spark, centsPath),
+      s"no centroid sidecar at $centsPath — rebuild the index with " +
+        "writeIvfIndex; probing with recomputed centroids risks silent " +
+        "bucket-assignment skew")
     val probes = probeBuckets(e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("vid"), col("embedding").as("qe")),
-      centroids(e), nprobe)
+      spark.read.parquet(centsPath), nprobe)
     val probedBuckets = probes.select("probe").distinct()
       .collect().map(_.getLong(0))
     val index = spark.read.parquet(indexPath)

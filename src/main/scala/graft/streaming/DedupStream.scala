@@ -261,7 +261,7 @@ object DedupStream {
                             foldAfter: Int = 16): Unit =
     processBatchBandedGeneric(batch, batchId,
       b => Dedup.srpSignaturesFor(b, idCol, embCol),
-      Dedup.srpBandRowsOf,
+      sig => Dedup.srpBandRowsOf(sig),
       (cand, sigs) => {
         val ea = sigs.select(col("doc_id").as("doc_a"), col("emb").as("ea"))
         val eb = sigs.select(col("doc_id").as("doc_b"), col("emb").as("eb"))
@@ -445,17 +445,26 @@ object DedupStream {
     // the bucketed distribution and turns the bucketed scan off —
     // which also forfeits bucket PRUNING, the whole point here. That
     // auto-disable exists to spare full scans the bucketed-read
-    // penalty; a pruned point-probe is its worst case, so pin it off
-    // for this (serving) session. Left set deliberately: the setting
-    // only changes how bucketed tables are READ, and every probe this
-    // session makes wants pruning.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-      "false")
-    val keys = deltaBands.select("band_hash").distinct()
-      .collect().map(_.get(0))
-    val t = spark.table(s"$db.$table")
-    if (keys.isEmpty) t.limit(0)
-    else t.filter(col("band_hash").isin(keys.toIndexedSeq: _*))
+    // penalty, and OTHER bucketed reads in the session (e.g. the
+    // BucketedTables full-scan joins) genuinely want it — so the
+    // setting is scoped, not sticky: disable, force physical planning
+    // of the probe (leaf scans are fixed in the initial plan; AQE
+    // re-plans exchanges, never scans), restore. Callers must consume
+    // the returned frame as-is — deriving a new frame from it would
+    // re-plan under the restored conf.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try {
+      val keys = deltaBands.select("band_hash").distinct()
+        .collect().map(_.get(0))
+      val t = spark.table(s"$db.$table")
+      val probe =
+        if (keys.isEmpty) t.limit(0)
+        else t.filter(col("band_hash").isin(keys.toIndexedSeq: _*))
+      probe.queryExecution.executedPlan // pin the pruned bucketed scan
+      probe
+    } finally spark.conf.set(key, prev)
   }
 
 }

@@ -320,6 +320,29 @@ class DedupStreamSpec extends SparkSpec {
     } finally deltaBands.unpersist()
   }
 
+  test("a seeded store (sentinel batch -1) pairs with the first stream batch") {
+    // BuildMain seeds the signature store under ingest_batch = -1; a
+    // seed tagged 0 would collide with the FIRST foreachBatch id and
+    // be excluded as that batch's own replay residue — the stream
+    // would silently drop every seed-vs-delta pair.
+    val work = Files.createTempDirectory("graft_seed").toString
+    val store = s"$work/sig_store"
+    val pairs = s"$work/pairs"
+    graft.etl.StarSchemaBuilder.appendUnique(spark,
+      Dedup.minhashSignaturesFor(docs, "doc_id", "text")
+        .withColumn("ingest_batch", lit(-1L)),
+      store, Seq("doc_id"))
+    val copies = docs.filter(col("doc_id") < 10).select(
+      (col("doc_id") + 100000).as("doc_id"), col("text"))
+    DedupStream.processBatch(copies, 0L, "doc_id", "text", store, pairs)
+    val got = spark.read.parquet(pairs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { i =>
+      assert(got.contains((i, i + 100000)),
+        s"seed-vs-delta pair $i missing — seed excluded by batch-id collision?")
+    }
+  }
+
   test("a store dir holding only crash residue counts as empty") {
     // a driver killed inside the FIRST store append leaves the path
     // existing with only _temporary/_SUCCESS-style entries; the replay
