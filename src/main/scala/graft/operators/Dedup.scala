@@ -78,7 +78,7 @@ object Dedup extends QueryPack {
 
   private val NumHashes = graft.functions.MinHashSig.DefaultK // 16
   private val BandSize = 4 // → 4 bands of 4 rows
-  private val MaxBucket = 64 // LSH hot-bucket cap (skew guard)
+  val MaxBucket = 64 // LSH hot-bucket cap (skew guard)
 
   /** MinHash signature frame (doc_id, h0..h15) via the native
     * `minhash_sig` kernel — one imperative pass per row instead of the
@@ -447,6 +447,21 @@ object Dedup extends QueryPack {
       .agg(countDistinct("band_idx").cast("int").as("n_bands"))
   }
 
+  /** Hot-bucket cap over any banded frame: drop buckets whose member
+    * count exceeds `maxBucket` before the quadratic self-join. The
+    * count and the join shuffle on the same key columns, so the extra
+    * aggregation reuses the exchange partitioning. Shared by all three
+    * fixture families — a degenerate bucket (near-empty docs sharing a
+    * signature, an embedding cluster in one octant) is quadratic at
+    * corpus scale whichever signature produced it. */
+  private def capBuckets(bands: DataFrame, keyCols: Seq[String],
+                         maxBucket: Int = MaxBucket): DataFrame = {
+    val keep = bands.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    bands.join(keep, keyCols)
+  }
+
   def queries: Map[String, QFn] = Map(
     // Exact dedup: group by content hash, keep lowest doc_id
     "dedup_exact" -> ((s, d) =>
@@ -481,10 +496,12 @@ object Dedup extends QueryPack {
     // recovers them (OperatorsSpec).
     "dedup_simhash" -> ((s, d) => {
       val sig = simhashSignatures(s, d)
-      val bands = sig.select(col("doc_id"), col("simhash"), posexplode(array(
-        (0 until 4).map(bn =>
-          shiftright(col("simhash"), bn * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band_idx", "band_val")))
+      val bands = capBuckets(
+        sig.select(col("doc_id"), col("simhash"), posexplode(array(
+          (0 until 4).map(bn =>
+            shiftright(col("simhash"), bn * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band_idx", "band_val"))),
+        Seq("band_idx", "band_val"))
       val a = bands.as("a")
       val b = bands.as("b")
       a.join(b, col("a.band_idx") === col("b.band_idx") &&
@@ -515,7 +532,8 @@ object Dedup extends QueryPack {
       val sig = srpSignaturesFor(augmentedEmbeddings(s, d), "vec_id", "emb")
       // Bands carry the embedding so the verify step needs no second
       // join back to the signature frame.
-      val bands = srpBandRowsOf(sig, extra = Seq("emb"))
+      val bands = capBuckets(srpBandRowsOf(sig, extra = Seq("emb")),
+        Seq("band_idx", "band_hash"))
       val a = bands.as("a")
       val b = bands.as("b")
       val cand = a.join(b, col("a.band_idx") === col("b.band_idx") &&
@@ -645,13 +663,18 @@ object Dedup extends QueryPack {
         UNION ALL SELECT doc_id, sig_hi, sig_lo, 1, sig_lo // 65536 FROM sig
         UNION ALL SELECT doc_id, sig_hi, sig_lo, 2, sig_hi % 65536 FROM sig
         UNION ALL SELECT doc_id, sig_hi, sig_lo, 3, sig_hi // 65536 FROM sig),
+      keep AS (
+        SELECT band_idx, band_val FROM bands
+        GROUP BY 1, 2 HAVING COUNT(*) <= $MaxBucket),
+      capped AS (
+        SELECT b.* FROM bands b JOIN keep USING (band_idx, band_val)),
       pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.sig_hi AS ha, a.sig_lo AS la, b.sig_hi AS hb, b.sig_lo AS lb
-        FROM bands a
-        JOIN bands b ON a.band_idx = b.band_idx
-                    AND a.band_val = b.band_val
-                    AND a.doc_id < b.doc_id)
+        FROM capped a
+        JOIN capped b ON a.band_idx = b.band_idx
+                     AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, hamming FROM (
         SELECT doc_a, doc_b,
                CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
@@ -713,12 +736,17 @@ object Dedup extends QueryPack {
         FROM dots GROUP BY 1),
       bands AS (
         $bandSelects),
+      keep AS (
+        SELECT band_idx, band_val FROM bands
+        GROUP BY 1, 2 HAVING COUNT(*) <= $MaxBucket),
+      capped AS (
+        SELECT b.* FROM bands b JOIN keep USING (band_idx, band_val)),
       cand AS (
         SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band_idx = b.band_idx
-                    AND a.band_val = b.band_val
-                    AND a.vec_id < b.vec_id),
+        FROM capped a
+        JOIN capped b ON a.band_idx = b.band_idx
+                     AND a.band_val = b.band_val
+                     AND a.vec_id < b.vec_id),
       pdots AS (
         SELECT doc_a, doc_b,
                SUM(CAST(ea[CAST(i AS INTEGER)] AS DOUBLE) *

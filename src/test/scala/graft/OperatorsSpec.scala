@@ -29,15 +29,32 @@ class OperatorsSpec extends SparkSpec {
         s"exact copy $id not recovered")
     }
     assert(out.forall(_.getAs[Int]("hamming") <= Dedup.SimhashK))
-    // The 4×16-bit banding must lose nothing: compare against an exact
-    // all-pairs Hamming scan over the signatures.
+    // Differential vs an exact all-pairs Hamming scan: the banding may
+    // lose ONLY pairs whose every shared band landed in a hot
+    // (> MaxBucket) bucket — the deliberate skew guard — and must find
+    // everything else. The lost-pair audit recomputes shared bands and
+    // hotness driver-side from the raw signatures, independent of the
+    // query's own banding join.
     val sig = Dedup.simhashSignatures(spark, sf0001)
     val brute = sig.as("a").crossJoin(sig.as("b"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= Dedup.SimhashK)
       .select(col("a.doc_id"), col("b.doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == brute, "banded candidates must equal brute-force pairs")
+    assert(pairs.subsetOf(brute), "banding invented a pair")
+    val sigMap = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hot = Dedup.simhashBandRowsOf(sig)
+      .groupBy("band_idx", "band_hash").count()
+      .filter(col("count") > Dedup.MaxBucket).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    def bandsOf(s: Long): Seq[(Int, Long)] =
+      (0 until 4).map(b => (b, (s >>> (b * 16)) & 0xFFFFL))
+    val lost = brute -- pairs
+    lost.foreach { case (a, b) =>
+      val shared = bandsOf(sigMap(a)).intersect(bandsOf(sigMap(b)))
+      assert(shared.nonEmpty && shared.forall(hot.contains),
+        s"pair ($a,$b) lost without a hot-bucket reason (shared=$shared)")
+    }
   }
 
   test("simhash: 95%-similar near-copies sit beyond k=3 — minhash territory") {
