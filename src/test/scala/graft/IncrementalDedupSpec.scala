@@ -34,6 +34,59 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!incr.exists(p => !newIds(p._1) && !newIds(p._2)))
   }
 
+  test("banded path == incremental path across cap boundaries (seeded random)") {
+    // The fixture corpora never push a bucket past the cap, so the
+    // fixture specs can't catch a cap-accounting drift between the
+    // recompute and banded paths. Build corpora of exact-duplicate
+    // clusters whose sizes straddle a small cap (5): clusters at or
+    // under it must pair, clusters over it must be dropped, and the
+    // banded path must agree with the recompute path on every seed —
+    // with the store's bucket counts split into two LOG-STRUCTURED
+    // partials, exercising the sum-of-partials semantics foldCounts
+    // relies on.
+    import spark.implicits._
+    val cap = 5
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+        "foxtrot", "golf", "hotel", "india", "juliet")
+      def text() = Seq.fill(6 + rnd.nextInt(5))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // clusters of size 2..9; ids are globally unique
+      var nextId = 0L
+      val docsSeq = (0 until 8).flatMap { _ =>
+        val t = text()
+        val size = 2 + rnd.nextInt(8)
+        (0 until size).map { _ =>
+          nextId += 1; (nextId, t)
+        }
+      }
+      val all = docsSeq.toDF("doc_id", "text")
+      // delta = every 3rd doc; store = the rest (disjoint by id)
+      val delta = all.filter(col("doc_id") % 3 === 0)
+      val store = all.filter(col("doc_id") % 3 =!= 0)
+      val storeSig = Dedup.minhashSignaturesFor(store, "doc_id", "text")
+      val deltaSig = Dedup.minhashSignaturesFor(delta, "doc_id", "text")
+      val expected = Dedup
+        .lshCandidatePairsIncremental(storeSig, deltaSig, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val storeBands = Dedup.bandRowsOf(storeSig)
+      val partials = Seq(0, 1).map { half =>
+        Dedup.bandRowsOf(storeSig.filter(col("doc_id") % 2 === half))
+          .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("n"))
+      }.reduce(_ unionByName _)
+      val banded = Dedup.lshCandidatePairsFromBands(storeBands, partials,
+          Dedup.bandRowsOf(deltaSig), maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == expected,
+        s"seed $seed: banded ${banded.size} vs incremental ${expected.size}")
+      // and the cap genuinely bit on this corpus (the test is vacuous
+      // if no cluster exceeded it): some over-cap cluster must exist
+      val clusterSizes = docsSeq.groupBy(_._2).values.map(_.size)
+      assert(clusterSizes.exists(_ > cap), s"seed $seed never crossed the cap")
+    }
+  }
+
   test("signature store: append-unique is idempotent, delta composes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sigstore")
       .toString + "/sig"
