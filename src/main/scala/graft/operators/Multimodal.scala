@@ -8,12 +8,13 @@ import graft.queries.QueryPack
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, plus a feature-extraction pass.
   *
-  * The decode seam is content-sniffed: PNG payloads are REALLY decoded
-  * (pure-JDK `javax.imageio` — no native libs required) to actual
-  * width/height/mean-luma; every other modality (the text-bytes
-  * fixture, audio, video) keeps the deterministic crc32 stub
-  * (`fakeDecodeFeatures`) until a codec for it is dropped into the
-  * same seam. Around the decode sits the Spark plumbing that matters
+  * Both codec seams are content-sniffed: JDK-decodable image payloads
+  * (PNG/JPEG/GIF/BMP) are REALLY decoded (pure-JDK `javax.imageio` —
+  * no native libs required) to actual width/height/mean-luma, and
+  * REALLY resized (`Graphics2D` bilinear down-scale + PNG re-encode,
+  * [[resizeImage]]); every other modality (the text-bytes fixture,
+  * audio, video) keeps the deterministic crc32/stride stubs until a
+  * codec for it is dropped into the same seam. Around the decode sits the Spark plumbing that matters
   * at 100 TB:
   *  - payloads stay binary end to end (never stringified);
   *  - metadata travels in a struct column next to the payload;
@@ -119,32 +120,90 @@ object Multimodal extends QueryPack {
                           width: Int, height: Int)
 
   /** Resize in the same codec seam as `decodePartitions`: binary in,
-    * binary out, metadata updated — a real image scaler replaces the
-    * stub body (stride byte-resample down to ≤ targetBytes,
-    * deterministic, identity when already small enough). The
-    * Spark-side contract a 100 TB pipeline needs is exactly this
+    * binary out, metadata updated. Content-sniffed like the decoder:
+    *
+    *  - JDK-decodable images (PNG/JPEG/GIF/BMP) are REALLY rescaled
+    *    ([[resizeImage]]): `Graphics2D` bilinear down-scale so the
+    *    longest side fits `maxDim` (aspect preserved), re-encoded as
+    *    PNG, with TRUE output dimensions in the metadata. Images
+    *    already inside the box pass through untouched (byte-identical
+    *    payload — no decode/re-encode generation loss on the no-op
+    *    path). The byte budget of an image is governed by `maxDim`,
+    *    not `targetBytes`: pixels, not payload bytes, are the unit a
+    *    scaler can actually bound.
+    *  - Everything else (text/audio/video fixtures, and corrupt images
+    *    the reader rejects) keeps the deterministic stride byte-
+    *    resample down to ≤ `targetBytes` with the synthetic dims — the
+    *    clearly-marked stub for modalities whose codec isn't plugged
+    *    in yet.
+    *
+    * The Spark-side contract a 100 TB pipeline needs is exactly this
     * shape: payloads never widen to strings, the output is again a
     * typed binary column ready for the next stage, and batch size =
     * partition size. */
   def resizePartitions(media: org.apache.spark.sql.Dataset[MediaIn],
-                       targetBytes: Int)
+                       targetBytes: Int, maxDim: Int = 64)
       : org.apache.spark.sql.Dataset[MediaResized] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // <- real scaler init goes here, once per partition/batch
+      // <- heavier scaler init goes here, once per partition/batch
       it.map { m =>
-        val n = m.payload.length
-        val out = if (n <= targetBytes) m.payload
-        else {
-          val res = new Array[Byte](targetBytes)
-          var i = 0
-          while (i < targetBytes) {
-            res(i) = m.payload((i.toLong * n / targetBytes).toInt)
-            i += 1
-          }
-          res
-        }
-        MediaResized(m.media_id, out, out.length % 640, out.length % 480)
+        if (isJdkImage(m.payload)) resizeImage(m, maxDim)
+        else resizeStub(m, targetBytes)
+      }
+    }
+  }
+
+  /** STUB resize for non-image payloads: stride byte-resample down to
+    * ≤ targetBytes, deterministic, identity when already small enough;
+    * dims are the synthetic `len % 640/480` pseudo-features. */
+  private def resizeStub(m: MediaIn, targetBytes: Int): MediaResized = {
+    val n = m.payload.length
+    val out = if (n <= targetBytes) m.payload
+    else {
+      val res = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        res(i) = m.payload((i.toLong * n / targetBytes).toInt)
+        i += 1
+      }
+      res
+    }
+    MediaResized(m.media_id, out, out.length % 640, out.length % 480)
+  }
+
+  /** Real image resize: decode via ImageIO, bilinear `Graphics2D`
+    * down-scale so max(w, h) == maxDim (aspect ratio preserved,
+    * never upscaled), re-encode PNG. Deterministic: bilinear resample
+    * on fixed pixel input and the JDK PNG encoder are both
+    * deterministic for a given JVM. A payload the reader rejects
+    * (magic sniff passed but body corrupt) falls back to the stub —
+    * one bad blob must not fail the partition. */
+  def resizeImage(m: MediaIn, maxDim: Int): MediaResized = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      catch { case _: Exception => null }
+    if (img == null) resizeStub(m, maxDim * maxDim)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (math.max(w, h) <= maxDim) MediaResized(m.media_id, m.payload, w, h)
+      else {
+        val scale = maxDim.toDouble / math.max(w, h)
+        val nw = math.max(1, math.round(w * scale).toInt)
+        val nh = math.max(1, math.round(h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        MediaResized(m.media_id, bos.toByteArray, nw, nh)
       }
     }
   }

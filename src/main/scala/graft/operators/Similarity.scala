@@ -89,10 +89,19 @@ object Similarity extends QueryPack {
           pround(col("sim"), 4).as("cosine"))
     }),
 
-    // IVF-bucketed approximate top-k (k-means centroids, K=8, nprobe=2)
+    // IVF-bucketed approximate top-k (k-means centroids, K=8, nprobe=2).
+    // The centroid frame is persisted to a fixed sidecar path before the
+    // query plan is returned: IVF is only cross-engine checkable if both
+    // engines score against the SAME centroids, so the DuckDB oracle
+    // reads this sidecar instead of re-deriving k-means (whose fp drift
+    // would make argmax bucket assignment unverifiable). Floats survive
+    // the parquet round-trip losslessly, so the in-memory frame used by
+    // the plan and the file the oracle reads are bit-identical.
     "sim_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
       val cents = centroids(e)
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(oracleCentroidSidecar)
       val assigned = assignBuckets(
         e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
         "cid", "ce", cents)
@@ -277,6 +286,19 @@ object Similarity extends QueryPack {
         pround(col("sim"), 4).as("cosine"))
   }
 
+  /** Fixture sidecar for the `sim_ivf_topk` cross-engine oracle: the
+    * declared query overwrites it with the centroids it actually used,
+    * and the DuckDB twin reads it back (`read_parquet`), so both
+    * engines bucket and probe under identical fp32 centroids. Fixed
+    * path by necessity — `oracleSql` is a static map, so the SQL cannot
+    * interpolate a per-run location. The verify flow is single-process
+    * (queries run, then DuckDB reads), so last-write-wins is safe; the
+    * Spark plan itself scores against the in-memory frame and is
+    * unaffected by concurrent rewrites of the sidecar. */
+  val oracleCentroidSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_ivf_oracle_centroids").getAbsolutePath
+
   /** Shared SQL: per-(pair) double-precision dot products via UNNEST. */
   private def dotSql(qTbl: String, cTbl: String, joinCond: String): String = s"""
     SELECT qid, cid,
@@ -318,7 +340,80 @@ object Similarity extends QueryPack {
                    ORDER BY sim DESC, cid) AS rank FROM scored)
       SELECT qid, cid, CAST(rank AS INTEGER) AS rank,
              floor((sim) * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM ranked WHERE rank <= 5""",
+
+    // IVF is deterministic given its centroids, and the declared query
+    // persists exactly those centroids to [[oracleCentroidSidecar]] —
+    // so the twin replays the whole pipeline in SQL: nearest-centroid
+    // assignment ((csim, -centroid_id) argmax, mirroring assignBuckets'
+    // max_by struct), per-query top-2 probe selection, then exact
+    // cosine ranking inside the probed buckets. All dot products are
+    // fp64 over fp32 inputs in index order, the combination already
+    // proven bit-compatible by the sim_ann_topk / dedup SRP oracles.
+    "sim_ivf_topk" -> s"""WITH
+      cents AS (SELECT centroid_id, cent
+                FROM read_parquet('$oracleCentroidSidecar/*.parquet')),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+      q AS (SELECT vec_id AS vid, embedding AS qe FROM embeddings
+            WHERE vec_id < 10),
+      adots AS (
+        SELECT cid, centroid_id,
+               SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(ce[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM c, cents, range(1, 65) r(i)
+        GROUP BY cid, centroid_id),
+      assigned AS (
+        SELECT cid, bucket FROM (
+          SELECT cid, centroid_id AS bucket,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
+                   AS rn
+          FROM adots) WHERE rn = 1),
+      pdots AS (
+        SELECT vid, centroid_id,
+               SUM(CAST(qe[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(qe[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(qe[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM q, cents, range(1, 65) r(i)
+        GROUP BY vid, centroid_id),
+      probes AS (
+        SELECT vid, probe FROM (
+          SELECT vid, centroid_id AS probe,
+                 row_number() OVER (PARTITION BY vid
+                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
+                   AS rn
+          FROM pdots) WHERE rn <= 2),
+      cand AS (
+        SELECT p.vid AS qid, a.cid
+        FROM probes p JOIN assigned a
+          ON a.bucket = p.probe AND a.cid <> p.vid),
+      sdots AS (
+        SELECT cand.qid, cand.cid,
+               SUM(CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM cand
+        JOIN q qq ON qq.vid = cand.qid
+        JOIN c cc ON cc.cid = cand.cid,
+             range(1, 65) r(i)
+        GROUP BY cand.qid, cand.cid),
+      ranked AS (
+        SELECT qid, cid, dp / (sqrt(na) * sqrt(nb)) AS sim,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, cid) AS rank
+        FROM sdots)
+      SELECT qid, cid, CAST(rank AS INTEGER) AS rank,
+             floor(sim * 10000.0 + 0.5) / 10000.0 AS cosine
       FROM ranked WHERE rank <= 5"""
-    // sim_ivf_topk: approximate by construction → rows-only check.
   )
 }

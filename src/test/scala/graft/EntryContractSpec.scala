@@ -37,10 +37,9 @@ class EntryContractSpec extends SparkSpec {
     * driver's check without anyone noticing — fail here instead. */
   test("un-oracled queries are exactly the documented rows-only set") {
     val rowsOnlyByDesign = Set(
-      // dedup_embedding_cosine graduated: the kernel accumulates in
-      // fp64 and the two fp32 steps are exact, so a DuckDB twin exists.
-      "sim_ivf_topk", // k-means centroid fp drift: argmax bucket
-                      // assignment isn't robust cross-engine
+      // sim_ivf_topk graduated: the declared query persists its
+      // centroids to a fixture sidecar and the oracle replays
+      // assignment/probe/rank against the same fp32 values.
       "multimodal_pipeline", // binary plumbing, engine-specific
       "multimodal_resize") // codec-seam stub, engine-specific
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

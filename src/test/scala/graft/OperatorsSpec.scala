@@ -265,6 +265,57 @@ class OperatorsSpec extends SparkSpec {
       .forall(id => r1(id).length == target))
   }
 
+  test("image resize: real rescale, true dims, decode round-trip") {
+    import spark.implicits._
+    // 100×40 horizontal white→black gradient (mean luma ≈ 0.5):
+    // asymmetric so the aspect-preserving scale is observable
+    val img = new java.awt.image.BufferedImage(100, 40,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 40).foreach { y =>
+      (0 until 100).foreach { x =>
+        val v = 255 - (x * 255 / 99)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    // small PNG already inside the box: must pass through byte-identical
+    val tiny = {
+      val t = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(t, "png", b)
+      b.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaIn(1L, png),
+      Multimodal.MediaIn(2L, tiny),
+      Multimodal.MediaIn(3L, "text payload stays on the stub".getBytes("UTF-8")))
+      .toDS()
+    val out = Multimodal.resizePartitions(media, targetBytes = 16, maxDim = 32)
+      .collect().map(m => m.media_id -> m).toMap
+    // real rescale: longest side = 32, aspect preserved (40*32/100 → 13)
+    val r = out(1L)
+    assert((r.width, r.height) == (32, 13), s"resized ${r.width}x${r.height}")
+    // the output is a REAL PNG: decode it back and get the same dims
+    val round = Multimodal.decodeOne(Multimodal.MediaIn(1L, r.payload))
+    assert((round.width, round.height) == (32, 13),
+      s"round-trip decoded ${round.width}x${round.height}")
+    // bilinear resample of a linear gradient keeps the mean ≈ 0.5
+    assert(math.abs(round.mean_luma - 0.5) < 0.05,
+      s"round-trip mean_luma ${round.mean_luma}")
+    // already-small image: byte-identical pass-through with true dims
+    assert(out(2L).payload.sameElements(tiny))
+    assert((out(2L).width, out(2L).height) == (8, 6))
+    // non-image payload keeps the stride stub contract (≤ targetBytes)
+    assert(out(3L).payload.length <= 16)
+    // deterministic across runs (PNG encoder + bilinear are stable)
+    val again = Multimodal.resizePartitions(media, 16, 32).collect()
+      .map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(again == out.view.mapValues(_.payload.toSeq).toMap)
+  }
+
   test("upsert is idempotent: applying the stage twice changes nothing") {
     val once = Inventory.queries("j12_upsert")(spark, sf0001)
     // re-apply: treat `once` as existing, same stage rows anti-joined in
