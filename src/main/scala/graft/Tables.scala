@@ -98,6 +98,128 @@ object Tables {
   def readSalvage(spark: SparkSession, path: String): DataFrame =
     spark.read.option("ignoreCorruptFiles", "true").parquet(path)
 
+  /** PER-ROWGROUP corrupt-parquet salvage — the reference's actual
+    * granularity (src/utils/chunk_processor.py:34-50, which iterates
+    * row groups and skips only the bad ones), where [[readSalvage]]'s
+    * `ignoreCorruptFiles` drops a whole file at its first bad page.
+    *
+    * Mechanics, all parquet-footer-driven and per-file parallel:
+    *  1. PROBE: each row group is decoded in isolation (a reader
+    *     scoped to the group's byte range via `withRange` — groups are
+    *     selected by midpoint, so the range covering exactly one block
+    *     reads exactly it). A decode error marks only that group bad.
+    *  2. RECOVER: for a file with bad groups, the good groups are
+    *     RAW-COPIED (`ParquetFileWriter.appendRowGroup` — byte-level
+    *     column-chunk copy, no re-encode, schema + key-value metadata
+    *     preserved so Spark sees the identical table schema) into a
+    *     recovered file under `salvageDir`.
+    *  3. READ: untouched files are read in place; recovered files
+    *     stand in for their corrupt originals.
+    *
+    * The probe+rewrite fans out over the cluster (one task per file) —
+    * at 100 TB salvage cost is one decode pass over suspect files,
+    * not a driver loop. Like [[readSalvage]] this is scoped to the
+    * ingest-repair path: the listing/probe runs eagerly at call time,
+    * and the recovered copies live in `salvageDir` (a fresh temp dir
+    * by default) rather than mutating the source. Returns an empty
+    * frame (source schema) when nothing is recoverable. */
+  def readSalvageRowGroups(spark: SparkSession, path: String,
+                           salvageDir: String = null): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val rootSt = fs.getFileStatus(root)
+    val files = (if (rootSt.isDirectory) fs.listStatus(root).toSeq
+                 else Seq(rootSt))
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.toString)
+    val out =
+      if (salvageDir != null) salvageDir
+      else java.nio.file.Files.createTempDirectory("graft_salvage").toString
+    val sc = spark.sparkContext
+    val readable: Seq[String] =
+      if (files.isEmpty) Nil
+      else sc.parallelize(files,
+          math.min(files.size, math.max(1, sc.defaultParallelism)))
+        .map(f => salvageFile(f, out)).collect().toSeq.flatten
+    if (readable.isEmpty) readSalvage(spark, path).limit(0)
+    else spark.read.parquet(readable: _*)
+  }
+
+  /** Probe one file's row groups; returns the path to read for this
+    * file — the original (all groups good), a recovered copy (some
+    * good), or None (footer unreadable / nothing decodes). Runs on
+    * executors: builds its own Hadoop conf from the task classpath. */
+  private def salvageFile(file: String, outDir: String): Option[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(file)
+    val in = HadoopInputFile.fromPath(p, conf)
+    val footer =
+      try {
+        val r = ParquetFileReader.open(in)
+        try r.getFooter finally r.close()
+      } catch { case _: Exception => return None }
+    val blocks = footer.getBlocks
+    val good = (0 until blocks.size).filter { i =>
+      groupDecodes(in, conf, blocks.get(i))
+    }
+    if (good.size == blocks.size) Some(file)
+    else if (good.isEmpty) None
+    else {
+      val outPath = new org.apache.hadoop.fs.Path(outDir,
+        p.getName.stripSuffix(".parquet") + "_salvaged.parquet")
+      val writer = new org.apache.parquet.hadoop.ParquetFileWriter(
+        HadoopOutputFile.fromPath(outPath, conf),
+        footer.getFileMetaData.getSchema,
+        org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE,
+        128L << 20, 8388608)
+      writer.start()
+      val sis = in.newStream()
+      try good.foreach(i => writer.appendRowGroup(sis, blocks.get(i), false))
+      finally sis.close()
+      writer.end(footer.getFileMetaData.getKeyValueMetaData)
+      Some(outPath.toString)
+    }
+  }
+
+  /** Decode every row of ONE row group (reader scoped to the group's
+    * byte range); any throw marks the group corrupt. Decoding — not
+    * just footer inspection — is the only honest probe: parquet holds
+    * no whole-group checksum, so a group "exists" until its pages fail
+    * to decompress/decode. */
+  private def groupDecodes(in: org.apache.parquet.io.InputFile,
+                           conf: org.apache.hadoop.conf.Configuration,
+                           block: org.apache.parquet.hadoop.metadata.BlockMetaData)
+      : Boolean =
+    try {
+      val opts = org.apache.parquet.HadoopReadOptions.builder(conf)
+        .withRange(block.getStartingPos,
+          block.getStartingPos + block.getCompressedSize)
+        .build()
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in, opts)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        var pages = r.readNextRowGroup()
+        if (pages == null) return false
+        while (pages != null) {
+          val io = new org.apache.parquet.io.ColumnIOFactory()
+            .getColumnIO(schema)
+          val rr = io.getRecordReader(pages,
+            new org.apache.parquet.example.data.simple.convert
+              .GroupRecordConverter(schema))
+          var n = pages.getRowCount
+          while (n > 0) { rr.read(); n -= 1 }
+          pages = r.readNextRowGroup()
+        }
+        true
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Schema-tolerant projected scan (SURVEY §2.1 S4). */
   def readTolerant(spark: SparkSession, path: String,
                    wanted: Seq[(String, String)]): DataFrame = {

@@ -135,6 +135,7 @@ object GoldAggregates {
       write(defining, outPath)
       invalidateSlices(outPath) // drop frames cached mid-overwrite
       graft.plans.GoldCatalog.register(defining, outPath)
+      writeMeta(spark, dir, outPath, defining)
     }
 
   /** Re-register an ALREADY-materialized gold table for routing. The
@@ -142,12 +143,84 @@ object GoldAggregates {
     * (BuildMain) dies with it, so a separate serving session calls
     * this once at startup — asserting the table at `outPath` still
     * holds the current result of the defining query over `dir` — to
-    * get routing without rebuilding anything. */
+    * get routing without rebuilding anything. Prefer
+    * [[bootstrapRouting]], which needs only the table path: it reads
+    * the source dir + plan fingerprint from the metadata sidecar
+    * [[materialize]] wrote. */
   def registerExisting(spark: SparkSession, dir: String,
                        outPath: String): Unit =
     graft.plans.GoldCatalog.withRoutingDisabled(spark) {
       graft.plans.GoldCatalog.register(aggMarketRates(spark, dir), outPath)
     }
+
+  /** The routing-metadata sidecar of a materialized gold table:
+    * `_graft_gold.json` at the table root (underscore-prefixed, so
+    * parquet readers ignore it; it also survives dynamic-overwrite
+    * refreshes, which only replace partition dirs). Holds the defining
+    * query's name, its source dir, and the canonical plan's
+    * semanticHash — enough for a fresh serving session to rebuild and
+    * validate the registration without knowing how the table was
+    * built. */
+  def metaPath(outPath: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(outPath, "_graft_gold.json")
+
+  private def writeMeta(spark: SparkSession, dir: String, outPath: String,
+                        defining: DataFrame): Unit = {
+    val fp = defining.queryExecution.analyzed.canonicalized.semanticHash()
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = s"""{"query":"agg_market_rates","source_dir":"${esc(dir)}","fingerprint":$fp}"""
+    val p = metaPath(outPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val os = fs.create(p, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Bootstrap routing for an already-materialized gold table from its
+    * metadata sidecar alone — the serving-session startup call that
+    * makes [[graft.plans.GoldCatalog]] registrations survive the build
+    * JVM. Reads `_graft_gold.json`, re-derives the defining plan over
+    * the recorded source dir, and registers it only if the plan's
+    * semanticHash matches the recorded fingerprint (a mismatch means
+    * the library's defining query changed since the table was built —
+    * a registration under the old shape would simply never match a new
+    * query, so refuse loudly-by-return instead of registering a
+    * useless key). Returns true iff routing was registered. Freshness
+    * stays the caller's contract, exactly as with [[registerExisting]]:
+    * the sidecar proves provenance, not that the base data is
+    * unchanged since the build. */
+  def bootstrapRouting(spark: SparkSession, outPath: String): Boolean = {
+    val p = metaPath(outPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return false
+    // unreadable sidecar (truncated write, checksum mismatch) = no
+    // bootstrap, not a crash — the caller falls back to registerExisting
+    val raw =
+      try {
+        val in = fs.open(p)
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toString("UTF-8")
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => return false }
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+      catch { case scala.util.control.NonFatal(_) => return false }
+    if (node.path("query").asText() != "agg_market_rates") return false
+    val srcDir = node.path("source_dir").asText(null)
+    if (srcDir == null) return false
+    graft.plans.GoldCatalog.withRoutingDisabled(spark) {
+      val defining = aggMarketRates(spark, srcDir)
+      val fp = defining.queryExecution.analyzed.canonicalized.semanticHash()
+      if (node.path("fingerprint").asInt() != fp) false
+      else {
+        graft.plans.GoldCatalog.register(defining, outPath)
+        true
+      }
+    }
+  }
 
   /** Slice refresh (the reference's DELETE+INSERT per (state, ym),
     * notebook.py:373-405): recompute only the given slices from the
@@ -215,11 +288,30 @@ object GoldAggregates {
     val hit = sliceCache.synchronized(sliceCache.get(k))
     if (hit != null) hit
     else {
+      // Capture the path's invalidation generation BEFORE resolving:
+      // a writer can rewrite the slice while this read is mid-
+      // resolution, and its final invalidate would land before our
+      // put — caching a frame that pins the pre-rewrite file list.
+      // The put below is conditional on the generation being
+      // unchanged; a racing reader returns its frame uncached (one
+      // extra resolution next call, never a stale file list).
+      val gen0: Long = sliceGen.getOrDefault(path, 0L)
       val df = spark.read.option("basePath", path)
         .parquet(s"$path/state=$state/year_month=$yearMonth")
       sliceCache.synchronized {
         val raced = sliceCache.get(k)
-        if (raced != null) raced else { sliceCache.put(k, df); df }
+        if (raced != null) raced
+        else if (sliceGen.getOrDefault(path, 0L).longValue != gen0) df
+        else {
+          // drop frames of stopped sessions while we hold the lock —
+          // otherwise a notebook server cycling sessions pins each
+          // dead session's frames (and their file indexes) until LRU
+          // eviction at 256 entries
+          sliceCache.keySet().removeIf(
+            (e: (SparkSession, String, String, String)) =>
+              e._1.sparkContext.isStopped)
+          sliceCache.put(k, df); df
+        }
       }
     }
   }
@@ -227,11 +319,18 @@ object GoldAggregates {
   /** Drop every cached slice frame under `path`. Writers call this
     * around slice rewrites: a cached frame pins the leaf's FILE LIST,
     * and executing it after a dynamic-overwrite replaced those files
-    * would read deleted paths. */
+    * would read deleted paths. Bumps the path's generation so an
+    * in-flight [[readSlice]] resolution that started before this call
+    * cannot re-insert the stale frame after it. */
   def invalidateSlices(path: String): Unit = sliceCache.synchronized {
+    sliceGen.merge(path, 1L,
+      (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
     sliceCache.keySet().removeIf(
       (k: (SparkSession, String, String, String)) => k._2 == path)
   }
+
+  private val sliceGen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** LRU-bounded for the same session-pinning reason as
     * [[graft.plans.GoldCatalog]]'s scan cache; 256 because slices are

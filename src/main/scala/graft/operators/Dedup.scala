@@ -233,11 +233,48 @@ object Dedup extends QueryPack {
         md5(concat_ws("-", (0 until BandSize).map(r =>
           col(s"h${b * BandSize + r}")): _*))): _*)).as(Seq("band_idx", "band_hash")): _*)
 
+  /** Hot-bucket-cap telemetry: attach dropped-bucket / dropped-band-row
+    * counts to a bucket-count frame via `Dataset.observe`
+    * (CollectMetrics). Zero extra jobs or passes — the metrics ride the
+    * existing count aggregation, observed BEFORE the cap filter prunes
+    * the hot buckets, and surface in
+    * `df.queryExecution.observedMetrics(name)` after a batch action
+    * (or via QueryExecutionListener / StreamingQueryProgress). This is
+    * the repo's no-silent-caps principle applied to the cap itself: at
+    * corpus scale a family whose buckets are quietly degenerate — and
+    * therefore quietly unprobed — must be visible without a second
+    * pass over the corpus. Opt-in by name because CollectMetrics names
+    * must be unique within one query: a pipeline composing two capped
+    * operators picks two names.
+    *
+    * Two sharp edges, both pinned by OperatorsSpec: (1) read the
+    * metrics with [[graft.plans.ObservedMetrics]] — the built-in
+    * `observedMetrics` traversal can miss nodes buried in materialized
+    * AQE stages; (2) if the query's RESULT is empty, AQE's
+    * empty-relation propagation collapses the executed plan to an
+    * `EmptyRelationExec` and the metrics node is unreachable even
+    * though its stage ran — i.e. the all-capped worst case is exactly
+    * when observe goes blind. Use [[lshDroppedBuckets]] (batch) or
+    * [[lshCapDropped]] (banded/streaming) when the answer must be
+    * unconditional. */
+  private def observeCap(counts: DataFrame, bucketN: Column,
+                         maxBucket: Int, name: Option[String]): DataFrame =
+    name.fold(counts) { n =>
+      counts.observe(n,
+        sum(when(bucketN > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_buckets"),
+        coalesce(sum(when(bucketN > maxBucket, bucketN)), lit(0L))
+          .as("dropped_band_rows"))
+    }
+
   def lshCandidatePairs(sig: DataFrame,
-                        maxBucket: Int = MaxBucket): DataFrame = {
+                        maxBucket: Int = MaxBucket,
+                        observeName: Option[String] = None): DataFrame = {
     val bands = bandRows(sig)
-    val keepBuckets = bands.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
+    val keepBuckets = observeCap(
+      bands.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("bucket_n")),
+      col("bucket_n"), maxBucket, observeName)
       .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
     val capped = bands.join(keepBuckets, Seq("band_idx", "band_hash"))
     val a = capped.as("a")
@@ -287,7 +324,9 @@ object Dedup extends QueryPack {
     * that turns pathological after the merge is capped exactly as a
     * full re-run would cap it. */
   def lshCandidatePairsIncremental(storeSig: DataFrame, newSig: DataFrame,
-                                   maxBucket: Int = MaxBucket): DataFrame = {
+                                   maxBucket: Int = MaxBucket,
+                                   observeName: Option[String] = None)
+      : DataFrame = {
     // A doc present on both sides (re-delivered delta) is a STORE doc:
     // the anti-join keeps the merged corpus free of duplicate band
     // rows, which would otherwise inflate bucket counts past the cap
@@ -301,8 +340,10 @@ object Dedup extends QueryPack {
       storeSig.withColumn("is_new", lit(false))
         .unionByName(newClean.withColumn("is_new", lit(true))),
       extra = Seq("is_new"))
-    val keepBuckets = allB.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
+    val keepBuckets = observeCap(
+      allB.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("bucket_n")),
+      col("bucket_n"), maxBucket, observeName)
       .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
     val capped = allB.join(keepBuckets, Seq("band_idx", "band_hash"))
     // delta probes store ∪ delta; normalize pair order, then distinct
@@ -416,16 +457,13 @@ object Dedup extends QueryPack {
   def lshCandidatePairsFromBands(storeBands: DataFrame,
                                  storeCounts: DataFrame,
                                  deltaBands: DataFrame,
-                                 maxBucket: Int = MaxBucket): DataFrame = {
-    val deltaCounts = deltaBands.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("delta_n"))
-    val priorTouched = storeCounts
-      .join(broadcast(deltaCounts.select("band_idx", "band_hash")),
-        Seq("band_idx", "band_hash"))
-      .groupBy("band_idx", "band_hash").agg(sum("n").as("prior_n"))
-    val keep = deltaCounts
-      .join(priorTouched, Seq("band_idx", "band_hash"), "left")
-      .filter(coalesce(col("prior_n"), lit(0L)) + col("delta_n") <= maxBucket)
+                                 maxBucket: Int = MaxBucket,
+                                 observeName: Option[String] = None)
+      : DataFrame = {
+    val keep = observeCap(
+      mergedTouchedCounts(storeCounts, deltaBands),
+      col("bucket_n"), maxBucket, observeName)
+      .filter(col("bucket_n") <= maxBucket)
       .select("band_idx", "band_hash")
     val keptDelta = deltaBands
       .join(broadcast(keep), Seq("band_idx", "band_hash"))
@@ -447,6 +485,53 @@ object Dedup extends QueryPack {
       .agg(countDistinct("band_idx").cast("int").as("n_bands"))
   }
 
+  /** Post-merge bucket totals for every DELTA-TOUCHED bucket:
+    * persisted partial sums (`storeCounts`, (band_idx, band_hash, n)
+    * rows) plus the delta's own band counts. The shared input of
+    * [[lshCandidatePairsFromBands]]'s keep-filter and
+    * [[lshCapDropped]] — both sides of the cap decision come from one
+    * definition, so the telemetry can never disagree with the filter.
+    * Only delta-touched buckets appear (the broadcast join keys on the
+    * delta's buckets): untouched buckets can't produce pairs this
+    * batch, so they are neither kept nor "dropped". */
+  private def mergedTouchedCounts(storeCounts: DataFrame,
+                                  deltaBands: DataFrame): DataFrame = {
+    val deltaCounts = deltaBands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("delta_n"))
+    val priorTouched = storeCounts
+      .join(broadcast(deltaCounts.select("band_idx", "band_hash")),
+        Seq("band_idx", "band_hash"))
+      .groupBy("band_idx", "band_hash").agg(sum("n").as("prior_n"))
+    deltaCounts.join(priorTouched, Seq("band_idx", "band_hash"), "left")
+      .select(col("band_idx"), col("band_hash"),
+        (coalesce(col("prior_n"), lit(0L)) + col("delta_n")).as("bucket_n"))
+  }
+
+  /** The buckets [[lshCandidatePairsFromBands]] will DROP for this
+    * delta under the hot-bucket cap — (band_idx, band_hash, bucket_n)
+    * with post-merge totals over the cap. O(delta) work (the store
+    * side is a broadcast-probed partial-sum read), so a micro-batch
+    * can afford to surface it every batch;
+    * [[graft.streaming.DedupStream]] persists the aggregate next to
+    * its pairs sink and logs it. */
+  def lshCapDropped(storeCounts: DataFrame, deltaBands: DataFrame,
+                    maxBucket: Int = MaxBucket): DataFrame =
+    mergedTouchedCounts(storeCounts, deltaBands)
+      .filter(col("bucket_n") > maxBucket)
+
+  /** Full-corpus cap diagnostic: the buckets [[lshCandidatePairs]]
+    * drops for this signature frame — (band_idx, band_hash, bucket_n)
+    * rows over the cap. A second banding pass, so it costs what the
+    * candidate run's banding costs; use the zero-cost `observeName`
+    * metrics when the run's result is non-empty, and this when the
+    * answer must be unconditional (see [[observeCap]]'s empty-result
+    * caveat). */
+  def lshDroppedBuckets(sig: DataFrame,
+                        maxBucket: Int = MaxBucket): DataFrame =
+    bandRows(sig).groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
   /** Hot-bucket cap over any banded frame: drop buckets whose member
     * count exceeds `maxBucket` before the quadratic self-join. The
     * count and the join shuffle on the same key columns, so the extra
@@ -455,9 +540,12 @@ object Dedup extends QueryPack {
     * signature, an embedding cluster in one octant) is quadratic at
     * corpus scale whichever signature produced it. */
   private def capBuckets(bands: DataFrame, keyCols: Seq[String],
-                         maxBucket: Int = MaxBucket): DataFrame = {
-    val keep = bands.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("bucket_n"))
+                         maxBucket: Int = MaxBucket,
+                         observeName: Option[String] = None): DataFrame = {
+    val keep = observeCap(
+      bands.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("bucket_n")),
+      col("bucket_n"), maxBucket, observeName)
       .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
     bands.join(keep, keyCols)
   }

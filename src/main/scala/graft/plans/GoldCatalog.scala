@@ -68,15 +68,30 @@ object GoldCatalog {
     val hit = scanCache.synchronized(scanCache.get(k))
     if (hit != null) hit
     else {
+      // Same racing-writer protocol as GoldAggregates.readSlice: only
+      // cache the resolved scan if no invalidation landed for this
+      // path while we were listing (a stale put would pin deleted
+      // file paths until the next invalidate).
+      val gen0: Long = scanGen.getOrDefault(path, 0L)
       val scan = spark.read.parquet(path).queryExecution.analyzed
       scanCache.synchronized {
         val raced = scanCache.get(k)
-        if (raced != null) raced else { scanCache.put(k, scan); scan }
+        if (raced != null) raced
+        else if (scanGen.getOrDefault(path, 0L).longValue != gen0) scan
+        else {
+          scanCache.keySet().removeIf(e => e._1.sparkContext.isStopped)
+          scanCache.put(k, scan); scan
+        }
       }
     }
   }
 
+  private val scanGen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def dropScans(path: String): Unit = scanCache.synchronized {
+    scanGen.merge(path, 1L,
+      (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
     scanCache.keySet().removeIf(k => k._2 == path)
   }
 

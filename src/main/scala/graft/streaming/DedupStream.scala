@@ -49,6 +49,15 @@ import graft.operators.Dedup
   */
 object DedupStream {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The per-batch hot-bucket-cap telemetry sidecar of a banded pairs
+    * sink: one (dropped_buckets, dropped_band_rows) row per
+    * ingest_batch partition, written by [[processBatchBandedGeneric]]
+    * with the same dynamic-overwrite replay discipline as the pairs
+    * themselves. */
+  def capStatsPathOf(pairsPath: String): String = pairsPath + "_capstats"
+
   /** One micro-batch (exposed directly so replay semantics are
     * testable without a streaming harness). `maxStoreFiles` bounds the
     * signature store's small-file growth: each append adds ~one part
@@ -77,7 +86,12 @@ object DedupStream {
       .join(storePrev.select("doc_id"), Seq("doc_id"), "left_anti")
       .persist()
     try {
-      Dedup.lshCandidatePairsIncremental(storePrev, delta)
+      // Cap telemetry rides the pairs write via Dataset.observe —
+      // dropped_buckets / dropped_band_rows reach any registered
+      // QueryExecutionListener with zero extra passes (the banded path
+      // below additionally persists a durable per-batch record).
+      Dedup.lshCandidatePairsIncremental(storePrev, delta,
+          observeName = Some("graft_hot_bucket_cap"))
         .withColumn("ingest_batch", lit(batchId))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -323,6 +337,27 @@ object DedupStream {
       val cand = Dedup.lshCandidatePairsFromBands(
         storeBands, storeCounts, deltaBands)
       writePartition(verify(cand, storePrev.unionByName(delta)), pairsPath)
+      // Hot-bucket-cap telemetry: what this batch did NOT probe. One
+      // O(delta)-sized job (broadcast probe of the persisted partial
+      // sums — same shape as the keep-filter it mirrors), persisted
+      // durably next to the pairs sink under the batch's own partition
+      // (identical replay discipline) and logged — a silently-capped
+      // family at 100 TB is otherwise invisible until its dup rate
+      // drifts.
+      val droppedRow = Dedup.lshCapDropped(storeCounts, deltaBands)
+        .agg(count(lit(1)).as("dropped_buckets"),
+          coalesce(sum("bucket_n"), lit(0L)).as("dropped_band_rows"))
+        .collect().head
+      val (nDropped, nRows) = (droppedRow.getLong(0), droppedRow.getLong(1))
+      writePartition(
+        spark.createDataFrame(Seq((nDropped, nRows)))
+          .toDF("dropped_buckets", "dropped_band_rows"),
+        capStatsPathOf(pairsPath))
+      if (nDropped > 0)
+        log.warn(s"batch=$batchId hot-bucket cap dropped $nDropped " +
+          s"bucket(s) / $nRows band row(s) (cap=${Dedup.MaxBucket}) — " +
+          "pairs inside them were not probed")
+      else log.info(s"batch=$batchId hot-bucket cap dropped 0 buckets")
       writePartition(deltaBands, bandsPath)
       writePartition(deltaBands.groupBy("band_idx", "band_hash")
         .agg(count(lit(1)).as("n")), countsPath)

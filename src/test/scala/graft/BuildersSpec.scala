@@ -103,15 +103,13 @@ class BuildersSpec extends SparkSpec {
       "3" -> ("A", "2024-03-15")))
   }
 
-  test("S2 limitation: a corrupt ROW GROUP drops the whole file, " +
-      "not just the group") {
+  test("S2 per-rowgroup salvage recovers later groups of a corrupt file") {
     // The reference's salvage is per-rowgroup
     // (src/utils/chunk_processor.py:34-50): a file with one bad row
     // group still yields the other groups' rows. Spark's
-    // ignoreCorruptFiles is per-FILE — the first decode error skips the
-    // rest of the file. This test pins that semantic delta so an ingest
-    // relying on finer-grained salvage finds the documented limitation
-    // here, not in production. (See Tables.readSalvage scaladoc.)
+    // ignoreCorruptFiles is per-FILE (pinned below) — the finer
+    // granularity is Tables.readSalvageRowGroups, which must recover
+    // every row outside the corrupted group.
     import spark.implicits._
     val dir = tmp() + "/rowgroups"
     // small block size forces several row groups in one file
@@ -139,18 +137,34 @@ class BuildersSpec extends SparkSpec {
       raf.seek(blocks.get(0).getStartingPos)
       raf.write(Array.fill[Byte](64)(-1))
     } finally raf.close()
-    // a per-rowgroup salvage would recover `laterGroupRows`; Spark's
-    // per-file tolerance yields ZERO rows from this file. NB: must
-    // project a real column — a bare count() reads only footer row
+    // Spark's per-file tolerance yields ZERO rows from this file. NB:
+    // must project a real column — a bare count() reads only footer row
     // counts (empty read schema) and never touches the corrupt pages.
     val salvaged = Tables.readSalvage(spark, dir).select("id").collect()
     assert(salvaged.isEmpty,
-      s"expected whole-file drop, got ${salvaged.length} rows " +
-        s"(reference would salvage $laterGroupRows rows)")
+      s"expected whole-file drop, got ${salvaged.length} rows")
     // and the strict read fails loudly
     intercept[org.apache.spark.SparkException] {
       spark.read.parquet(dir).select("id", "v").collect()
     }
+    // the per-ROWGROUP salvage recovers every row outside the bad group
+    val recovered = Tables.readSalvageRowGroups(spark, dir)
+    val rows = recovered.select("id", "v").collect()
+    assert(rows.length == laterGroupRows,
+      s"recovered ${rows.length} rows, expected $laterGroupRows")
+    // recovered content is the original bytes (raw row-group copy):
+    // ids are exactly the fixture's tail range, payloads intact
+    val firstGroupRows = blocks.get(0).getRowCount
+    assert(rows.map(_.getLong(0)).sorted.sameElements(
+      (firstGroupRows until 20000L)))
+    assert(rows.forall(r => r.getString(1) == s"payload_${r.getLong(0)}"))
+    // schema survives the raw copy byte-for-byte
+    assert(recovered.schema == spark.read.parquet(dir).schema)
+    // a healthy directory passes through on its original files
+    val okDir = tmp() + "/rowgroups_ok"
+    spark.range(100).select(col("id"), lit("x").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(okDir)
+    assert(Tables.readSalvageRowGroups(spark, okDir).count() == 100)
   }
 
   test("S2: corrupt parquet files are skipped, valid rows survive") {

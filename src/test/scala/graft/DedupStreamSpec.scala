@@ -56,6 +56,39 @@ class DedupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == storeIds.length)
   }
 
+  test("banded batch persists hot-bucket-cap stats beside the pairs sink") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_dcap").toString
+    val (store, bandsP, countsP, pairs) =
+      (s"$work/store", s"$work/bands", s"$work/counts", s"$work/pairs")
+    // 70 byte-identical docs → each of the 4 bands is one 70-member
+    // bucket, over the 64 cap: the batch probes nothing and must SAY so
+    val clones = (0 until 70).map(i =>
+      (i.toLong, "identical clone text tripping the hot bucket cap"))
+      .toDF("doc_id", "text")
+    DedupStream.processBatchBanded(clones, 0L, "doc_id", "text",
+      store, bandsP, countsP, pairs)
+    val statsPath = DedupStream.capStatsPathOf(pairs)
+    val r0 = spark.read.parquet(statsPath)
+      .filter(col("ingest_batch") === 0L).collect().head
+    assert(r0.getAs[Long]("dropped_buckets") == 4, r0.toString)
+    assert(r0.getAs[Long]("dropped_band_rows") == 4L * 70, r0.toString)
+    // healthy follow-up batch: a zero-drop record under its own partition
+    val ok = Seq((200L, "some wholly different words here"),
+      (201L, "other unrelated vocabulary there")).toDF("doc_id", "text")
+    DedupStream.processBatchBanded(ok, 1L, "doc_id", "text",
+      store, bandsP, countsP, pairs)
+    val r1 = spark.read.parquet(statsPath)
+      .filter(col("ingest_batch") === 1L).collect().head
+    assert(r1.getAs[Long]("dropped_buckets") == 0)
+    assert(r1.getAs[Long]("dropped_band_rows") == 0)
+    // replaying the degenerate batch overwrites its stats, not appends
+    DedupStream.processBatchBanded(clones, 0L, "doc_id", "text",
+      store, bandsP, countsP, pairs)
+    assert(spark.read.parquet(statsPath)
+      .filter(col("ingest_batch") === 0L).count() == 1)
+  }
+
   test("autocompaction keeps N micro-appends under the file bound") {
     val work = Files.createTempDirectory("graft_dcompact").toString
     val store = s"$work/sig_store"

@@ -316,6 +316,43 @@ class OperatorsSpec extends SparkSpec {
     assert(again == out.view.mapValues(_.payload.toSeq).toMap)
   }
 
+  test("hot-bucket cap telemetry: dropped buckets/rows observable") {
+    import spark.implicits._
+    // 70 byte-identical docs: one signature, so each of the 4 bands has
+    // a 70-member bucket — over the 64 cap → all 4 buckets dropped. The
+    // twins keep the result NON-empty: with an all-empty result AQE
+    // collapses the plan and observe metrics are unreachable (the
+    // caveat on Dedup.observeCap; the unconditional path is asserted
+    // below).
+    val clones = (0 until 70).map(i =>
+      (i.toLong, "the same degenerate text shared by every clone document"))
+    val twins = Seq(
+      (100L, "twin text that appears exactly twice in this corpus"),
+      (101L, "twin text that appears exactly twice in this corpus"))
+    val distinct = (200 until 203).map(i =>
+      (i.toLong, s"unique document number $i with its own vocabulary"))
+    val docsDf = (clones ++ twins ++ distinct).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignaturesFor(docsDf, "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(sig, observeName = Some("cap_probe"))
+    val rows = pairs.collect()
+    // the metrics ride the plan's own bucket-count aggregation
+    // (Dataset.observe), populated by the collect() above; read via
+    // the AQE-robust collector
+    val m = graft.plans.ObservedMetrics.of(pairs, "cap_probe").get
+    assert(m.getAs[Long]("dropped_buckets") == 4, m.toString)
+    assert(m.getAs[Long]("dropped_band_rows") == 4L * 70, m.toString)
+    // the capped family's pairs were NOT emitted; the healthy twins were
+    assert(!rows.exists(r => r.getLong(0) < 70 && r.getLong(1) < 70))
+    assert(rows.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L))
+    // unconditional diagnostic: exact dropped buckets even when the
+    // candidate run's own result would be empty (all-clones corpus)
+    val dropped = Dedup.lshDroppedBuckets(
+      Dedup.minhashSignaturesFor(clones.toDF("doc_id", "text"),
+        "doc_id", "text")).collect()
+    assert(dropped.length == 4)
+    assert(dropped.forall(_.getAs[Long]("bucket_n") == 70L))
+  }
+
   test("upsert is idempotent: applying the stage twice changes nothing") {
     val once = Inventory.queries("j12_upsert")(spark, sf0001)
     // re-apply: treat `once` as existing, same stage rows anti-joined in
