@@ -102,22 +102,37 @@ object Similarity extends QueryPack {
       val cents = centroids(e)
       cents.coalesce(1).write.mode("overwrite")
         .parquet(oracleCentroidSidecar)
-      val assigned = assignBuckets(
-        e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
-        "cid", "ce", cents)
-      // Probe selection is over |queries|×K rows (tiny) — a window is fine.
-      val probes = probeBuckets(e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("vid"), col("embedding").as("qe")), cents, 2)
-      val scored = probes.join(assigned,
-          col("probe") === col("bucket") && col("cid") =!= col("vid"))
-        .select(col("vid").as("qid"), col("cid"),
-          cosine(col("qe"), col("ce")).as("sim"))
-      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        .select(col("qid"), col("cid"), col("rank"),
-          pround(col("sim"), 4).as("cosine"))
+      ivfTopK(e, cents, nprobe = 2, topK = 5)
     })
   )
+
+  /** Parameterized IVF approximate top-k over pre-derived centroids —
+    * the shared body of the declared `sim_ivf_topk` query (nprobe=2)
+    * and OperatorsSpec's recall-curve sweep. Probe sets are NESTED in
+    * `nprobe` (probeBuckets ranks buckets per query with a
+    * deterministic tie-break and keeps the top nprobe), which is what
+    * makes recall@k provably monotone in nprobe: a global-top-k member
+    * inside the probed set always survives, since at most k−1 other
+    * global members can outrank it. At nprobe=K the probe set is the
+    * corpus and the result must EQUAL the exact baseline. */
+  def ivfTopK(e: DataFrame, cents: DataFrame,
+              nprobe: Int, topK: Int): DataFrame = {
+    val assigned = assignBuckets(
+      e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      "cid", "ce", cents)
+    // Probe selection is over |queries|×K rows (tiny) — a window is fine.
+    val probes = probeBuckets(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("vid"), col("embedding").as("qe")),
+      cents, nprobe)
+    val scored = probes.join(assigned,
+        col("probe") === col("bucket") && col("cid") =!= col("vid"))
+      .select(col("vid").as("qid"), col("cid"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("qid"), col("cid"), col("rank"),
+        pround(col("sim"), 4).as("cosine"))
+  }
 
   /** IVF centroids: deterministic sampled spherical k-means over the
     * corpus (replaces the round-5 first-8-vectors fixture, whose

@@ -466,27 +466,32 @@ object DedupStream {
       .saveAsTable(s"$db.$table")
   }
 
-  /** Bucket-pruned probe of a [[bucketizeBandStore]] table: collect
-    * the delta's distinct band keys (driver-bounded — O(4 × batch)
-    * values, same discipline as the IVF probed-bucket literals) and
-    * filter the table by them. The literal IN-set is what lets the
-    * planner compute the bucket set at optimization time — a join
-    * could not prune. Returns the matched band rows, ready to stand in
-    * for `storeBands` in
-    * [[graft.operators.Dedup.lshCandidatePairsFromBands]]. */
-  def probeBandsBucketed(spark: SparkSession, db: String, table: String,
-                         deltaBands: DataFrame): DataFrame = {
-    // DisableUnnecessaryBucketedScan sees no join/aggregate requiring
-    // the bucketed distribution and turns the bucketed scan off —
-    // which also forfeits bucket PRUNING, the whole point here. That
-    // auto-disable exists to spare full scans the bucketed-read
-    // penalty, and OTHER bucketed reads in the session (e.g. the
-    // BucketedTables full-scan joins) genuinely want it — so the
-    // setting is scoped, not sticky: disable, force physical planning
-    // of the probe (leaf scans are fixed in the initial plan; AQE
-    // re-plans exchanges, never scans), restore. Callers must consume
-    // the returned frame as-is — deriving a new frame from it would
-    // re-plan under the restored conf.
+  /** LOAN-pattern bucket-pruned probe of a [[bucketizeBandStore]]
+    * table: builds the probe frame (the delta's distinct band keys —
+    * driver-bounded, O(4 × batch) values, same discipline as the IVF
+    * probed-bucket literals — as a literal IN-set, which is what lets
+    * the planner compute the bucket subset at optimization time; a
+    * join could not prune) and hands it to `use`, which must both
+    * DERIVE and EXECUTE the consuming query (e.g. compose it into
+    * [[graft.operators.Dedup.lshCandidatePairsFromBands]] and run the
+    * batch's sink write) before returning.
+    *
+    * Why a loan: `DisableUnnecessaryBucketedScan` sees no
+    * join/aggregate requiring the bucketed distribution and turns the
+    * bucketed scan off — which also forfeits bucket PRUNING, the whole
+    * point here. That auto-disable exists to spare full scans the
+    * bucketed-read penalty, and OTHER bucketed reads in the session
+    * (e.g. the BucketedTables full-scan joins) genuinely want it — so
+    * the conf is scoped to the loan, not sticky. Spark physical-plans
+    * each derived frame lazily at its first action, so the disable
+    * must still be in force when the CONSUMING query plans — returning
+    * a frame and restoring the conf first (the old shape of this API)
+    * silently re-enabled the auto-disable for everything derived from
+    * the probe. Scan plans are fixed in AQE's initial plan (AQE
+    * re-plans exchanges, never scans), so plans forced inside the loan
+    * keep their pruned scans even if execution continues after it. */
+  def withProbedBands[T](spark: SparkSession, db: String, table: String,
+                         deltaBands: DataFrame)(use: DataFrame => T): T = {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
@@ -497,9 +502,20 @@ object DedupStream {
       val probe =
         if (keys.isEmpty) t.limit(0)
         else t.filter(col("band_hash").isin(keys.toIndexedSeq: _*))
-      probe.queryExecution.executedPlan // pin the pruned bucketed scan
-      probe
+      use(probe)
     } finally spark.conf.set(key, prev)
   }
+
+  /** One-shot form of [[withProbedBands]] for callers that only read
+    * the probe itself: the returned frame's OWN plan is pinned (planned
+    * inside the loan) — but frames DERIVED from it after return
+    * re-plan under the restored conf and lose the pruned scan. Compose
+    * inside [[withProbedBands]] instead. */
+  def probeBandsBucketed(spark: SparkSession, db: String, table: String,
+                         deltaBands: DataFrame): DataFrame =
+    withProbedBands(spark, db, table, deltaBands) { probe =>
+      probe.queryExecution.executedPlan // pin the pruned bucketed scan
+      probe
+    }
 
 }

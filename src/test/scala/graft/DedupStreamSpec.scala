@@ -350,6 +350,27 @@ class DedupStreamSpec extends SparkSpec {
       val viaPruned = pairsVia(pruned)
       val viaFull = pairsVia(spark.read.parquet(bands).drop("ingest_batch"))
       assert(viaPruned == viaFull && viaPruned.nonEmpty)
+      // the loan form: the COMPOSED candidate query (derived from the
+      // probe inside the loan) keeps the pruned bucketed scan — the
+      // one-shot form above only guarantees it for the probe's own plan
+      val (viaLoan, composedPlan) = DedupStream.withProbedBands(
+          spark, "graft_bandsdb", "bands_b", deltaBands) { probe =>
+        val cand = Dedup.lshCandidatePairsFromBands(
+          probe, storeCounts, deltaBands)
+        val got = cand.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        (got, cand.queryExecution.executedPlan.toString)
+      }
+      assert(viaLoan == viaFull)
+      val mc = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(composedPlan)
+      assert(mc.isDefined,
+        s"composed plan lost bucket pruning:\n$composedPlan")
+      assert(mc.get.group(1).toInt < mc.get.group(2).toInt,
+        s"composed probe read every bucket: ${mc.get.group(0)}")
+      // outside any loan, the conf is back to its default
+      assert(spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled") == "true")
     } finally deltaBands.unpersist()
   }
 

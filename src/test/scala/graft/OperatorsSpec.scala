@@ -116,22 +116,43 @@ class OperatorsSpec extends SparkSpec {
       s"IVF rank-1 should usually appear in the exact top-5: $ivfTop")
   }
 
-  test("ivf recall@5 vs the exact baseline clears the stated bound") {
-    // The one 100 TB claim that needs a measured number: nprobe=2 of
-    // K=8 k-means buckets must recover most of the exact top-5. The
-    // bound is deliberately below the measured value so distribution
-    // drift in regenerated testdata doesn't flake the suite; a real
-    // regression (broken centroids / probe routing) lands near 0.
-    val ivf = Similarity.queries("sim_ivf_topk")(spark, sf0001)
-      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("ivf recall@5 curve: monotone in nprobe, exact at nprobe=K") {
+    // The quality knob characterized, not just smoke-bounded: sweep
+    // nprobe over the nested probe sets and assert the whole curve.
+    // Monotonicity is a THEOREM here (probe sets are nested; a
+    // global-top-5 member in the probed set always survives — see
+    // Similarity.ivfTopK scaladoc), so any dip is a routing bug, and
+    // nprobe=K probes the whole corpus so recall must be exactly 1.
     val exact = Similarity.queries("sim_ann_topk")(spark, sf0001)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // Measured 0.52 on the sf0.001 corpus — roughly 2× the nprobe/K
-    // chance floor (0.25), which is what IVF buys on near-uniform
-    // synthetic vectors; real clustered embeddings sit far higher.
-    val recall = ivf.intersect(exact).size.toDouble / exact.size
-    info(f"IVF recall@5 at nprobe=2: $recall%.2f")
-    assert(recall >= 0.4, f"recall@5 $recall%.2f under bound 0.4")
+    val e = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.centroids(e).persist()
+    try {
+      val curve = Seq(1, 2, 4, 8).map { p =>
+        val got = Similarity.ivfTopK(e, cents, nprobe = p, topK = 5)
+          .select("qid", "cid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        p -> got.intersect(exact).size.toDouble / exact.size
+      }
+      info(curve.map { case (p, r) => f"nprobe=$p recall@5=$r%.2f" }
+        .mkString(", "))
+      curve.sliding(2).foreach {
+        case Seq((pa, ra), (pb, rb)) =>
+          assert(rb >= ra,
+            f"recall dipped $ra%.2f@$pa -> $rb%.2f@$pb (non-nested probes?)")
+        case _ =>
+      }
+      assert(curve.last._2 == 1.0,
+        f"nprobe=K probes every bucket; recall ${curve.last._2}%.2f != 1")
+      // the declared operating point (nprobe=2, what sim_ivf_topk runs):
+      // measured 0.52 on the sf0.001 corpus — roughly 2x the nprobe/K
+      // chance floor (0.25), which is what IVF buys on near-uniform
+      // synthetic vectors; real clustered embeddings sit far higher.
+      // Bound kept below the measurement so testdata drift can't flake.
+      val r2 = curve.find(_._1 == 2).get._2
+      assert(r2 >= 0.4, f"operating-point recall@5 $r2%.2f under bound 0.4")
+    } finally cents.unpersist()
   }
 
   test("ivf materialized index: probe prunes partitions, results match inline") {
