@@ -272,6 +272,9 @@ object Bench {
   private val routedRefMs = 150.0
 
   private val referenceSec: Map[String, Double] = Map(
+    "dedup_span_stats" -> 5.9, // cold-JVM 3-query-suite measurement
+    "dedup_semantic" -> 4.1, // (r7) — conservative for the full suite
+    "search_bm25_topk" -> 2.0,
     "star_fact_build" -> 8.2,
     "s15_agg_market_rates" -> 5.3,
     "a10_search_stats" -> 4.7,

@@ -648,8 +648,160 @@ object Dedup extends QueryPack {
         size(array_intersect(col("sh_a"), col("sh_b"))).as("n_shared"),
         pround(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+    }),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    // embedding space, then prune near-duplicates WITHIN each cluster
+    // only — the clustering bounds the pairwise work to O(Σ cluster²)
+    // instead of O(corpus²). LSH (dedup_embedding_cosine) and SemDeDup
+    // are complementary surfaces of the same family: LSH finds
+    // near-identical vectors with per-pair guarantees; SemDeDup's
+    // cluster scope is how production curation pipelines trade recall
+    // for a hard per-cluster cost bound (K scales with the corpus so
+    // cluster sizes stay fixed). Centroids persist to a sidecar so the
+    // DuckDB twin replays assignment over the SAME fp32 centroids (the
+    // sim_ivf_topk oracle pattern).
+    "dedup_semantic" -> ((s, d) => {
+      val e = augmentedEmbeddings(s, d)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "emb", k = SemK)
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(oracleSemanticCentroidSidecar)
+      semanticDupes(e, cents, SrpTau)
+    }),
+
+    // Duplicated-span analysis (the exact-substring-dedup family, Lee
+    // et al. 2022, at shingle granularity): a 3-word shingle is
+    // "duplicated" if it occurs in >= 2 distinct documents; report per
+    // doc how much of it is corpus-duplicated material. Upstream of
+    // span REMOVAL, this is the measurement pass that decides which
+    // documents are worth span-level surgery (ratio ~1.0 = drop whole
+    // doc; mid ratios = boilerplate/quotation candidates).
+    // Scale shape: shingles shuffle as fixed-width md5 digests (never
+    // the text), the distinct-doc count is one hash aggregation with
+    // map-side combine, and the dup-gram set flows back through a
+    // LEFT SEMI join on the same digest key — two shuffles total, both
+    // on 32-byte keys.
+    "dedup_span_stats" -> ((s, d) => {
+      val sh = shingled(s, d)
+      // explode_outer + null filter per the InferFiltersFromGenerate
+      // trap (SURVEY §4): an inner explode would infer a scan-side
+      // size(sh)>0 filter that re-inlines the shingle chain per row.
+      val pos = sh
+        .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+      val dupg = pos.groupBy("gh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("gh")
+      val perDoc = pos.join(dupg, Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+      sh.select(col("doc_id"), size(col("sh")).as("n_grams"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+          pround(coalesce(col("dup_grams"), lit(0L)).cast("double") /
+            col("n_grams"), 4).as("dup_ratio"))
     })
   )
+
+  /** Semantic-dedup cluster count for the declared query. 32 over the
+    * 520-vector augmented corpus gives ~16-vector clusters; at real
+    * scale K grows with the corpus (K ≈ N / target_cluster_size) so
+    * the per-cluster pairwise work — the only quadratic term — stays
+    * constant per cluster and the bucket join stays skew-free. */
+  val SemK = 32
+
+  /** SemDeDup pruning: assign every vector to its nearest centroid
+    * SCAN-LOCALLY (see [[assignBucketsLocal]] — zero shuffle; the
+    * aggregation-shaped [[Similarity.assignBuckets]] would shuffle the
+    * whole corpus once per consumer), gather each cluster's members
+    * with one groupBy(bucket), and keep within-cluster pairs with
+    * cosine >= tau. A doc is a duplicate if a SMALLER-id cluster-mate
+    * clears tau; emitted with its minimal witness (`dup_of` = the
+    * smallest such id, plus that pair's cosine), so survivors =
+    * corpus ∖ result. The gather on `bucket` brings each cluster to
+    * one place — exactly the locality SemDeDup's clustering exists to
+    * create — and is the plan's ONLY corpus-wide exchange. */
+  def semanticDupes(e: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
+    graft.functions.CosineSimF32.register(e.sparkSession)
+    val assigned = assignBucketsLocal(
+      e.select(col("vec_id"), col("emb")), "vec_id", "emb", cents)
+    // Cluster members gathered once (THE one corpus-wide shuffle) and
+    // sorted by id, so pair generation is deterministic and needs no
+    // self-join. (A bucket-keyed self-join would both shuffle the
+    // corpus twice — once per side — and trip Spark's constraint
+    // rewrite on self-join-deduplicated lambda outer-references.)
+    val members = assigned.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("emb"))))
+        .as("ms"))
+    // Ordered pairs stream out of two chained generators — member ×
+    // its id-successors — so no c²-sized array ever materializes; the
+    // widest intermediate row is one cluster (c·dim floats), bounded
+    // because K scales with the corpus. explode_outer + null filter
+    // per the InferFiltersFromGenerate trap (SURVEY §4).
+    val pairs = members
+      .select(col("bucket"), col("ms"),
+        posexplode_outer(col("ms")).as(Seq("i", "x")))
+      .filter(col("x").isNotNull)
+      .select(col("bucket"),
+        col("x.vec_id").as("doc_a"), col("x.emb").as("ea"),
+        explode_outer(slice(col("ms"), col("i") + 2, size(col("ms"))))
+          .as("y"))
+      .filter(col("y").isNotNull)
+      .select(col("bucket"), col("doc_a"), col("ea"),
+        col("y.vec_id").as("doc_b"), col("y.emb").as("eb"))
+    pairs
+      .select(col("bucket"), col("doc_a"), col("doc_b"),
+        call_function("cosine_f32", col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("doc_b"))
+      .agg(first(col("bucket")).as("bucket"), // constant within the group
+        min(col("doc_a")).as("dup_of"),
+        min_by(col("cos"), col("doc_a")).as("cos"))
+      .select(col("doc_b").as("vec_id"), col("bucket"), col("dup_of"),
+        pround(col("cos"), 4).as("cosine"))
+  }
+
+  /** Nearest-centroid assignment as a pure per-row fold — the
+    * [[Similarity.pqEncode]] shape: the K centroids ride the plan as
+    * an array-of-structs literal (K·dim floats, shipped once per
+    * executor with the task binary) and each row argmaxes over them
+    * inside its own task. ZERO shuffle — the alternative
+    * ([[Similarity.assignBuckets]]: crossJoin + groupBy(id) max_by)
+    * re-shuffles the whole corpus, which a self-joining consumer pays
+    * twice. The cosine per candidate runs through the same native
+    * `cosine_f32` kernel, and the strict `>` keeps the LOWEST
+    * centroid_id on fp-equal ties — value-identical to assignBuckets'
+    * `max_by(struct(csim, -centroid_id))` and to the oracle's
+    * `(csim DESC, centroid_id)` row_number. Bounded driver collect: K
+    * centroid rows, same class as the IVF probed-bucket literals. */
+  def assignBucketsLocal(vecs: DataFrame, idCol: String, vecCol: String,
+                         cents: DataFrame): DataFrame = {
+    graft.functions.CosineSimF32.register(vecs.sparkSession)
+    val cl = cents.orderBy("centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centArr = array(cl.map { case (cid, v) =>
+      struct(lit(cid).as("cid"),
+        array(v.map(x => lit(x)): _*).as("cent"))
+    }: _*)
+    vecs.select(col(idCol), col(vecCol),
+      aggregate(centArr,
+        struct(lit(Double.NegativeInfinity).as("sim"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val s = call_function("cosine_f32", col(vecCol), c.getField("cent"))
+          when(s > acc.getField("sim"),
+            struct(s.as("sim"), c.getField("cid").as("cid"))).otherwise(acc)
+        },
+        acc => acc.getField("cid")).as("bucket"))
+  }
+
+  /** Centroid sidecar for the `dedup_semantic` oracle — same contract
+    * as [[Similarity.oracleCentroidSidecar]]: the declared query
+    * overwrites it with the centroids it scored, the DuckDB twin reads
+    * it back, so both engines assign under identical fp32 centroids. */
+  val oracleSemanticCentroidSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_semantic_oracle_centroids").getAbsolutePath
 
   /** Shared DuckDB CTE: cleaned word tokens of the augmented corpus —
     * the SQL twin of [[tokens]] over [[augmentedSql]]. */
@@ -791,6 +943,20 @@ object Dedup extends QueryPack {
     * cannot flip sign); summation-order ulp drift could only matter
     * for a dot product within ~1e-16 of zero or of the 0.98/rounding
     * boundaries — not a case the synthetic corpus can hit. */
+  /** DuckDB twin of [[augmentedEmbeddings]] — the shared embedding
+    * corpus CTE body for the SRP and semantic-dedup oracles. The fp32
+    * `* 1.2f` bump is reproduced via an explicit FLOAT cast so both
+    * engines verify the SAME perturbed vector (the `1.2f` ulp trap). */
+  private val augEmbSql = s"""
+        SELECT vec_id, embedding AS emb FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               CASE WHEN vec_id < 10 THEN embedding
+                    ELSE list_concat(
+                      [CAST(embedding[1] * ${1.2f.toDouble} AS FLOAT)],
+                      embedding[2:]) END AS emb
+        FROM embeddings WHERE vec_id < 20"""
+
   private def embeddingSrpOracle: String = {
     val planeRows = (0 until SrpBits).map { j =>
       val lst = srpPlanes(j).map(_.toFloat.toDouble.toString).mkString(", ")
@@ -799,15 +965,7 @@ object Dedup extends QueryPack {
     val bandSelects = (0 until SrpBits / SrpBandBits).map { b =>
       s"SELECT vec_id, $b AS band_idx, (sig >> ${b * SrpBandBits}) & ${(1L << SrpBandBits) - 1} AS band_val FROM sig"
     }.mkString("\n        UNION ALL ")
-    s"""WITH aug AS (
-        SELECT vec_id, embedding AS emb FROM embeddings
-        UNION ALL
-        SELECT vec_id + 100000 AS vec_id,
-               CASE WHEN vec_id < 10 THEN embedding
-                    ELSE list_concat(
-                      [CAST(embedding[1] * ${1.2f.toDouble} AS FLOAT)],
-                      embedding[2:]) END AS emb
-        FROM embeddings WHERE vec_id < 20),
+    s"""WITH aug AS ($augEmbSql),
       planes AS (
         FROM (VALUES
           $planeRows) p(j, pl)),
@@ -866,6 +1024,85 @@ object Dedup extends QueryPack {
       ) WHERE doc_a >= 100000 OR doc_b >= 100000""",
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding_cosine" -> embeddingSrpOracle,
+
+    // Replays the whole SemDeDup pipeline over the persisted centroid
+    // sidecar: fp64 nearest-centroid assignment with the same
+    // (csim desc, centroid_id) argmax tie-break as assignBuckets'
+    // max_by struct, the within-cluster self-join, fp64 cosine on the
+    // pairs, and the per-doc minimal witness via rn=1 (== the Spark
+    // side's min/min_by pair).
+    "dedup_semantic" -> s"""WITH aug AS ($augEmbSql),
+      cents AS (SELECT centroid_id, cent
+                FROM read_parquet('$oracleSemanticCentroidSidecar/*.parquet')),
+      adots AS (
+        SELECT a.vec_id, c.centroid_id,
+               SUM(CAST(emb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(emb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(emb[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM aug a, cents c, range(1, 65) r(i)
+        GROUP BY 1, 2),
+      assigned AS (
+        SELECT vec_id, bucket FROM (
+          SELECT vec_id, centroid_id AS bucket,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
+                   AS rn
+          FROM adots) WHERE rn = 1),
+      pairs AS (
+        SELECT x.vec_id AS doc_a, y.vec_id AS doc_b, x.bucket
+        FROM assigned x JOIN assigned y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      pdots AS (
+        SELECT p.doc_a, p.doc_b, p.bucket,
+               SUM(CAST(ea.emb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(eb.emb[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(ea.emb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(ea.emb[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(eb.emb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(eb.emb[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM pairs p
+        JOIN aug ea ON ea.vec_id = p.doc_a
+        JOIN aug eb ON eb.vec_id = p.doc_b,
+             range(1, 65) r(i)
+        GROUP BY 1, 2, 3),
+      qual AS (
+        SELECT doc_a, doc_b, bucket,
+               dp / (sqrt(na) * sqrt(nb)) AS cos
+        FROM pdots WHERE dp / (sqrt(na) * sqrt(nb)) >= $SrpTau),
+      ranked AS (
+        SELECT doc_b, bucket, doc_a, cos,
+               row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
+        FROM qual)
+      SELECT doc_b AS vec_id, bucket, doc_a AS dup_of,
+             floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM ranked WHERE rn = 1""",
+
+    // Shingle CTE identical to the jaccard oracle's (mirrors
+    // shinglesOf incl. the <3-token fallback); duplication is counted
+    // over md5 digests exactly like the Spark side.
+    "dedup_span_stats" -> s"""WITH $tokSql,
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                 ELSE list_transform(range(1, len(tk) - 1), i ->
+                   tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1] ||
+                   ' ' || tk[CAST(i AS INTEGER) + 2]) END) AS s
+          FROM tok)),
+      pos AS (SELECT doc_id, md5(s) AS gh FROM sh),
+      dupg AS (SELECT gh FROM pos GROUP BY gh
+               HAVING COUNT(DISTINCT doc_id) >= 2),
+      per AS (SELECT doc_id, COUNT(*) AS dup_grams
+              FROM pos JOIN dupg USING (gh) GROUP BY doc_id),
+      tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY doc_id)
+      SELECT t.doc_id, CAST(t.n_grams AS INTEGER) AS n_grams,
+             CAST(coalesce(p.dup_grams, 0) AS BIGINT) AS dup_grams,
+             floor((coalesce(p.dup_grams, 0) * 1.0 / t.n_grams)
+               * 10000.0 + 0.5) / 10000.0 AS dup_ratio
+      FROM tot t LEFT JOIN per p USING (doc_id)""",
 
     "dedup_exact" -> s"""WITH aug AS ($augmentedSql)
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

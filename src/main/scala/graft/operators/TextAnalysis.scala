@@ -118,6 +118,53 @@ object TextAnalysis extends QueryPack {
         .select("rank", "token", "cnt", "cum_share")
     }),
 
+    // BM25 keyword search: score every document against a fixed term
+    // set and return the top-k — the retrieval primitive behind
+    // corpus-curation keyword audits ("which docs dominate for this
+    // query") and quality-weighted subset selection. Two passes over
+    // one narrow scan: pass 1 folds the corpus statistics BM25 needs
+    // (N, avgdl, per-term df) to a single broadcast row; pass 2 scores
+    // per doc with pure column arithmetic. Per-term tf comes from
+    // `size(filter(tokens, = term))` on the staged token array — no
+    // explode, no shuffle wider than the one-row stats frame; top-k is
+    // a TakeOrdered with the ranking window over only the k survivors
+    // (the vocab_topk shape). The score sums terms in fixed query
+    // order (a left fold), which the oracle mirrors so fp addition
+    // order cannot diverge.
+    "search_bm25_topk" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(col("doc_id"),
+          filter(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            "\\s+"), v => length(v) > 0).as("tk"))
+        .select(col("doc_id") +: size(col("tk")).as("dl") +:
+          Bm25Terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("tk"), x => x === lit(t))).as(s"tf_$i")
+          }: _*)
+      val stats = tf.agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("dl")).as("avgdl") +:
+          Bm25Terms.indices.map(i =>
+            sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).as(s"df_$i")): _*)
+      val score = Bm25Terms.indices.map { i =>
+        val tfc = col(s"tf_$i").cast("double")
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+            (col(s"df_$i") + lit(0.5)))
+        idf * (tfc * lit(Bm25K1 + 1.0)) /
+          (tfc + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      val scored = tf.crossJoin(broadcast(stats))
+        .select(col("doc_id"), score.as("score_raw"))
+        .filter(col("score_raw") > 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_raw").desc, col("doc_id"))
+      scored.orderBy(col("score_raw").desc, col("doc_id")).limit(Bm25TopK)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("doc_id"),
+          pround(col("score_raw"), 4).as("score"))
+    }),
+
     // Rolling-hash fingerprint: hash every k-char gram of the
     // normalized text, keep the bottom-B values — a bottom-k sketch of
     // the gram set (the winnowing/MOSS family's sampling step). Robust
@@ -160,6 +207,15 @@ object TextAnalysis extends QueryPack {
     * a byte-level BPE pre-tokenizer's coarse splits. Shared verbatim
     * with the oracle. */
   private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** BM25 query terms (drawn from the corpus's marker vocabulary so
+    * matches exist) and the standard Robertson parameters. Terms are
+    * scored in THIS order on both engines — fp addition order is part
+    * of the contract. */
+  private val Bm25Terms = Seq("order", "customer", "scan")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 25
 
   def oracles: Map[String, String] = {
     val scoreSql = markers.map { case (lg, m) =>
@@ -223,6 +279,46 @@ object TextAnalysis extends QueryPack {
                       AS DOUBLE) / total_tokens) * 1000000.0 + 0.5)
                  / 1000000.0 AS cum_share
         FROM top CROSS JOIN total""",
+
+      // Same tokenizer, same stats fold, and the score terms added in
+      // the same fixed order as the Spark fold — see Bm25Terms.
+      "search_bm25_topk" -> {
+        val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(tk, x -> x = '$t')) AS tf_$i"
+        }.mkString(",\n                 ")
+        val dfCols = Bm25Terms.indices.map(i =>
+          s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+          .mkString(", ")
+        val scoreSql = Bm25Terms.indices.map { i =>
+          s"""ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) *
+               (tf_$i * ${Bm25K1 + 1.0}) /
+               (tf_$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))"""
+        }.mkString("\n             + ")
+        s"""WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+            x -> x <> '') AS tk
+          FROM documents),
+        tf AS (
+          SELECT doc_id, len(tk) AS dl,
+                 $tfCols
+          FROM tok),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, $dfCols FROM tf),
+        scored AS (
+          SELECT doc_id,
+             $scoreSql
+             AS score_raw
+          FROM tf CROSS JOIN stats),
+        top AS (
+          SELECT doc_id, score_raw FROM scored WHERE score_raw > 0
+          ORDER BY score_raw DESC, doc_id LIMIT $Bm25TopK)
+        SELECT CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id)
+                 AS INTEGER) AS rank,
+               doc_id,
+               floor(score_raw * 10000.0 + 0.5) / 10000.0 AS score
+        FROM top"""
+      },
 
       // k=8 char grams over normalized text, 32-bit md5-prefix hashes,
       // bottom-4 joined — identical gram/hash definitions to the Spark
