@@ -274,6 +274,8 @@ object Bench {
   private val referenceSec: Map[String, Double] = Map(
     "dedup_span_stats" -> 5.9, // cold-JVM 3-query-suite measurement
     "dedup_semantic" -> 4.1, // (r7) — conservative for the full suite
+    "decontam_span_removal" -> 2.6, // (r7, cold 3-query suite)
+    "text_tfidf_keywords" -> 2.6, // (r7, cold 3-query suite)
     "search_bm25_topk" -> 2.0,
     "star_fact_build" -> 8.2,
     "s15_agg_market_rates" -> 5.3,

@@ -96,6 +96,50 @@ object Decontaminate extends QueryPack {
           .as("contaminated"))
   }
 
+  /** Surgical decontamination — the removal half of the flag→remove
+    * story (Lee et al.'s recommendation over whole-doc drops when the
+    * overlap is a quotation or boilerplate, not wholesale copying):
+    * every token covered by a benchmark-overlapping n-gram (a gram
+    * starting at position s covers [s, s+n-1]) is spliced out, and the
+    * document is rebuilt from the survivors.
+    *
+    * 100 TB shape, same as [[flagContaminated]]: corpus grams are
+    * filtered against the BROADCAST benchmark set scan-side, so only
+    * the (rare) hit positions ever shuffle — one slim
+    * (id, start-positions) aggregate joined back to the staged token
+    * arrays. Splicing is array-local per row (an indexed `filter`
+    * against the doc's own hit list); a benchmark doc that flags
+    * itself wholesale degrades to O(tokens·starts) inside its own row
+    * — bounded by doc length, never cross-row. */
+  def removeContaminatedSpans(documents: DataFrame, idCol: String,
+                              textCol: String, benchmark: DataFrame,
+                              benchTextCol: String, n: Int = 8): DataFrame = {
+    val tok = documents.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val benchGrams = gramRows(
+      benchmark.select(tokens(col(benchTextCol)).as("tk")), n, Seq.empty)
+      .distinct()
+    // gramRows can't carry the position column (its first projection
+    // predates the explode), so inline the same staged shape keeping i.
+    val starts = tok
+      .select(col(idCol), col("tk"),
+        explode_outer(gramPositions(col("tk"), n)).as("i"))
+      .filter(col("i").isNotNull)
+      .select(col(idCol), col("i"),
+        gramAt(col("tk"), col("i"), n).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(idCol).agg(sort_array(collect_list(col("i"))).as("starts"))
+    tok.join(starts, Seq(idCol), "left")
+      .select(col(idCol), col("tk"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col(idCol), col("tk"),
+        filter(col("tk"), (_, i0) => !exists(col("starts"),
+          st => (i0 + 1) >= st && (i0 + 1) <= st + (n - 1))).as("kept"))
+      .select(col(idCol),
+        size(col("tk")).as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   def queries: Map[String, QFn] = Map(
     // Fixture: the "benchmark set" is the deterministic slice
     // doc_id % 17 = 3 of the corpus itself, so contamination exists by
@@ -105,6 +149,15 @@ object Decontaminate extends QueryPack {
     "decontam_ngram" -> ((s, d) => {
       val corpus = docs(s, d)
       flagContaminated(corpus, "doc_id", "text",
+        corpus.filter(col("doc_id") % 17 === 3), "text")
+    }),
+
+    // Same fixture, removal instead of flagging: benchmark docs strip
+    // themselves (nearly) whole; non-benchmark docs lose only genuine
+    // shared 8-gram spans.
+    "decontam_span_removal" -> ((s, d) => {
+      val corpus = docs(s, d)
+      removeContaminatedSpans(corpus, "doc_id", "text",
         corpus.filter(col("doc_id") % 17 === 3), "text")
     })
   )
@@ -139,7 +192,47 @@ object Decontaminate extends QueryPack {
                CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
                CASE WHEN coalesce(h.hits, 0) > 0 THEN 1 ELSE 0 END
                  AS contaminated
-        FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id"""
+        FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id""",
+
+      // Mirrors removeContaminatedSpans: positions of benchmark-
+      // overlapping grams → covered = DISTINCT (doc, pos) over each
+      // start's [s, s+7] window → tokens rebuilt in position order
+      // excluding covered. DISTINCT in `covered` is load-bearing: the
+      // left join below would otherwise fan rows out per covering gram.
+      "decontam_span_removal" -> s"""
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+            x -> x <> '') AS tk
+          FROM documents),
+        gp AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS i,
+                 substr(md5($gramExpr), 1, 16) AS gram
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM tok WHERE len(tk) >= 8)),
+        bg AS (
+          SELECT DISTINCT gram FROM gp WHERE doc_id % 17 = 3),
+        covered AS (
+          SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS p
+          FROM (SELECT gp.doc_id, unnest(range(gp.i, gp.i + 8)) AS p
+                FROM gp JOIN bg USING (gram))),
+        posx AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS p,
+                 tk[CAST(i AS INTEGER)] AS t
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                FROM tok)),
+        clean AS (
+          SELECT px.doc_id,
+                 COUNT(*) FILTER (WHERE cv.p IS NOT NULL) AS n_removed,
+                 coalesce(string_agg(px.t, ' ' ORDER BY px.p)
+                   FILTER (WHERE cv.p IS NULL), '') AS clean_text
+          FROM posx px LEFT JOIN covered cv
+            ON cv.doc_id = px.doc_id AND cv.p = px.p
+          GROUP BY px.doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS INTEGER) AS n_tokens,
+               CAST(coalesce(c.n_removed, 0) AS INTEGER) AS n_removed,
+               coalesce(c.clean_text, '') AS clean_text
+        FROM tok t LEFT JOIN clean c ON c.doc_id = t.doc_id"""
     )
   }
 }

@@ -118,6 +118,56 @@ object TextAnalysis extends QueryPack {
         .select("rank", "token", "cnt", "cum_share")
     }),
 
+    // Per-document keyword extraction: top-3 tokens by smoothed
+    // TF-IDF (tf · (ln((1+N)/(1+df)) + 1), the sklearn-style smooth
+    // idf) — the standard curation primitive for topic tagging and
+    // per-doc summarization. Scale shape: term counts aggregate
+    // map-side on (doc, token); document frequency is a second
+    // aggregation of THOSE distinct rows (never the raw token
+    // stream); the stats join shuffles on token; the per-doc top-3
+    // window runs over each doc's own vocabulary — bounded groups,
+    // no global sort.
+    "text_tfidf_keywords" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"),
+          filter(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            "\\s+"), v => length(v) > 0).as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), size(col("tk"))))).as("i"))
+        .filter(col("i").isNotNull)
+        .select(col("doc_id"), element_at(col("tk"), col("i")).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "token").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("token"),
+          (col("tf") * (log((lit(1.0) + col("n_docs")) /
+            (lit(1.0) + col("df"))) + lit(1.0))).as("tfidf_raw"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("tfidf_raw").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"),
+          pround(col("tfidf_raw"), 4).as("tfidf"))
+    }),
+
+    // Adjacent-token-pair frequencies — the inner counting loop of BPE
+    // tokenizer training (which pair to merge next) over the corpus's
+    // word stream. Same shape as vocab_topk: map-side-combined count
+    // on the pair, TakeOrdered top-k, ranking window over only the k
+    // survivors.
+    "bpe_pair_counts" -> ((s, d) => {
+      val k = 100
+      val pair = tokPairs(s, d)
+      val counts = pair.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("pair"))
+      counts.orderBy(col("cnt").desc, col("pair")).limit(k)
+        .withColumn("rank", row_number().over(w))
+        .select("rank", "pair", "cnt")
+    }),
+
     // BM25 keyword search: score every document against a fixed term
     // set and return the top-k — the retrieval primitive behind
     // corpus-curation keyword audits ("which docs dominate for this
@@ -183,6 +233,22 @@ object TextAnalysis extends QueryPack {
           call_function("rolling_fp", col("norm")).as("fingerprint"))
     })
   )
+
+  /** (doc, adjacent token pair) rows: staged tokens, positions
+    * exploded (house rule: explode the cheap index array, compute the
+    * pair as a projection above the Generate; explode_outer + null
+    * filter per the InferFiltersFromGenerate trap). */
+  private def tokPairs(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        filter(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          "\\s+"), v => length(v) > 0).as("tk"))
+      .select(col("tk"),
+        explode_outer(when(size(col("tk")) < 2, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("tk")) - 1))).as("i"))
+      .filter(col("i").isNotNull)
+      .select(concat_ws(" ", element_at(col("tk"), col("i")),
+        element_at(col("tk"), col("i") + 1)).as("pair"))
 
   /** The composable (HOF) formulation of `text_fingerprint_rolling`,
     * kept as the parity reference for RollingFpNativeSpec. */
@@ -279,6 +345,53 @@ object TextAnalysis extends QueryPack {
                       AS DOUBLE) / total_tokens) * 1000000.0 + 0.5)
                  / 1000000.0 AS cum_share
         FROM top CROSS JOIN total""",
+
+      // Same tokenizer, same smoothed-idf formula text as the Spark
+      // expression (tf · (ln((1.0+N)/(1.0+df)) + 1.0)), per-doc top-3
+      // with the (tfidf DESC, token) tie-break.
+      "text_tfidf_keywords" -> """
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+            x -> x <> '')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 tf.tf * (ln((1.0 + n_docs) / (1.0 + df.df)) + 1.0)
+                   AS tfidf_raw
+          FROM tf JOIN df USING (token) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, token, tfidf_raw,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf_raw DESC, token) AS rank
+          FROM scored)
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, token,
+               floor(tfidf_raw * 10000.0 + 0.5) / 10000.0 AS tfidf
+        FROM ranked WHERE rank <= 3""",
+
+      // Adjacent pairs via list slicing; the (cnt DESC, pair)
+      // order/tie-break matches the Spark TakeOrdered + window.
+      "bpe_pair_counts" -> """
+        WITH tok AS (
+          SELECT list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+            x -> x <> '') AS tk
+          FROM documents),
+        pairs AS (
+          SELECT tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1]
+                   AS pair
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                FROM tok WHERE len(tk) >= 2)),
+        counts AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY 1),
+        top AS (SELECT * FROM counts ORDER BY cnt DESC, pair LIMIT 100)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER)
+                 AS rank,
+               pair, cnt
+        FROM top""",
 
       // Same tokenizer, same stats fold, and the score terms added in
       // the same fixed order as the Spark fold — see Bm25Terms.

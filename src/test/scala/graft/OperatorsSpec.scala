@@ -163,6 +163,56 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("span removal is consistent with contamination flags") {
+    import graft.operators.Decontaminate
+    val flags = Decontaminate.queries("decontam_ngram")(spark, sf0001)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rem = Decontaminate.queries("decontam_span_removal")(spark, sf0001)
+      .collect()
+    rem.foreach { r =>
+      val (id, nTok, nRem, clean) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      assert(nRem >= 0 && nRem <= nTok, s"doc $id removed $nRem of $nTok")
+      // clean-token arithmetic: survivors reassemble exactly
+      val cleanTok = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(cleanTok == nTok - nRem,
+        s"doc $id clean has $cleanTok tokens, expected ${nTok - nRem}")
+      // a doc the flag pass calls clean must lose nothing, and every
+      // benchmark doc with >= 8 tokens strips (at least) its own grams
+      if (flags(id) == 0) assert(nRem == 0, s"unflagged doc $id lost spans")
+      if (id % 17 == 3 && nTok >= 8)
+        assert(nRem > 0, s"benchmark doc $id lost nothing")
+    }
+  }
+
+  test("tfidf keywords: per-doc top-3, ranked and positive") {
+    val rows = TextAnalysis.queries("text_tfidf_keywords")(spark, sf0001)
+      .collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length),
+        s"doc $id ranks not 1..${sorted.length}")
+      assert(sorted.length <= 3)
+      val vals = sorted.map(_.getDouble(3))
+      assert(vals.forall(_ > 0), s"doc $id non-positive tfidf")
+      assert(vals.zip(vals.tail).forall { case (a, b) => a >= b },
+        s"doc $id tfidf not descending")
+    }
+  }
+
+  test("bpe pair counts: word bigrams, descending, ranked") {
+    val rows = TextAnalysis.queries("bpe_pair_counts")(spark, sf0001)
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getString(1).split(" ").length == 2,
+      s"'${r.getString(1)}' is not a bigram"))
+  }
+
   test("exact dedup groups each injected copy with its original") {
     val dups = Dedup.queries("dedup_exact")(spark, sf0001)
       .filter(col("n_copies") >= 2)
