@@ -16,7 +16,10 @@ object Verify {
       .config("spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long
+      // events.parquet ts encoding varies by testdata generation —
+      // int64 nanos (rounds ≤ 6) or TIMESTAMP(MICROS) (round 7+).
+      // The conf makes the nanos layout read as long; eventFeed
+      // normalizes from whichever type it observes.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // S2 salvage is per-read (Tables.readSalvage), NOT global: the
       // verify harness must fail loudly if an input file is corrupt,

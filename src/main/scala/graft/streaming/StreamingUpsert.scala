@@ -21,13 +21,23 @@ import graft.etl.StarSchemaBuilder
 object StreamingUpsert {
 
   /** The `events` table viewed as a rate-change feed with an event-time
-    * column and a deterministic uid. `ts` arrives as TIMESTAMP(NANOS)
-    * (read as long under legacy.parquet.nanosAsLong). */
-  def eventFeed(df: DataFrame): DataFrame =
+    * column and a deterministic uid. `ts` encodings vary by producer —
+    * int64 epoch-nanos (read as long under legacy.parquet.nanosAsLong)
+    * or a parquet TIMESTAMP (MICROS/NANOS, tz-less arrives as NTZ) —
+    * so the feed normalizes from the OBSERVED type instead of baking
+    * one contract in. Sessions run UTC, so the NTZ→timestamp cast is
+    * exact. */
+  def eventFeed(df: DataFrame): DataFrame = {
+    val eventTime = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_seconds(col("ts") / lit(1000000000L))
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
     df.select(
-      timestamp_seconds(col("ts") / lit(1000000000L)).as("event_time"),
+      eventTime.as("event_time"),
       col("event_id"), col("user_id"), col("event_type"), col("value"),
       md5(concat_ws("|", col("event_id"), col("event_type"))).as("fact_uid"))
+  }
 
   /** Read a parquet directory as a stream (one-file-per-trigger keeps
     * micro-batches deterministic in tests). */

@@ -45,7 +45,12 @@ class PlanSpec extends SparkSpec {
     * that slice still grows with the fact — so additions here need the
     * same by-construction cardinality argument. */
   private val LiteralBoundedHints = Set("sim_cosine_pairs",
-    "sim_cosine_native", "sim_ann_topk", "sim_ivf_topk")
+    "sim_cosine_native", "sim_ann_topk", "sim_ivf_topk",
+    // PQ/IVFPQ hint three frames, each literal-bounded: the probe set
+    // and ADC LUT derive from `vec_id < 10` (≤ 10 rows at any SF), and
+    // the re-rank input is the ADC shortlist (≤ 50 per query by the
+    // row_number filter) joined to those query vectors.
+    "sim_pq_topk", "sim_ivfpq_topk")
 
   test("broadcast hints appear only on bounded dims, never on fact-scaled tables") {
     // EVERY declared query — a new operator with a scale-killer hint

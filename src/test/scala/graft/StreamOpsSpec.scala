@@ -44,10 +44,19 @@ class StreamOpsSpec extends SparkSpec {
   private def writeSentinel(inDir: String): Unit = {
     import spark.implicits._
     val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    // ts must match the encoding of the files ALREADY in `inDir` (the
+    // sentinel shares their directory and schema inference): epoch-
+    // nanos long for the int64 layout, or a cast to the observed
+    // timestamp type.
+    val rawTs = spark.read.parquet(inDir).schema("ts").dataType
+    val tsCol = rawTs match {
+      case org.apache.spark.sql.types.LongType =>
+        (col("event_time").cast("long") * lit(1000000000L)).as("ts")
+      case dt => col("event_time").cast(dt).as("ts")
+    }
     val sentinel = Seq((-1L, -1L, "___sentinel", 0.0, far))
       .toDF("event_id", "user_id", "event_type", "value", "event_time")
-      .select(col("event_id"),
-        (col("event_time").cast("long") * lit(1000000000L)).as("ts"),
+      .select(col("event_id"), tsCol,
         col("user_id"), col("event_type"), col("value"))
     val tmp = inDir + "_sentinel"
     sentinel.coalesce(1).write.parquet(tmp)
