@@ -57,13 +57,15 @@ object Decontaminate extends QueryPack {
     * explode: the inner form infers `size(positions) > 0` and pushes
     * it to the scan with the tokenizer chain inlined (the
     * InferFiltersFromGenerate trap, SURVEY §4). */
-  private def gramRows(tokenized: DataFrame, n: Int,
-                       keep: Seq[Column]): DataFrame =
-    tokenized
+  private def gramRows(tokenized: DataFrame, n: Int, keep: Seq[Column],
+                       keepPos: Boolean = false): DataFrame = {
+    val exploded = tokenized
       .select(keep :+ col("tk") :+
         explode_outer(gramPositions(col("tk"), n)).as("i"): _*)
       .filter(col("i").isNotNull)
-      .select(keep :+ gramAt(col("tk"), col("i"), n).as("gram"): _*)
+    val kept = if (keepPos) keep :+ col("i") else keep
+    exploded.select(kept :+ gramAt(col("tk"), col("i"), n).as("gram"): _*)
+  }
 
   /** Corpus-generic entry point: per training doc, the distinct-gram
     * count, how many of its grams appear anywhere in `benchmark`, and
@@ -118,14 +120,7 @@ object Decontaminate extends QueryPack {
     val benchGrams = gramRows(
       benchmark.select(tokens(col(benchTextCol)).as("tk")), n, Seq.empty)
       .distinct()
-    // gramRows can't carry the position column (its first projection
-    // predates the explode), so inline the same staged shape keeping i.
-    val starts = tok
-      .select(col(idCol), col("tk"),
-        explode_outer(gramPositions(col("tk"), n)).as("i"))
-      .filter(col("i").isNotNull)
-      .select(col(idCol), col("i"),
-        gramAt(col("tk"), col("i"), n).as("gram"))
+    val starts = gramRows(tok, n, Seq(col(idCol)), keepPos = true)
       .join(broadcast(benchGrams), "gram")
       .groupBy(idCol).agg(sort_array(collect_list(col("i"))).as("starts"))
     tok.join(starts, Seq(idCol), "left")

@@ -24,6 +24,23 @@ object TextAnalysis extends QueryPack {
     "en" -> "order", "zh" -> "join", "es" -> "slow",
     "de" -> "customer", "fr" -> "scan")
 
+  /** Cleaned word tokens of a text column — the ONE tokenizer shared
+    * by the retrieval ops (tfidf / bm25 / bpe pairs), same
+    * normalization as [[Dedup]]/[[Curation]]. Factored because oracle
+    * hash-match depends on every Spark site and every SQL site staying
+    * byte-identical. */
+  private def tokCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(regexp_replace(lower(t), "[^a-z0-9 ]", " "), "\\s+"),
+      v => length(v) > 0)
+
+  /** The DuckDB twin of [[tokCol]] over `documents`, as a CTE body
+    * (raw string — the `\s+` must reach DuckDB as-is). */
+  private val tokCteSql: String = """
+          SELECT doc_id, list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+            x -> x <> '') AS tk
+          FROM documents"""
+
   def queries: Map[String, QFn] = Map(
     // Quality scoring: length / punctuation / alpha-ratio heuristics
     "text_quality" -> ((s, d) => {
@@ -96,8 +113,7 @@ object TextAnalysis extends QueryPack {
       // chain per row
       val tok = docs(s, d)
         .select(col("doc_id"),
-          filter(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-            "\\s+"), v => length(v) > 0).as("tk"))
+          tokCol(col("text")).as("tk"))
         .select(col("tk"),
           explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))
             .otherwise(sequence(lit(1), size(col("tk"))))).as("i"))
@@ -130,8 +146,7 @@ object TextAnalysis extends QueryPack {
     "text_tfidf_keywords" -> ((s, d) => {
       val tok = docs(s, d)
         .select(col("doc_id"),
-          filter(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-            "\\s+"), v => length(v) > 0).as("tk"))
+          tokCol(col("text")).as("tk"))
         .select(col("doc_id"), col("tk"),
           explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))
             .otherwise(sequence(lit(1), size(col("tk"))))).as("i"))
@@ -184,8 +199,7 @@ object TextAnalysis extends QueryPack {
     "search_bm25_topk" -> ((s, d) => {
       val tf = docs(s, d)
         .select(col("doc_id"),
-          filter(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-            "\\s+"), v => length(v) > 0).as("tk"))
+          tokCol(col("text")).as("tk"))
         .select(col("doc_id") +: size(col("tk")).as("dl") +:
           Bm25Terms.zipWithIndex.map { case (t, i) =>
             size(filter(col("tk"), x => x === lit(t))).as(s"tf_$i")
@@ -240,9 +254,7 @@ object TextAnalysis extends QueryPack {
     * filter per the InferFiltersFromGenerate trap). */
   private def tokPairs(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"),
-        filter(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-          "\\s+"), v => length(v) > 0).as("tk"))
+      .select(col("doc_id"), tokCol(col("text")).as("tk"))
       .select(col("tk"),
         explode_outer(when(size(col("tk")) < 2, array().cast("array<int>"))
           .otherwise(sequence(lit(1), size(col("tk")) - 1))).as("i"))
@@ -349,12 +361,9 @@ object TextAnalysis extends QueryPack {
       // Same tokenizer, same smoothed-idf formula text as the Spark
       // expression (tf · (ln((1.0+N)/(1.0+df)) + 1.0)), per-doc top-3
       // with the (tfidf DESC, token) tie-break.
-      "text_tfidf_keywords" -> """
-        WITH tok AS (
-          SELECT doc_id, unnest(list_filter(string_split_regex(
-            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
-            x -> x <> '')) AS token
-          FROM documents),
+      "text_tfidf_keywords" -> s"""
+        WITH tokarr AS ($tokCteSql),
+        tok AS (SELECT doc_id, unnest(tk) AS token FROM tokarr),
         tf AS (SELECT doc_id, token, COUNT(*) AS tf
                FROM tok GROUP BY 1, 2),
         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -375,12 +384,8 @@ object TextAnalysis extends QueryPack {
 
       // Adjacent pairs via list slicing; the (cnt DESC, pair)
       // order/tie-break matches the Spark TakeOrdered + window.
-      "bpe_pair_counts" -> """
-        WITH tok AS (
-          SELECT list_filter(string_split_regex(
-            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
-            x -> x <> '') AS tk
-          FROM documents),
+      "bpe_pair_counts" -> s"""
+        WITH tok AS ($tokCteSql),
         pairs AS (
           SELECT tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1]
                    AS pair
@@ -407,11 +412,7 @@ object TextAnalysis extends QueryPack {
                (tf_$i * ${Bm25K1 + 1.0}) /
                (tf_$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))"""
         }.mkString("\n             + ")
-        s"""WITH tok AS (
-          SELECT doc_id, list_filter(string_split_regex(
-            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
-            x -> x <> '') AS tk
-          FROM documents),
+        s"""WITH tok AS ($tokCteSql),
         tf AS (
           SELECT doc_id, len(tk) AS dl,
                  $tfCols

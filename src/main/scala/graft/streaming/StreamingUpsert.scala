@@ -28,10 +28,17 @@ object StreamingUpsert {
     * one contract in. Sessions run UTC, so the NTZ→timestamp cast is
     * exact. */
   def eventFeed(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val eventTime = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         timestamp_seconds(col("ts") / lit(1000000000L))
-      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      case TimestampType | TimestampNTZType =>
+        col("ts").cast(TimestampType)
+      // Fail loudly on anything else: a silent cast would misread a
+      // new encoding (e.g. int64 MILLIS would divide as nanos and land
+      // in 1970) and windows/watermarks would go quietly wrong.
+      case other => throw new IllegalArgumentException(
+        s"unsupported events.ts encoding $other — extend eventFeed")
     }
     df.select(
       eventTime.as("event_time"),
