@@ -250,7 +250,54 @@ object Multimodal extends QueryPack {
     })
   )
 
-  // Binary plumbing is engine-specific → driver rows-only check;
-  // OperatorsSpec asserts schema, determinism, and batch shape.
-  def oracles: Map[String, String] = Map.empty
+  /** IEEE CRC-32 lookup table (poly 0xEDB88320, the zlib/JVM variant)
+    * as a SQL list literal — lets the oracle fold the exact
+    * `java.util.zip.CRC32` value per payload. */
+  private val crcTableSql: String = (0 until 256).map { i =>
+    var c = i.toLong
+    for (_ <- 0 until 8)
+      c = if ((c & 1L) == 1L) (c >>> 1) ^ 0xEDB88320L else c >>> 1
+    c
+  }.mkString("[", ",", "]")
+
+  /** `multimodal_pipeline` IS cross-engine checkable: every output is
+    * deterministic byte math (octet length, md5, crc32-seeded pseudo-
+    * features, strided slice hashes), so the twin replays it over the
+    * text payloads — including a full CRC-32 as a list_reduce fold
+    * over the byte stream against the table literal. The payloads are
+    * UTF-8 of ASCII-only text in every testdata generation (asserted
+    * by the length==strlen guard a mismatch would trip), so character
+    * ops mirror byte ops exactly. `multimodal_resize` stays rows-only:
+    * its real ImageIO/Graphics2D codec has no SQL twin by nature. */
+  def oracles: Map[String, String] = {
+    val frames = 4
+    val frameHashSql = (0 until frames).map { i =>
+      s"md5(substr(b.text, CAST(trunc($i * greatest(1.0, b.blen / 4.0) + 1) AS INTEGER), 16))"
+    }.mkString(" || ',' || ")
+    Map(
+      "multimodal_pipeline" -> s"""
+        WITH base AS (
+          SELECT doc_id AS media_id, text, source AS origin,
+                 CAST(strlen(text) AS BIGINT) AS blen
+          FROM documents),
+        crc AS (
+          SELECT media_id,
+            xor(list_reduce(
+              list_prepend(CAST(4294967295 AS BIGINT),
+                list_transform(range(1, length(text) + 1),
+                  i -> CAST(unicode(text[CAST(i AS INTEGER)]) AS BIGINT))),
+              (c, b) -> xor(c >> 8,
+                ($crcTableSql)[CAST(xor(c, b) & 255 AS INTEGER) + 1])),
+              CAST(4294967295 AS BIGINT)) AS crc32
+          FROM base)
+        SELECT b.media_id,
+               CAST(b.blen AS INTEGER) AS byte_len,
+               md5(b.text) AS content_hash,
+               b.origin,
+               (c.crc32 % 1000) / 1000.0 AS mean_luma,
+               CAST(b.blen % 640 AS INTEGER) AS width,
+               CAST(b.blen % 480 AS INTEGER) AS height,
+               $frameHashSql AS frame_hashes
+        FROM base b JOIN crc c USING (media_id)""")
+  }
 }

@@ -37,11 +37,12 @@ class EntryContractSpec extends SparkSpec {
     * driver's check without anyone noticing — fail here instead. */
   test("un-oracled queries are exactly the documented rows-only set") {
     val rowsOnlyByDesign = Set(
-      // sim_ivf_topk graduated: the declared query persists its
-      // centroids to a fixture sidecar and the oracle replays
-      // assignment/probe/rank against the same fp32 values.
-      "multimodal_pipeline", // binary plumbing, engine-specific
-      "multimodal_resize") // codec-seam stub, engine-specific
+      // multimodal_pipeline graduated: its outputs are deterministic
+      // byte math, so the oracle replays them in SQL — including a
+      // full CRC-32 list_reduce fold. The resize path alone remains
+      // engine-specific: a real ImageIO/Graphics2D codec has no SQL
+      // twin by nature.
+      "multimodal_resize")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnlyByDesign,
       s"unexpected rows-only queries: ${unoracled -- rowsOnlyByDesign}; " +
