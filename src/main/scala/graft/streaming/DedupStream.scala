@@ -290,6 +290,63 @@ object DedupStream {
       },
       storePath, bandsPath, countsPath, pairsPath, maxStoreFiles, foldAfter)
 
+  /** Semantic (SemDeDup) family of [[processBatchBanded]]: the "band"
+    * is the vector's nearest-centroid cluster — one band row
+    * (band_idx 0, band_hash = bucket) per doc, assigned SCAN-LOCALLY
+    * against the store's pinned centroids
+    * ([[graft.operators.Dedup.assignBucketsLocal]]); verify is exact
+    * cosine (native kernel) against the store, which carries the
+    * vectors. The hot-bucket cap becomes a hot-CLUSTER guard for
+    * free: a cluster whose merged population outgrows the cap stops
+    * being probed, with the same telemetry sidecar.
+    *
+    * Centroids are the store's IDENTITY, exactly like a materialized
+    * IVF index's sidecar: bucket membership is only meaningful under
+    * the centroids that assigned it, so the FIRST batch derives and
+    * persists them at [[graft.operators.Similarity.centroidsPathOf]]
+    * (storePath) and every later batch loads that sidecar. Batch
+    * splits compose ≡ a single shot GIVEN the same sidecar (pinned by
+    * DedupStreamSpec, which seeds both runs' sidecars identically);
+    * re-deriving centroids mid-stream would silently re-shape every
+    * cluster, which is why the sidecar, once written, is never
+    * recomputed. */
+  def processBatchBandedSemantic(batch: DataFrame, batchId: Long,
+                                 idCol: String, embCol: String,
+                                 storePath: String, bandsPath: String,
+                                 countsPath: String, pairsPath: String,
+                                 minCosine: Double = Dedup.SrpTau,
+                                 k: Int = Dedup.SemK,
+                                 maxStoreFiles: Int = 256,
+                                 foldAfter: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val centsPath = graft.operators.Similarity.centroidsPathOf(storePath)
+    if (!graft.FsUtils.committedExists(spark, centsPath))
+      graft.operators.Similarity
+        .kmeansCentroids(batch, idCol, embCol, k = k)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(centsPath)
+    val cents = spark.read.parquet(centsPath)
+    processBatchBandedGeneric(batch, batchId,
+      b => Dedup.assignBucketsLocal(
+        b.select(col(idCol).as("doc_id"), col(embCol).as("emb")),
+        "doc_id", "emb", cents),
+      sig => sig.select(col("doc_id"), lit(0).as("band_idx"),
+        col("bucket").as("band_hash")),
+      (cand, sigs) => {
+        val ea = sigs.select(col("doc_id").as("doc_a"), col("emb").as("ea"))
+        val eb = sigs.select(col("doc_id").as("doc_b"), col("emb").as("eb"))
+        broadcast(broadcast(cand.select("doc_a", "doc_b"))
+            .join(ea, Seq("doc_a")))
+          .join(eb, Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            call_function("cosine_f32", col("ea"), col("eb")).as("cos"))
+          .filter(col("cos") >= minCosine)
+          .select(col("doc_a"), col("doc_b"),
+            graft.functions.NormExprs.pround(col("cos"), 4).as("cosine"))
+      },
+      storePath, bandsPath, countsPath, pairsPath, maxStoreFiles, foldAfter)
+  }
+
   /** The family-agnostic banded micro-batch: `sigOf` builds the
     * batch's signature frame (must expose `doc_id`; any payload
     * columns ride into the store for `verify` to use), `bandsOf`
@@ -435,6 +492,19 @@ object DedupStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatchBandedSrp(batch, batchId, idCol, embCol,
+          storePath, bandsPath, countsPath, pairsPath)
+      }
+      .start()
+
+  /** Attach the semantic (centroid-cluster) dedup to a vector stream. */
+  def runBandedSemantic(vecsStream: DataFrame, idCol: String,
+                        embCol: String, storePath: String,
+                        bandsPath: String, countsPath: String,
+                        pairsPath: String, checkpoint: String): StreamingQuery =
+    vecsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchBandedSemantic(batch, batchId, idCol, embCol,
           storePath, bandsPath, countsPath, pairsPath)
       }
       .start()

@@ -319,6 +319,56 @@ class DedupStreamSpec extends SparkSpec {
     assert(recovered >= 15, s"only $recovered/20 injected near-dups recovered")
   }
 
+  test("semantic banded family: batches compose under a pinned sidecar") {
+    val work = Files.createTempDirectory("graft_bsem").toString
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val copies = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      when(col("vec_id") < 10, col("embedding"))
+        .otherwise(transform(col("embedding"),
+          (v, i) => when(i === 0, v * lit(1.2f)).otherwise(v)))
+        .as("embedding"))
+    // ONE centroid space for both runs: centroids are the store's
+    // identity (the operator's first batch would otherwise derive a
+    // different space per split), so compose ≡ single-shot is defined
+    // — and asserted — under a shared pinned sidecar.
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      emb.unionByName(copies), "vec_id", "embedding",
+      k = graft.operators.Dedup.SemK)
+    def run(sub: String, batches: Seq[(org.apache.spark.sql.DataFrame, Long)])
+        : Set[(Long, Long, Double)] = {
+      val p = s"$work/$sub"
+      val centsPath = graft.operators.Similarity.centroidsPathOf(s"$p/sig")
+      if (!new java.io.File(centsPath).exists())
+        cents.coalesce(1).write.parquet(centsPath)
+      batches.foreach { case (b, id) =>
+        DedupStream.processBatchBandedSemantic(b, id, "vec_id", "embedding",
+          s"$p/sig", s"$p/bands", s"$p/counts", s"$p/pairs")
+      }
+      spark.read.parquet(s"$p/pairs").select("doc_a", "doc_b", "cosine")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val multi = run("multi", Seq((emb, 0L), (copies, 1L)))
+    val single = run("single", Seq((emb.unionByName(copies), 0L)))
+    assert(multi == single, s"multi ${multi.size} vs single ${single.size}")
+    // exact copies co-cluster under ANY centroids → always recovered
+    (0L until 10L).foreach { i =>
+      assert(multi.contains((i, i + 100000, 1.0)), s"missing exact pair $i")
+    }
+    // perturbed copies are SemDeDup's cluster-scope recall trade (a
+    // ~0.9999-cosine pair can split across a centroid boundary in the
+    // tiny sf0.001 clusters) — characterize, don't overclaim
+    val recovered = (10L until 20L).count(i =>
+      multi.exists(p => p._1 == i && p._2 == i + 100000))
+    assert(recovered >= 8, s"only $recovered/10 perturbed near-dups recovered")
+    // replay of the copies batch is a no-op (same end state)
+    DedupStream.processBatchBandedSemantic(copies, 1L, "vec_id", "embedding",
+      s"$work/multi/sig", s"$work/multi/bands", s"$work/multi/counts",
+      s"$work/multi/pairs")
+    assert(run("multi", Nil) == multi)
+  }
+
   test("bucketized band store: probe prunes buckets, results unchanged") {
     val work = Files.createTempDirectory("graft_bbucket").toString
     val (store, bands, counts, pairs) = (s"$work/sig",
