@@ -290,6 +290,7 @@ object Bench {
     "dedup_span_stats" -> 5.9, // cold-JVM 3-query-suite measurement
     "dedup_semantic" -> 4.1, // (r7) — conservative for the full suite
     "decontam_span_removal" -> 2.6, // (r7, cold 3-query suite)
+    "dedup_semantic_incremental" -> 1.7, // (r7, cold 1-query suite)
     "text_tfidf_keywords" -> 2.6, // (r7, cold 3-query suite)
     "search_bm25_topk" -> 2.0,
     "star_fact_build" -> 8.2,

@@ -669,6 +669,24 @@ object Dedup extends QueryPack {
       semanticDupes(e, cents, SrpTau)
     }),
 
+    // The INCREMENTAL semantic path as an oracle-checked query: the
+    // injected copies arrive as a delta against the base corpus under
+    // the same pinned centroids. Delta ids are minted above every
+    // store id, so by the monotone-id delta restriction (see
+    // [[semanticDupesIncremental]]) its rows are exactly the full
+    // run's rows with a delta-side vec_id — which is literally the
+    // oracle: the dedup_semantic twin filtered to the delta. Same
+    // treatment as dedup_minhash_incremental.
+    "dedup_semantic_incremental" -> ((s, d) => {
+      val e = augmentedEmbeddings(s, d)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "emb", k = SemK)
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(oracleSemanticIncCentroidSidecar)
+      semanticDupesIncremental(
+        e.filter(col("vec_id") < 100000),
+        e.filter(col("vec_id") >= 100000), cents, SrpTau)
+    }),
+
     // Duplicated-span analysis (the exact-substring-dedup family, Lee
     // et al. 2022, at shingle granularity): a 3-word shingle is
     // "duplicated" if it occurs in >= 2 distinct documents; report per
@@ -762,6 +780,68 @@ object Dedup extends QueryPack {
         pround(col("cos"), 4).as("cosine"))
   }
 
+  /** Incremental SemDeDup: witness rows for DELTA docs only, computed
+    * without re-pairing the store against itself — store and delta
+    * assign scan-locally under the SAME centroids, clusters gather
+    * once, and the pair enumeration keeps only pairs whose larger side
+    * is a delta doc. Equals the full run restricted to delta rows
+    * (pinned by IncrementalDedupSpec) PROVIDED ingest ids are
+    * monotone — a delta doc with a smaller id than a store doc could
+    * otherwise turn the STORE doc into a dup, a row this path by
+    * definition does not emit. Ingest streams mint monotone ids, and
+    * the batched-store twin ([[graft.streaming.DedupStream
+    * .processBatchBandedSemantic]]) emits pairs symmetrically so no
+    * such row is lost there either. */
+  def semanticDupesIncremental(store: DataFrame, delta: DataFrame,
+                               cents: DataFrame, tau: Double): DataFrame = {
+    graft.functions.CosineSimF32.register(store.sparkSession)
+    val storeA = assignBucketsLocal(
+      store.select(col("vec_id"), col("emb")), "vec_id", "emb", cents)
+      .withColumn("is_delta", lit(0))
+    val deltaA = assignBucketsLocal(
+      delta.select(col("vec_id"), col("emb")), "vec_id", "emb", cents)
+      .withColumn("is_delta", lit(1))
+    // Only clusters the delta TOUCHES gather — untouched clusters
+    // cannot produce a delta-sided pair, so the store is probed with
+    // the delta's bucket ids as IN-literals (the probeIvfIndex
+    // pattern; bounded driver collect, <= K values), never re-paired:
+    // per-batch work scales with the delta's cluster population, not
+    // the corpus. Literals rather than a broadcast semi-join both for
+    // partition pruning against a bucket-partitioned store layout and
+    // because a cross-branch join over the scan-local fold trips
+    // Catalyst's lambda outer-reference binding (same bug family the
+    // gather shape dodges — see semanticDupes).
+    val deltaBuckets = deltaA.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val assigned = storeA
+      .filter(col("bucket").isin(deltaBuckets: _*))
+      .unionByName(deltaA)
+    val members = assigned.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("emb"), col("is_delta")))).as("ms"))
+    val pairs = members
+      .select(col("bucket"), col("ms"),
+        posexplode_outer(col("ms")).as(Seq("i", "x")))
+      .filter(col("x").isNotNull)
+      .select(col("bucket"),
+        col("x.vec_id").as("doc_a"), col("x.emb").as("ea"),
+        explode_outer(slice(col("ms"), col("i") + 2, size(col("ms"))))
+          .as("y"))
+      .filter(col("y").isNotNull && col("y.is_delta") === 1)
+      .select(col("bucket"), col("doc_a"), col("ea"),
+        col("y.vec_id").as("doc_b"), col("y.emb").as("eb"))
+    pairs
+      .select(col("bucket"), col("doc_a"), col("doc_b"),
+        call_function("cosine_f32", col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("doc_b"))
+      .agg(first(col("bucket")).as("bucket"),
+        min(col("doc_a")).as("dup_of"),
+        min_by(col("cos"), col("doc_a")).as("cos"))
+      .select(col("doc_b").as("vec_id"), col("bucket"), col("dup_of"),
+        pround(col("cos"), 4).as("cosine"))
+  }
+
   /** Nearest-centroid assignment as a pure per-row fold — the
     * [[Similarity.pqEncode]] shape: the K centroids ride the plan as
     * an array-of-structs literal (K·dim floats, shipped once per
@@ -802,6 +882,14 @@ object Dedup extends QueryPack {
   val oracleSemanticCentroidSidecar: String =
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_semantic_oracle_centroids").getAbsolutePath
+
+  /** Query-private sidecar for `dedup_semantic_incremental` — contents
+    * coincide with [[oracleSemanticCentroidSidecar]] today (same
+    * deterministic derivation over the same corpus), but no declared
+    * query's oracle may depend on another query's overwrite schedule. */
+  val oracleSemanticIncCentroidSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_semantic_inc_oracle_centroids").getAbsolutePath
 
   /** Shared DuckDB CTE: cleaned word tokens of the augmented corpus —
     * the SQL twin of [[tokens]] over [[augmentedSql]]. */
@@ -957,6 +1045,62 @@ object Dedup extends QueryPack {
                       embedding[2:]) END AS emb
         FROM embeddings WHERE vec_id < 20"""
 
+  /** DuckDB twin of the whole SemDeDup pipeline over a given centroid
+    * sidecar: fp64 nearest-centroid assignment with the same
+    * (csim desc, centroid_id) argmax tie-break as the scan-local fold,
+    * the within-cluster self-join, fp64 cosine on the pairs, and the
+    * per-doc minimal witness via rn=1 (== the Spark min/min_by pair).
+    * Parameterized so the batch and incremental queries each replay
+    * against their own query-private sidecar. */
+  private def semanticOracleSql(sidecar: String): String = s"""WITH aug AS ($augEmbSql),
+      cents AS (SELECT centroid_id, cent
+                FROM read_parquet('$sidecar/*.parquet')),
+      adots AS (
+        SELECT a.vec_id, c.centroid_id,
+               SUM(CAST(emb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(emb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(emb[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM aug a, cents c, range(1, 65) r(i)
+        GROUP BY 1, 2),
+      assigned AS (
+        SELECT vec_id, bucket FROM (
+          SELECT vec_id, centroid_id AS bucket,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
+                   AS rn
+          FROM adots) WHERE rn = 1),
+      pairs AS (
+        SELECT x.vec_id AS doc_a, y.vec_id AS doc_b, x.bucket
+        FROM assigned x JOIN assigned y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      pdots AS (
+        SELECT p.doc_a, p.doc_b, p.bucket,
+               SUM(CAST(ea.emb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(eb.emb[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(ea.emb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(ea.emb[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(eb.emb[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(eb.emb[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM pairs p
+        JOIN aug ea ON ea.vec_id = p.doc_a
+        JOIN aug eb ON eb.vec_id = p.doc_b,
+             range(1, 65) r(i)
+        GROUP BY 1, 2, 3),
+      qual AS (
+        SELECT doc_a, doc_b, bucket,
+               dp / (sqrt(na) * sqrt(nb)) AS cos
+        FROM pdots WHERE dp / (sqrt(na) * sqrt(nb)) >= $SrpTau),
+      ranked AS (
+        SELECT doc_b, bucket, doc_a, cos,
+               row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
+        FROM qual)
+      SELECT doc_b AS vec_id, bucket, doc_a AS dup_of,
+             floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM ranked WHERE rn = 1"""
+
   private def embeddingSrpOracle: String = {
     val planeRows = (0 until SrpBits).map { j =>
       val lst = srpPlanes(j).map(_.toFloat.toDouble.toString).mkString(", ")
@@ -1025,60 +1169,14 @@ object Dedup extends QueryPack {
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding_cosine" -> embeddingSrpOracle,
 
-    // Replays the whole SemDeDup pipeline over the persisted centroid
-    // sidecar: fp64 nearest-centroid assignment with the same
-    // (csim desc, centroid_id) argmax tie-break as assignBuckets'
-    // max_by struct, the within-cluster self-join, fp64 cosine on the
-    // pairs, and the per-doc minimal witness via rn=1 (== the Spark
-    // side's min/min_by pair).
-    "dedup_semantic" -> s"""WITH aug AS ($augEmbSql),
-      cents AS (SELECT centroid_id, cent
-                FROM read_parquet('$oracleSemanticCentroidSidecar/*.parquet')),
-      adots AS (
-        SELECT a.vec_id, c.centroid_id,
-               SUM(CAST(emb[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
-               SUM(CAST(emb[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(emb[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
-               SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
-        FROM aug a, cents c, range(1, 65) r(i)
-        GROUP BY 1, 2),
-      assigned AS (
-        SELECT vec_id, bucket FROM (
-          SELECT vec_id, centroid_id AS bucket,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
-                   AS rn
-          FROM adots) WHERE rn = 1),
-      pairs AS (
-        SELECT x.vec_id AS doc_a, y.vec_id AS doc_b, x.bucket
-        FROM assigned x JOIN assigned y
-          ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
-      pdots AS (
-        SELECT p.doc_a, p.doc_b, p.bucket,
-               SUM(CAST(ea.emb[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(eb.emb[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
-               SUM(CAST(ea.emb[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(ea.emb[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
-               SUM(CAST(eb.emb[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(eb.emb[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
-        FROM pairs p
-        JOIN aug ea ON ea.vec_id = p.doc_a
-        JOIN aug eb ON eb.vec_id = p.doc_b,
-             range(1, 65) r(i)
-        GROUP BY 1, 2, 3),
-      qual AS (
-        SELECT doc_a, doc_b, bucket,
-               dp / (sqrt(na) * sqrt(nb)) AS cos
-        FROM pdots WHERE dp / (sqrt(na) * sqrt(nb)) >= $SrpTau),
-      ranked AS (
-        SELECT doc_b, bucket, doc_a, cos,
-               row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
-        FROM qual)
-      SELECT doc_b AS vec_id, bucket, doc_a AS dup_of,
-             floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
-      FROM ranked WHERE rn = 1""",
+    "dedup_semantic" -> semanticOracleSql(oracleSemanticCentroidSidecar),
+
+    // Delta restriction of the full-run oracle under the query-private
+    // sidecar (delta ids are the vec_id >= 100000 band) — the same
+    // shape as dedup_minhash_incremental's oracle.
+    "dedup_semantic_incremental" -> s"""SELECT * FROM (
+      ${semanticOracleSql(oracleSemanticIncCentroidSidecar)}
+      ) WHERE vec_id >= 100000""",
 
     // Shingle CTE identical to the jaccard oracle's (mirrors
     // shinglesOf incl. the <3-token fallback); duplication is counted

@@ -34,6 +34,32 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!incr.exists(p => !newIds(p._1) && !newIds(p._2)))
   }
 
+  test("semantic incremental == full run restricted to the delta") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val deltaE = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      when(col("vec_id") < 10, col("emb"))
+        .otherwise(transform(col("emb"),
+          (v, i) => when(i === 0, v * lit(1.2f)).otherwise(v))).as("emb"))
+    val all = emb.unionByName(deltaE)
+    // one centroid space for both paths — the restriction property is
+    // defined under shared centroids (the store pins them in practice)
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      all, "vec_id", "emb", k = Dedup.SemK)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = rows(Dedup.semanticDupes(all, cents, Dedup.SrpTau))
+    val incr = rows(Dedup.semanticDupesIncremental(
+      emb, deltaE, cents, Dedup.SrpTau))
+    // delta ids are minted above every store id, so the full run's
+    // delta-sided witness rows ARE the incremental result
+    assert(incr == full.filter(_._1 >= 100000L),
+      s"incremental ${incr.size} vs restricted full " +
+        s"${full.count(_._1 >= 100000L)}")
+  }
+
   test("banded path == incremental path across cap boundaries (seeded random)") {
     // The fixture corpora never push a bucket past the cap, so the
     // fixture specs can't catch a cap-accounting drift between the
