@@ -344,6 +344,102 @@ object Similarity extends QueryPack {
         pround(col("sim"), 4).as("cosine"))
   }
 
+  /** Materialize the composed IVFPQ index — the build-once half of the
+    * production ANN stack: PQ codes hive-partitioned by IVF bucket, so
+    * a probe's file listing prunes to ~nprobe/K of the code files AND
+    * each file holds M-byte codes instead of fp32 vectors (the two
+    * multiplicative savings [[ivfPqTopK]] describes, now baked into
+    * the layout). Both derivations persist beside the index —
+    * centroids at [[centroidsPathOf]], the codebook at
+    * [[codebookPathOf]] — and are the index's versioning exactly like
+    * [[writeIvfIndex]]'s sidecar: codes are only meaningful under the
+    * codebook that encoded them, buckets under their centroids. */
+  def writeIvfPqIndex(spark: SparkSession, dir: String,
+                      outPath: String): Unit = {
+    val e = emb(spark, dir)
+    val cents = centroids(e)
+    val cb = pqCodebook(e)
+    val assigned = assignBuckets(
+      e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      "cid", "ce", cents)
+    pqEncode(e, cb).select(col("vec_id").as("cid"), col("codes"))
+      .join(assigned.select("cid", "bucket"), Seq("cid"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .option("compression", "zstd").parquet(outPath)
+    cents.write.mode("overwrite")
+      .option("compression", "zstd").parquet(centroidsPathOf(outPath))
+    pqCodebookDf(spark, cb).write.mode("overwrite")
+      .option("compression", "zstd").parquet(codebookPathOf(outPath))
+  }
+
+  /** The codebook sidecar of a materialized IVFPQ index. */
+  def codebookPathOf(indexPath: String): String = s"${indexPath}_codebook"
+
+  /** Probe a materialized IVFPQ index: probed bucket ids resolve
+    * driver-side and push as IN-literals (partition pruning at file
+    * listing — asserted in OperatorsSpec), candidates score from the
+    * index's codes via the broadcast ADC LUT, and only the shortlist
+    * reads original vectors back for the exact re-rank. Sidecars are
+    * mandatory, same loud-failure contract as [[probeIvfIndex]]. */
+  def probeIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
+                      nprobe: Int = 2, topK: Int = 5,
+                      shortlist: Int = 50): DataFrame = {
+    val e = emb(spark, dir)
+    val centsPath = centroidsPathOf(indexPath)
+    val cbPath = codebookPathOf(indexPath)
+    require(graft.FsUtils.committedExists(spark, centsPath) &&
+      graft.FsUtils.committedExists(spark, cbPath),
+      s"missing sidecar(s) at $centsPath / $cbPath — rebuild with " +
+        "writeIvfPqIndex; probing under re-derived centroids or a " +
+        "re-derived codebook risks silent assignment/code skew")
+    val cb: Array[Array[Array[Double]]] = {
+      val rows = spark.read.parquet(cbPath)
+        .select("subspace", "code", "centroid").collect()
+      val byKey = rows.map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Double](2).toArray)).toMap
+      Array.tabulate(PqM, PqK)((m, k) => byKey((m, k)))
+    }
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val probes = probeBuckets(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("vid"), col("embedding").as("qe")),
+      spark.read.parquet(centsPath), nprobe)
+    val probedBuckets = probes.select("probe").distinct()
+      .collect().map(_.getLong(0))
+    val index = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(probedBuckets: _*))
+    val lut = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        transform(sequence(lit(0), lit(PqM * PqK - 1)), j =>
+          pqSubDist(col("embedding"), cbLit,
+            floor(j / PqK).cast("int"), j % PqK)).as("lut"))
+    val cand = index
+      .join(broadcast(probes.select("vid", "probe")),
+        col("probe") === col("bucket") && col("cid") =!= col("vid"))
+    val scored = cand.join(broadcast(lut), col("vid") === col("qid"))
+      .select(col("qid"), col("cid"),
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+          (s, m) => s + element_at(col("lut"),
+            m * PqK + element_at(col("codes"), m + 1) + 1)).as("adc"))
+    val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
+    val short = scored.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= shortlist).select("qid", "cid")
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exactD = cv.join(broadcast(short.join(qv, "qid")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        aggregate(sequence(lit(0), lit(PqM * PqSub - 1)), lit(0.0),
+          (s, i) => {
+            val diff = element_at(col("qe"), i + 1).cast("double") -
+              element_at(col("ce"), i + 1).cast("double")
+            s + diff * diff
+          }).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+    exactD.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("qid"), col("cid"), col("rank"),
+        pround(col("dist"), 4).as("dist"))
+  }
+
   // ---------------------------------------------------------------
   // Product quantization (PQ)
   // ---------------------------------------------------------------

@@ -385,6 +385,21 @@ class OperatorsSpec extends SparkSpec {
     assert(probed.collect().map(_.toSeq).toSet == inline)
   }
 
+  test("ivfpq materialized index: probe prunes partitions, matches inline") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.writeIvfPqIndex(spark, sf0001, s"$idx/pq")
+    val probed = Similarity.probeIvfPqIndex(spark, sf0001, s"$idx/pq")
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined,
+      s"no partition filter on bucket in:\n$plan")
+    // deterministic derivations → the materialized probe must equal the
+    // inline composed query exactly
+    val inline = Similarity.queries("sim_ivfpq_topk")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(probed.collect().map(_.toSeq).toSet == inline)
+  }
+
   test("multimodal pipeline: schema, byte-level plumbing, determinism") {
     val out = Multimodal.queries("multimodal_pipeline")(spark, sf0001)
     assert(out.columns.toSeq == Seq("media_id", "byte_len", "content_hash",

@@ -54,14 +54,19 @@ class PlanSpec extends SparkSpec {
 
   test("broadcast hints appear only on bounded dims, never on fact-scaled tables") {
     // EVERY declared query — a new operator with a scale-killer hint
-    // must fail here, not wait for a judge to read its plan
-    SparkEntry.queries.keys.filterNot(LiteralBoundedHints).foreach { q =>
-      val hinted = hintedTables(q)
-      val offenders = hinted.filterNot(t =>
-        BoundedDims.exists(d => t.contains(d.stripSuffix(".parquet"))))
-      assert(offenders.isEmpty,
-        s"$q carries broadcast hints on fact-scaled tables: $offenders")
-    }
+    // must fail here, not wait for a judge to read its plan. Offenders
+    // accumulate across the whole inventory before the single assert,
+    // so one bad query cannot mask others behind it.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(LiteralBoundedHints)
+      .flatMap { q =>
+        hintedTables(q)
+          .filterNot(t =>
+            BoundedDims.exists(d => t.contains(d.stripSuffix(".parquet"))))
+          .map(t => s"$q -> $t")
+      }
+    assert(offenders.isEmpty,
+      s"broadcast hints on fact-scaled tables: $offenders")
   }
 
   test("bench_crossjoin_build broadcasts the states side, not the code table") {
