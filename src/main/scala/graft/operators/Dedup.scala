@@ -729,6 +729,17 @@ object Dedup extends QueryPack {
     * constant per cluster and the bucket join stays skew-free. */
   val SemK = 32
 
+  /** Hot-cluster cap for the batch semantic paths: K-scaling keeps
+    * EXPECTED cluster sizes bounded, but a degenerate vector family
+    * collapses into one cluster regardless of K — the cap bounds that
+    * cluster's gathered row and its quadratic pair count, mirrored in
+    * the DuckDB oracles so capped runs stay hash-checkable. 16× the
+    * ~16-member design point, so it never binds on healthy data. (The
+    * banded/streaming semantic path caps at the shared band-store
+    * default [[MaxBucket]] instead — its per-batch probe economics,
+    * not the gather row width, set that bound.) */
+  val MaxSemCluster = 256
+
   /** SemDeDup pruning: assign every vector to its nearest centroid
     * SCAN-LOCALLY (see [[assignBucketsLocal]] — zero shuffle; the
     * aggregation-shaped [[Similarity.assignBuckets]] would shuffle the
@@ -740,7 +751,9 @@ object Dedup extends QueryPack {
     * corpus ∖ result. The gather on `bucket` brings each cluster to
     * one place — exactly the locality SemDeDup's clustering exists to
     * create — and is the plan's ONLY corpus-wide exchange. */
-  def semanticDupes(e: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
+  def semanticDupes(e: DataFrame, cents: DataFrame, tau: Double,
+                    maxCluster: Int = MaxSemCluster,
+                    observeName: Option[String] = None): DataFrame = {
     graft.functions.CosineSimF32.register(e.sparkSession)
     val assigned = assignBucketsLocal(
       e.select(col("vec_id"), col("emb")), "vec_id", "emb", cents)
@@ -749,9 +762,17 @@ object Dedup extends QueryPack {
     // self-join. (A bucket-keyed self-join would both shuffle the
     // corpus twice — once per side — and trip Spark's constraint
     // rewrite on self-join-deduplicated lambda outer-references.)
-    val members = assigned.groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("emb"))))
-        .as("ms"))
+    // The hot-CLUSTER cap is the family skew guard: a cluster is one
+    // gathered row, so a degenerate family (every vector identical)
+    // would otherwise build an O(corpus)-wide row and O(corpus²)
+    // pairs. Dropped clusters are observable, never silent — same
+    // telemetry contract as the LSH hot-bucket cap.
+    val members = observeCap(
+      assigned.groupBy(col("bucket"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("emb"))))
+          .as("ms")),
+      size(col("ms")), maxCluster, observeName)
+      .filter(size(col("ms")) <= maxCluster)
     // Ordered pairs stream out of two chained generators — member ×
     // its id-successors — so no c²-sized array ever materializes; the
     // widest intermediate row is one cluster (c·dim floats), bounded
@@ -793,7 +814,9 @@ object Dedup extends QueryPack {
     * .processBatchBandedSemantic]]) emits pairs symmetrically so no
     * such row is lost there either. */
   def semanticDupesIncremental(store: DataFrame, delta: DataFrame,
-                               cents: DataFrame, tau: Double): DataFrame = {
+                               cents: DataFrame, tau: Double,
+                               maxCluster: Int = MaxSemCluster,
+                               observeName: Option[String] = None): DataFrame = {
     graft.functions.CosineSimF32.register(store.sparkSession)
     val storeA = assignBucketsLocal(
       store.select(col("vec_id"), col("emb")), "vec_id", "emb", cents)
@@ -816,9 +839,15 @@ object Dedup extends QueryPack {
     val assigned = storeA
       .filter(col("bucket").isin(deltaBuckets: _*))
       .unionByName(deltaA)
-    val members = assigned.groupBy(col("bucket"))
-      .agg(sort_array(collect_list(
-        struct(col("vec_id"), col("emb"), col("is_delta")))).as("ms"))
+    // Touched clusters gather WHOLE (store + delta members), so the
+    // cap sees the same cluster size as a full batch run — the delta
+    // restriction property survives capping.
+    val members = observeCap(
+      assigned.groupBy(col("bucket"))
+        .agg(sort_array(collect_list(
+          struct(col("vec_id"), col("emb"), col("is_delta")))).as("ms")),
+      size(col("ms")), maxCluster, observeName)
+      .filter(size(col("ms")) <= maxCluster)
     val pairs = members
       .select(col("bucket"), col("ms"),
         posexplode_outer(col("ms")).as(Seq("i", "x")))
@@ -1072,9 +1101,14 @@ object Dedup extends QueryPack {
                    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
                    AS rn
           FROM adots) WHERE rn = 1),
+      kept AS (
+        SELECT bucket FROM assigned
+        GROUP BY bucket HAVING COUNT(*) <= $MaxSemCluster),
       pairs AS (
         SELECT x.vec_id AS doc_a, y.vec_id AS doc_b, x.bucket
-        FROM assigned x JOIN assigned y
+        FROM assigned x
+        JOIN kept k ON k.bucket = x.bucket
+        JOIN assigned y
           ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
       pdots AS (
         SELECT p.doc_a, p.doc_b, p.bucket,

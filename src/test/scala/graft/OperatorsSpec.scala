@@ -122,6 +122,30 @@ class OperatorsSpec extends SparkSpec {
     assert(falsePos.isEmpty, s"base docs wrongly pruned: $falsePos")
   }
 
+  test("semantic hot-cluster cap: degenerate cluster dropped, observable") {
+    import spark.implicits._
+    // 70 identical vectors (one degenerate cluster over the 64 cap
+    // used here) plus an identical twin pair in a second cluster —
+    // the healthy pair keeps the result non-empty so observe metrics
+    // stay reachable (the Dedup.observeCap AQE caveat).
+    val a = Seq.fill(64)(1.0f) // family A
+    val b = 0.5f +: Seq.fill(63)(0.0f) // family B, far from A
+    val vecs = ((0L until 70L).map(i => (i, a)) ++
+      Seq((100L, b), (101L, b))).toDF("vec_id", "emb")
+    // hand-built centroids: cluster membership must be deterministic
+    // for the counts below, so skip k-means entirely
+    val cents = Seq((0L, a), (1L, b)).toDF("centroid_id", "cent")
+    val out = Dedup.semanticDupes(vecs, cents, Dedup.SrpTau,
+      maxCluster = 64, observeName = Some("semcap"))
+    val rows = out.collect()
+    val m = graft.plans.ObservedMetrics.of(out, "semcap").get
+    assert(m.getAs[Long]("dropped_buckets") == 1, m.toString)
+    assert(m.getAs[Long]("dropped_band_rows") == 70L, m.toString)
+    // capped family emitted nothing; the healthy twin pair survived
+    assert(rows.map(_.getLong(0)).toSet == Set(101L),
+      s"unexpected rows: ${rows.mkString(",")}")
+  }
+
   test("span stats: whole-doc copies fully duplicated, ratios bounded") {
     val out = Dedup.queries("dedup_span_stats")(spark, sf0001).collect()
     val ratio = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
