@@ -734,10 +734,10 @@ object Dedup extends QueryPack {
     * collapses into one cluster regardless of K — the cap bounds that
     * cluster's gathered row and its quadratic pair count, mirrored in
     * the DuckDB oracles so capped runs stay hash-checkable. 16× the
-    * ~16-member design point, so it never binds on healthy data. (The
-    * banded/streaming semantic path caps at the shared band-store
-    * default [[MaxBucket]] instead — its per-batch probe economics,
-    * not the gather row width, set that bound.) */
+    * ~16-member design point, so it never binds on healthy data. The
+    * banded/streaming semantic path uses the same bound (cluster
+    * populations, unlike hash-band collisions, grow with the corpus —
+    * see processBatchBandedSemantic's service-life contract). */
   val MaxSemCluster = 256
 
   /** SemDeDup pruning: assign every vector to its nearest centroid
@@ -812,7 +812,17 @@ object Dedup extends QueryPack {
     * definition does not emit. Ingest streams mint monotone ids, and
     * the batched-store twin ([[graft.streaming.DedupStream
     * .processBatchBandedSemantic]]) emits pairs symmetrically so no
-    * such row is lost there either. */
+    * such row is lost there either.
+    *
+    * Cost honesty: what this saves over a full run is the PAIRWISE
+    * term (untouched clusters never gather or enumerate) — the store
+    * still pays one scan-local assignment pass per call, because the
+    * bucket filter is on a computed column over a plain layout. The
+    * true O(delta)-per-batch form is the persisted-store streaming
+    * path (processBatchBandedSemantic), whose band store materializes
+    * assignments once at ingest; with a bucket-PARTITIONED store
+    * layout the IN-literal filter here would also prune at file
+    * listing. */
   def semanticDupesIncremental(store: DataFrame, delta: DataFrame,
                                cents: DataFrame, tau: Double,
                                maxCluster: Int = MaxSemCluster,

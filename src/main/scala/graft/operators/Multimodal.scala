@@ -264,16 +264,22 @@ object Multimodal extends QueryPack {
     * deterministic byte math (octet length, md5, crc32-seeded pseudo-
     * features, strided slice hashes), so the twin replays it over the
     * text payloads — including a full CRC-32 as a list_reduce fold
-    * over the byte stream against the table literal. The payloads are
-    * UTF-8 of ASCII-only text in every testdata generation (asserted
-    * by the length==strlen guard a mismatch would trip), so character
-    * ops mirror byte ops exactly. `multimodal_resize` stays rows-only:
+    * over the byte stream against the table literal. ASSUMPTION: the
+    * payloads are UTF-8 of ASCII-only text (true of every driver
+    * testdata generation to date), so character ops mirror byte ops
+    * exactly; a non-ASCII generation would surface as a hash mismatch
+    * on this query — the CRC fold and substr offsets are the
+    * byte-vs-character seams to revisit if that ever fires.
+    * `multimodal_resize` stays rows-only:
     * its real ImageIO/Graphics2D codec has no SQL twin by nature. */
   def oracles: Map[String, String] = {
     val frames = 4
+    // concat_ws, not ||-chaining: Spark's concat_ws SKIPS null
+    // elements (a NULL-text row yields ""), and DuckDB's concat_ws
+    // has the same skip-null contract where || would propagate NULL.
     val frameHashSql = (0 until frames).map { i =>
       s"md5(substr(b.text, CAST(trunc($i * greatest(1.0, b.blen / 4.0) + 1) AS INTEGER), 16))"
-    }.mkString(" || ',' || ")
+    }.mkString("concat_ws(',', ", ", ", ")")
     Map(
       "multimodal_pipeline" -> s"""
         WITH base AS (

@@ -407,37 +407,13 @@ object Similarity extends QueryPack {
       .collect().map(_.getLong(0))
     val index = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(probedBuckets: _*))
-    val lut = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"),
-        transform(sequence(lit(0), lit(PqM * PqK - 1)), j =>
-          pqSubDist(col("embedding"), cbLit,
-            floor(j / PqK).cast("int"), j % PqK)).as("lut"))
     val cand = index
       .join(broadcast(probes.select("vid", "probe")),
         col("probe") === col("bucket") && col("cid") =!= col("vid"))
-    val scored = cand.join(broadcast(lut), col("vid") === col("qid"))
-      .select(col("qid"), col("cid"),
-        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-          (s, m) => s + element_at(col("lut"),
-            m * PqK + element_at(col("codes"), m + 1) + 1)).as("adc"))
-    val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
-    val short = scored.withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= shortlist).select("qid", "cid")
-    val qv = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val exactD = cv.join(broadcast(short.join(qv, "qid")), Seq("cid"))
-      .select(col("qid"), col("cid"),
-        aggregate(sequence(lit(0), lit(PqM * PqSub - 1)), lit(0.0),
-          (s, i) => {
-            val diff = element_at(col("qe"), i + 1).cast("double") -
-              element_at(col("ce"), i + 1).cast("double")
-            s + diff * diff
-          }).as("dist"))
-    val w = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
-    exactD.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-      .select(col("qid"), col("cid"), col("rank"),
-        pround(col("dist"), 4).as("dist"))
+    val scored = cand
+      .join(broadcast(queryLut(e, cbLit)), col("vid") === col("qid"))
+      .select(col("qid"), col("cid"), adcExpr.as("adc"))
+    adcShortlistRerank(e, scored, topK, shortlist)
   }
 
   // ---------------------------------------------------------------
@@ -574,18 +550,38 @@ object Similarity extends QueryPack {
              cb: Array[Array[Array[Double]]], topK: Int,
              shortlist: Int = 50): DataFrame = {
     val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-    val lut = e.filter(col("vec_id") < 10)
+    val scored = codes.select(col("vec_id").as("cid"), col("codes"))
+      .crossJoin(broadcast(queryLut(e, cbLit)))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), adcExpr.as("adc"))
+    adcShortlistRerank(e, scored, topK, shortlist)
+  }
+
+  /** Per-query ADC lookup table over the fixed query set (vec_id < 10,
+    * literal-bounded): M×K fp64 subspace distances per query. Shared
+    * by every PQ search path so the LUT arithmetic cannot diverge. */
+  private def queryLut(e: DataFrame, cbLit: Column): DataFrame =
+    e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"),
         transform(sequence(lit(0), lit(PqM * PqK - 1)), j =>
           pqSubDist(col("embedding"), cbLit,
             floor(j / PqK).cast("int"), j % PqK)).as("lut"))
-    val scored = codes.select(col("vec_id").as("cid"), col("codes"))
-      .crossJoin(broadcast(lut))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-          (s, m) => s + element_at(col("lut"),
-            m * PqK + element_at(col("codes"), m + 1) + 1)).as("adc"))
+
+  /** adc = Σ_m lut[m*K + code_m] — M lookup-adds per candidate, over
+    * staged `lut` and `codes` columns. */
+  private def adcExpr: Column =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (s, m) => s + element_at(col("lut"),
+        m * PqK + element_at(col("codes"), m + 1) + 1))
+
+  /** Stages 2+3 of every PQ search: keep the `shortlist` best
+    * candidates by (adc, cid) per query, then exact fp64 squared-L2
+    * re-rank from the original vectors for shortlist members only.
+    * `scored` carries (qid, cid, adc). One body for pqTopK /
+    * ivfPqTopK / probeIvfPqIndex — the tie-breaks and fold arithmetic
+    * here are oracle-pinned, so they must not fork per path. */
+  private def adcShortlistRerank(e: DataFrame, scored: DataFrame,
+                                 topK: Int, shortlist: Int): DataFrame = {
     val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
     val short = scored.withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= shortlist).select("qid", "cid")
@@ -629,40 +625,16 @@ object Similarity extends QueryPack {
     val probes = probeBuckets(e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("vid"), col("embedding").as("qe")),
       cents, nprobe)
-    val lut = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"),
-        transform(sequence(lit(0), lit(PqM * PqK - 1)), j =>
-          pqSubDist(col("embedding"), cbLit,
-            floor(j / PqK).cast("int"), j % PqK)).as("lut"))
     // candidates = probed buckets' members, scored from codes alone;
     // probes and lut are |queries|-sized and broadcast
     val cand = codes.select(col("vec_id").as("cid"), col("codes"))
       .join(assigned.select("cid", "bucket"), Seq("cid"))
       .join(broadcast(probes.select("vid", "probe")),
         col("probe") === col("bucket") && col("cid") =!= col("vid"))
-    val scored = cand.join(broadcast(lut), col("vid") === col("qid"))
-      .select(col("qid"), col("cid"),
-        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-          (s, m) => s + element_at(col("lut"),
-            m * PqK + element_at(col("codes"), m + 1) + 1)).as("adc"))
-    val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
-    val short = scored.withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= shortlist).select("qid", "cid")
-    val qv = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val exactD = cv.join(broadcast(short.join(qv, "qid")), Seq("cid"))
-      .select(col("qid"), col("cid"),
-        aggregate(sequence(lit(0), lit(PqM * PqSub - 1)), lit(0.0),
-          (s, i) => {
-            val diff = element_at(col("qe"), i + 1).cast("double") -
-              element_at(col("ce"), i + 1).cast("double")
-            s + diff * diff
-          }).as("dist"))
-    val w = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
-    exactD.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-      .select(col("qid"), col("cid"), col("rank"),
-        pround(col("dist"), 4).as("dist"))
+    val scored = cand
+      .join(broadcast(queryLut(e, cbLit)), col("vid") === col("qid"))
+      .select(col("qid"), col("cid"), adcExpr.as("adc"))
+    adcShortlistRerank(e, scored, topK, shortlist)
   }
 
   /** Fixture sidecars for the `sim_pq_topk` cross-engine oracle — same

@@ -276,19 +276,27 @@ object DedupStream {
     processBatchBandedGeneric(batch, batchId,
       b => Dedup.srpSignaturesFor(b, idCol, embCol),
       sig => Dedup.srpBandRowsOf(sig),
-      (cand, sigs) => {
-        val ea = sigs.select(col("doc_id").as("doc_a"), col("emb").as("ea"))
-        val eb = sigs.select(col("doc_id").as("doc_b"), col("emb").as("eb"))
-        broadcast(broadcast(cand.select("doc_a", "doc_b"))
-            .join(ea, Seq("doc_a")))
-          .join(eb, Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            call_function("cosine_f32", col("ea"), col("eb")).as("cos"))
-          .filter(col("cos") >= minCosine)
-          .select(col("doc_a"), col("doc_b"),
-            graft.functions.NormExprs.pround(col("cos"), 4).as("cosine"))
-      },
+      cosineVerify(minCosine),
       storePath, bandsPath, countsPath, pairsPath, maxStoreFiles, foldAfter)
+
+  /** Shared exact-cosine verify step for the vector-carrying families
+    * (SRP and semantic): broadcast the (small, cap-bounded) candidate
+    * set through two vector lookups against the merged store∪delta
+    * signature frame, score with the native kernel, keep >= minCosine. */
+  private def cosineVerify(minCosine: Double)
+      : (DataFrame, DataFrame) => DataFrame =
+    (cand, sigs) => {
+      val ea = sigs.select(col("doc_id").as("doc_a"), col("emb").as("ea"))
+      val eb = sigs.select(col("doc_id").as("doc_b"), col("emb").as("eb"))
+      broadcast(broadcast(cand.select("doc_a", "doc_b"))
+          .join(ea, Seq("doc_a")))
+        .join(eb, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          call_function("cosine_f32", col("ea"), col("eb")).as("cos"))
+        .filter(col("cos") >= minCosine)
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.NormExprs.pround(col("cos"), 4).as("cosine"))
+    }
 
   /** Semantic (SemDeDup) family of [[processBatchBanded]]: the "band"
     * is the vector's nearest-centroid cluster — one band row
@@ -302,14 +310,30 @@ object DedupStream {
     *
     * Centroids are the store's IDENTITY, exactly like a materialized
     * IVF index's sidecar: bucket membership is only meaningful under
-    * the centroids that assigned it, so the FIRST batch derives and
-    * persists them at [[graft.operators.Similarity.centroidsPathOf]]
-    * (storePath) and every later batch loads that sidecar. Batch
-    * splits compose ≡ a single shot GIVEN the same sidecar (pinned by
-    * DedupStreamSpec, which seeds both runs' sidecars identically);
-    * re-deriving centroids mid-stream would silently re-shape every
-    * cluster, which is why the sidecar, once written, is never
-    * recomputed. */
+    * the centroids that assigned it, so the FIRST non-empty batch
+    * derives and persists them at
+    * [[graft.operators.Similarity.centroidsPathOf]] (storePath) and
+    * every later batch loads that sidecar. Batch splits compose ≡ a
+    * single shot GIVEN the same sidecar (pinned by DedupStreamSpec,
+    * which seeds both runs' sidecars identically); re-deriving
+    * centroids mid-stream would silently re-shape every cluster, which
+    * is why the sidecar, once written, is never recomputed.
+    *
+    * SERVICE LIFE: unlike the hash families (whose band_hash space is
+    * large and collision-bounded), a cluster's lifetime population
+    * grows with the corpus under pinned centroids — so the cap (sized
+    * [[graft.operators.Dedup.MaxSemCluster]] here, not the band-store
+    * default) WILL eventually saturate hot clusters, visibly (warn
+    * log + capstats sidecar, dropped clusters stop being probed).
+    * That saturation is the operational signal that the pinned space
+    * has outlived the corpus it was sized for: re-derive centroids
+    * with a larger K and rebuild the store, exactly as a production
+    * SemDeDup re-clusters between corpus generations. Bootstrapping
+    * from a 1-doc (or otherwise tiny) first batch pins a degenerate
+    * space with the same visible failure mode — production streams
+    * should pre-seed the sidecar from a representative sample (write
+    * [[graft.operators.Similarity.kmeansCentroids]] output to the
+    * sidecar path before starting the stream). */
   def processBatchBandedSemantic(batch: DataFrame, batchId: Long,
                                  idCol: String, embCol: String,
                                  storePath: String, bandsPath: String,
@@ -320,11 +344,21 @@ object DedupStream {
                                  foldAfter: Int = 16): Unit = {
     val spark = batch.sparkSession
     val centsPath = graft.operators.Similarity.centroidsPathOf(storePath)
-    if (!graft.FsUtils.committedExists(spark, centsPath))
+    if (!graft.FsUtils.committedExists(spark, centsPath)) {
+      // An empty first batch cannot bootstrap the space (k-means over
+      // nothing) — skip the batch entirely and defer to the first
+      // non-empty one. Correct because an empty batch contributes no
+      // delta, no bands, and no pairs anyway.
+      if (batch.isEmpty) {
+        log.warn(s"batch=$batchId is empty and no centroid sidecar " +
+          s"exists at $centsPath — deferring bootstrap")
+        return
+      }
       graft.operators.Similarity
         .kmeansCentroids(batch, idCol, embCol, k = k)
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .option("compression", "zstd").parquet(centsPath)
+    }
     val cents = spark.read.parquet(centsPath)
     processBatchBandedGeneric(batch, batchId,
       b => Dedup.assignBucketsLocal(
@@ -332,19 +366,9 @@ object DedupStream {
         "doc_id", "emb", cents),
       sig => sig.select(col("doc_id"), lit(0).as("band_idx"),
         col("bucket").as("band_hash")),
-      (cand, sigs) => {
-        val ea = sigs.select(col("doc_id").as("doc_a"), col("emb").as("ea"))
-        val eb = sigs.select(col("doc_id").as("doc_b"), col("emb").as("eb"))
-        broadcast(broadcast(cand.select("doc_a", "doc_b"))
-            .join(ea, Seq("doc_a")))
-          .join(eb, Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            call_function("cosine_f32", col("ea"), col("eb")).as("cos"))
-          .filter(col("cos") >= minCosine)
-          .select(col("doc_a"), col("doc_b"),
-            graft.functions.NormExprs.pround(col("cos"), 4).as("cosine"))
-      },
-      storePath, bandsPath, countsPath, pairsPath, maxStoreFiles, foldAfter)
+      cosineVerify(minCosine),
+      storePath, bandsPath, countsPath, pairsPath, maxStoreFiles,
+      foldAfter, maxBucket = Dedup.MaxSemCluster)
   }
 
   /** The family-agnostic banded micro-batch: `sigOf` builds the
@@ -362,7 +386,8 @@ object DedupStream {
                                 storePath: String, bandsPath: String,
                                 countsPath: String, pairsPath: String,
                                 maxStoreFiles: Int = 256,
-                                foldAfter: Int = 16): Unit = {
+                                foldAfter: Int = 16,
+                                maxBucket: Int = Dedup.MaxBucket): Unit = {
     val spark = batch.sparkSession
     recoverCompaction(spark, storePath)
     recoverCompaction(spark, countsPath)
@@ -392,7 +417,7 @@ object DedupStream {
           .partitionBy("ingest_batch")
           .option("compression", "zstd").parquet(path)
       val cand = Dedup.lshCandidatePairsFromBands(
-        storeBands, storeCounts, deltaBands)
+        storeBands, storeCounts, deltaBands, maxBucket = maxBucket)
       writePartition(verify(cand, storePrev.unionByName(delta)), pairsPath)
       // Hot-bucket-cap telemetry: what this batch did NOT probe. One
       // O(delta)-sized job (broadcast probe of the persisted partial
@@ -401,7 +426,8 @@ object DedupStream {
       // (identical replay discipline) and logged — a silently-capped
       // family at 100 TB is otherwise invisible until its dup rate
       // drifts.
-      val droppedRow = Dedup.lshCapDropped(storeCounts, deltaBands)
+      val droppedRow = Dedup.lshCapDropped(storeCounts, deltaBands,
+          maxBucket = maxBucket)
         .agg(count(lit(1)).as("dropped_buckets"),
           coalesce(sum("bucket_n"), lit(0L)).as("dropped_band_rows"))
         .collect().head
@@ -412,7 +438,7 @@ object DedupStream {
         capStatsPathOf(pairsPath))
       if (nDropped > 0)
         log.warn(s"batch=$batchId hot-bucket cap dropped $nDropped " +
-          s"bucket(s) / $nRows band row(s) (cap=${Dedup.MaxBucket}) — " +
+          s"bucket(s) / $nRows band row(s) (cap=$maxBucket) — " +
           "pairs inside them were not probed")
       else log.info(s"batch=$batchId hot-bucket cap dropped 0 buckets")
       writePartition(deltaBands, bandsPath)
