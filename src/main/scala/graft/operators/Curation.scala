@@ -340,8 +340,46 @@ object Curation extends QueryPack {
       mixtureWeighted(docs(s, d).select(col("doc_id"), col("source"),
           w.as("w")), col("w"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
+    // Snapshot diff via the generic operator; the fixture's "next
+    // version" drops doc_id%31==7, revises doc_id%23==5, and adds the
+    // familiar +100000 injected docs — all four statuses populated.
+    "corpus_snapshot_diff" -> ((s, d) => {
+      val cur = docs(s, d).select(col("doc_id"), col("text"))
+      val next = cur.filter(col("doc_id") % 31 =!= 7)
+        .select(col("doc_id"),
+          when(col("doc_id") % 23 === 5, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(cur.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000).as("doc_id"),
+          when(col("doc_id") < 10, col("text"))
+            .otherwise(concat(col("text"), lit(" extra suffix tokens")))
+            .as("text")))
+      snapshotDiff(cur, next, "doc_id", "text")
     })
   )
+
+  /** Dataset-versioning diff between two corpus snapshots: per id,
+    * `added` / `removed` / `changed` / `unchanged` by content hash.
+    * The primitive behind incremental reprocessing (feed `added` ∪
+    * `changed` to the ingest delta paths) and release auditing.
+    *
+    * Scale shape: texts never shuffle — each side reduces scan-side to
+    * (id, md5) and the full-outer join moves 16-byte digests only;
+    * with both snapshots bucketed on the id the join is exchange-free
+    * ([[graft.sources.BucketedTables]]). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol), md5(col(textCol)).as("h_old"))
+    val n = newSnap.select(col(idCol), md5(col(textCol)).as("h_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 
   /** Jaccard CTEs shared with the cluster oracle (mirrors the Spark
     * shingle construction exactly, incl. the <3-token fallback). */
@@ -498,7 +536,29 @@ object Curation extends QueryPack {
         FROM e
         WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)
               || ':' || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT)
-              / 4294967296.0 < w - epoch"""
+              / 4294967296.0 < w - epoch""",
+
+      // Same fixture construction, same content-hash diff semantics;
+      // FULL OUTER join nullity drives the status exactly like the
+      // Spark when-chain.
+      "corpus_snapshot_diff" -> """
+        WITH oldv AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+        newv AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 23 = 5 THEN text || ' rev2'
+                          ELSE text END) AS h_new
+          FROM documents WHERE doc_id % 31 <> 7
+          UNION ALL
+          SELECT doc_id + 100000,
+                 md5(CASE WHEN doc_id < 10 THEN text
+                          ELSE text || ' extra suffix tokens' END)
+          FROM documents WHERE doc_id < 20)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.h_old IS NULL THEN 'added'
+                    WHEN n.h_new IS NULL THEN 'removed'
+                    WHEN o.h_old = n.h_new THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM oldv o FULL OUTER JOIN newv n ON n.doc_id = o.doc_id"""
     )
   }
 }

@@ -160,4 +160,21 @@ class CurationSpec extends SparkSpec {
     // up-sampling actually happened: some doc appears in >1 epoch
     assert(rows.groupBy(t => (t._1, t._2)).values.exists(_.size > 1))
   }
+
+  test("snapshot diff: statuses partition both snapshots' id space") {
+    import graft.operators.Curation
+    val byStatus = Curation.queries("corpus_snapshot_diff")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val n = Tables.load(spark, sf0001, "documents").count()
+    // fixture arithmetic over the real corpus ids
+    val ids = Tables.load(spark, sf0001, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val removed = ids.filter(_ % 31 == 7)
+    val changed = ids.filter(id => id % 23 == 5 && id % 31 != 7)
+    assert(byStatus("removed") == removed)
+    assert(byStatus("changed") == changed)
+    assert(byStatus("added") == ids.filter(_ < 20).map(_ + 100000))
+    assert(byStatus.values.map(_.size).sum == n + 20)
+  }
 }
