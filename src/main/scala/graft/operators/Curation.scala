@@ -357,7 +357,26 @@ object Curation extends QueryPack {
             .otherwise(concat(col("text"), lit(" extra suffix tokens")))
             .as("text")))
       snapshotDiff(cur, next, "doc_id", "text")
-    })
+    }),
+
+    // Corpus datacard: the release-notes table every dataset ships
+    // with — volumes by source, by language, by (source, language),
+    // and the global line — in ONE pass. Spark-first shape: `cube`
+    // compiles to a single Expand + hash aggregate with map-side
+    // partial combine, so the corpus is scanned once and shuffled once
+    // (as already-partial per-group sums) no matter how many grouping
+    // sets ship; four separate GROUP BYs would scan it four times.
+    // grouping_id disambiguates rollup NULLs from genuine NULL values
+    // — both engines encode it with the leftmost column as the high
+    // bit.
+    "corpus_datacard" -> ((s, d) =>
+      docs(s, d)
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          pround(sum(col("n_chars")).cast("double") / count(lit(1)), 2)
+            .as("avg_chars"),
+          grouping_id().as("gid")))
   )
 
   /** Dataset-versioning diff between two corpus snapshots: per id,
@@ -558,7 +577,18 @@ object Curation extends QueryPack {
                     WHEN n.h_new IS NULL THEN 'removed'
                     WHEN o.h_old = n.h_new THEN 'unchanged'
                     ELSE 'changed' END AS status
-        FROM oldv o FULL OUTER JOIN newv n ON n.doc_id = o.doc_id"""
+        FROM oldv o FULL OUTER JOIN newv n ON n.doc_id = o.doc_id""",
+
+      // CUBE twin: same four grouping sets, GROUPING() bit order
+      // matches Spark's grouping_id (leftmost = high bit), and the
+      // mean is spelled as the same exact-int division on both sides.
+      "corpus_datacard" -> """
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               floor((CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) * 100.0
+                 + 0.5) / 100.0 AS avg_chars,
+               CAST(GROUPING(source, lang) AS BIGINT) AS gid
+        FROM documents GROUP BY CUBE (source, lang)"""
     )
   }
 }

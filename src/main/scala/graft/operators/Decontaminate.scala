@@ -24,7 +24,7 @@ object Decontaminate extends QueryPack {
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
   /** Cleaned word tokens (same normalization as [[Dedup]] / [[Curation]]). */
-  private def tokens(t: Column): Column =
+  private[operators] def tokens(t: Column): Column =
     filter(split(regexp_replace(lower(t), "[^a-z0-9 ]", " "), "\\s+"),
       v => length(v) > 0)
 
@@ -57,8 +57,9 @@ object Decontaminate extends QueryPack {
     * explode: the inner form infers `size(positions) > 0` and pushes
     * it to the scan with the tokenizer chain inlined (the
     * InferFiltersFromGenerate trap, SURVEY §4). */
-  private def gramRows(tokenized: DataFrame, n: Int, keep: Seq[Column],
-                       keepPos: Boolean = false): DataFrame = {
+  private[operators] def gramRows(tokenized: DataFrame, n: Int,
+                                  keep: Seq[Column],
+                                  keepPos: Boolean = false): DataFrame = {
     val exploded = tokenized
       .select(keep :+ col("tk") :+
         explode_outer(gramPositions(col("tk"), n)).as("i"): _*)
@@ -123,6 +124,18 @@ object Decontaminate extends QueryPack {
     val starts = gramRows(tok, n, Seq(col(idCol)), keepPos = true)
       .join(broadcast(benchGrams), "gram")
       .groupBy(idCol).agg(sort_array(collect_list(col("i"))).as("starts"))
+    spliceCovered(tok, starts, idCol, n)
+  }
+
+  /** Shared splice tail: given the staged token arrays and a per-doc
+    * sorted list of flagged gram START positions (1-based), drop every
+    * token covered by any start's [s, s+n-1] window and rebuild the
+    * document. Array-local per row — the only cross-row step is the
+    * left join bringing each doc its own (usually absent) start list.
+    * Used by [[removeContaminatedSpans]] (benchmark-driven) and
+    * [[Dedup.removeDuplicatedSpans]] (corpus-self-driven). */
+  private[operators] def spliceCovered(tok: DataFrame, starts: DataFrame,
+                                       idCol: String, n: Int): DataFrame =
     tok.join(starts, Seq(idCol), "left")
       .select(col(idCol), col("tk"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
@@ -133,7 +146,6 @@ object Decontaminate extends QueryPack {
         size(col("tk")).as("n_tokens"),
         (size(col("tk")) - size(col("kept"))).as("n_removed"),
         concat_ws(" ", col("kept")).as("clean_text"))
-  }
 
   def queries: Map[String, QFn] = Map(
     // Fixture: the "benchmark set" is the deterministic slice

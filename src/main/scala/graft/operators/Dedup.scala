@@ -719,8 +719,49 @@ object Dedup extends QueryPack {
           coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
           pround(coalesce(col("dup_grams"), lit(0L)).cast("double") /
             col("n_grams"), 4).as("dup_ratio"))
-    })
+    }),
+
+    // The REMOVAL half of the exact-substring family over the same
+    // augmented fixture: injected exact copies strip to nothing (every
+    // 8-gram's first occurrence is in the base doc), near-copies keep
+    // only their novel suffix, and organic cross-doc boilerplate is
+    // trimmed wherever it genuinely repeats.
+    "dedup_span_removal" -> ((s, d) =>
+      removeDuplicatedSpans(augmented(s, d), "doc_id", "text"))
   )
+
+  /** Corpus-wide exact-substring span REMOVAL (Lee et al. 2022's
+    * dedup-the-span recommendation, at word-8-gram granularity): a gram
+    * occurring in two or more distinct documents keeps its FIRST
+    * occurrence (smallest `idCol`) and is spliced out of every later
+    * document — `covered iff doc_id > min(doc_id) over the gram`, which
+    * needs no separate ≥2-distinct-docs test (a single-doc gram's min
+    * is its own doc). Downstream of [[queries dedup_span_stats]]'s
+    * measurement pass; the splice tail is shared with benchmark
+    * decontamination ([[Decontaminate.spliceCovered]]).
+    *
+    * 100 TB shape — this is SELF-dedup, so unlike decontamination there
+    * is no small broadcastable side: the corpus gram stream must meet
+    * itself. Two shuffles, both on slim (16-hex-digest, id, pos) rows:
+    * (1) groupBy(gram).min — map-side partial mins collapse hot grams
+    * before the exchange, so boilerplate grams cannot skew it; (2) the
+    * stream joins the distinct-gram→first-doc table back on the digest
+    * key — each stream row matches exactly one gram row, so the join
+    * output never exceeds its input (no quadratic blowup, no cap
+    * needed; residual partition skew on hot grams is AQE's skew-join
+    * case). Only the rare covered positions reach the per-doc
+    * collect_list, which is bounded by document length. */
+  def removeDuplicatedSpans(documents: DataFrame, idCol: String,
+                            textCol: String, n: Int = 8): DataFrame = {
+    val tok = documents.select(col(idCol),
+      Decontaminate.tokens(col(textCol)).as("tk"))
+    val gp = Decontaminate.gramRows(tok, n, Seq(col(idCol)), keepPos = true)
+    val firstDoc = gp.groupBy("gram").agg(min(col(idCol)).as("first_doc"))
+    val starts = gp.join(firstDoc, "gram")
+      .filter(col(idCol) > col("first_doc"))
+      .groupBy(idCol).agg(sort_array(collect_list(col("i"))).as("starts"))
+    Decontaminate.spliceCovered(tok, starts, idCol, n)
+  }
 
   /** Semantic-dedup cluster count for the declared query. 32 over the
     * 520-vector augmented corpus gives ~16-vector clusters; at real
@@ -938,6 +979,13 @@ object Dedup extends QueryPack {
           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
           x -> x <> '') AS tk
         FROM aug)"""
+
+  /** `tk[i] .. tk[i+7]` space-joined — the SQL twin of
+    * [[Decontaminate.gramRows]]'s 8-gram at 1-based position `i`. */
+  private val gram8Sql = (0 until 8).map {
+    case 0 => "tk[CAST(i AS INTEGER)]"
+    case j => s"tk[CAST(i AS INTEGER) + $j]"
+  }.mkString(" || ' ' || ")
 
   /** DuckDB twin of the full MinHash-LSH pipeline, generated from the
     * SAME permutation constants as the Spark kernel
@@ -1245,6 +1293,40 @@ object Dedup extends QueryPack {
              floor((coalesce(p.dup_grams, 0) * 1.0 / t.n_grams)
                * 10000.0 + 0.5) / 10000.0 AS dup_ratio
       FROM tot t LEFT JOIN per p USING (doc_id)""",
+
+    // Twin of removeDuplicatedSpans over the same augmented corpus:
+    // first-doc-wins via doc_id > MIN(doc_id) per gram (single-doc
+    // grams drop out of the inequality for free), covered positions
+    // DISTINCT-ed before the splice join (a position covered by two
+    // overlapping dup grams must remove its token once), text rebuilt
+    // in position order — the decontam_span_removal tail.
+    "dedup_span_removal" -> s"""WITH $tokSql,
+      gp AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS i,
+               substr(md5($gram8Sql), 1, 16) AS gram
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+              FROM tok WHERE len(tk) >= 8)),
+      fd AS (SELECT gram, MIN(doc_id) AS first_doc FROM gp GROUP BY 1),
+      covered AS (
+        SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS p
+        FROM (SELECT gp.doc_id, unnest(range(gp.i, gp.i + 8)) AS p
+              FROM gp JOIN fd USING (gram) WHERE gp.doc_id > fd.first_doc)),
+      posx AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS p, tk[CAST(i AS INTEGER)] AS t
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+              FROM tok)),
+      clean AS (
+        SELECT px.doc_id,
+               COUNT(*) FILTER (WHERE cv.p IS NOT NULL) AS n_removed,
+               coalesce(string_agg(px.t, ' ' ORDER BY px.p)
+                 FILTER (WHERE cv.p IS NULL), '') AS clean_text
+        FROM posx px LEFT JOIN covered cv
+          ON cv.doc_id = px.doc_id AND cv.p = px.p
+        GROUP BY px.doc_id)
+      SELECT t.doc_id, CAST(len(t.tk) AS INTEGER) AS n_tokens,
+             CAST(coalesce(c.n_removed, 0) AS INTEGER) AS n_removed,
+             coalesce(c.clean_text, '') AS clean_text
+      FROM tok t LEFT JOIN clean c ON c.doc_id = t.doc_id""",
 
     "dedup_exact" -> s"""WITH aug AS ($augmentedSql)
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryPack
+
+/** Deterministic sharded training export — the step that turns a
+  * curated corpus into what a trainer actually consumes: a reproducible
+  * global shuffle of the documents into N fixed-membership shards, one
+  * hive directory per shard, with a stable within-shard order.
+  *
+  * Determinism is the point: shard membership and order derive ONLY
+  * from (seed, id) through a portable md5-prefix hash, never from
+  * partition layout, task scheduling, or row arrival order — so two
+  * runs of the same corpus produce byte-identical shards, a re-export
+  * after an upstream fix changes exactly the rows that changed, and
+  * any engine (the DuckDB oracle included) can recompute who belongs
+  * where. This is the dataset-versioning property
+  * [[Curation.snapshotDiff]] measures, applied to the training layout.
+  *
+  * 100 TB shape: assignment is scan-local (a hash of the id); the
+  * export is ONE shuffle on the shard key plus a within-partition sort
+  * — no global sort, no driver-side anything. Shard count is chosen so
+  * a shard fits a trainer's reader; `maxRecordsPerFile` bounds file
+  * sizes inside a shard without changing order (Spark splits
+  * sequentially). The order-fingerprint QUERY gathers per-shard id
+  * lists and is the verification harness, sized for audits of shard
+  * samples, not a per-build corpus pass.
+  */
+object Export extends QueryPack {
+
+  /** Shard count / seed for the declared query and its oracle. */
+  val NShards = 16
+  val Seed = "graft-export-v1"
+
+  /** Portable 32-bit shuffle hash of (seed, id): first 8 md5 hex chars
+    * as a long in [0, 2^32) — the same md5-prefix pattern as the
+    * minhash kernel, so DuckDB replays it bit-for-bit. */
+  private def shuffleHash(id: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 8),
+      16, 10).cast("long")
+
+  /** Adds (`shuffle_h`, `shard`) to the frame: shard = h mod nShards.
+    * Scan-local — no exchange; the hash doubles as the within-shard
+    * sort key, which is exactly a seeded uniform shuffle of the corpus
+    * (ties broken by id). */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int,
+                   seed: String): DataFrame =
+    df.withColumn("shuffle_h", shuffleHash(col(idCol), seed))
+      .withColumn("shard", pmod(col("shuffle_h"), lit(nShards.toLong)))
+
+  /** Write the corpus as training shards: `shard=K/` hive dirs, rows
+    * ordered by (shuffle_h, id) within each shard. One shuffle
+    * (repartition on shard) + a task-local sort; the sort leads with
+    * `shard` because nShards can exceed the task count, putting two
+    * shards in one task — the writer then splits them into their dirs
+    * with each dir's order intact. */
+  def exportShards(df: DataFrame, idCol: String, outPath: String,
+                   nShards: Int = NShards, seed: String = Seed,
+                   maxRecordsPerFile: Long = 0L): Unit =
+    assignShards(df, idCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_h"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .option("compression", "zstd")
+      .parquet(outPath)
+
+  def queries: Map[String, QFn] = Map(
+    // Per-shard membership, volume, and an order fingerprint: md5 over
+    // the shard's ids concatenated in (shuffle_h, id) order — the
+    // cross-engine proof that membership AND order are functions of
+    // (seed, id) alone.
+    "export_shard_stats" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      assignShards(docs, "doc_id", NShards, Seed)
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(struct(col("shuffle_h"), col("doc_id")))),
+            t => t.getField("doc_id").cast("string")))).as("order_fp"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "export_shard_stats" -> s"""
+      WITH a AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5('$Seed:' || CAST(doc_id AS VARCHAR)),
+                 1, 8)) AS BIGINT) AS h
+        FROM documents)
+      SELECT h % $NShards AS shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY h, doc_id)) AS order_fp
+      FROM a GROUP BY 1"""
+  )
+}

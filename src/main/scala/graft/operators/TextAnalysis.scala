@@ -245,8 +245,56 @@ object TextAnalysis extends QueryPack {
           regexp_replace(lower(col("text")), "\\s+", " ").as("norm"))
         .select(col("doc_id"),
           call_function("rolling_fp", col("norm")).as("fingerprint"))
+    }),
+
+    // Linear text-classifier scoring (the fastText-shaped quality/
+    // domain filter every web-scale curation pipeline runs, CCNet/
+    // RefinedWeb style): hash each token into one of B weight buckets,
+    // mean-pool the bucket weights, keep iff the margin is
+    // non-negative. The weights stand in for a pretrained model and
+    // are DATA (a deterministic md5-derived table; the oracle derives
+    // the identical values in SQL), not logic. Scan-local and
+    // shuffle-free: the fold runs
+    // inside the row over the staged token array, with the weight
+    // vector staged once as a column so the interpreted HOF indexes an
+    // attribute instead of re-building a 64-literal array per token.
+    // The margin (not a sigmoid) is the output: pure +,/ arithmetic in
+    // a FIXED fold order on both engines → bit-identical, while exp()
+    // would be libm-vs-JVM ulp roulette. keep = sign of the UNROUNDED
+    // margin, so the flag can never disagree with the score's sign.
+    "text_classifier_score" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), tokCol(col("text")).as("tk"))
+        .withColumn("w", array(ClsWeights.map(lit): _*))
+      tok
+        .select(col("doc_id"), col("tk"),
+          aggregate(col("tk"), lit(0.0), (acc, t) =>
+            acc + element_at(col("w"),
+              (conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+                % ClsBuckets).cast("int") + 1)).as("zsum"))
+        .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+          when(size(col("tk")) === 0, lit(0.0))
+            .otherwise(col("zsum") / size(col("tk"))).as("z"))
+        .select(col("doc_id"), col("n_tokens"),
+          pround(col("z"), 4).as("score"),
+          when(col("z") >= 0, 1).otherwise(0).as("keep"))
     })
   )
+
+  /** Hashed-feature bucket count and the deterministic stand-in
+    * weights: w(i) = ((h32("w:i") mod 2001) − 1000)/1000 ∈ [−1, 1],
+    * h32 = first 8 md5 hex chars — reproducible anywhere, embedded
+    * into the oracle as a literal list (Double.toString round-trips,
+    * so DuckDB parses the exact same binary values). */
+  private val ClsBuckets = 64
+  private[operators] val ClsWeights: Array[Double] =
+    Array.tabulate(ClsBuckets) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$i".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(4).map(b => "%02x".format(b & 0xff)).mkString, 16)
+      ((h % 2001) - 1000) / 1000.0
+    }
 
   /** (doc, adjacent token pair) rows: staged tokens, positions
     * exploded (house rule: explode the cheap index array, compute the
@@ -433,6 +481,30 @@ object TextAnalysis extends QueryPack {
                floor(score_raw * 10000.0 + 0.5) / 10000.0 AS score
         FROM top"""
       },
+
+      // The weight vector is DERIVED in SQL by the same md5 formula as
+      // [[ClsWeights]] (not pasted as a literal, so a decimal-parsing
+      // type quirk can never creep in); the per-doc fold adds bucket
+      // weights in token order exactly like the Spark `aggregate`, and
+      // `keep` tests the unrounded margin on both engines.
+      "text_classifier_score" -> s"""
+        WITH tok AS ($tokCteSql),
+        wt AS (
+          SELECT list_transform(range(0, $ClsBuckets), i ->
+            (CAST(('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2001 - 1000) / 1000.0) AS w),
+        sc AS (
+          SELECT doc_id, len(tk) AS n_tokens,
+                 CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                   list_reduce(list_transform(tk, t ->
+                     w[CAST((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                       % $ClsBuckets) + 1 AS INTEGER)]),
+                     (acc, x) -> acc + x) / len(tk) END AS z
+          FROM tok CROSS JOIN wt)
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+               floor(z * 10000.0 + 0.5) / 10000.0 AS score,
+               CASE WHEN z >= 0 THEN 1 ELSE 0 END AS keep
+        FROM sc""",
 
       // k=8 char grams over normalized text, 32-bit md5-prefix hashes,
       // bottom-4 joined — identical gram/hash definitions to the Spark

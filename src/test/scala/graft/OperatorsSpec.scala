@@ -210,6 +210,80 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("self span removal: first doc wins, copies strip, suffixes survive") {
+    val rows = Dedup.queries("dedup_span_removal")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    rows.foreach { r =>
+      val (id, nTok, nRem, clean) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      assert(nRem >= 0 && nRem <= nTok, s"doc $id removed $nRem of $nTok")
+      val cleanTok = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(cleanTok == nTok - nRem,
+        s"doc $id clean has $cleanTok tokens, expected ${nTok - nRem}")
+    }
+    // The globally smallest doc_id is first-occurrence for every gram
+    // it holds — it can never lose a span.
+    assert(byId(0L)._2 == 0, "doc 0 lost spans despite being minimal id")
+    // Exact copies: every 8-gram first occurs in the base doc, so the
+    // whole copy is covered and strips to nothing.
+    (0L until 10L).map(_ + 100000).foreach { id =>
+      val (nTok, nRem, clean) = byId(id)
+      if (nTok >= 8)
+        assert(clean.isEmpty && nRem == nTok, s"exact copy $id kept '$clean'")
+    }
+    // Near-copies: only the grams reaching into the appended suffix are
+    // novel, so exactly the three suffix tokens survive.
+    (10L until 20L).map(_ + 100000).foreach { id =>
+      val (nTok, _, clean) = byId(id)
+      if (nTok >= 11)
+        assert(clean == "extra suffix tokens",
+          s"near copy $id kept '$clean'")
+    }
+  }
+
+  test("classifier score: mean-pooled margin, sign-consistent keep flag") {
+    val rows = TextAnalysis.queries("text_classifier_score")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nTok, score, keep) =
+        (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3))
+      // a mean of weights in [-1, 1] stays in [-1, 1]
+      assert(score >= -1.0 && score <= 1.0, s"doc $id score $score")
+      // keep is the sign of the unrounded margin; the rounded score
+      // can only disagree at exactly 0
+      if (score > 0) assert(keep == 1, s"doc $id positive score, keep=0")
+      if (score < 0) assert(keep == 0, s"doc $id negative score, keep=1")
+      if (nTok == 0) assert(score == 0.0 && keep == 1, s"empty doc $id")
+    }
+    // both classes occur on the real corpus — weights are zero-mean-ish
+    assert(rows.exists(_.getInt(3) == 1) && rows.exists(_.getInt(3) == 0),
+      "degenerate classifier: single class on the whole corpus")
+  }
+
+  test("datacard: one-pass cube covers all four grouping sets exactly") {
+    import graft.operators.Curation
+    val rows = Curation.queries("corpus_datacard")(spark, sf0001).collect()
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    // columns: source, lang, n_docs, n_chars, avg_chars, gid
+    val gid = rows.groupBy(_.getLong(5))
+    assert(gid(3L).length == 1 && gid(3L).head.getLong(2) == total,
+      "global line wrong")
+    assert(gid(0L).map(_.getLong(2)).sum == total, "(source,lang) cells")
+    assert(gid(1L).map(_.getLong(2)).sum == total, "per-source lines")
+    assert(gid(2L).map(_.getLong(2)).sum == total, "per-lang lines")
+    // per-source lines agree with a direct groupBy
+    val direct = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    gid(1L).foreach { r =>
+      assert(r.getLong(2) == direct(r.getString(0)),
+        s"source ${r.getString(0)} drifted from direct groupBy")
+    }
+  }
+
   test("tfidf keywords: per-doc top-3, ranked and positive") {
     val rows = TextAnalysis.queries("text_tfidf_keywords")(spark, sf0001)
       .collect()
