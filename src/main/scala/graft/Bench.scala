@@ -293,6 +293,7 @@ object Bench {
     "dedup_semantic_incremental" -> 1.7, // (r7, cold 1-query suite)
     "text_tfidf_keywords" -> 2.6, // (r7, cold 3-query suite)
     "search_bm25_topk" -> 2.0,
+    "dedup_span_removal" -> 2.1, // (r7, warm window-min formulation)
     "star_fact_build" -> 8.2,
     "s15_agg_market_rates" -> 5.3,
     "a10_search_stats" -> 4.7,

@@ -742,22 +742,27 @@ object Dedup extends QueryPack {
     *
     * 100 TB shape — this is SELF-dedup, so unlike decontamination there
     * is no small broadcastable side: the corpus gram stream must meet
-    * itself. Two shuffles, both on slim (16-hex-digest, id, pos) rows:
-    * (1) groupBy(gram).min — map-side partial mins collapse hot grams
-    * before the exchange, so boilerplate grams cannot skew it; (2) the
-    * stream joins the distinct-gram→first-doc table back on the digest
-    * key — each stream row matches exactly one gram row, so the join
-    * output never exceeds its input (no quadratic blowup, no cap
-    * needed; residual partition skew on hot grams is AQE's skew-join
-    * case). Only the rare covered positions reach the per-doc
-    * collect_list, which is bounded by document length. */
+    * itself. A window min over the gram partition does it in ONE
+    * exchange of slim (16-hex-digest, id, pos) rows, and — decisive at
+    * scale — tokenization + per-gram md5 run ONCE: the groupBy-min +
+    * join-back alternative consumes the gram stream twice, and with no
+    * common subtree to reuse Spark re-scans and re-hashes the whole
+    * corpus for each consumer (measured 1.9× slower at sf0.1). The
+    * window's per-partition sort is on the digest key only; a hot
+    * boilerplate gram concentrates its occurrence rows in one
+    * partition, but the row count is linear in occurrences (never
+    * pairwise) and each row still matches exactly one first_doc, so
+    * there is no quadratic term to cap. Only the rare covered
+    * positions reach the per-doc collect_list, which is bounded by
+    * document length. */
   def removeDuplicatedSpans(documents: DataFrame, idCol: String,
                             textCol: String, n: Int = 8): DataFrame = {
     val tok = documents.select(col(idCol),
       Decontaminate.tokens(col(textCol)).as("tk"))
     val gp = Decontaminate.gramRows(tok, n, Seq(col(idCol)), keepPos = true)
-    val firstDoc = gp.groupBy("gram").agg(min(col(idCol)).as("first_doc"))
-    val starts = gp.join(firstDoc, "gram")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val starts = gp
+      .withColumn("first_doc", min(col(idCol)).over(w))
       .filter(col(idCol) > col("first_doc"))
       .groupBy(idCol).agg(sort_array(collect_list(col("i"))).as("starts"))
     Decontaminate.spliceCovered(tok, starts, idCol, n)
