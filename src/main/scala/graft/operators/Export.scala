@@ -68,6 +68,52 @@ object Export extends QueryPack {
       .option("compression", "zstd")
       .parquet(outPath)
 
+  /** Incremental re-export: rewrite ONLY the shards whose membership
+    * changed between two corpus snapshots — at scale the whole point
+    * of deterministic sharding (a 0.1% ingest delta touches ~every
+    * shard only if deltas are uniform; a sourced batch touches few,
+    * and either way untouched shard FILES stay byte-identical for
+    * downstream caching/resume). Returns the rewritten shard ids.
+    *
+    * Shape: [[Curation.snapshotDiff]] reduces both snapshots to
+    * (id, digest) scan-side; the changed ids map to shards scan-locally
+    * and only that bounded id set reaches the driver (≤ nShards
+    * values). The rewrite keeps only rows hashing into touched shards
+    * and dynamic-partition-overwrites exactly those dirs: one full
+    * pass over the current corpus, plus a column-pruned id-only pass
+    * for the emptiness probe below. A touched shard left with NO
+    * surviving rows is invisible to dynamic overwrite (nothing to
+    * write), so its stale dir is deleted explicitly — driver-side,
+    * bounded by nShards. */
+  def exportShardsIncremental(prev: DataFrame, cur: DataFrame,
+                              idCol: String, textCol: String,
+                              outPath: String, nShards: Int = NShards,
+                              seed: String = Seed): Seq[Long] = {
+    val changed = Curation.snapshotDiff(prev, cur, idCol, textCol)
+      .filter(col("status") =!= "unchanged")
+    val touched = assignShards(changed.select(col(idCol)), idCol,
+        nShards, seed)
+      .select("shard").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    if (touched.isEmpty) return Seq.empty
+    val rows = assignShards(cur, idCol, nShards, seed)
+      .filter(col("shard").isin(touched: _*))
+    val nonEmpty = rows.groupBy("shard").count()
+      .collect().map(_.getLong(0)).toSet
+    rows.repartition(touched.size, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_h"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard")
+      .option("compression", "zstd")
+      .parquet(outPath)
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(cur.sparkSession.sessionState.newHadoopConf())
+    touched.filterNot(nonEmpty).foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/shard=$s"), true)
+    }
+    touched
+  }
+
   def queries: Map[String, QFn] = Map(
     // Per-shard membership, volume, and an order fingerprint: md5 over
     // the shard's ids concatenated in (shuffle_h, id) order — the

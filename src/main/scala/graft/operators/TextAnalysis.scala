@@ -283,9 +283,8 @@ object TextAnalysis extends QueryPack {
 
   /** Hashed-feature bucket count and the deterministic stand-in
     * weights: w(i) = ((h32("w:i") mod 2001) − 1000)/1000 ∈ [−1, 1],
-    * h32 = first 8 md5 hex chars — reproducible anywhere, embedded
-    * into the oracle as a literal list (Double.toString round-trips,
-    * so DuckDB parses the exact same binary values). */
+    * h32 = first 8 md5 hex chars — reproducible anywhere; the oracle
+    * derives the identical doubles from the same formula in SQL. */
   private val ClsBuckets = 64
   private[operators] val ClsWeights: Array[Double] =
     Array.tabulate(ClsBuckets) { i =>

@@ -57,6 +57,76 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("incremental re-export rewrites only touched shards, equals full") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_export_inc")
+      .toString + "/shards"
+    val prev = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    Export.exportShards(prev, "doc_id", out)
+    val before = (0L until Export.NShards).map { s =>
+      s -> new java.io.File(s"$out/shard=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSeq.sorted
+    }.toMap
+
+    // delta: change one doc, add one, remove one
+    val cur = prev
+      .filter($"doc_id" =!= 7L)
+      .withColumn("text",
+        when($"doc_id" === 3L, concat($"text", lit(" rev2")))
+          .otherwise($"text"))
+      .unionByName(Seq((900001L, "a brand new document")).toDF("doc_id", "text"))
+    val touched =
+      Export.exportShardsIncremental(prev, cur, "doc_id", "text", out)
+    assert(touched.nonEmpty && touched.size <= 3,
+      s"3 changed ids must touch at most 3 shards, got $touched")
+
+    // untouched shard files are byte-untouched (same name/mtime/size)
+    (0L until Export.NShards).filterNot(touched.contains).foreach { s =>
+      val after = new java.io.File(s"$out/shard=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSeq.sorted
+      assert(after == before(s), s"untouched shard $s was rewritten")
+    }
+
+    // the incremental result equals a from-scratch export of cur
+    val full = java.nio.file.Files.createTempDirectory("graft_export_full")
+      .toString + "/shards"
+    Export.exportShards(cur, "doc_id", full)
+    (0L until Export.NShards).foreach { s =>
+      val a = spark.read.parquet(s"$out/shard=$s").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      val b = spark.read.parquet(s"$full/shard=$s").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(a == b, s"shard $s: incremental != full export")
+    }
+  }
+
+  test("incremental export clears a shard emptied by removals") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_export_empty")
+      .toString + "/shards"
+    val prev = (0L until 40L).map(i => (i, s"doc number $i"))
+      .toDF("doc_id", "text")
+    val n = 4
+    Export.exportShards(prev, "doc_id", out, nShards = n)
+    // drop every doc of shard 0
+    val shard0 = Export.assignShards(prev, "doc_id", n, Export.Seed)
+      .filter(col("shard") === 0L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(shard0.nonEmpty, "fixture needs a populated shard 0")
+    val cur = prev.filter(!$"doc_id".isin(shard0.toSeq: _*))
+    val touched =
+      Export.exportShardsIncremental(prev, cur, "doc_id", "text", out, n)
+    assert(touched.contains(0L))
+    assert(!new java.io.File(s"$out/shard=0").exists(),
+      "emptied shard dir not cleared — stale rows would survive")
+    val left = spark.read.option("basePath", out).parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 40L).toSet -- shard0, "surviving rows wrong")
+  }
+
   test("maxRecordsPerFile splits files without breaking shard order") {
     val out = java.nio.file.Files.createTempDirectory("graft_export3")
       .toString + "/shards"
