@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.NormExprs.pround
 import graft.queries.QueryPack
 
 /** Benchmark decontamination for a training-data pipeline: flag every
@@ -147,6 +148,45 @@ object Decontaminate extends QueryPack {
         (size(col("tk")) - size(col("kept"))).as("n_removed"),
         concat_ws(" ", col("kept")).as("clean_text"))
 
+  /** Semantic (embedding-space) decontamination — the third member of
+    * the family after n-gram flagging and span removal: an eval item
+    * rephrased enough to dodge every 8-gram still sits next to its
+    * source in embedding space. Per corpus vector: the max cosine
+    * against the benchmark set, the nearest eval id as witness, and
+    * the flag at `tau`.
+    *
+    * 100 TB shape, same asymmetry as [[flagContaminated]]: the
+    * benchmark side is small and BROADCAST, so the corpus never
+    * shuffles its vectors — each scan task computes its rows' cosines
+    * against the resident benchmark via the fused fp64 `cosine_f32`
+    * kernel, and the max/argmax partial-aggregates map-side
+    * (`max(struct(cs, -bid))` = max cosine, ties to the smallest eval
+    * id), so only one slim partial row per corpus id reaches the one
+    * exchange. */
+  def flagSemanticContaminated(corpus: DataFrame, idCol: String,
+                               vecCol: String, benchmark: DataFrame,
+                               benchIdCol: String, benchVecCol: String,
+                               tau: Double): DataFrame = {
+    graft.functions.CosineSimF32.register(corpus.sparkSession)
+    val b = broadcast(benchmark.select(col(benchIdCol).as("bid"),
+      col(benchVecCol).as("bemb")))
+    corpus.select(col(idCol), col(vecCol).as("cemb"))
+      .crossJoin(b)
+      .select(col(idCol), col("bid"),
+        call_function("cosine_f32", col("cemb"), col("bemb")).as("cs"))
+      .groupBy(idCol)
+      .agg(max(struct(col("cs"), (-col("bid")).as("nb"))).as("m"))
+      .select(col(idCol),
+        pround(col("m.cs"), 4).as("max_cosine"),
+        (-col("m.nb")).as("nearest_eval_id"),
+        when(col("m.cs") >= tau, 1).otherwise(0).as("contaminated"))
+  }
+
+  /** Fixture threshold for the declared semantic query: high enough
+    * that random synthetic vectors (≈ orthogonal) never trip it, low
+    * enough that the self-overlapping benchmark slice always does. */
+  val SemTau = 0.95
+
   def queries: Map[String, QFn] = Map(
     // Fixture: the "benchmark set" is the deterministic slice
     // doc_id % 17 = 3 of the corpus itself, so contamination exists by
@@ -166,6 +206,16 @@ object Decontaminate extends QueryPack {
       val corpus = docs(s, d)
       removeContaminatedSpans(corpus, "doc_id", "text",
         corpus.filter(col("doc_id") % 17 === 3), "text")
+    }),
+
+    // Embedding-space fixture in the same shape: the "benchmark" is
+    // the deterministic slice vec_id % 13 = 4 of the embeddings table,
+    // so every benchmark vector self-flags at cosine 1.0 and everything
+    // else reports its honest nearest-eval distance.
+    "decontam_semantic" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      flagSemanticContaminated(e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 13 === 4), "vec_id", "embedding", SemTau)
     })
   )
 
@@ -239,7 +289,36 @@ object Decontaminate extends QueryPack {
         SELECT t.doc_id, CAST(len(t.tk) AS INTEGER) AS n_tokens,
                CAST(coalesce(c.n_removed, 0) AS INTEGER) AS n_removed,
                coalesce(c.clean_text, '') AS clean_text
-        FROM tok t LEFT JOIN clean c ON c.doc_id = t.doc_id"""
+        FROM tok t LEFT JOIN clean c ON c.doc_id = t.doc_id""",
+
+      // fp64 cosine exactly like the cosine_f32 kernel (the proven
+      // SUM(CAST AS DOUBLE)/sqrt·sqrt shape); argmax via
+      // (cs DESC, bid ASC) row_number = the Spark max(struct(cs,-bid)).
+      "decontam_semantic" -> s"""
+        WITH bench AS (
+          SELECT vec_id AS bid, embedding AS bemb
+          FROM embeddings WHERE vec_id % 13 = 4),
+        dots AS (
+          SELECT e.vec_id, b.bid,
+                 SUM(CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) *
+                     CAST(b.bemb[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+                 SUM(CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) *
+                     CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+                 SUM(CAST(b.bemb[CAST(i AS INTEGER)] AS DOUBLE) *
+                     CAST(b.bemb[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+          FROM embeddings e, bench b, range(1, 65) r(i)
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT vec_id, bid, dp / (sqrt(na) * sqrt(nb)) AS cs FROM dots),
+        best AS (
+          SELECT vec_id, bid, cs,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cs DESC, bid) AS rn
+          FROM scored)
+        SELECT vec_id, floor(cs * 10000.0 + 0.5) / 10000.0 AS max_cosine,
+               bid AS nearest_eval_id,
+               CASE WHEN cs >= $SemTau THEN 1 ELSE 0 END AS contaminated
+        FROM best WHERE rn = 1"""
     )
   }
 }

@@ -262,24 +262,32 @@ object TextAnalysis extends QueryPack {
     // a FIXED fold order on both engines → bit-identical, while exp()
     // would be libm-vs-JVM ulp roulette. keep = sign of the UNROUNDED
     // margin, so the flag can never disagree with the score's sign.
-    "text_classifier_score" -> ((s, d) => {
-      val tok = docs(s, d)
-        .select(col("doc_id"), tokCol(col("text")).as("tk"))
-        .withColumn("w", array(ClsWeights.map(lit): _*))
-      tok
-        .select(col("doc_id"), col("tk"),
-          aggregate(col("tk"), lit(0.0), (acc, t) =>
-            acc + element_at(col("w"),
-              (conv(substring(md5(t), 1, 8), 16, 10).cast("long")
-                % ClsBuckets).cast("int") + 1)).as("zsum"))
-        .select(col("doc_id"), size(col("tk")).as("n_tokens"),
-          when(size(col("tk")) === 0, lit(0.0))
-            .otherwise(col("zsum") / size(col("tk"))).as("z"))
-        .select(col("doc_id"), col("n_tokens"),
-          pround(col("z"), 4).as("score"),
-          when(col("z") >= 0, 1).otherwise(0).as("keep"))
-    })
+    "text_classifier_score" -> ((s, d) =>
+      classifierScore(docs(s, d), "doc_id", "text", ClsWeights))
   )
+
+  /** Corpus-generic linear scorer: any (idCol, textCol) frame, any
+    * weight vector (bucket count = weights.length). See the query
+    * comment above for the determinism contract. */
+  def classifierScore(documents: DataFrame, idCol: String, textCol: String,
+                      weights: Array[Double]): DataFrame = {
+    val b = weights.length
+    val tok = documents
+      .select(col(idCol), tokCol(col(textCol)).as("tk"))
+      .withColumn("w", array(weights.map(lit): _*))
+    tok
+      .select(col(idCol), col("tk"),
+        aggregate(col("tk"), lit(0.0), (acc, t) =>
+          acc + element_at(col("w"),
+            (conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+              % b).cast("int") + 1)).as("zsum"))
+      .select(col(idCol), size(col("tk")).as("n_tokens"),
+        when(size(col("tk")) === 0, lit(0.0))
+          .otherwise(col("zsum") / size(col("tk"))).as("z"))
+      .select(col(idCol), col("n_tokens"),
+        pround(col("z"), 4).as("score"),
+        when(col("z") >= 0, 1).otherwise(0).as("keep"))
+  }
 
   /** Hashed-feature bucket count and the deterministic stand-in
     * weights: w(i) = ((h32("w:i") mod 2001) − 1000)/1000 ∈ [−1, 1],
