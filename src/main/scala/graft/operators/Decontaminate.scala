@@ -209,13 +209,17 @@ object Decontaminate extends QueryPack {
     }),
 
     // Embedding-space fixture in the same shape: the "benchmark" is
-    // the deterministic slice vec_id % 13 = 4 of the embeddings table,
-    // so every benchmark vector self-flags at cosine 1.0 and everything
-    // else reports its honest nearest-eval distance.
+    // the slice vec_id % 13 = 4 AND vec_id < 130 of the embeddings
+    // table — LITERAL-bounded to 10 vectors at any SF, because an eval
+    // set does not grow with the corpus and the broadcast must be
+    // bounded by construction (PlanSpec's standard). Benchmark vectors
+    // self-flag at cosine 1.0; everything else reports its honest
+    // nearest-eval distance.
     "decontam_semantic" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       flagSemanticContaminated(e, "vec_id", "embedding",
-        e.filter(col("vec_id") % 13 === 4), "vec_id", "embedding", SemTau)
+        e.filter(col("vec_id") % 13 === 4 && col("vec_id") < 130),
+        "vec_id", "embedding", SemTau)
     })
   )
 
@@ -297,7 +301,7 @@ object Decontaminate extends QueryPack {
       "decontam_semantic" -> s"""
         WITH bench AS (
           SELECT vec_id AS bid, embedding AS bemb
-          FROM embeddings WHERE vec_id % 13 = 4),
+          FROM embeddings WHERE vec_id % 13 = 4 AND vec_id < 130),
         dots AS (
           SELECT e.vec_id, b.bid,
                  SUM(CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) *

@@ -50,7 +50,10 @@ class PlanSpec extends SparkSpec {
     // and ADC LUT derive from `vec_id < 10` (≤ 10 rows at any SF), and
     // the re-rank input is the ADC shortlist (≤ 50 per query by the
     // row_number filter) joined to those query vectors.
-    "sim_pq_topk", "sim_ivfpq_topk")
+    "sim_pq_topk", "sim_ivfpq_topk",
+    // the broadcast benchmark is `vec_id % 13 = 4 AND vec_id < 130` —
+    // ≤ 10 rows at any SF (an eval set does not grow with the corpus)
+    "decontam_semantic")
 
   test("broadcast hints appear only on bounded dims, never on fact-scaled tables") {
     // EVERY declared query — a new operator with a scale-killer hint
