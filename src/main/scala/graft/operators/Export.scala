@@ -114,6 +114,46 @@ object Export extends QueryPack {
     touched
   }
 
+  /** Streaming shard export — the sink half of a streaming curation
+    * pipeline: each micro-batch's rows land in their deterministic
+    * shards as an append, under the SAME membership/order law as the
+    * batch writer (shard and in-file order depend on (seed, id) only,
+    * so batch boundaries never change where a row lives — only when it
+    * arrives). Layout is `shard=K/ingest_batch=B/`: a trainer reads
+    * `shard=K` recursively; lexicographic file order within a shard is
+    * (batch, in-batch hash order) — deterministic given the ingest
+    * split.
+    *
+    * Exactly-once across foreachBatch replays, the
+    * [[graft.streaming.DedupStream]] discipline: the sink is
+    * hive-partitioned by (shard, ingest_batch) and written with
+    * dynamic partition overwrite, so a replayed batch overwrites its
+    * own `ingest_batch=B` leaves and nothing else. */
+  def processBatchExport(batch: DataFrame, batchId: Long, idCol: String,
+                         outPath: String, nShards: Int = NShards,
+                         seed: String = Seed): Unit =
+    assignShards(batch, idCol, nShards, seed)
+      .withColumn("ingest_batch", lit(batchId))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_h"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "ingest_batch")
+      .option("compression", "zstd")
+      .parquet(outPath)
+
+  /** Drive [[processBatchExport]] from a streaming frame. */
+  def runExportStream(docs: DataFrame, idCol: String, outPath: String,
+                      checkpoint: String, nShards: Int = NShards,
+                      seed: String = Seed)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatchExport(b, id, idCol, outPath, nShards, seed)
+      }
+      .start()
+
   def queries: Map[String, QFn] = Map(
     // Per-shard membership, volume, and an order fingerprint: md5 over
     // the shard's ids concatenated in (shuffle_h, id) order — the

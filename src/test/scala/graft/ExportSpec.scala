@@ -127,6 +127,50 @@ class ExportSpec extends SparkSpec {
     assert(left == (0L until 40L).toSet -- shard0, "surviving rows wrong")
   }
 
+  test("streaming export: batches append to stable shards, replay no-op") {
+    val out = java.nio.file.Files.createTempDirectory("graft_export_str")
+      .toString + "/shards"
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val b0 = docs.filter(col("doc_id") < 300)
+    val b1 = docs.filter(col("doc_id") >= 300)
+    Export.processBatchExport(b0, 0L, "doc_id", out)
+    Export.processBatchExport(b1, 1L, "doc_id", out)
+
+    // union of batches, each row in the shard the BATCH writer would
+    // also have chosen (membership is a function of (seed, id) alone)
+    // hive partition inference types `shard=0` as int — cast back
+    val got = spark.read.option("basePath", out).parquet(out)
+      .select(col("doc_id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == docs.count(), "row count drifted")
+    val expected = Export
+      .assignShards(docs, "doc_id", Export.NShards, Export.Seed)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, s) =>
+      assert(expected(id) == s, s"doc $id in shard $s, batch law says ${expected(id)}")
+    }
+
+    // replay of batch 1 (lost checkpoint commit): byte-stable end state
+    val before = spark.read.option("basePath", out).parquet(out).count()
+    Export.processBatchExport(b1, 1L, "doc_id", out)
+    assert(spark.read.option("basePath", out).parquet(out).count() == before,
+      "replay duplicated rows")
+
+    // each shard's batch files keep the within-batch hash order
+    val s0 = s"$out/shard=0/ingest_batch=0"
+    if (new java.io.File(s0).isDirectory) {
+      val ids = spark.read.parquet(s0).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      val want = Export
+        .assignShards(b0, "doc_id", Export.NShards, Export.Seed)
+        .filter(col("shard") === 0L).orderBy("shuffle_h", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == want, "within-batch shard order broken")
+    }
+  }
+
   test("maxRecordsPerFile splits files without breaking shard order") {
     val out = java.nio.file.Files.createTempDirectory("graft_export3")
       .toString + "/shards"
