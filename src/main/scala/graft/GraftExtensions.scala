@@ -73,7 +73,12 @@ object GraftExtensions {
       new ExpressionInfo(
         classOf[graft.functions.SimHashSig].getName, "simhash_sig"),
       (exprs: Seq[Expression]) =>
-        graft.functions.SimHashSig(exprs.head)))
+        graft.functions.SimHashSig(exprs.head)),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.NfcNormalize(exprs.head)))
 
   /** Register every kernel into an existing session's function
     * registry. Idempotent (re-registration replaces the same entry). */

@@ -263,7 +263,35 @@ object TextAnalysis extends QueryPack {
     // would be libm-vs-JVM ulp roulette. keep = sign of the UNROUNDED
     // margin, so the flag can never disagree with the score's sign.
     "text_classifier_score" -> ((s, d) =>
-      classifierScore(docs(s, d), "doc_id", "text", ClsWeights))
+      classifierScore(docs(s, d), "doc_id", "text", ClsWeights)),
+
+    // Unicode NFC normalization via the native kernel — byte-canonical
+    // text is the precondition for every digest-keyed operator (exact
+    // dedup, shingles, span removal): e+◌́ and é must hash alike. The
+    // fixture injects classic composition cases (combining acute/ring/
+    // diaeresis, Hangul jamo, an fi ligature NFC leaves alone) since
+    // the synthetic corpus is mostly ASCII where NFC is the identity;
+    // the oracle rebuilds the identical codepoint sequences with chr()
+    // and replays DuckDB's own nfc_normalize.
+    "text_normalize" -> ((s, d) => {
+      graft.GraftExtensions.registerAll(s)
+      // explicit escapes: 1000001/1000003/1000004 are DECOMPOSED (the
+      // whole point -- NFC must change them); 1000002 is precomposed
+      val inj = s.createDataFrame(Seq(
+        (1000001L, "cafe\u0301 deco"),
+        (1000002L, "caf\u00E9 deco"),
+        (1000003L, "A\u030Angstro\u0308m"),
+        (1000004L, "\u1100\u1161 jamo"),
+        (1000005L, "\uFB01delity")
+      )).toDF("doc_id", "text")
+      docs(s, d).select(col("doc_id"), col("text")).unionByName(inj)
+        .select(col("doc_id"), col("text"),
+          call_function("nfc_normalize", col("text")).as("norm_text"))
+        .select(col("doc_id"), col("norm_text"),
+          when(col("text") =!= col("norm_text"), 1).otherwise(0)
+            .as("changed"),
+          length(col("norm_text")).as("n_chars_norm"))
+    })
   )
 
   /** Corpus-generic linear scorer: any (idCol, textCol) frame, any
@@ -512,6 +540,24 @@ object TextAnalysis extends QueryPack {
                floor(z * 10000.0 + 0.5) / 10000.0 AS score,
                CASE WHEN z >= 0 THEN 1 ELSE 0 END AS keep
         FROM sc""",
+
+      // Identical codepoint sequences rebuilt via chr(); both engines
+      // run their own UAX #15 NFC implementation on them.
+      "text_normalize" -> """
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (1000001, 'cafe' || chr(769) || ' deco'),
+            (1000002, 'caf' || chr(233) || ' deco'),
+            (1000003, 'A' || chr(778) || 'ngstro' || chr(776) || 'm'),
+            (1000004, chr(4352) || chr(4449) || ' jamo'),
+            (1000005, chr(64257) || 'delity')) v(doc_id, text))
+        SELECT doc_id, nfc_normalize(text) AS norm_text,
+               CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0 END
+                 AS changed,
+               CAST(length(nfc_normalize(text)) AS INTEGER) AS n_chars_norm
+        FROM aug""",
 
       // k=8 char grams over normalized text, 32-bit md5-prefix hashes,
       // bottom-4 joined — identical gram/hash definitions to the Spark

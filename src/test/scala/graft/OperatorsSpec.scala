@@ -243,6 +243,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("nfc normalize: composes decomposed sequences, identity on ASCII") {
+    val rows = TextAnalysis.queries("text_normalize")(spark, sf0001)
+      .filter(col("doc_id") >= 1000000L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(rows.length == 5)
+    // decomposed e+acute composes to é: one char shorter, changed
+    assert(rows(0) == ((1000001L, "café deco", 1, 9)), s"${rows(0)}")
+    // precomposed input is already NFC: unchanged
+    assert(rows(1) == ((1000002L, "café deco", 0, 9)), s"${rows(1)}")
+    // ring + diaeresis compose; jamo pair composes to one syllable
+    assert(rows(2) == ((1000003L, "Ångström", 1, 8)), s"${rows(2)}")
+    assert(rows(3) == ((1000004L, "가 jamo", 1, 6)), s"${rows(3)}")
+    // NFC (unlike NFKC) preserves the fi ligature
+    assert(rows(4) == ((1000005L, "ﬁdelity", 0, 7)), s"${rows(4)}")
+    // the ASCII bulk of the corpus is untouched
+    val corpus = TextAnalysis.queries("text_normalize")(spark, sf0001)
+      .filter(col("doc_id") < 1000000L && col("changed") === 1).count()
+    assert(corpus == 0, s"$corpus ASCII docs reported changed")
+  }
+
   test("classifier score: mean-pooled margin, sign-consistent keep flag") {
     val rows = TextAnalysis.queries("text_classifier_score")(spark, sf0001)
       .collect()
