@@ -254,7 +254,34 @@ object Analytics extends QueryPack {
     "j14_conditional_join" -> ((s, d) =>
       QueryApi.rateSummary(s, d, QueryApi.RateFilter(
         state = "NATION_9", yearMonth = "1995-09",
-        billingClass = Some("professional"), minRate = Some(100.0))))
+        billingClass = Some("professional"), minRate = Some(100.0)))),
+
+    // Rolling-frame window features over the event stream — the
+    // feature-engineering shape (lag + sliding count/sum per entity)
+    // the W1/W2 keep-latest windows don't cover. Scale: ONE exchange
+    // on user_id and a bounded per-user sort; every frame is ROWS-
+    // bounded so WindowExec streams without buffering whole
+    // partitions. The sliding sum is computed over exact integer
+    // cents (floor(value·100 + 0.5) as BIGINT) because engines
+    // disagree on fp window-sum association (segment trees vs frame
+    // rescans) — integer arithmetic is order-free, so the oracle can
+    // hash-match. `ts` stays an ordering key only (with event_id as
+    // tiebreak), never an output, sidestepping the dual timestamp
+    // encodings of events.parquet.
+    "events_rolling_features" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(-3, -1)
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value"))
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).as("seq"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          count(lit(1)).over(frame).as("recent_cnt"),
+          coalesce(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .over(frame), lit(0L)).as("recent_sum_cents"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -399,6 +426,21 @@ object Analytics extends QueryPack {
         FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey) p
         ON rates.provider_reference_id = p.provider_group_id
       WHERE year_month = '1995-09' AND billing_class = 'professional'
-        AND negotiated_rate >= 100.0 AND state = 'NATION_9'"""
+        AND negotiated_rate >= 100.0 AND state = 'NATION_9'""",
+
+    // Same (ts, event_id) ordering; the sliding sum replays over the
+    // identical integer cents, so window-sum association can't drift.
+    "events_rolling_features" -> """
+      SELECT event_id, user_id,
+             CAST(row_number() OVER w AS INTEGER) AS seq,
+             lag(value, 1) OVER w AS prev_value,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS recent_cnt,
+             CAST(coalesce(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS recent_sum_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
   )
 }
