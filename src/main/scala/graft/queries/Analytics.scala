@@ -281,6 +281,24 @@ object Analytics extends QueryPack {
           count(lit(1)).over(frame).as("recent_cnt"),
           coalesce(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
             .over(frame), lit(0L)).as("recent_sum_cents"))
+    }),
+
+    // Gap-based sessionization, the BATCH twin of the streaming
+    // flatMapGroupsWithState path (StreamingSpec pins the two equal) —
+    // declared here so the window-function formulation is ALSO
+    // DuckDB-oracled. Timestamps render as strings (the
+    // f16_datetime_coerce convention) so engine timestamp-type
+    // plumbing can't fake a mismatch.
+    "events_sessionize" -> ((s, d) => {
+      val feed = graft.streaming.StreamingUpsert
+        .eventFeed(Tables.load(s, d, "events"))
+      graft.streaming.StreamOps.sessionizeBatch(feed, gapMs = 30L * 60 * 1000)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("n_events"))
     })
   )
 
@@ -441,6 +459,32 @@ object Analytics extends QueryPack {
                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                AS recent_sum_cents
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    // lag → gap test in microseconds → running-sum session ids →
+    // per-session min/max/count, exactly the sessionizeBatch chain.
+    "events_sessionize" -> """
+      WITH x AS (
+        SELECT user_id, ts AS event_time,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events),
+      y AS (
+        SELECT user_id, event_time,
+               CASE WHEN prev IS NULL
+                      OR epoch_us(event_time) - epoch_us(prev) > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM x),
+      z AS (
+        SELECT user_id, event_time,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY event_time
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM y)
+      SELECT user_id,
+             strftime(MIN(event_time), '%Y-%m-%d %H:%M:%S.%f')
+               AS session_start,
+             strftime(MAX(event_time), '%Y-%m-%d %H:%M:%S.%f')
+               AS session_end,
+             CAST(COUNT(*) AS INTEGER) AS n_events
+      FROM z GROUP BY user_id, sid"""
   )
 }
