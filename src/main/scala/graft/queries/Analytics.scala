@@ -283,6 +283,67 @@ object Analytics extends QueryPack {
             .over(frame), lit(0L)).as("recent_sum_cents"))
     }),
 
+    // Temporal interval join (the Flink-interval-join class, distinct
+    // from as-of and static range-band joins): per click, the
+    // purchases by the same user inside the following 30 minutes.
+    // Spark-first shape — NOT an inequality join (which Catalyst can
+    // only run as a nested loop): each click explodes into its two
+    // covering 30-minute time bins, the join is a pure (user, bin)
+    // EQUI-join that hashes and shuffles like any other, and the
+    // actual interval predicate refines the co-binned candidates.
+    // Work is bounded by co-bin density (events per user per window),
+    // never by per-user cross products; the 2× click duplication is
+    // the entire overhead.
+    "events_interval_join" -> ((s, d) => {
+      val gapUs = 30L * 60 * 1000000
+      val e = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("us").as("cus"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("pus"),
+          floor(col("us") / gapUs).cast("long").as("bin"))
+      val matched = clicks
+        .withColumn("b0", floor(col("cus") / gapUs).cast("long"))
+        .withColumn("bin", explode(array(col("b0"), col("b0") + 1)))
+        .join(purchases, Seq("user_id", "bin"))
+        .filter(col("pus") >= col("cus") && col("pus") < col("cus") + gapUs)
+        .groupBy("click_id")
+        .agg(count(lit(1)).as("n"), min(col("pus") - col("cus")).as("lag"))
+      clicks.join(matched, Seq("click_id"), "left")
+        .select(col("click_id"),
+          coalesce(col("n"), lit(0L)).as("n_purchases_30m"),
+          col("lag").as("min_lag_us"))
+    }),
+
+    // SCD2 historization: compress an event log into a type-2 slowly-
+    // changing dimension — per entity, one row per STATE CHANGE with
+    // [valid_from, valid_to) and a current flag. Extends the dim
+    // toolkit past W1's keep-latest (SCD1): lag to detect changes,
+    // lead over the surviving change rows to close each interval.
+    // Both windows share the (user_id) partitioning, so the log
+    // shuffles once; the lead pass re-sorts only the (rare) change
+    // rows. Timestamps render as strings per the house convention.
+    "scd2_user_history" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      changes
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          date_format(col("ts").cast("timestamp"), fmt).as("valid_from"),
+          date_format(col("valid_to_ts").cast("timestamp"), fmt)
+            .as("valid_to"),
+          when(col("valid_to_ts").isNull, 1).otherwise(0).as("is_current"))
+    }),
+
     // Gap-based sessionization, the BATCH twin of the streaming
     // flatMapGroupsWithState path (StreamingSpec pins the two equal) —
     // declared here so the window-function formulation is ALSO
@@ -460,6 +521,48 @@ object Analytics extends QueryPack {
                AS recent_sum_cents
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    // The oracle states the interval join DIRECTLY as an inequality
+    // left join (DuckDB's IEJoin handles it at oracle scale) — proving
+    // the bin-explode + equi-join + refine plan computes exactly the
+    // declarative temporal semantics.
+    "events_interval_join" -> """
+      WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      c AS (SELECT event_id AS click_id, user_id, us AS cus
+            FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, us AS pus
+            FROM e WHERE event_type = 'purchase')
+      SELECT c.click_id,
+             COUNT(p.pus) AS n_purchases_30m,
+             MIN(p.pus - c.cus) AS min_lag_us
+      FROM c LEFT JOIN p
+        ON p.user_id = c.user_id
+       AND p.pus >= c.cus AND p.pus < c.cus + 1800000000
+      GROUP BY 1""",
+
+    // Same change-detection lag, same lead-close over the change rows,
+    // same (ts, event_id) ordering and string rendering.
+    "scd2_user_history" -> """
+      WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+        FROM events),
+      ch AS (
+        SELECT user_id, event_type, ts, event_id FROM o
+        WHERE prev IS NULL OR event_type <> prev),
+      h AS (
+        SELECT user_id, event_type, ts,
+               lead(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS valid_to_ts
+        FROM ch)
+      SELECT user_id, event_type AS state,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM h""",
 
     // lag → gap test in microseconds → running-sum session ids →
     // per-session min/max/count, exactly the sessionizeBatch chain.
