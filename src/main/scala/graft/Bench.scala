@@ -228,7 +228,12 @@ object Bench {
         // per-query loop guards against.
         spark.catalog.clearCache()
         System.gc()
-        Seq("s15_agg_market_rates", "a7_market_profile").flatMap { q =>
+        // exact-percentile family (the one sf-dependent memory class)
+        // plus the two heaviest text-dedup shapes: the gram-stream
+        // window (span removal) and the banded LSH join — the
+        // operators whose 100 TB story most needs a measured envelope.
+        Seq("s15_agg_market_rates", "a7_market_profile",
+          "dedup_span_removal", "dedup_minhash_lsh").flatMap { q =>
           SparkEntry.queries.get(q).flatMap { fn =>
             try {
               def timeOn(dir: String): Double = {

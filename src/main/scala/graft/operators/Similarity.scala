@@ -312,6 +312,33 @@ object Similarity extends QueryPack {
   /** The centroid sidecar of a materialized index. */
   def centroidsPathOf(indexPath: String): String = s"${indexPath}_centroids"
 
+  /** Incrementally add vectors to a materialized IVF index — the
+    * maintenance half of build-once/probe-many: a growing corpus must
+    * not rebuild the index per ingest batch. The delta is assigned
+    * under the index's OWN sidecar centroids (recomputing them from
+    * the grown corpus would shift every existing bucket's meaning and
+    * silently invalidate the rows already on disk) and appended into
+    * its bucket dirs; probes see old and new vectors through the same
+    * partition-pruned listing. Centroids drift from the data
+    * distribution as the corpus grows — that degrades RECALL, never
+    * correctness (assignment stays consistent with the sidecar), and
+    * the recall curve spec characterizes the knob that compensates
+    * (nprobe). Rebuild with [[writeIvfIndex]] when drift warrants new
+    * centroids. */
+  def appendIvfIndex(spark: SparkSession, indexPath: String,
+                     delta: DataFrame, idCol: String,
+                     vecCol: String): Unit = {
+    val centsPath = centroidsPathOf(indexPath)
+    require(graft.FsUtils.committedExists(spark, centsPath),
+      s"no centroid sidecar at $centsPath — appending under recomputed " +
+        "centroids would skew bucket assignment against the index")
+    assignBuckets(
+      delta.select(col(idCol).as("cid"), col(vecCol).as("ce")),
+      "cid", "ce", spark.read.parquet(centsPath))
+      .write.mode("append").partitionBy("bucket")
+      .option("compression", "zstd").parquet(indexPath)
+  }
+
   /** Probe a materialized IVF index. The probed bucket ids are resolved
     * driver-side from the (by-definition tiny) query set and pushed as
     * IN-literals, so the scan's PartitionFilters prune unprobed buckets

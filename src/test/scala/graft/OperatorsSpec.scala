@@ -503,6 +503,37 @@ class OperatorsSpec extends SparkSpec {
     assert(probed.collect().map(_.toSeq).toSet == inline)
   }
 
+  test("ivf append: delta under sidecar centroids, probe equals one-shot") {
+    val work = java.nio.file.Files.createTempDirectory("graft_ivfapp")
+      .toString
+    val idxA = s"$work/idxA"
+    val idxB = s"$work/idxB"
+    Similarity.writeIvfIndex(spark, sf0001, idxA) // one shot, centroids C
+    // idxB: the SAME centroids, corpus arriving in two waves
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = spark.read.parquet(Similarity.centroidsPathOf(idxA))
+    Similarity.assignBuckets(
+        e.filter(col("vec_id") < 400)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        "cid", "ce", cents)
+      .write.mode("overwrite").partitionBy("bucket").parquet(idxB)
+    cents.write.mode("overwrite")
+      .parquet(Similarity.centroidsPathOf(idxB))
+    Similarity.appendIvfIndex(spark, idxB,
+      e.filter(col("vec_id") >= 400), "vec_id", "embedding")
+
+    def membership(p: String) = spark.read.parquet(p)
+      .select(col("cid"), col("bucket").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(membership(idxB) == membership(idxA),
+      "append drifted bucket membership vs the one-shot build")
+    def probe(p: String) = Similarity.probeIvfIndex(spark, sf0001, p)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(probe(idxB) == probe(idxA),
+      "probe results differ between appended and one-shot index")
+  }
+
   test("ivfpq materialized index: probe prunes partitions, matches inline") {
     val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
     Similarity.writeIvfPqIndex(spark, sf0001, s"$idx/pq")
