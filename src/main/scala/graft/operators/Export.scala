@@ -128,7 +128,16 @@ object Export extends QueryPack {
     * [[graft.streaming.DedupStream]] discipline: the sink is
     * hive-partitioned by (shard, ingest_batch) and written with
     * dynamic partition overwrite, so a replayed batch overwrites its
-    * own `ingest_batch=B` leaves and nothing else. */
+    * own `ingest_batch=B` leaves and nothing else.
+    *
+    * Small-file growth (one dir per shard per batch) needs no bespoke
+    * compactor: because membership and order are pure functions of
+    * (seed, id), a periodic [[exportShards]] over the corpus snapshot
+    * IS the compaction — it produces the byte-identical consolidated
+    * layout a from-scratch export would, one file per shard, and the
+    * stream resumes appending on top. Determinism is what makes that
+    * rebuild semantics-preserving; a nondeterministic shuffle would
+    * have to keep the fragmented history forever. */
   def processBatchExport(batch: DataFrame, batchId: Long, idCol: String,
                          outPath: String, nShards: Int = NShards,
                          seed: String = Seed): Unit =

@@ -132,6 +132,62 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join — the last Structured Streaming join
+    * class the library was missing: clicks and purchases arrive as
+    * (branches of) a stream, and each click pairs with the same
+    * user's purchases inside the following `gapMs`. Both sides are
+    * watermarked and the join condition carries BOTH event-time
+    * bounds, which is exactly what lets Spark bound the state store:
+    * a click's state is held only until the watermark passes
+    * click_time + gap, a purchase's until it can no longer precede a
+    * live click. Inner-join results emit as matches arrive (the
+    * watermark only gates state eviction), so no sentinel flush is
+    * needed. [[intervalJoinBatch]] is the static twin the spec pins
+    * equal; the declared `events_interval_join` query is the same
+    * semantics in bin-explode form with its own DuckDB oracle. */
+  def intervalJoinStream(feed: DataFrame, gapMs: Long,
+                         lateness: String): DataFrame = {
+    val clicks = feed.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", lateness)
+    val purchases = feed.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", lateness)
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_time") >= col("click_time") &&
+          col("purchase_time") <
+            col("click_time") + expr(s"INTERVAL $gapMs MILLISECONDS"),
+        "inner")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_time")) - unix_micros(col("click_time")))
+          .as("lag_us"))
+  }
+
+  /** Static twin of [[intervalJoinStream]] — identical plan minus the
+    * watermarks. */
+  def intervalJoinBatch(feed: DataFrame, gapMs: Long): DataFrame = {
+    val clicks = feed.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+    val purchases = feed.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_time") >= col("click_time") &&
+          col("purchase_time") <
+            col("click_time") + expr(s"INTERVAL $gapMs MILLISECONDS"),
+        "inner")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_time")) - unix_micros(col("click_time")))
+          .as("lag_us"))
+  }
+
   /** Batch twin via window functions: a new session starts where the
     * gap to the previous event exceeds gapMs; session id = running sum
     * of starts. */

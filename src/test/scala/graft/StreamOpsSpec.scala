@@ -93,6 +93,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join == static twin") {
+    val work = Files.createTempDirectory("graft_ssij").toString
+    val inDir = timeOrderedInput(work)
+    val gapMs = 24L * 3600 * 1000 // 24h window → a meaningful pair set
+    val outPath = s"$work/out"
+    val q = StreamOps.intervalJoinStream(
+      StreamingUpsert.readEventStream(spark, inDir), gapMs, "1 minute")
+      .writeStream.option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").format("parquet")
+      .option("path", outPath).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outPath)
+      .collect().map(_.toSeq).toSet
+    val batch = StreamOps.intervalJoinBatch(
+      StreamingUpsert.eventFeed(spark.read.parquet(inDir)), gapMs)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+    assert(streamed.nonEmpty, "no pairs — widen the gap or fix the feed")
+  }
+
   test("stateful sessionization == batch gap-session twin") {
     val work = Files.createTempDirectory("graft_sess").toString
     val inDir = timeOrderedInput(work)
