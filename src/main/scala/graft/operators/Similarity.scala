@@ -105,6 +105,34 @@ object Similarity extends QueryPack {
       ivfTopK(e, cents, nprobe = 2, topK = 5)
     }),
 
+    // Embedding outlier detection — the anomaly-surfacing pass of
+    // embedding-space curation (mislabeled, corrupt, or off-domain
+    // vectors sit far from every cluster): each vector's cosine to its
+    // NEAREST centroid, globally bottom-K ranked. Assignment is the
+    // same broadcast-centroids + map-side max(struct) partial-agg
+    // shape as semantic dedup (one slim row per vector reaches the
+    // exchange); bottom-K is a TakeOrdered, so the full corpus never
+    // globally sorts. Centroids persist to a query-private sidecar
+    // for the oracle (the IVF pattern).
+    "embedding_outliers" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroids(e)
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(oracleOutlierCentroidSidecar)
+      val w = Window.orderBy(col("csim").asc, col("vec_id"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"),
+          cosine(col("embedding"), col("cent")).as("cs"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cs"), (-col("centroid_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("centroid_id"),
+          col("m.cs").as("csim"))
+        .orderBy(col("csim").asc, col("vec_id")).limit(OutlierK)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("vec_id"), col("centroid_id"),
+          pround(col("csim"), 4).as("cosine"))
+    }),
+
     // Product-quantization approximate top-k — the memory-bound 100 TB
     // path: each vector is stored as M=8 one-byte codes instead of 64
     // fp32 dims (a 32x cut, the difference between an in-RAM and an
@@ -703,6 +731,14 @@ object Similarity extends QueryPack {
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_ivf_oracle_centroids").getAbsolutePath
 
+  /** Bottom-K size and query-private sidecar for `embedding_outliers`
+    * (no declared query's oracle may depend on another query's
+    * overwrite schedule). */
+  val OutlierK = 25
+  val oracleOutlierCentroidSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_outlier_oracle_centroids").getAbsolutePath
+
   /** Shared SQL: per-(pair) double-precision dot products via UNNEST. */
   private def dotSql(qTbl: String, cTbl: String, joinCond: String): String = s"""
     SELECT qid, cid,
@@ -906,6 +942,39 @@ object Similarity extends QueryPack {
     // cosine ranking inside the probed buckets. All dot products are
     // fp64 over fp32 inputs in index order, the combination already
     // proven bit-compatible by the sim_ann_topk / dedup SRP oracles.
+    // fp64 nearest-centroid assignment under the query-private
+    // sidecar, then the global bottom-K by (cosine asc, vec_id) —
+    // ordering on the UNROUNDED fp64 value on both engines.
+    "embedding_outliers" -> s"""WITH
+      cents AS (SELECT centroid_id, cent
+                FROM read_parquet('$oracleOutlierCentroidSidecar/*.parquet')),
+      c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+      adots AS (
+        SELECT vec_id, centroid_id,
+               SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(ce[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM c, cents, range(1, 65) r(i)
+        GROUP BY vec_id, centroid_id),
+      best AS (
+        SELECT vec_id, centroid_id, cs FROM (
+          SELECT vec_id, centroid_id,
+                 dp / (sqrt(na) * sqrt(nb)) AS cs,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
+                   AS rn
+          FROM adots) WHERE rn = 1),
+      bot AS (
+        SELECT vec_id, centroid_id, cs,
+               row_number() OVER (ORDER BY cs ASC, vec_id) AS rank
+        FROM best)
+      SELECT CAST(rank AS INTEGER) AS rank, vec_id, centroid_id,
+             floor(cs * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM bot WHERE rank <= $OutlierK""",
+
     "sim_ivf_topk" -> s"""WITH
       cents AS (SELECT centroid_id, cent
                 FROM read_parquet('$oracleCentroidSidecar/*.parquet')),
