@@ -38,6 +38,11 @@ object Curation extends QueryPack {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** Negative-sampling bucket count for `contrastive_pairs`: sized so
+    * E[bucket] ≈ 2 over the ~520-doc fixture; at corpus scale B grows
+    * with N (B ≈ N/2) and the shape is unchanged. */
+  private val NegBuckets = 256L
+
   /** Oracle-fixture augmentation (test/fixture layer, used only by the
     * `queries` below — NOT by the generic operators): exact copies of
     * doc_id 0-9 and suffixed near-copies of 10-19, at doc_id+100000,
@@ -359,6 +364,38 @@ object Curation extends QueryPack {
       snapshotDiff(cur, next, "doc_id", "text")
     }),
 
+    // Contrastive pair mining — the training-set constructor for
+    // embedding/retrieval models: positive pairs from duplicate
+    // content, negative pairs sampled deterministically. Positives =
+    // same content hash (the exact-dup clusters; cluster size bounds
+    // the pair fan-out exactly as in dedup_exact). Negatives avoid the
+    // global-sort trap (a corpus-wide row_number would funnel 100 TB
+    // through one partition): every doc hashes into one of B seeded
+    // buckets (E[size] ≈ 2), and each bucket emits its (min, max) id
+    // pair when the contents differ — one groupBy, fully map-side
+    // combinable, deterministic from (seed, id) alone.
+    "contrastive_pairs" -> ((s, d) => {
+      val h = augmented(s, d)
+        .select(col("doc_id"), md5(col("text")).as("hh"))
+      val pos = h.select(col("doc_id").as("doc_a"), col("hh"))
+        .join(h.select(col("doc_id").as("doc_b"), col("hh")), "hh")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(1).as("label"))
+      val neg = h
+        .withColumn("bk",
+          conv(substring(md5(concat(lit("neg:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+            % NegBuckets)
+        .groupBy("bk")
+        .agg(min(col("doc_id")).as("doc_a"), max(col("doc_id")).as("doc_b"),
+          min_by(col("hh"), col("doc_id")).as("ha"),
+          max_by(col("hh"), col("doc_id")).as("hb"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 2 && col("ha") =!= col("hb"))
+        .select(col("doc_a"), col("doc_b"), lit(0).as("label"))
+      pos.unionByName(neg)
+    }),
+
     // Corpus datacard: the release-notes table every dataset ships
     // with — volumes by source, by language, by (source, language),
     // and the global line — in ONE pass. Spark-first shape: `cube`
@@ -578,6 +615,29 @@ object Curation extends QueryPack {
                     WHEN o.h_old = n.h_new THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM oldv o FULL OUTER JOIN newv n ON n.doc_id = o.doc_id""",
+
+      // Positives via the content-hash self-join, negatives via the
+      // same seeded bucket (min, max, min_by/max_by content check).
+      "contrastive_pairs" -> s"""WITH aug AS ($augmentedSql),
+        h AS (SELECT doc_id, md5(text) AS hh FROM aug),
+        pos AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS label
+          FROM h a JOIN h b ON b.hh = a.hh AND a.doc_id < b.doc_id),
+        nb AS (
+          SELECT doc_id, hh,
+                 CAST(('0x' || substr(md5('neg:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % $NegBuckets AS bk
+          FROM h),
+        neg AS (
+          SELECT MIN(doc_id) AS doc_a, MAX(doc_id) AS doc_b,
+                 min_by(hh, doc_id) AS ha, max_by(hh, doc_id) AS hb,
+                 COUNT(*) AS n
+          FROM nb GROUP BY bk)
+        SELECT doc_a, doc_b, label FROM pos
+        UNION ALL
+        SELECT doc_a, doc_b, 0 AS label FROM neg
+        WHERE n >= 2 AND ha <> hb""",
 
       // CUBE twin: same four grouping sets, GROUPING() bit order
       // matches Spark's grouping_id (leftmost = high bit), and the

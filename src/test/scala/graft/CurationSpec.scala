@@ -12,6 +12,36 @@ class CurationSpec extends SparkSpec {
 
   private def q(name: String) = Curation.queries(name)(spark, sf0001)
 
+  test("contrastive pairs: positives share content, negatives don't") {
+    val rows = q("contrastive_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0),
+      "need both classes in the mined set")
+    // content check against the same augmented fixture the query uses:
+    // base corpus + exact copies of 0-9, near-copies of 10-19
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def text(id: Long): String =
+      if (id < 100000) base(id)
+      else if (id < 100010) base(id - 100000)
+      else base(id - 100000) + " extra suffix tokens"
+    rows.foreach { case (a, b, label) =>
+      assert(a < b, s"pair ($a, $b) not canonically ordered")
+      if (label == 1) assert(text(a) == text(b), s"positive ($a,$b) differs")
+      else assert(text(a) != text(b), s"negative ($a,$b) identical")
+    }
+    // every injected exact copy yields its positive pair
+    (0L until 10L).foreach { id =>
+      assert(rows.contains((id, id + 100000, 1)),
+        s"missing positive ($id, ${id + 100000})")
+    }
+    // deterministic: the second run mines the identical set
+    val again = q("contrastive_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSet == again.toSet, "mining not deterministic")
+  }
+
   test("connectedComponents labels each node with its component minimum") {
     import spark.implicits._
     // two chains and an isolate: {1,2,3}, {5,6}, {4}
