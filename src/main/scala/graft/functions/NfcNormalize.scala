@@ -14,14 +14,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark has no built-in; this is the [[RollingFpKernel]] pattern — a
   * static per-row call shared by interpreted eval and codegen.
   *
-  * The `isNormalized` fast path matters at corpus scale: ASCII and
-  * already-composed text (the overwhelming majority) return the input
-  * UTF8String with zero allocation; only rows that actually need
-  * composing pay the String round-trip. */
+  * The fast path matters at corpus scale and is two-tiered: a pure
+  * byte scan returns ASCII rows (the overwhelming majority) with ZERO
+  * allocation — no String decode at all — and only non-ASCII rows pay
+  * the String round-trip, where `isNormalized` still avoids the
+  * normalize allocation for already-composed text. */
 object NfcKernel {
   private val Form = java.text.Normalizer.Form.NFC
 
   def nfc(s: UTF8String): UTF8String = {
+    // ASCII is closed under NFC: every byte < 0x80 → already normal
+    val n = s.numBytes()
+    var i = 0
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, Form)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, Form))

@@ -166,21 +166,13 @@ object Decontaminate extends QueryPack {
   def flagSemanticContaminated(corpus: DataFrame, idCol: String,
                                vecCol: String, benchmark: DataFrame,
                                benchIdCol: String, benchVecCol: String,
-                               tau: Double): DataFrame = {
-    graft.functions.CosineSimF32.register(corpus.sparkSession)
-    val b = broadcast(benchmark.select(col(benchIdCol).as("bid"),
-      col(benchVecCol).as("bemb")))
-    corpus.select(col(idCol), col(vecCol).as("cemb"))
-      .crossJoin(b)
-      .select(col(idCol), col("bid"),
-        call_function("cosine_f32", col("cemb"), col("bemb")).as("cs"))
-      .groupBy(idCol)
-      .agg(max(struct(col("cs"), (-col("bid")).as("nb"))).as("m"))
+                               tau: Double): DataFrame =
+    Similarity.nearestByCosine(corpus, idCol, vecCol,
+        benchmark, benchIdCol, benchVecCol)
       .select(col(idCol),
-        pround(col("m.cs"), 4).as("max_cosine"),
-        (-col("m.nb")).as("nearest_eval_id"),
-        when(col("m.cs") >= tau, 1).otherwise(0).as("contaminated"))
-  }
+        pround(col("cosine"), 4).as("max_cosine"),
+        col("nearest_id").as("nearest_eval_id"),
+        when(col("cosine") >= tau, 1).otherwise(0).as("contaminated"))
 
   /** Fixture threshold for the declared semantic query: high enough
     * that random synthetic vectors (≈ orthogonal) never trip it, low

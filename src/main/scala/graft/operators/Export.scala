@@ -75,8 +75,12 @@ object Export extends QueryPack {
     * and either way untouched shard FILES stay byte-identical for
     * downstream caching/resume). Returns the rewritten shard ids.
     *
-    * Shape: [[Curation.snapshotDiff]] reduces both snapshots to
-    * (id, digest) scan-side; the changed ids map to shards scan-locally
+    * Shape: the snapshot-diff primitive ([[Curation.snapshotDiff]]'s
+    * full-outer-join-of-digests), but the digest covers EVERY column
+    * the export writes — a text-only hash would miss a changed
+    * metadata column and leave its shard file stale, silently breaking
+    * incremental ≡ full. Both snapshots reduce to (id, digest)
+    * scan-side; the changed ids map to shards scan-locally
     * and only that bounded id set reaches the driver (≤ nShards
     * values). The rewrite keeps only rows hashing into touched shards
     * and dynamic-partition-overwrites exactly those dirs: one full
@@ -86,11 +90,18 @@ object Export extends QueryPack {
     * write), so its stale dir is deleted explicitly — driver-side,
     * bounded by nShards. */
   def exportShardsIncremental(prev: DataFrame, cur: DataFrame,
-                              idCol: String, textCol: String,
-                              outPath: String, nShards: Int = NShards,
+                              idCol: String, outPath: String,
+                              nShards: Int = NShards,
                               seed: String = Seed): Seq[Long] = {
-    val changed = Curation.snapshotDiff(prev, cur, idCol, textCol)
-      .filter(col("status") =!= "unchanged")
+    def digest(df: DataFrame, as: String) = {
+      val others = df.columns.filterNot(_ == idCol).sorted.map(col)
+      df.select(col(idCol), xxhash64(struct(others: _*)).as(as))
+    }
+    // null-safe inequality: added (old null), removed (new null), and
+    // changed rows all satisfy NOT(old <=> new)
+    val changed = digest(prev, "__dg_old")
+      .join(digest(cur, "__dg_new"), Seq(idCol), "full_outer")
+      .filter(!(col("__dg_old") <=> col("__dg_new")))
     val touched = assignShards(changed.select(col(idCol)), idCol,
         nShards, seed)
       .select("shard").distinct().collect().map(_.getLong(0)).toSeq.sorted

@@ -45,6 +45,31 @@ object Similarity extends QueryPack {
   private def cosine(a: Column, b: Column): Column =
     call_function("cosine_f32", a, b)
 
+  /** Nearest candidate by cosine for every vector: (id, nearest_id,
+    * cosine), with the `(cs, -candidate_id)` struct-max tie-break
+    * (ties → the SMALLEST candidate id) that every oracle in this
+    * family replays as `ORDER BY cs DESC, id`. The ONE definition of
+    * the broadcast-candidates + map-side argmax shape — semantic
+    * decontamination, embedding outliers, and (with its extra payload
+    * columns) [[assignBuckets]] all depend on this exact tie-break,
+    * and a site-local reimplementation flipping it would silently
+    * break a hash oracle. Candidates must be bounded (they are
+    * broadcast); only one slim row per vector reaches the exchange. */
+  def nearestByCosine(vecs: DataFrame, idCol: String, vecCol: String,
+                      cands: DataFrame, candIdCol: String,
+                      candVecCol: String): DataFrame = {
+    graft.functions.CosineSimF32.register(vecs.sparkSession)
+    vecs.select(col(idCol), col(vecCol).as("__vec"))
+      .crossJoin(broadcast(cands.select(col(candIdCol).as("__cand_id"),
+        col(candVecCol).as("__cand_vec"))))
+      .select(col(idCol), col("__cand_id"),
+        cosine(col("__vec"), col("__cand_vec")).as("cs"))
+      .groupBy(idCol)
+      .agg(max(struct(col("cs"), (-col("__cand_id")).as("nid"))).as("m"))
+      .select(col(idCol), (-col("m.nid")).as("nearest_id"),
+        col("m.cs").as("cosine"))
+  }
+
   def queries: Map[String, QFn] = Map(
     // Fixed query/candidate pairing — ranking-free oracle check of the
     // cosine kernel itself
@@ -120,13 +145,10 @@ object Similarity extends QueryPack {
       cents.coalesce(1).write.mode("overwrite")
         .parquet(oracleOutlierCentroidSidecar)
       val w = Window.orderBy(col("csim").asc, col("vec_id"))
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("centroid_id"),
-          cosine(col("embedding"), col("cent")).as("cs"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("cs"), (-col("centroid_id")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("centroid_id"),
-          col("m.cs").as("csim"))
+      nearestByCosine(e, "vec_id", "embedding",
+          cents, "centroid_id", "cent")
+        .select(col("vec_id"), col("nearest_id").as("centroid_id"),
+          col("cosine").as("csim"))
         .orderBy(col("csim").asc, col("vec_id")).limit(OutlierK)
         .withColumn("rank", row_number().over(w))
         .select(col("rank"), col("vec_id"), col("centroid_id"),

@@ -296,9 +296,13 @@ object Analytics extends QueryPack {
     // the entire overhead.
     "events_interval_join" -> ((s, d) => {
       val gapUs = 30L * 60 * 1000000
-      val e = Tables.load(s, d, "events")
+      // through eventFeed, NOT a raw ts cast: events.parquet ships in
+      // two encodings (int64 epoch-nanos and TIMESTAMP_MICROS), and
+      // only the feed's dispatch decodes both correctly
+      val e = graft.streaming.StreamingUpsert
+        .eventFeed(Tables.load(s, d, "events"))
         .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts").cast("timestamp")).as("us"))
+          unix_micros(col("event_time")).as("us"))
       val clicks = e.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("us").as("cus"))
@@ -328,19 +332,21 @@ object Analytics extends QueryPack {
     // rows. Timestamps render as strings per the house convention.
     "scd2_user_history" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val changes = Tables.load(s, d, "events")
-        .select(col("user_id"), col("event_type"), col("ts"),
+        .partitionBy("user_id").orderBy(col("event_time"), col("event_id"))
+      // eventFeed for the dual-encoding dispatch (see the interval
+      // join above); event_time is already a proper timestamp here
+      val changes = graft.streaming.StreamingUpsert
+        .eventFeed(Tables.load(s, d, "events"))
+        .select(col("user_id"), col("event_type"), col("event_time"),
           col("event_id"))
         .withColumn("prev", lag(col("event_type"), 1).over(w))
         .filter(col("prev").isNull || col("event_type") =!= col("prev"))
       val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
       changes
-        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+        .withColumn("valid_to_ts", lead(col("event_time"), 1).over(w))
         .select(col("user_id"), col("event_type").as("state"),
-          date_format(col("ts").cast("timestamp"), fmt).as("valid_from"),
-          date_format(col("valid_to_ts").cast("timestamp"), fmt)
-            .as("valid_to"),
+          date_format(col("event_time"), fmt).as("valid_from"),
+          date_format(col("valid_to_ts"), fmt).as("valid_to"),
           when(col("valid_to_ts").isNull, 1).otherwise(0).as("is_current"))
     }),
 

@@ -146,37 +146,29 @@ object StreamOps {
     * equal; the declared `events_interval_join` query is the same
     * semantics in bin-explode form with its own DuckDB oracle. */
   def intervalJoinStream(feed: DataFrame, gapMs: Long,
-                         lateness: String): DataFrame = {
-    val clicks = feed.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("event_time").as("click_time"))
-      .withWatermark("click_time", lateness)
-    val purchases = feed.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"),
-        col("event_id").as("purchase_id"),
-        col("event_time").as("purchase_time"))
-      .withWatermark("purchase_time", lateness)
-    clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("purchase_time") >= col("click_time") &&
-          col("purchase_time") <
-            col("click_time") + expr(s"INTERVAL $gapMs MILLISECONDS"),
-        "inner")
-      .select(col("click_id"), col("purchase_id"), col("user_id"),
-        (unix_micros(col("purchase_time")) - unix_micros(col("click_time")))
-          .as("lag_us"))
-  }
+                         lateness: String): DataFrame =
+    intervalJoin(feed, gapMs, Some(lateness))
 
   /** Static twin of [[intervalJoinStream]] — identical plan minus the
     * watermarks. */
-  def intervalJoinBatch(feed: DataFrame, gapMs: Long): DataFrame = {
-    val clicks = feed.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("event_time").as("click_time"))
-    val purchases = feed.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"),
-        col("event_id").as("purchase_id"),
-        col("event_time").as("purchase_time"))
+  def intervalJoinBatch(feed: DataFrame, gapMs: Long): DataFrame =
+    intervalJoin(feed, gapMs, None)
+
+  /** One definition for both twins, so the interval semantics cannot
+    * drift between them: the lateness option is the ONLY difference. */
+  private def intervalJoin(feed: DataFrame, gapMs: Long,
+                           lateness: Option[String]): DataFrame = {
+    def marked(df: DataFrame, tsCol: String) =
+      lateness.fold(df)(df.withWatermark(tsCol, _))
+    val clicks = marked(
+      feed.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("event_time").as("click_time")), "click_time")
+    val purchases = marked(
+      feed.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          col("event_time").as("purchase_time")), "purchase_time")
     clicks.join(purchases,
         col("user_id") === col("p_user") &&
           col("purchase_time") >= col("click_time") &&

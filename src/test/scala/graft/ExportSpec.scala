@@ -62,7 +62,7 @@ class ExportSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_export_inc")
       .toString + "/shards"
     val prev = spark.read.parquet(s"$sf0001/documents.parquet")
-      .select("doc_id", "text")
+      .select("doc_id", "text", "n_chars")
     Export.exportShards(prev, "doc_id", out)
     val before = (0L until Export.NShards).map { s =>
       s -> new java.io.File(s"$out/shard=$s").listFiles()
@@ -70,17 +70,28 @@ class ExportSpec extends SparkSpec {
         .map(f => (f.getName, f.lastModified, f.length)).toSeq.sorted
     }.toMap
 
-    // delta: change one doc, add one, remove one
+    // delta: change one doc's text, one doc's METADATA ONLY (the
+    // digest must cover every exported column, not just text), add
+    // one, remove one
     val cur = prev
       .filter($"doc_id" =!= 7L)
       .withColumn("text",
         when($"doc_id" === 3L, concat($"text", lit(" rev2")))
           .otherwise($"text"))
-      .unionByName(Seq((900001L, "a brand new document")).toDF("doc_id", "text"))
+      .withColumn("n_chars",
+        when($"doc_id" === 11L, $"n_chars" + 1).otherwise($"n_chars"))
+      .unionByName(Seq((900001L, "a brand new document", 20L))
+        .toDF("doc_id", "text", "n_chars"))
     val touched =
-      Export.exportShardsIncremental(prev, cur, "doc_id", "text", out)
-    assert(touched.nonEmpty && touched.size <= 3,
-      s"3 changed ids must touch at most 3 shards, got $touched")
+      Export.exportShardsIncremental(prev, cur, "doc_id", out)
+    assert(touched.nonEmpty && touched.size <= 4,
+      s"4 changed ids must touch at most 4 shards, got $touched")
+    val shardOf11 = Export
+      .assignShards(cur.filter($"doc_id" === 11L), "doc_id",
+        Export.NShards, Export.Seed)
+      .select("shard").collect().head.getLong(0)
+    assert(touched.contains(shardOf11),
+      "metadata-only change missed — digest not covering all columns")
 
     // untouched shard files are byte-untouched (same name/mtime/size)
     (0L until Export.NShards).filterNot(touched.contains).foreach { s =>
@@ -118,7 +129,7 @@ class ExportSpec extends SparkSpec {
     assert(shard0.nonEmpty, "fixture needs a populated shard 0")
     val cur = prev.filter(!$"doc_id".isin(shard0.toSeq: _*))
     val touched =
-      Export.exportShardsIncremental(prev, cur, "doc_id", "text", out, n)
+      Export.exportShardsIncremental(prev, cur, "doc_id", out, n)
     assert(touched.contains(0L))
     assert(!new java.io.File(s"$out/shard=0").exists(),
       "emptied shard dir not cleared — stale rows would survive")
