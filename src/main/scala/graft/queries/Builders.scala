@@ -223,7 +223,42 @@ object Builders extends QueryPack {
     // §3.1: the full legacy wide-table pipeline end to end
     "wide_table_build" -> ((s, d) =>
       WideTableBuilder.build(s, d,
-        Seq("17", "42", "100", "417", "998", "1500", "2000"), "NATION_9"))
+        Seq("17", "42", "100", "417", "998", "1500", "2000"), "NATION_9")),
+
+    // Data-quality gate — the expectations report a production ETL
+    // runs before publishing a build: one row per rule with its
+    // violation count (0 is a result, not an absence). Three rules
+    // fold into ONE conditional-aggregate pass over the fact scan
+    // (null required key, duplicate grain via the null-safe uid
+    // digest, impossible rate); referential integrity is the one rule
+    // needing a second side — a broadcast LEFT ANTI against the
+    // provider dim, counted. Nothing wider than a scalar row ever
+    // shuffles.
+    "dq_violations_report" -> ((s, d) => {
+      val r = Roles.rates(s, d)
+      val p = Roles.providers(s, d)
+      val grain = NormExprs.uid(col("provider_reference_id"),
+        col("billing_code"), col("year_month"), col("negotiated_type"))
+      val base = r.agg(
+        sum(when(col("provider_reference_id").isNull, 1).otherwise(0))
+          .as("null_ref"),
+        (count(lit(1)) - countDistinct(grain)).as("dup_grain"),
+        sum(when(col("negotiated_rate") <= 0 ||
+          col("negotiated_rate") > 60000, 1).otherwise(0)).as("oor"))
+      val orphans = r.filter(col("provider_reference_id").isNotNull)
+        .join(broadcast(p),
+          r("provider_reference_id") === p("provider_group_id"),
+          "left_anti")
+        .agg(count(lit(1)).as("n"))
+      base.select(lit("null_provider_ref").as("rule"),
+          col("null_ref").cast("long").as("n_violations"))
+        .unionByName(orphans.select(lit("orphan_provider_ref").as("rule"),
+          col("n").as("n_violations")))
+        .unionByName(base.select(lit("dup_rate_grain").as("rule"),
+          col("dup_grain").cast("long").as("n_violations")))
+        .unionByName(base.select(lit("rate_out_of_range").as("rule"),
+          col("oor").cast("long").as("n_violations")))
+    })
   )
 
   def oracles: Map[String, String] = {
@@ -405,6 +440,36 @@ object Builders extends QueryPack {
         GROUP BY 1
         ORDER BY opt_count DESC, proc_set
         LIMIT 15""",
+
+      // Same null→'' uid digest for the grain (COUNT(DISTINCT tuple)
+      // would diverge: Spark's countDistinct drops rows with ANY null
+      // column, DuckDB's counts them); every count CAST to BIGINT.
+      "dq_violations_report" -> s"""$RP,
+        base AS (
+          SELECT
+            SUM(CASE WHEN provider_reference_id IS NULL THEN 1 ELSE 0 END)
+              AS null_ref,
+            COUNT(*) - COUNT(DISTINCT md5(
+              coalesce(CAST(provider_reference_id AS VARCHAR), '') || '|' ||
+              coalesce(CAST(billing_code AS VARCHAR), '') || '|' ||
+              coalesce(CAST(year_month AS VARCHAR), '') || '|' ||
+              coalesce(CAST(negotiated_type AS VARCHAR), ''))) AS dup_grain,
+            SUM(CASE WHEN negotiated_rate <= 0 OR negotiated_rate > 60000
+                     THEN 1 ELSE 0 END) AS oor
+          FROM rates),
+        orph AS (
+          SELECT COUNT(*) AS n
+          FROM rates r LEFT JOIN providers p
+            ON p.provider_group_id = r.provider_reference_id
+          WHERE r.provider_reference_id IS NOT NULL
+            AND p.provider_group_id IS NULL)
+        SELECT 'null_provider_ref' AS rule,
+               CAST(null_ref AS BIGINT) AS n_violations FROM base
+        UNION ALL SELECT 'orphan_provider_ref', CAST(n AS BIGINT) FROM orph
+        UNION ALL SELECT 'dup_rate_grain', CAST(dup_grain AS BIGINT)
+          FROM base
+        UNION ALL SELECT 'rate_out_of_range', CAST(oor AS BIGINT)
+          FROM base""",
 
       "wide_table_build" -> s"""$RP,
         base AS (
