@@ -292,6 +292,12 @@ object Bench {
   private val routedRefMs = 150.0
 
   private val referenceSec: Map[String, Double] = Map(
+    "graph_pagerank" -> 3.9, // (r7, cold 6-query suite) iterative: 3 checkpointed rounds
+    "link_fuzzy_match" -> 3.5, // (r7, cold 6-query suite)
+    "events_retention_cohorts" -> 2.8, // (r7, cold 6-query suite)
+    "graph_copurchase_edges" -> 2.1, // (r7, cold 6-query suite)
+    "link_blocking_stats" -> 1.8, // (r7, cold 6-query suite)
+    "split_group_aware" -> 1.5, // (r7, cold 6-query suite)
     "dedup_span_stats" -> 5.9, // cold-JVM 3-query-suite measurement
     "dedup_semantic" -> 4.1, // (r7) — conservative for the full suite
     "decontam_span_removal" -> 2.6, // (r7, cold 3-query suite)

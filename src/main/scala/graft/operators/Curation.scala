@@ -413,7 +413,31 @@ object Curation extends QueryPack {
           sum(col("n_chars")).cast("long").as("n_chars"),
           pround(sum(col("n_chars")).cast("double") / count(lit(1)), 2)
             .as("avg_chars"),
-          grouping_id().as("gid")))
+          grouping_id().as("gid"))),
+
+    // Group-aware (leakage-safe) train/val/test split: near-duplicate
+    // documents must land in the SAME split, or eval examples leak
+    // into training through their near-copies — the classic benchmark
+    // inflation bug. Split at CLUSTER granularity: components over
+    // the dedup edge list (here the injected-pair fixture; in
+    // production the pairs come from any dedup family upstream), then
+    // an md5-uniform on the component id buckets 80/10/10. Content-
+    // hash determinism means the split is stable across runs, engines
+    // and partition layouts — a versioned-dataset property, not a
+    // rand() draw. Scale: CC is the min-label loop (diameter-bounded
+    // rounds, see [[connectedComponents]]); the assignment itself is
+    // one scan-side projection, no extra shuffle.
+    "split_group_aware" -> ((s, d) => {
+      val aug = augmented(s, d)
+      val pairs = aug.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("src"), col("doc_id").as("dst"))
+      val comp = connectedComponents(
+        aug.select(col("doc_id").as("id")), pairs)
+      val u = hashUniform(col("comp"), "split")
+      comp.select(col("id").as("doc_id"), col("comp").as("component"),
+        when(u < 0.8, "train").when(u < 0.9, "val")
+          .otherwise("test").as("split"))
+    })
   )
 
   /** Dataset-versioning diff between two corpus snapshots: per id,
@@ -648,7 +672,34 @@ object Curation extends QueryPack {
                floor((CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) * 100.0
                  + 0.5) / 100.0 AS avg_chars,
                CAST(GROUPING(source, lang) AS BIGINT) AS gid
-        FROM documents GROUP BY CUBE (source, lang)"""
+        FROM documents GROUP BY CUBE (source, lang)""",
+
+      // Same reach-CTE component construction as the cluster oracle,
+      // but over the injected-pair edge list the Spark side is given;
+      // the md5-uniform replays hashUniform bit-for-bit (the integer
+      // division yields the identical double in both engines).
+      "split_group_aware" -> s"""WITH RECURSIVE aug AS ($augmentedSql),
+        pairs AS (
+          SELECT doc_id - 100000 AS src, doc_id AS dst
+          FROM aug WHERE doc_id >= 100000),
+        edges AS (
+          SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        reach(id, comp) AS (
+          SELECT doc_id, doc_id FROM aug
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        u AS (
+          SELECT id, component,
+            CAST(('0x' || substr(md5('split:' ||
+              CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296.0 AS uu
+          FROM lab)
+        SELECT id AS doc_id, component,
+               CASE WHEN uu < 0.8 THEN 'train'
+                    WHEN uu < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM u"""
     )
   }
 }

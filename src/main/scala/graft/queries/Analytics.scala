@@ -366,6 +366,31 @@ object Analytics extends QueryPack {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("session_end"),
           col("n_events"))
+    }),
+
+    // Retention cohort matrix: users bucketed by signup week, then
+    // distinct-active counts per (cohort, week offset) — the product
+    // analytics standard. Two shuffles total: the per-user signup-min
+    // and the cohort×offset count-distinct both key on user_id-sized
+    // grains with map-side partials; the active-week frame dedups
+    // BEFORE the join, so the join moves one row per (user, week),
+    // not per event.
+    "events_retention_cohorts" -> ((s, d) => {
+      val feed = graft.streaming.StreamingUpsert
+        .eventFeed(Tables.load(s, d, "events"))
+      // integer week index from the corpus epoch: cross-engine-stable
+      // (ISO week functions disagree across engines at year edges)
+      val wk = floor(datediff(to_date(col("event_time")),
+        lit("2024-01-01").cast("date")) / 7.0).cast("int")
+      val signup = feed.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(wk).as("cohort_week"))
+      val active = feed.select(col("user_id"), wk.as("active_week"))
+        .distinct()
+      signup.join(active, "user_id")
+        .filter(col("active_week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          (col("active_week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
     })
   )
 
@@ -594,6 +619,22 @@ object Analytics extends QueryPack {
              strftime(MAX(event_time), '%Y-%m-%d %H:%M:%S.%f')
                AS session_end,
              CAST(COUNT(*) AS INTEGER) AS n_events
-      FROM z GROUP BY user_id, sid"""
+      FROM z GROUP BY user_id, sid""",
+
+    "events_retention_cohorts" -> """
+      WITH wk AS (
+        SELECT user_id, event_type,
+               CAST(floor(date_diff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) / 7.0) AS INTEGER) AS w
+        FROM events),
+      signup AS (
+        SELECT user_id, min(w) AS cohort_week
+        FROM wk WHERE event_type = 'signup' GROUP BY 1),
+      active AS (SELECT DISTINCT user_id, w AS active_week FROM wk)
+      SELECT cohort_week, active_week - cohort_week AS week_offset,
+             count(DISTINCT user_id) AS n_users
+      FROM signup JOIN active USING (user_id)
+      WHERE active_week >= cohort_week
+      GROUP BY 1, 2"""
   )
 }

@@ -207,4 +207,30 @@ class CurationSpec extends SparkSpec {
     assert(byStatus("added") == ids.filter(_ < 20).map(_ + 100000))
     assert(byStatus.values.map(_.size).sum == n + 20)
   }
+
+  test("group-aware split: no component straddles splits, ratios sane") {
+    val rows = Curation.queries("split_group_aware")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // the leakage guard itself: one split per component
+    rows.groupBy(_._2).foreach { case (compId, members) =>
+      assert(members.map(_._3).distinct.size == 1,
+        s"component $compId split across ${members.map(_._3).distinct}")
+    }
+    // every injected near-dup lands with its source document
+    val bySplit = rows.map(t => t._1 -> t._3).toMap
+    (0L until 20L).foreach { id =>
+      assert(bySplit(id) == bySplit(id + 100000),
+        s"doc $id and its copy split apart: leakage")
+    }
+    // determinism: a second evaluation is identical
+    val again = Curation.queries("split_group_aware")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // hash-uniform 80/10/10 targets, loose at fixture size
+    val frac = rows.groupBy(_._3).view.mapValues(
+      _.size.toDouble / rows.length).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95, frac.toString)
+    assert(frac.getOrElse("val", 0.0) < 0.25, frac.toString)
+    assert(frac.getOrElse("test", 0.0) < 0.25, frac.toString)
+  }
 }

@@ -12,7 +12,8 @@ class EntryContractSpec extends SparkSpec {
       graft.operators.Dedup, graft.operators.Similarity,
       graft.operators.Multimodal, graft.operators.Curation,
       graft.operators.Decontaminate, graft.operators.Packing,
-      graft.operators.Pipeline, graft.operators.Export)
+      graft.operators.Pipeline, graft.operators.Export,
+      graft.operators.Linkage, graft.operators.Graph)
       .flatMap(_.queries.keys)
     val dups = names.groupBy(identity).collect {
       case (n, occ) if occ.size > 1 => n

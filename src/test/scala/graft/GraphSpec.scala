@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Graph-analytics invariants the DuckDB oracle can't express: rank
+  * mass conservation, degree-proportionality on regular graphs, and
+  * the co-occurrence edge bound. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank conserves probability mass (no dangling leakage)") {
+    val ranks = Graph.queries("graph_pagerank")(spark, sf0001)
+      .agg(sum("rank")).collect().head.getDouble(0)
+    // symmetrized edges => stochastic matrix => total mass stays 1;
+    // 6dp rounding over ~hundreds of nodes bounds the drift
+    assert(math.abs(ranks - 1.0) < 1e-3, s"mass $ranks")
+  }
+
+  test("pagerank on a regular graph is uniform; star center dominates") {
+    // 4-cycle (2-regular): every node must get exactly 1/4
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val cr = Graph.pagerank(cycle).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cr.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12, cr.toString))
+    // star: the hub out-ranks every leaf
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("src", "dst")
+    val sr = Graph.pagerank(star).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sr(0L) > sr(1L) * 2, sr.toString)
+    // leaves are symmetric => identical ranks
+    assert(Set(sr(1L), sr(2L), sr(3L), sr(4L)).size == 1)
+  }
+
+  test("pagerank iterations move ranks toward the stationary point") {
+    val star = (1L to 6L).map(l => (0L, l)).toDF("src", "dst")
+    val r1 = Graph.pagerank(star, iterations = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r8 = Graph.pagerank(star, iterations = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // closed-form stationary hub rank for the 6-leaf star (solve
+    // h = 0.15/7 + 0.85·6·l with l = 0.15/7 + 0.85·h/6):
+    val stat = (0.15 / 7.0) * (1.0 + 0.85 * 6.0) / (1.0 - 0.85 * 0.85)
+    assert(math.abs(r8(0L) - stat) < math.abs(r1(0L) - stat),
+      s"1-round ${r1(0L)}, 8-round ${r8(0L)}, stationary ~$stat")
+  }
+
+  test("copurchase edges: canonical order, symmetric support, floor 2") {
+    val rows = Graph.queries("graph_copurchase_edges")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (a, b, n) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(n >= 2, s"support $n under floor")
+    }
+    // spot-check one count against a direct recompute
+    rows.headOption.foreach { case (a, b, n) =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey").distinct()
+      val oa = li.filter(col("l_partkey") === a)
+        .select("l_orderkey").collect().map(_.getLong(0)).toSet
+      val ob = li.filter(col("l_partkey") === b)
+        .select("l_orderkey").collect().map(_.getLong(0)).toSet
+      assert((oa intersect ob).size.toLong == n)
+    }
+  }
+}
