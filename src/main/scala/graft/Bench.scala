@@ -298,6 +298,7 @@ object Bench {
     "graph_copurchase_edges" -> 2.1, // (r7, cold 6-query suite)
     "link_blocking_stats" -> 1.8, // (r7, cold 6-query suite)
     "split_group_aware" -> 1.5, // (r7, cold 6-query suite)
+    "sample_importance_dsir" -> 1.5, // (r7, cold 1-query suite)
     "dedup_span_stats" -> 5.9, // cold-JVM 3-query-suite measurement
     "dedup_semantic" -> 4.1, // (r7) — conservative for the full suite
     "decontam_span_removal" -> 2.6, // (r7, cold 3-query suite)

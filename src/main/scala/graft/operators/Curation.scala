@@ -43,6 +43,14 @@ object Curation extends QueryPack {
     * with N (B ≈ N/2) and the shape is unchanged. */
   private val NegBuckets = 256L
 
+  /** Hashed-feature bucket count for `sample_importance_dsir`. 64 keeps
+    * the per-doc fold bounded (a doc touches ≤ 64 distinct buckets, so
+    * the clamped product stays inside double range without logs);
+    * production DSIR uses 10k+ buckets WITH log-domain weights — at
+    * that point both engines share libm on one host, but the 64-bucket
+    * product form keeps the cross-engine contract libm-free. */
+  private val DsirBuckets = 64L
+
   /** Oracle-fixture augmentation (test/fixture layer, used only by the
     * `queries` below — NOT by the generic operators): exact copies of
     * doc_id 0-9 and suffixed near-copies of 10-19, at doc_id+100000,
@@ -427,6 +435,69 @@ object Curation extends QueryPack {
     // rand() draw. Scale: CC is the min-label loop (diameter-bounded
     // rounds, see [[connectedComponents]]); the assignment itself is
     // one scan-side projection, no extra shuffle.
+    // Importance resampling toward a target distribution (the DSIR
+    // recipe — Xie et al. 2023, "Data Selection via Importance
+    // Resampling": hashed n-gram features, importance weight =
+    // target/raw likelihood ratio, then a weighted coin per doc).
+    // Features are md5-hashed unigram buckets (B=64,
+    // presence-Bernoulli with Laplace smoothing). The weight is a
+    // PRODUCT of per-bucket ratios clamped to [0.25, 4] (the variance
+    // clip), folded in ascending-bucket order — a fixed fold the
+    // oracle replays exactly, so no libm log/exp enters the contract.
+    // FIXTURE: the synthetic corpus draws every doc's tokens from ONE
+    // shared vocabulary (no lang/source signal to select on), so the
+    // oracle-facing wrapper injects the signal — marker tokens on the
+    // doc_id%3 family, with the %21 subfamily declared the target.
+    // DSIR must then pull the marked NON-target docs into the kept
+    // set: exactly the "looks like the target" selection the
+    // operator exists for, and the CurationSpec enrichment assert.
+    // Scale shape: the 64-row ratio table broadcasts; per-doc work is
+    // one map-side-combined gather of its distinct buckets + a
+    // scan-local fold; the only corpus-wide exchanges are the
+    // bucket-count aggregate and the scalar max — no global sort.
+    "sample_importance_dsir" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" dsir target marker corpus slice")))
+          .otherwise(col("text")).as("text"),
+        (col("doc_id") % 21 === 0).as("is_target"))
+      val present = base
+        .select(col("doc_id"), col("is_target"),
+          explode(tokens(col("text"))).as("token"))
+        .select(col("doc_id"), col("is_target"),
+          (conv(substring(md5(col("token")), 1, 4), 16, 10)
+            .cast("long") % DsirBuckets).as("b"))
+        .distinct()
+      val totals = base.agg(
+        sum(when(col("is_target"), 1).otherwise(0))
+          .cast("double").as("nt"),
+        count(lit(1)).cast("double").as("nr"))
+      val ratios = present.groupBy("b").agg(
+        sum(when(col("is_target"), 1).otherwise(0))
+          .cast("double").as("t"),
+        count(lit(1)).cast("double").as("r"))
+        .crossJoin(broadcast(totals))
+        .select(col("b"), least(greatest(
+          ((col("t") + 1.0) / (col("nt") + 2.0)) /
+            ((col("r") + 1.0) / (col("nr") + 2.0)),
+          lit(0.25)), lit(4.0)).as("ratio"))
+      // gather each doc's ratios SORTED by bucket, then fold — the
+      // array must be a plain attribute before the HOF runs (the
+      // staged-array convention; see the §4 HOF notes)
+      val gathered = present.join(broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("b"), col("ratio"))))
+          .as("rs"))
+      val weighted = gathered.select(col("doc_id"),
+        aggregate(transform(col("rs"), x => x.getField("ratio")),
+          lit(1.0), (acc, x) => acc * x).as("w"))
+      val wmax = weighted.agg(max(col("w")).as("wmax"))
+      weighted.crossJoin(broadcast(wmax))
+        .select(col("doc_id"), (col("w") / col("wmax")).as("wn"))
+        .filter(hashUniform(col("doc_id"), "dsir") < col("wn"))
+        .select(col("doc_id"), pround(col("wn"), 6).as("importance"))
+    }),
+
     "split_group_aware" -> ((s, d) => {
       val aug = augmented(s, d)
       val pairs = aug.filter(col("doc_id") >= 100000)
@@ -673,6 +744,55 @@ object Curation extends QueryPack {
                  + 0.5) / 100.0 AS avg_chars,
                CAST(GROUPING(source, lang) AS BIGINT) AS gid
         FROM documents GROUP BY CUBE (source, lang)""",
+
+      // The ratio table, sorted-bucket fold, max-normalization and
+      // md5-uniform coin all replay the Spark arithmetic verbatim —
+      // list_prepend(1.0) makes list_reduce's fold order identical to
+      // Spark's aggregate(arr, 1.0, *).
+      "sample_importance_dsir" -> """
+        WITH base AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0
+                 THEN text || ' dsir target marker corpus slice'
+                 ELSE text END AS text,
+            (doc_id % 21 = 0) AS is_target
+          FROM documents),
+        tok AS (
+          SELECT doc_id, is_target, unnest(list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+            x -> x <> '')) AS token
+          FROM base),
+        present AS (
+          SELECT DISTINCT doc_id, is_target,
+            CAST(('0x' || substr(md5(token), 1, 4)) AS BIGINT) % 64 AS b
+          FROM tok),
+        totals AS (
+          SELECT CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END)
+                   AS DOUBLE) AS nt,
+                 CAST(COUNT(*) AS DOUBLE) AS nr
+          FROM base),
+        ratio AS (
+          SELECT b, least(greatest(
+            ((CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END)
+                AS DOUBLE) + 1.0) / ((SELECT nt FROM totals) + 2.0)) /
+            ((CAST(COUNT(*) AS DOUBLE) + 1.0) /
+              ((SELECT nr FROM totals) + 2.0)),
+            CAST(0.25 AS DOUBLE)), CAST(4.0 AS DOUBLE)) AS ratio
+          FROM present GROUP BY b),
+        w AS (
+          SELECT p.doc_id,
+            list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+              list(r.ratio ORDER BY p.b)), (acc, x) -> acc * x) AS w
+          FROM present p JOIN ratio r USING (b)
+          GROUP BY p.doc_id),
+        norm AS (
+          SELECT doc_id, w / (SELECT max(w) FROM w) AS wn FROM w)
+        SELECT doc_id,
+               floor(wn * 1000000.0 + 0.5) / 1000000.0 AS importance
+        FROM norm
+        WHERE CAST(('0x' || substr(md5('dsir:' ||
+            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < wn""",
 
       // Same reach-CTE component construction as the cluster oracle,
       // but over the injected-pair edge list the Spark side is given;

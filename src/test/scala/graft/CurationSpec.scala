@@ -208,6 +208,33 @@ class CurationSpec extends SparkSpec {
     assert(byStatus.values.map(_.size).sum == n + 20)
   }
 
+  test("dsir resampling enriches target-like docs and stays deterministic") {
+    val kept = Curation.queries("sample_importance_dsir")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(kept.nonEmpty)
+    // normalized importance in (0, 1]
+    kept.foreach { case (id, w) =>
+      assert(w > 0.0 && w <= 1.0, s"doc $id importance $w out of range") }
+    // the whole point: docs that LOOK like the target (the marked %3
+    // family, most of which is NOT the declared %21 target) are
+    // enriched in the kept set relative to the raw corpus
+    val ids = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val rawMarked = ids.count(_ % 3 == 0).toDouble / ids.length
+    val keptMarked = kept.count(_._1 % 3 == 0).toDouble / kept.length
+    assert(keptMarked > rawMarked + 0.1,
+      f"kept marked-fraction $keptMarked%.3f not above raw $rawMarked%.3f")
+    // and marked docs carry systematically higher importance
+    val (mw, uw) = (kept.filter(_._1 % 3 == 0).map(_._2),
+      kept.filterNot(_._1 % 3 == 0).map(_._2))
+    if (mw.nonEmpty && uw.nonEmpty)
+      assert(mw.sum / mw.length > uw.sum / uw.length)
+    // content-hash coin + fixed-order fold => bit-identical reruns
+    val again = Curation.queries("sample_importance_dsir")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(kept.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("group-aware split: no component straddles splits, ratios sane") {
     val rows = Curation.queries("split_group_aware")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
