@@ -84,6 +84,47 @@ class LinkageSpec extends SparkSpec {
     assert(df.collect().head.getAs[Long]("master_id") == 3L)
   }
 
+  test("streaming linkage: batches compose, replay no-op, master refresh seen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_linkstream")
+      .toString
+    val masterPath = s"$dir/master"
+    val linksPath = s"$dir/links"
+    master.write.parquet(masterPath)
+    val b0 = Seq((10L, "acme widget co"), (11L, "globex ring suply"))
+      .toDF("dirty_id", "dirty_name")
+    val b1 = Seq((12L, "initech gear work"), (13L, "zzz qqq"))
+      .toDF("dirty_id", "dirty_name")
+    graft.streaming.LinkageStream.processBatch(b0, 0L, masterPath, linksPath)
+    graft.streaming.LinkageStream.processBatch(b1, 1L, masterPath, linksPath)
+    def readLinks() = spark.read.parquet(linksPath)
+      .select("dirty_id", "master_id", "distance")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val twoBatch = readLinks()
+    // batches compose == one-shot full link (stateless per record)
+    val oneShot = graft.operators.Linkage
+      .fuzzyLink(master, b0.unionByName(b1))
+      .select("dirty_id", "master_id", "distance")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(twoBatch.sameElements(oneShot))
+    // the unlinked residue is a real sink, not a silent drop
+    val unlinked = spark.read
+      .parquet(graft.streaming.LinkageStream.unlinkedPathOf(linksPath))
+      .select("dirty_id").collect().map(_.getLong(0)).toSet
+    assert(unlinked == Set(13L), s"residue $unlinked")
+    // replay of batch 1 rewrites its own partition only — a no-op
+    graft.streaming.LinkageStream.processBatch(b1, 1L, masterPath, linksPath)
+    assert(readLinks().sameElements(twoBatch))
+    // master upsert between batches is visible to the NEXT batch
+    Seq((6L, "hooli stack supply")).toDF("master_id", "master_name")
+      .write.mode("append").parquet(masterPath)
+    val b2 = Seq((14L, "hooli stack suply")).toDF("dirty_id", "dirty_name")
+    graft.streaming.LinkageStream.processBatch(b2, 2L, masterPath, linksPath)
+    val m14 = spark.read.parquet(linksPath)
+      .filter(col("dirty_id") === 14L).select("master_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(m14 == Seq(6L), s"batch 2 should see the refreshed master: $m14")
+  }
+
   test("length pre-filter never drops a within-threshold pair") {
     // delete shortens by 1, transpose preserves length: both inside
     // the |len diff| <= maxDist guard by construction; a 3-char gap
