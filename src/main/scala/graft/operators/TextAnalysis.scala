@@ -29,13 +29,13 @@ object TextAnalysis extends QueryPack {
     * normalization as [[Dedup]]/[[Curation]]. Factored because oracle
     * hash-match depends on every Spark site and every SQL site staying
     * byte-identical. */
-  private def tokCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def tokCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(regexp_replace(lower(t), "[^a-z0-9 ]", " "), "\\s+"),
       v => length(v) > 0)
 
   /** The DuckDB twin of [[tokCol]] over `documents`, as a CTE body
     * (raw string — the `\s+` must reach DuckDB as-is). */
-  private val tokCteSql: String = """
+  private[operators] val tokCteSql: String = """
           SELECT doc_id, list_filter(string_split_regex(
             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
             x -> x <> '') AS tk

@@ -13,7 +13,8 @@ class EntryContractSpec extends SparkSpec {
       graft.operators.Multimodal, graft.operators.Curation,
       graft.operators.Decontaminate, graft.operators.Packing,
       graft.operators.Pipeline, graft.operators.Export,
-      graft.operators.Linkage, graft.operators.Graph)
+      graft.operators.Linkage, graft.operators.Graph,
+      graft.operators.Sketches)
       .flatMap(_.queries.keys)
     val dups = names.groupBy(identity).collect {
       case (n, occ) if occ.size > 1 => n

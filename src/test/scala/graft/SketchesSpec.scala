@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Sketch-operator guarantees that the oracle queries cannot express:
+  * merge algebra (the property that makes registers/counters a GOLD
+  * layer citizen — batches fold without recompute), estimator branch
+  * behavior, one-sided CMS error over the WHOLE domain, and the
+  * accuracy/size trade across p.
+  */
+class SketchesSpec extends SparkSpec {
+
+  private lazy val events = Tables.load(spark, sf0001, "events")
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+
+  private def canon(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("HLL registers: split-merge equals one-shot, three-way fold too") {
+    val dv = events.select(col("event_type"), col("user_id").as("v")).distinct()
+    val full = Sketches.hllRegisters(dv, Seq("event_type"), "v")
+    // split on a hash coin so both halves carry every key
+    val h = abs(hash(col("v"))) % 3
+    val parts = (0 to 2).map(i =>
+      Sketches.hllRegisters(dv.filter(h === i), Seq("event_type"), "v"))
+    val merged2 = Sketches.hllMergeRegisters(Seq("event_type"),
+      Sketches.hllMergeRegisters(Seq("event_type"), parts(0), parts(1)),
+      parts(2))
+    val merged3 = Sketches.hllMergeRegisters(Seq("event_type"), parts: _*)
+    assert(canon(merged2) == canon(full), "pairwise fold != one-shot")
+    assert(canon(merged3) == canon(full), "n-way merge != one-shot")
+    // duplicate ingestion is idempotent: re-folding a batch changes nothing
+    val refold = Sketches.hllMergeRegisters(Seq("event_type"), full, parts(1))
+    assert(canon(refold) == canon(full), "re-ingesting a batch moved registers")
+  }
+
+  test("HLL estimate: LC branch at tiny cardinality, HLL branch when saturated") {
+    val dv = events.select(col("event_type"), col("user_id").as("v")).distinct()
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(dv, Seq("event_type"), "v"), Seq("event_type"))
+      .join(dv.groupBy("event_type").agg(count(lit(1)).as("exact")),
+        "event_type")
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val (vZero, e, exact) = (r.getAs[Long]("v_zero"),
+        r.getAs[Double]("est_distinct"), r.getAs[Long]("exact"))
+      // sf0.001 has ~tens of users per type: far under 2.5m, so v_zero
+      // must be large (LC branch) and LC is tight at this load factor
+      assert(vZero > 128, s"expected sparse registers, v_zero=$vZero")
+      assert(math.abs(e - exact) <= math.max(2.0, 0.15 * exact),
+        s"LC estimate $e vs exact $exact")
+    }
+    // saturate m=16 registers with ~6k distinct ids from lineitem to
+    // force the raw-HLL branch (E_raw > 2.5m), still within 2x
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select(lit("k").as("k"), col("l_orderkey").as("v")).distinct()
+    val r = Sketches.hllEstimate(
+      Sketches.hllRegisters(li, Seq("k"), "v", p = 4), Seq("k"), p = 4)
+      .collect().head
+    val exact = li.count()
+    assert(r.getAs[Long]("v_zero") == 0, "16 registers must saturate")
+    val e = r.getAs[Double]("est_distinct")
+    assert(e > exact / 2.0 && e < exact * 2.0,
+      s"raw HLL estimate $e wildly off exact $exact at p=4")
+  }
+
+  test("HLL accuracy tightens with p: relative error halves 4 p-steps up") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select(lit("k").as("k"), col("l_orderkey").as("v")).distinct()
+    val exact = li.count().toDouble
+    def relErr(p: Int): Double = {
+      val e = Sketches.hllEstimate(
+        Sketches.hllRegisters(li, Seq("k"), "v", p = p), Seq("k"), p = p)
+        .collect().head.getAs[Double]("est_distinct")
+      math.abs(e - exact) / exact
+    }
+    val (loose, tight) = (relErr(6), relErr(10))
+    // theoretical se: 1.04/sqrt(m) → 13% at p=6, 3.3% at p=10. One
+    // draw is noisy, so assert generous envelopes, not the exact se.
+    assert(tight <= 0.10, s"p=10 relative error $tight above 10%")
+    assert(loose <= 0.50, s"p=6 relative error $loose above 50%")
+  }
+
+  test("CMS: split-merge equals one-shot; estimate >= exact over the whole vocab") {
+    // any item stream works for the algebra — a plain whitespace split
+    // here; the oracle query uses the shared corpus tokenizer
+    val counts = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val full = Sketches.cmsCounters(counts, "token", "cnt")
+    val coin = abs(hash(col("token"))) % 2
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsCounters(counts.filter(coin === 0), "token", "cnt"),
+      Sketches.cmsCounters(counts.filter(coin === 1), "token", "cnt"))
+    assert(canon(merged) == canon(full), "sum-merge != one-shot counters")
+    // one-sided guarantee: EVERY token estimates at or above its true
+    // count (the oracle query only checks the top-20 probe set)
+    val under = Sketches.cmsEstimate(full, counts, "token")
+      .join(counts, "token")
+      .filter(col("est_cnt") < col("cnt")).count()
+    assert(under == 0, s"$under tokens under-estimated — breaks CMS guarantee")
+    // counter table size is geometry-bounded regardless of vocab size
+    assert(full.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
+  }
+
+  test("sketch queries: deterministic across runs and partitionings") {
+    val q = SparkEntry.queries("sketch_hll_distinct")
+    val a = canon(q(spark, sf0001))
+    val b = canon(q(spark, sf0001).repartition(7))
+    assert(a == b, "register math must not depend on partitioning")
+  }
+}
