@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+import graft.streaming.SketchStream
+
+/** The streaming register fold: batches compose to the one-shot
+  * sketch, replay and double-ingest cannot move an estimate, and the
+  * partial fold is content-neutral. */
+class SketchStreamSpec extends SparkSpec {
+
+  private val keys = Seq("event_type")
+
+  private def events = Tables.load(spark, sf0001, "events")
+    .select(col("event_type"), col("user_id"))
+
+  private def canon(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def work(): String =
+    java.nio.file.Files.createTempDirectory("graft_sketchstream").toString
+
+  test("batches compose: streamed register store equals one-shot registers") {
+    val store = work() + "/regs"
+    val slices = (0 to 2).map(i => events.filter(abs(hash(col("user_id"))) % 3 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      SketchStream.processBatch(b, i.toLong, keys, "user_id", store)
+    }
+    val oneShot = Sketches.hllRegisters(events, keys, "user_id")
+    assert(canon(SketchStream.readRegisters(spark, store, keys)) ==
+      canon(oneShot), "streamed store != one-shot registers")
+    assert(canon(SketchStream.estimate(spark, store, keys)) ==
+      canon(Sketches.hllEstimate(oneShot, keys)))
+  }
+
+  test("replay of a batch is a no-op; double-ingest under a new id too") {
+    val store = work() + "/regs"
+    val slices = (0 to 1).map(i => events.filter(abs(hash(col("user_id"))) % 2 === i))
+    SketchStream.processBatch(slices(0), 0L, keys, "user_id", store)
+    SketchStream.processBatch(slices(1), 1L, keys, "user_id", store)
+    val before = canon(SketchStream.readRegisters(spark, store, keys))
+    // at-least-once replay: same batch id, same data — dynamic
+    // overwrite rewrites exactly its own partition
+    SketchStream.processBatch(slices(1), 1L, keys, "user_id", store)
+    assert(canon(SketchStream.readRegisters(spark, store, keys)) == before,
+      "replay changed the store")
+    // log duplication: the same rows land AGAIN under a fresh batch id
+    // — protocol can't dedup this, but max-merge absorbs it
+    SketchStream.processBatch(slices(0), 7L, keys, "user_id", store)
+    assert(canon(SketchStream.readRegisters(spark, store, keys)) == before,
+      "double-ingest moved a register")
+  }
+
+  test("partial fold collapses partitions without changing registers") {
+    val store = work() + "/regs"
+    val slices = (0 to 3).map(i => events.filter(abs(hash(col("user_id"))) % 4 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      SketchStream.processBatch(b, i.toLong, keys, "user_id", store,
+        maxPartials = 2)
+    }
+    val parts = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      .map(_.getName).toSet
+    assert(parts.contains("ingest_batch=-1"), s"no folded sentinel in $parts")
+    assert(parts.size <= 3, s"fold left too many partials: $parts")
+    assert(canon(SketchStream.readRegisters(spark, store, keys)) ==
+      canon(Sketches.hllRegisters(events, keys, "user_id")),
+      "fold changed register content")
+  }
+
+  test("file-stream end to end: run() folds each micro-batch") {
+    val w = work()
+    val inDir = s"$w/in"
+    new java.io.File(inDir).mkdirs()
+    (0 to 2).foreach { i =>
+      events.filter(abs(hash(col("user_id"))) % 3 === i)
+        .coalesce(1).write.parquet(s"$w/b$i")
+      val src = new java.io.File(s"$w/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(s"$inDir/batch_$i.parquet").toPath)
+    }
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = SketchStream.run(stream, keys, "user_id", s"$w/regs",
+      s"$w/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(canon(SketchStream.estimate(spark, s"$w/regs", keys)) ==
+      canon(Sketches.hllEstimate(
+        Sketches.hllRegisters(events, keys, "user_id"), keys)),
+      "streamed estimate != one-shot estimate")
+  }
+}
