@@ -343,4 +343,61 @@ object GoldAggregates {
           e: java.util.Map.Entry[(SparkSession, String, String, String),
             DataFrame]) = size() > SliceCacheMax
     })
+
+  // --------------------------------------------- distinct-count sketches
+
+  /** The gold table's one non-rollup-able metric, made rollup-able:
+    * `npi_count` per slice cannot answer "distinct providers across
+    * all months of a state" (monthly counts double-count providers
+    * active in several months; the only exact answer is a fact
+    * rescan). This sidecar stores [[graft.operators.Sketches]] HLL
+    * registers per (state, year_month) slice — 256 small ints per
+    * slice — hive-partitioned like the gold table, so a serving
+    * session answers distinct-provider questions at ANY slice
+    * combination by max-merging the selected slices' registers:
+    * partition-pruned reads of a cell-grain table, never the fact.
+    * Refresh rides the same dynamic-overwrite slice discipline as
+    * the gold table itself. */
+  def materializeDistinctSketch(spark: SparkSession, dir: String,
+                                outPath: String): Unit =
+    graft.operators.Sketches.hllRegisters(
+        ratesWithState(spark, dir), Seq("state", "year_month"), "v")
+      .repartition(col("state"), col("year_month"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("state", "year_month")
+      .option("compression", "zstd")
+      .parquet(outPath)
+
+  /** Distinct-provider estimate at an arbitrary rollup grain from the
+    * register sidecar: filter to the slices of interest (partition
+    * columns — pruned at the file listing), max-merge registers up to
+    * `groupCols`, estimate. `where` defaults to everything; pass e.g.
+    * `col("state") === "GA"` + groupCols `Seq("state")` for
+    * "distinct providers in GA across all months". */
+  /** The sketch's input grain: rate rows with the provider dim's
+    * state attached (same broadcast join as [[aggMarketRates]] —
+    * `state` lives on the dim, not the fact). */
+  def ratesWithState(spark: SparkSession, dir: String): DataFrame = {
+    val r = Roles.rates(spark, dir)
+    val p = Roles.providers(spark, dir)
+      .select(col("provider_group_id"), col("state"))
+    r.join(broadcast(p),
+        r("provider_reference_id") === p("provider_group_id"), "left")
+      .select(col("state"), col("year_month"),
+        col("provider_reference_id").as("v"))
+  }
+
+  def distinctRollup(spark: SparkSession, sketchPath: String,
+                     groupCols: Seq[String],
+                     where: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty; use a literal key for a global rollup")
+    graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllMergeRegisters(groupCols,
+        spark.read.parquet(sketchPath).filter(where)
+          .select((groupCols.map(col) :+ col("reg_idx") :+
+            col("reg_rank")): _*)),
+      groupCols)
+  }
 }

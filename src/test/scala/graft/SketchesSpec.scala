@@ -107,6 +107,41 @@ class SketchesSpec extends SparkSpec {
     assert(full.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
   }
 
+  test("gold distinct-sketch sidecar: cross-slice rollups without a fact rescan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_goldsketch")
+      .toString + "/sketch"
+    graft.etl.GoldAggregates.materializeDistinctSketch(spark, sf0001, out)
+    val fact = graft.etl.GoldAggregates.ratesWithState(spark, sf0001)
+      .withColumnRenamed("v", "provider_reference_id")
+    // per-state rollup across ALL months — the question the gold
+    // table's per-slice npi_count cannot answer
+    val exact = fact.groupBy("state")
+      .agg(countDistinct(col("provider_reference_id")).as("exact"))
+    val rolled = graft.etl.GoldAggregates
+      .distinctRollup(spark, out, Seq("state"))
+      .join(exact, "state").collect()
+    assert(rolled.nonEmpty)
+    rolled.foreach { r =>
+      val (e, x) = (r.getAs[Double]("est_distinct"), r.getAs[Long]("exact"))
+      assert(math.abs(e - x) <= math.max(3.0, 0.2 * x),
+        s"state ${r.getString(0)}: estimate $e vs exact $x")
+    }
+    // the naive alternative — summing per-slice distinct counts —
+    // can only overcount (providers active in several months)
+    val naive = fact.groupBy("state", "year_month")
+      .agg(countDistinct(col("provider_reference_id")).as("c"))
+      .groupBy("state").agg(sum(col("c")).as("naive"))
+      .join(exact, "state").collect()
+    naive.foreach { r =>
+      assert(r.getAs[Long]("naive") >= r.getAs[Long]("exact"))
+    }
+    // filtered rollup prunes to the partitions under the predicate
+    val oneState = rolled.head.getString(0)
+    val single = graft.etl.GoldAggregates.distinctRollup(spark, out,
+      Seq("state"), col("state") === oneState).collect()
+    assert(single.length == 1 && single.head.getString(0) == oneState)
+  }
+
   test("sketch queries: deterministic across runs and partitionings") {
     val q = SparkEntry.queries("sketch_hll_distinct")
     val a = canon(q(spark, sf0001))
