@@ -292,6 +292,19 @@ object Bench {
   private val routedRefMs = 150.0
 
   private val referenceSec: Map[String, Double] = Map(
+    // (r7, full 129-query suite record, idle machine) — suite-position
+    // numbers, i.e. they include per-query codegen; steer-only
+    "dq_violations_report" -> 3.1,
+    "sim_ivfpq_topk" -> 3.1,
+    "asof_rate_lookup" -> 2.8,
+    "sim_pq_topk" -> 2.8,
+    "funnel_stage1_classes" -> 2.4,
+    "events_sessionize" -> 2.3,
+    "sketch_hll_distinct" -> 2.2,
+    "text_gopher_filter" -> 2.0,
+    "events_rolling_features" -> 1.9,
+    "events_interval_join" -> 1.8,
+    "f_categorize" -> 1.6,
     "graph_pagerank" -> 3.9, // (r7, cold 6-query suite) iterative: 3 checkpointed rounds
     "link_fuzzy_match" -> 3.5, // (r7, cold 6-query suite)
     "events_retention_cohorts" -> 2.8, // (r7, cold 6-query suite)

@@ -242,6 +242,34 @@ object Curation extends QueryPack {
       .filter(hashUniform(concat_ws(":", key.cast("string"),
         col("epoch").cast("string")), salt) < w - col("epoch"))
 
+  /** Temperature-scaled language rebalancing (the multilingual-corpus
+    * recipe from the mT5/XLM-R line): sample language l at a rate
+    * ∝ (n_l)^α / n_l = n_l^(α−1), normalized so the RAREST language
+    * keeps everything — α=1 reproduces the corpus, α→0 approaches
+    * uniform-over-languages. Closed form: keep_rate(l) =
+    * n_l^(α−1) / max_m n_m^(α−1) — the normalizer cancels, so no
+    * per-language target count needs tuning. Selection is the
+    * content-hash uniform ([[hashUniform]]) — deterministic across
+    * runs, engines and layouts; the one `pow` rides through `pround`
+    * so a last-ulp libm disagreement cannot flip a row. Rates come
+    * from one tiny aggregate (|languages| rows) broadcast back onto
+    * the corpus: scan-local selection, no shuffle of document data. */
+  def temperatureResample(df: DataFrame, langCol: Column, key: Column,
+                          alpha: Double, salt: String = "temp"): DataFrame = {
+    import graft.functions.NormExprs.pround
+    val rates = df.groupBy(langCol.as("lang_key"))
+      .agg(count(lit(1)).as("n_lang"))
+      .select(col("lang_key"),
+        pow(col("n_lang").cast("double"), lit(alpha - 1.0)).as("g"))
+    val gmax = rates.agg(max(col("g")).as("g_max"))
+    df.join(broadcast(rates.crossJoin(broadcast(gmax))
+        .select(col("lang_key"),
+          pround(col("g") / col("g_max"), 6).as("keep_rate"))),
+        langCol === col("lang_key"))
+      .filter(hashUniform(key, salt) < col("keep_rate"))
+      .drop("lang_key")
+  }
+
   /** Gopher-style stopword set (presence, not frequency). */
   private val Stopwords = Seq("the", "be", "to", "of", "and", "that",
     "have", "with")
@@ -354,6 +382,13 @@ object Curation extends QueryPack {
           w.as("w")), col("w"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("epoch"))
     }),
+
+    // Language rebalancing at α=0.5: en (218 docs at sf0.01) is
+    // downsampled to ~sqrt(64/218)≈0.54 while fr (64) keeps 1.0.
+    "sample_lang_temperature" -> ((s, d) =>
+      temperatureResample(docs(s, d).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("keep_rate"))),
 
     // Snapshot diff via the generic operator; the fixture's "next
     // version" drops doc_id%31==7, revises doc_id%23==5, and adds the
@@ -688,6 +723,18 @@ object Curation extends QueryPack {
         WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)
               || ':' || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT)
               / 4294967296.0 < w - epoch""",
+
+      "sample_lang_temperature" -> """
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        g AS (SELECT lang, pow(CAST(n AS DOUBLE), -0.5) AS g FROM c),
+        r AS (SELECT lang,
+                floor(g / (SELECT MAX(g) FROM g) * 1000000.0 + 0.5)
+                  / 1000000.0 AS keep_rate
+              FROM g)
+        SELECT d.doc_id, d.lang, r.keep_rate
+        FROM documents d JOIN r ON d.lang = r.lang
+        WHERE CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)),
+              1, 8)) AS BIGINT) / 4294967296.0 < r.keep_rate""",
 
       // Same fixture construction, same content-hash diff semantics;
       // FULL OUTER join nullity drives the status exactly like the

@@ -260,4 +260,32 @@ class CurationSpec extends SparkSpec {
     assert(frac.getOrElse("val", 0.0) < 0.25, frac.toString)
     assert(frac.getOrElse("test", 0.0) < 0.25, frac.toString)
   }
+
+  test("temperature resample: rarest language kept whole, imbalance flattened") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.load(spark, sf0001, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = q("sample_lang_temperature").collect()
+    val keptByLang = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val rates = kept.map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val rarest = raw.minBy(_._2)._1
+    assert(rates(rarest) == 1.0, s"rarest lang $rarest rate ${rates(rarest)}")
+    assert(keptByLang(rarest).toLong == raw(rarest),
+      "rate-1.0 language must survive in full")
+    // α=0.5 flattens: the kept max/min language ratio must shrink
+    // strictly below the raw corpus ratio
+    def ratio(m: Map[String, _ <: AnyVal]) = {
+      val v = m.values.map(_.toString.toDouble)
+      v.max / v.min
+    }
+    assert(ratio(keptByLang.toMap) < ratio(raw),
+      s"kept ${keptByLang} not flatter than raw ${raw}")
+    // keep_rate is the closed form n^(α−1)/max — spot-check one lang
+    val gmax = raw.values.map(n => math.pow(n.toDouble, -0.5)).max
+    raw.foreach { case (l, n) =>
+      val expect = math.floor(math.pow(n.toDouble, -0.5) / gmax * 1e6 + 0.5) / 1e6
+      assert(math.abs(rates(l) - expect) < 1e-9, s"$l rate ${rates(l)} != $expect")
+    }
+  }
 }
