@@ -78,7 +78,12 @@ object GraftExtensions {
       new ExpressionInfo(
         classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) =>
-        graft.functions.NfcNormalize(exprs.head)))
+        graft.functions.NfcNormalize(exprs.head)),
+    (FunctionIdentifier("subword_encode"),
+      new ExpressionInfo(
+        classOf[graft.functions.SubwordEncode].getName, "subword_encode"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.SubwordEncode(exprs.head, exprs(1))))
 
   /** Register every kernel into an existing session's function
     * registry. Idempotent (re-registration replaces the same entry). */

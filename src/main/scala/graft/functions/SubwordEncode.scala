@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy longest-match subword table: the vocabulary bucketed by
+  * token length for O(maxLen) probes per position. Built ONCE per
+  * expression instance from the foldable vocab literal — never per
+  * row. */
+final class SubwordTable(vocab: Array[String]) extends Serializable {
+  val maxLen: Int = if (vocab.isEmpty) 0 else vocab.map(_.length).max
+  private val set = new java.util.HashSet[String](vocab.length * 2)
+  vocab.foreach(set.add)
+  def contains(s: String): Boolean = set.contains(s)
+}
+
+object SubwordKernel {
+  /** WordPiece-style greedy longest-prefix-match: at each position
+    * take the LONGEST vocabulary token matching the remaining prefix;
+    * no match → emit the single character (the tokenizer alphabet is
+    * closed, so encoding always terminates in ≤ len steps and is
+    * trivially reversible by concatenation). Deterministic: two
+    * same-length matches at one position are the same string, so
+    * "longest" needs no tie-break. */
+  def encode(word: UTF8String, t: SubwordTable): ArrayData = {
+    val s = word.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    while (pos < s.length) {
+      var l = math.min(t.maxLen, s.length - pos)
+      var tok: String = null
+      while (l >= 1 && tok == null) {
+        val cand = s.substring(pos, pos + l)
+        if (t.contains(cand)) tok = cand else l -= 1
+      }
+      if (tok == null) tok = s.substring(pos, pos + 1)
+      out += UTF8String.fromString(tok)
+      pos += tok.length
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `subword_encode(word, vocab)` → array of subword tokens by greedy
+  * longest-match against `vocab` (a foldable array<string> literal —
+  * typically the driver-collected top-K corpus words, a bounded
+  * driver collect like the repo's code lists). Native kernel on the
+  * [[NfcNormalize]] pattern: a static per-row call shared by
+  * interpreted eval and codegen, so the encode stays inside
+  * whole-stage codegen. The per-instance [[SubwordTable]] is built
+  * once from the literal and shipped via `addReferenceObj`.
+  *
+  * Scale shape: encode DISTINCT words (a corpus's word universe is
+  * millions, not billions), then join token arrays back to documents
+  * if per-doc ids are needed — the kernel itself is scan-local,
+  * O(len · maxVocabTokenLen) hash probes per word. */
+case class SubwordEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a foldable vocabulary literal")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, array<string>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "subword_encode"
+
+  @transient private lazy val table: SubwordTable = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    new SubwordTable(
+      (0 until arr.numElements()).map(arr.getUTF8String(_).toString).toArray)
+  }
+
+  override def nullSafeEval(word: Any, vocab: Any): Any =
+    SubwordKernel.encode(word.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    // the vocab child is foldable and already baked into the table;
+    // its generated value is ignored
+    val tableRef = ctx.addReferenceObj("subwordTable", table,
+      classOf[SubwordTable].getName)
+    nullSafeCodeGen(ctx, ev, (w, _) =>
+      s"${ev.value} = graft.functions.SubwordKernel.encode($w, $tableRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubwordEncode =
+    copy(left = newLeft, right = newRight)
+}

@@ -183,6 +183,39 @@ object TextAnalysis extends QueryPack {
         .select("rank", "pair", "cnt")
     }),
 
+    // Subword tokenization: greedy longest-match (WordPiece-style)
+    // against the corpus's own top-20 words via the native
+    // `subword_encode` kernel. The synthetic corpus's 31-word
+    // vocabulary would make every word a single token, so the
+    // oracle-facing word universe is augmented with adjacent-pair
+    // COMPOUNDS ("joinsmall") — the encoder must split them back into
+    // vocab words with single-char fallback for the residue, which
+    // exercises every kernel path (multi-match, mid-word match, char
+    // fallback). Scale shape: encode DISTINCT words only (a corpus's
+    // word universe is millions, not billions); the vocab is a
+    // bounded driver collect like the repo's code lists.
+    "text_subword_encode" -> ((s, d) => {
+      graft.GraftExtensions.registerAll(s)
+      val words = docs(s, d)
+        .select(explode(tokCol(col("text"))).as("word"))
+      val vocab: Array[String] = words.groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(20)
+        .select("word").collect().map(_.getString(0))
+      val compounds = docs(s, d)
+        .select(tokCol(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(sequence(lit(1), size(col("tk")) - 1)).as("i"),
+          col("tk"))
+        .select(concat(element_at(col("tk"), col("i")),
+          element_at(col("tk"), col("i") + 1)).as("word"))
+      val universe = words.union(compounds).distinct()
+      val toks = call_function("subword_encode", col("word"), lit(vocab))
+      universe.select(col("word"),
+        size(toks).as("n_tokens"),
+        concat_ws("|", toks).as("subwords"))
+    }),
+
     // BM25 keyword search: score every document against a fixed term
     // set and return the top-k — the retrieval primitive behind
     // corpus-curation keyword audits ("which docs dominate for this
@@ -467,6 +500,43 @@ object TextAnalysis extends QueryPack {
 
       // Adjacent pairs via list slicing; the (cnt DESC, pair)
       // order/tie-break matches the Spark TakeOrdered + window.
+      // The DuckDB twin of the greedy longest-match kernel is a
+      // recursive CTE: one recursion step per emitted token, the
+      // longest-match probe as a correlated argmax over the vocab
+      // (same-length matches are the same string, so `ORDER BY tlen
+      // DESC LIMIT 1` is deterministic), single-char fallback via
+      // COALESCE — the exact kernel loop, replayed in SQL.
+      "text_subword_encode" -> s"""
+        WITH RECURSIVE
+        tok AS ($tokCteSql),
+        toks AS (SELECT unnest(tk) AS word FROM tok),
+        counts AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        vocab AS (
+          SELECT word AS token, length(word) AS tlen
+          FROM counts ORDER BY cnt DESC, word ASC LIMIT 20),
+        compounds AS (
+          SELECT DISTINCT tk[CAST(i AS INTEGER)] ||
+                   tk[CAST(i AS INTEGER) + 1] AS word
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                FROM tok WHERE len(tk) >= 2)),
+        words AS (SELECT word FROM counts UNION SELECT word FROM compounds),
+        steps AS (
+          SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS toks FROM words
+          UNION ALL
+          SELECT s.word, s.pos + length(m), list_append(s.toks, m)
+          FROM (
+            SELECT word, pos, toks,
+              COALESCE(
+                (SELECT v.token FROM vocab v
+                 WHERE v.tlen <= length(word) - pos
+                   AND substr(word, pos + 1, v.tlen) = v.token
+                 ORDER BY v.tlen DESC LIMIT 1),
+                substr(word, pos + 1, 1)) AS m
+            FROM steps WHERE pos < length(word)) s)
+        SELECT word, CAST(len(toks) AS INTEGER) AS n_tokens,
+               array_to_string(toks, '|') AS subwords
+        FROM steps WHERE pos = length(word)""",
+
       "bpe_pair_counts" -> s"""
         WITH tok AS ($tokCteSql),
         pairs AS (
