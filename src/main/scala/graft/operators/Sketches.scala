@@ -231,6 +231,68 @@ object Sketches extends QueryPack {
       .agg(min(col("cnt")).as("est_cnt"))
   }
 
+  // ------------------------------------------------------------ KMV
+
+  /** Bottom-k (KMV / theta-style) sketch size for the oracled
+    * queries. KMV is the sketch HLL is not: because it keeps actual
+    * hash VALUES, two sketches support set algebra — union (bottom-k
+    * of the merged hashes) and intersection (inclusion–exclusion on
+    * the union's theta) — so "distinct users who did BOTH X and Y"
+    * becomes sketch math instead of a fact rescan. RSE ≈ 1/√(k−2). */
+  val KmvK = 64
+
+  /** Bottom-k sketch per key: the k smallest md5-derived hashes of
+    * the distinct values. Below k distinct values the sketch IS the
+    * value set (exact mode). One shuffle on the key grain; the
+    * per-partition bottom-k is the only state. */
+  def kmvSketch(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                k: Int = KmvK): DataFrame = {
+    val hashed = df
+      .select((keyCols.map(col) :+ h60("kmv", col(valueCol)).as("kmv_h")): _*)
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("kmv_h"))
+    hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Distinct estimate per key from a bottom-k sketch: exact when the
+    * sketch is not full, else (k−1)·2^60 / h_k. */
+  def kmvEstimate(sketch: DataFrame, keyCols: Seq[String],
+                  k: Int = KmvK): DataFrame = {
+    import graft.functions.NormExprs.pround
+    val perKey = sketch.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("kmv_cnt"), max(col("kmv_h")).as("kmv_kth"))
+    perKey.select((keyCols.map(col) :+ col("kmv_cnt") :+ col("kmv_kth") :+
+      pround(when(col("kmv_cnt") < k, col("kmv_cnt").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+          col("kmv_kth").cast("double")), 4).as("est_distinct")): _*)
+  }
+
+  /** Set algebra over two single-set sketches (each a frame of
+    * `kmv_h` rows): distinct-union and distinct-intersection
+    * estimates, plus the integer evidence. Exact mode (union sketch
+    * not full) falls out of the same expressions: theta covers
+    * everything, the common count IS the intersection. All inputs to
+    * the fp step are integers, so the estimate is deterministic. */
+  def kmvIntersect(a: DataFrame, b: DataFrame,
+                   k: Int = KmvK): DataFrame = {
+    import graft.functions.NormExprs.pround
+    val u = a.select("kmv_h").union(b.select("kmv_h")).distinct()
+      .orderBy(col("kmv_h")).limit(k)
+    val stats = u.agg(count(lit(1)).as("u_cnt"), max(col("kmv_h")).as("u_kth"))
+    val common = a.join(b, "kmv_h").join(u, "kmv_h")
+      .agg(count(lit(1)).as("common_cnt"))
+    val estU = when(col("u_cnt") < k, col("u_cnt").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+        col("u_kth").cast("double"))
+    stats.crossJoin(broadcast(common))
+      .select(col("u_cnt"), col("u_kth"), col("common_cnt"),
+        pround(estU, 4).as("est_union"),
+        pround(col("common_cnt").cast("double") / lit(k.toDouble) * estU, 4)
+          .as("est_intersection"))
+  }
+
   // ------------------------------------------------------------ queries
 
   def queries: Map[String, QFn] = Map(
@@ -243,6 +305,32 @@ object Sketches extends QueryPack {
     // linear-counting branch is the one the oracle pins here.
     "sketch_hll_users" -> ((s, d) =>
       hllQuery(events(s, d), "event_type", "user_id")),
+    // Bottom-k distinct per return flag: ~2k distinct against k=64
+    // exercises the estimation branch; exact side-by-side.
+    "sketch_kmv_distinct" -> ((s, d) => {
+      val src = lineitem(s, d).filter(col("l_partkey").isNotNull)
+        .select(col("l_returnflag"), col("l_partkey").as("v")).distinct()
+      kmvEstimate(kmvSketch(src, Seq("l_returnflag"), "v"),
+          Seq("l_returnflag"))
+        .join(src.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("exact_distinct")), "l_returnflag")
+    }),
+    // Set algebra on sketches: distinct parts appearing under BOTH
+    // return flags A and N — the question per-key distinct counts
+    // cannot answer without a rescan.
+    "sketch_kmv_intersection" -> ((s, d) => {
+      val src = lineitem(s, d)
+        .filter(col("l_partkey").isNotNull &&
+          col("l_returnflag").isin("A", "N"))
+        .select(col("l_returnflag"), col("l_partkey").as("v")).distinct()
+      val sk = kmvSketch(src, Seq("l_returnflag"), "v")
+      val exact = src.filter(col("l_returnflag") === "A").select("v")
+        .intersect(src.filter(col("l_returnflag") === "N").select("v"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      kmvIntersect(sk.filter(col("l_returnflag") === "A").select("kmv_h"),
+          sk.filter(col("l_returnflag") === "N").select("kmv_h"))
+        .crossJoin(broadcast(exact))
+    }),
     // Heavy hitters: the 20 most frequent document tokens, their
     // exact corpus frequency, and the count-min estimate — the
     // overcount column is the sketch's one-sided error, observable.
@@ -266,6 +354,78 @@ object Sketches extends QueryPack {
     "sketch_hll_users" -> hllSql(
       "SELECT event_type, user_id AS v FROM events GROUP BY 1, 2",
       "event_type"),
+    "sketch_kmv_distinct" -> s"""
+      WITH src AS (
+        SELECT l_returnflag, l_partkey AS v FROM lineitem
+        WHERE l_partkey IS NOT NULL GROUP BY 1, 2),
+      h AS (
+        SELECT DISTINCT l_returnflag,
+               CAST(('0x' || substr(md5('kmv:' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS kmv_h
+        FROM src),
+      sk AS (
+        SELECT l_returnflag, kmv_h FROM (
+          SELECT l_returnflag, kmv_h,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY kmv_h) AS rn
+          FROM h) WHERE rn <= $KmvK),
+      est AS (
+        SELECT l_returnflag, COUNT(*) AS kmv_cnt,
+               CAST(MAX(kmv_h) AS BIGINT) AS kmv_kth
+        FROM sk GROUP BY 1),
+      exact AS (
+        SELECT l_returnflag, COUNT(*) AS exact_distinct FROM src GROUP BY 1)
+      SELECT est.l_returnflag, est.kmv_cnt, est.kmv_kth,
+             floor((CASE WHEN est.kmv_cnt < $KmvK
+                    THEN CAST(est.kmv_cnt AS DOUBLE)
+                    ELSE (${(KmvK - 1).toDouble} * ${math.pow(2.0, 60)}) / CAST(est.kmv_kth AS DOUBLE)
+                    END) * 10000.0 + 0.5) / 10000.0 AS est_distinct,
+             exact.exact_distinct
+      FROM est JOIN exact USING (l_returnflag)""",
+    "sketch_kmv_intersection" -> s"""
+      WITH src AS (
+        SELECT l_returnflag, l_partkey AS v FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_returnflag IN ('A', 'N')
+        GROUP BY 1, 2),
+      h AS (
+        SELECT DISTINCT l_returnflag,
+               CAST(('0x' || substr(md5('kmv:' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS kmv_h
+        FROM src),
+      sk AS (
+        SELECT l_returnflag, kmv_h FROM (
+          SELECT l_returnflag, kmv_h,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY kmv_h) AS rn
+          FROM h) WHERE rn <= $KmvK),
+      a AS (SELECT kmv_h FROM sk WHERE l_returnflag = 'A'),
+      b AS (SELECT kmv_h FROM sk WHERE l_returnflag = 'N'),
+      u AS (
+        SELECT kmv_h FROM (
+          SELECT DISTINCT kmv_h FROM (
+            SELECT kmv_h FROM a UNION ALL SELECT kmv_h FROM b))
+        ORDER BY kmv_h LIMIT $KmvK),
+      stats AS (
+        SELECT COUNT(*) AS u_cnt, CAST(MAX(kmv_h) AS BIGINT) AS u_kth
+        FROM u),
+      common AS (
+        SELECT COUNT(*) AS common_cnt
+        FROM a JOIN b USING (kmv_h) JOIN u USING (kmv_h)),
+      exact AS (
+        SELECT COUNT(*) AS exact_intersection FROM (
+          SELECT v FROM src WHERE l_returnflag = 'A'
+          INTERSECT
+          SELECT v FROM src WHERE l_returnflag = 'N'))
+      SELECT stats.u_cnt, stats.u_kth, common.common_cnt,
+             floor((CASE WHEN stats.u_cnt < $KmvK
+                    THEN CAST(stats.u_cnt AS DOUBLE)
+                    ELSE (${(KmvK - 1).toDouble} * ${math.pow(2.0, 60)}) / CAST(stats.u_kth AS DOUBLE)
+                    END) * 10000.0 + 0.5) / 10000.0 AS est_union,
+             floor((CAST(common.common_cnt AS DOUBLE) / ${KmvK.toDouble} *
+                    (CASE WHEN stats.u_cnt < $KmvK
+                     THEN CAST(stats.u_cnt AS DOUBLE)
+                     ELSE (${(KmvK - 1).toDouble} * ${math.pow(2.0, 60)}) / CAST(stats.u_kth AS DOUBLE)
+                     END)) * 10000.0 + 0.5) / 10000.0 AS est_intersection,
+             exact.exact_intersection
+      FROM stats, common, exact""",
     "sketch_cms_heavy" -> s"""
       WITH tok AS (${TextAnalysis.tokCteSql}),
       toks AS (SELECT unnest(tk) AS token FROM tok),

@@ -107,6 +107,52 @@ class SketchesSpec extends SparkSpec {
     assert(full.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
   }
 
+  test("KMV: union-of-sketches == sketch-of-union; exact mode below k") {
+    import spark.implicits._
+    val vals = (1L to 5000L).toDF("v").withColumn("k", lit("all"))
+    val halves = Seq(vals.filter(col("v") % 2 === 0),
+      vals.filter(col("v") % 2 === 1))
+    val full = Sketches.kmvSketch(vals, Seq("k"), "v")
+    // bottom-k of the two halves' sketches == bottom-k of everything:
+    // the k smallest overall hashes are each the k smallest of their
+    // half, so no information is lost — the KMV merge guarantee
+    val mergedHashes = halves.map(h =>
+      Sketches.kmvSketch(h, Seq("k"), "v").select("kmv_h"))
+      .reduce(_ union _).distinct()
+      .orderBy(col("kmv_h")).limit(Sketches.KmvK)
+    assert(canon(mergedHashes) == canon(full.select("kmv_h")),
+      "sketch merge lost a bottom-k hash")
+    // exact mode: fewer than k distinct values → the estimate IS the count
+    val tiny = (1L to 40L).toDF("v").withColumn("k", lit("t"))
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(tiny, Seq("k"), "v"), Seq("k")).collect().head
+    assert(est.getAs[Double]("est_distinct") == 40.0)
+  }
+
+  test("KMV intersection: partial overlap estimated within the error envelope") {
+    import spark.implicits._
+    // |A|=2000 (1..2000), |B|=2000 (1301..3300), |A∩B|=700
+    val a = Sketches.kmvSketch(
+      (1L to 2000L).toDF("v").withColumn("k", lit("a")), Seq("k"), "v")
+      .select("kmv_h")
+    val b = Sketches.kmvSketch(
+      (1301L to 3300L).toDF("v").withColumn("k", lit("b")), Seq("k"), "v")
+      .select("kmv_h")
+    val r = Sketches.kmvIntersect(a, b).collect().head
+    val estI = r.getAs[Double]("est_intersection")
+    val estU = r.getAs[Double]("est_union")
+    // k=64 → RSE ~13%; generous 3σ envelopes on both estimates
+    assert(math.abs(estU - 3300.0) < 0.4 * 3300.0, s"union est $estU")
+    assert(math.abs(estI - 700.0) < 0.5 * 700.0, s"intersection est $estI")
+    // and disjoint sets must estimate (near) zero
+    val c = Sketches.kmvSketch(
+      (9001L to 11000L).toDF("v").withColumn("k", lit("c")), Seq("k"), "v")
+      .select("kmv_h")
+    val rd = Sketches.kmvIntersect(a, c).collect().head
+    assert(rd.getAs[Double]("est_intersection") < 0.1 * 2000.0,
+      s"disjoint intersection ${rd.getAs[Double]("est_intersection")}")
+  }
+
   test("gold distinct-sketch sidecar: cross-slice rollups without a fact rescan") {
     val out = java.nio.file.Files.createTempDirectory("graft_goldsketch")
       .toString + "/sketch"
