@@ -375,17 +375,53 @@ object GoldAggregates {
     * `groupCols`, estimate. `where` defaults to everything; pass e.g.
     * `col("state") === "GA"` + groupCols `Seq("state")` for
     * "distinct providers in GA across all months". */
-  /** The sketch's input grain: rate rows with the provider dim's
-    * state attached (same broadcast join as [[aggMarketRates]] —
-    * `state` lives on the dim, not the fact). */
-  def ratesWithState(spark: SparkSession, dir: String): DataFrame = {
+  /** The sketch sidecars' input grain: rate rows with the provider
+    * dim's state attached (same broadcast join as [[aggMarketRates]]
+    * — `state` lives on the dim, not the fact), the chosen fact
+    * column projected as `v`. */
+  def ratesWithState(spark: SparkSession, dir: String,
+                     valueCol: String = "provider_reference_id"): DataFrame = {
     val r = Roles.rates(spark, dir)
     val p = Roles.providers(spark, dir)
       .select(col("provider_group_id"), col("state"))
     r.join(broadcast(p),
         r("provider_reference_id") === p("provider_group_id"), "left")
-      .select(col("state"), col("year_month"),
-        col("provider_reference_id").as("v"))
+      .select(col("state"), col("year_month"), col(valueCol).as("v"))
+  }
+
+  /** The rate-distribution sibling of [[materializeDistinctSketch]]:
+    * per-slice HDR-style histograms of `negotiated_rate`
+    * ([[graft.operators.Sketches.histBuckets]], ≤ ~350 BIGINT cells
+    * per slice). Quantiles are the OTHER gold metric that does not
+    * roll up — a year-level p50 is not a function of twelve monthly
+    * p50s — and the per-bucket-SUM merge algebra makes them one:
+    * [[quantileRollup]] answers p50/p90 at any slice combination
+    * within one bucket width (≤ ~6%) from partition-pruned reads. */
+  def materializeRateHistogram(spark: SparkSession, dir: String,
+                               outPath: String): Unit =
+    graft.operators.Sketches.histBuckets(
+        ratesWithState(spark, dir, "negotiated_rate"),
+        Seq("state", "year_month"), "v")
+      .repartition(col("state"), col("year_month"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("state", "year_month")
+      .option("compression", "zstd")
+      .parquet(outPath)
+
+  /** p50/p90 at an arbitrary rollup grain from the histogram sidecar:
+    * partition-pruned read, per-bucket sum to `groupCols`, quantile
+    * pick. Same contract as [[distinctRollup]]. */
+  def quantileRollup(spark: SparkSession, histPath: String,
+                     groupCols: Seq[String],
+                     where: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty; use a literal key for a global rollup")
+    graft.operators.Sketches.histQuantiles(
+      graft.operators.Sketches.histMerge(groupCols,
+        spark.read.parquet(histPath).filter(where)
+          .select((groupCols.map(col) :+ col("bucket") :+ col("cnt")): _*)),
+      groupCols)
   }
 
   def distinctRollup(spark: SparkSession, sketchPath: String,

@@ -293,6 +293,77 @@ object Sketches extends QueryPack {
           .as("est_intersection"))
   }
 
+  // ------------------------------------------------- HDR-style histogram
+
+  /** Mergeable value-distribution sketch — the quantile member of the
+    * family (percentiles, like distinct counts, do NOT roll up from
+    * per-slice results). HdrHistogram-style buckets on the
+    * cent-scaled integer value: octave = bit length, 3 sub-bucket
+    * bits → relative bucket width ≤ 2^-3 (≈6% worst-case quantile
+    * error), values < 8 cents exact. ALL bucket math is integer
+    * (`floor(v·100+0.5)`, `length(bin(x))`, shift/mask), so the
+    * histogram is deterministic and cross-engine replayable; the only
+    * fp steps are the final representative division and the q·N rank
+    * comparison, both single deterministic expressions. Merge =
+    * per-bucket SUM (same gold-layer algebra as the other sketches);
+    * state per key is ≤ ~350 buckets regardless of input size. */
+  def histBuckets(df: DataFrame, keyCols: Seq[String],
+                  valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select((keyCols.map(col) :+
+        greatest(floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long"),
+          lit(1L)).as("hv")): _*)
+      .withColumn("ho", length(bin(col("hv"))).cast("long"))
+      .withColumn("bucket", col("ho") * 8 +
+        expr("shiftrightunsigned(hv, CAST(greatest(ho - 4, 0) AS INT)) & 7"))
+      .groupBy(keyCols.head, (keyCols.tail :+ "bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge histogram tables / fold a delta batch: per-bucket sum. */
+  def histMerge(keyCols: Seq[String], tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(keyCols.head, (keyCols.tail :+ "bucket"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Twice the representative (bucket-midpoint) value of a bucket id
+    * column named `name`, in cents — integer, so /200.0 at the end is
+    * the one fp step. Octave ≤ 3 buckets are exact singletons
+    * (rep2 = 2·value). Kept as a SQL-text expression because the
+    * octave-dependent shift needs a column shift amount. */
+  private def rep2Expr(name: String): Column = expr(
+    s"""CASE WHEN shiftright($name, 3) <= 3 THEN ($name & 7) * 2
+        ELSE (8 + ($name & 7)) *
+               shiftleft(CAST(1 AS BIGINT),
+                 CAST(shiftright($name, 3) - 4 AS INT)) * 2 +
+             shiftleft(CAST(1 AS BIGINT),
+               CAST(shiftright($name, 3) - 4 AS INT))
+        END""")
+
+  /** p50/p90 estimates per key from a (possibly merged) histogram:
+    * cumulative counts in bucket order, first bucket whose cumulative
+    * reaches q·N, bucket midpoint as the estimate. */
+  def histQuantiles(hist: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import graft.functions.NormExprs.pround
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("bucket"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+    def pick(q: Double): Column =
+      min(when(col("cum").cast("double") >=
+        lit(q) * col("total").cast("double"), col("bucket")))
+    cum.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(max(col("total")).as("n_values"),
+        pick(0.5).as("b50"), pick(0.9).as("b90"))
+      .select((keyCols.map(col) :+ col("n_values") :+
+        pround(rep2Expr("b50").cast("double") / lit(200.0), 4)
+          .as("est_p50") :+
+        pround(rep2Expr("b90").cast("double") / lit(200.0), 4)
+          .as("est_p90")): _*)
+  }
+
   // ------------------------------------------------------------ queries
 
   def queries: Map[String, QFn] = Map(
@@ -330,6 +401,21 @@ object Sketches extends QueryPack {
       kmvIntersect(sk.filter(col("l_returnflag") === "A").select("kmv_h"),
           sk.filter(col("l_returnflag") === "N").select("kmv_h"))
         .crossJoin(broadcast(exact))
+    }),
+    // Mergeable-histogram quantiles vs the exact percentiles: the
+    // bucket-midpoint estimate must land within one bucket width
+    // (≤ ~6%) of the exact value — visible side by side.
+    "sketch_hist_quantiles" -> ((s, d) => {
+      import graft.functions.NormExprs.pround
+      val li = lineitem(s, d)
+      histQuantiles(
+          histBuckets(li, Seq("l_returnflag"), "l_extendedprice"),
+          Seq("l_returnflag"))
+        .join(li.groupBy("l_returnflag").agg(
+          pround(percentile(col("l_extendedprice"), lit(0.5)), 2)
+            .as("exact_p50"),
+          pround(percentile(col("l_extendedprice"), lit(0.9)), 2)
+            .as("exact_p90")), "l_returnflag")
     }),
     // Heavy hitters: the 20 most frequent document tokens, their
     // exact corpus frequency, and the count-min estimate — the
@@ -426,6 +512,54 @@ object Sketches extends QueryPack {
                      END)) * 10000.0 + 0.5) / 10000.0 AS est_intersection,
              exact.exact_intersection
       FROM stats, common, exact""",
+    "sketch_hist_quantiles" -> {
+      def rep2(n: String) =
+        s"""(CASE WHEN ($n >> 3) <= 3 THEN ($n & 7) * 2
+             ELSE (8 + ($n & 7)) *
+                    (CAST(1 AS BIGINT) << CAST(($n >> 3) - 4 AS INTEGER)) * 2
+                  + (CAST(1 AS BIGINT) << CAST(($n >> 3) - 4 AS INTEGER))
+             END)"""
+      s"""
+      WITH src AS (
+        SELECT l_returnflag,
+               greatest(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT),
+                 1) AS hv
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      octv AS (SELECT l_returnflag, hv, length(bin(hv)) AS ho FROM src),
+      hist AS (
+        SELECT l_returnflag,
+               ho * 8 + ((hv >> (CASE WHEN ho - 4 > 0 THEN ho - 4 ELSE 0 END))
+                 & 7) AS bucket,
+               COUNT(*) AS cnt
+        FROM octv GROUP BY 1, 2),
+      cum AS (
+        SELECT l_returnflag, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY l_returnflag
+                              ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+        FROM hist),
+      picks AS (
+        SELECT l_returnflag, CAST(MAX(total) AS BIGINT) AS n_values,
+               MIN(CASE WHEN CAST(cum AS DOUBLE) >=
+                 0.5 * CAST(total AS DOUBLE) THEN bucket END) AS b50,
+               MIN(CASE WHEN CAST(cum AS DOUBLE) >=
+                 0.9 * CAST(total AS DOUBLE) THEN bucket END) AS b90
+        FROM cum GROUP BY 1),
+      exact AS (
+        SELECT l_returnflag,
+               floor(quantile_cont(l_extendedprice, 0.5) * 100.0 + 0.5)
+                 / 100.0 AS exact_p50,
+               floor(quantile_cont(l_extendedprice, 0.9) * 100.0 + 0.5)
+                 / 100.0 AS exact_p90
+        FROM lineitem GROUP BY 1)
+      SELECT picks.l_returnflag, picks.n_values,
+             floor(CAST(${rep2("b50")} AS DOUBLE) / 200.0 * 10000.0 + 0.5)
+               / 10000.0 AS est_p50,
+             floor(CAST(${rep2("b90")} AS DOUBLE) / 200.0 * 10000.0 + 0.5)
+               / 10000.0 AS est_p90,
+             exact.exact_p50, exact.exact_p90
+      FROM picks JOIN exact USING (l_returnflag)"""
+    },
     "sketch_cms_heavy" -> s"""
       WITH tok AS (${TextAnalysis.tokCteSql}),
       toks AS (SELECT unnest(tk) AS token FROM tok),

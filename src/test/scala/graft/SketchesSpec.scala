@@ -153,6 +153,55 @@ class SketchesSpec extends SparkSpec {
       s"disjoint intersection ${rd.getAs[Double]("est_intersection")}")
   }
 
+  test("histogram: split-merge equals one-shot; quantiles within one bucket width") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val full = Sketches.histBuckets(li, Seq("l_returnflag"), "l_extendedprice")
+    val coin = abs(hash(col("l_orderkey"))) % 2
+    val merged = Sketches.histMerge(Seq("l_returnflag"),
+      Sketches.histBuckets(li.filter(coin === 0), Seq("l_returnflag"),
+        "l_extendedprice"),
+      Sketches.histBuckets(li.filter(coin === 1), Seq("l_returnflag"),
+        "l_extendedprice"))
+    assert(canon(merged) == canon(full), "sum-merge != one-shot histogram")
+    // estimates vs exact: one bucket is ≤ 2^-3 relative width, so the
+    // midpoint estimate sits within ~6.5% of any exact quantile
+    val est = Sketches.histQuantiles(full, Seq("l_returnflag"))
+      .join(li.groupBy("l_returnflag").agg(
+        percentile(col("l_extendedprice"), lit(0.5)).as("x50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("x90")),
+        "l_returnflag").collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val (e50, e90) = (r.getAs[Double]("est_p50"), r.getAs[Double]("est_p90"))
+      val (x50, x90) = (r.getAs[Double]("x50"), r.getAs[Double]("x90"))
+      assert(math.abs(e50 - x50) / x50 <= 0.07, s"p50 $e50 vs $x50")
+      assert(math.abs(e90 - x90) / x90 <= 0.07, s"p90 $e90 vs $x90")
+    }
+  }
+
+  test("gold histogram sidecar: cross-slice quantile rollup within bucket width") {
+    val out = java.nio.file.Files.createTempDirectory("graft_goldhist")
+      .toString + "/hist"
+    graft.etl.GoldAggregates.materializeRateHistogram(spark, sf0001, out)
+    val fact = graft.etl.GoldAggregates
+      .ratesWithState(spark, sf0001, "negotiated_rate")
+    // per-state p50/p90 across ALL months — not derivable from
+    // per-slice percentiles, exactly the histogram's job
+    val exact = fact.groupBy("state").agg(
+      percentile(col("v"), lit(0.5)).as("x50"),
+      percentile(col("v"), lit(0.9)).as("x90"))
+    val rolled = graft.etl.GoldAggregates
+      .quantileRollup(spark, out, Seq("state"))
+      .join(exact, "state").collect()
+    assert(rolled.nonEmpty)
+    rolled.foreach { r =>
+      assert(math.abs(r.getAs[Double]("est_p50") - r.getAs[Double]("x50")) /
+        r.getAs[Double]("x50") <= 0.07, s"state ${r.getString(0)} p50")
+      assert(math.abs(r.getAs[Double]("est_p90") - r.getAs[Double]("x90")) /
+        r.getAs[Double]("x90") <= 0.07, s"state ${r.getString(0)} p90")
+    }
+  }
+
   test("gold distinct-sketch sidecar: cross-slice rollups without a fact rescan") {
     val out = java.nio.file.Files.createTempDirectory("graft_goldsketch")
       .toString + "/sketch"
