@@ -69,6 +69,46 @@ class SketchStreamSpec extends SparkSpec {
       "fold changed register content")
   }
 
+  test("CMS stream: batches compose, replay no-op via protocol, fold neutral") {
+    val store = work() + "/cms"
+    val items = Tables.load(spark, sf0001, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val slices = (0 to 3).map(i => items.filter(abs(hash(col("token"))) % 4 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.SketchStream.processCmsBatch(b, i.toLong, "token",
+        store, maxPartials = 2)
+    }
+    val oneShot = operators.Sketches.cmsCounters(
+      items.groupBy("token").agg(count(lit(1)).as("cnt")), "token", "cnt")
+    assert(canon(graft.streaming.SketchStream.readCounters(spark, store)) ==
+      canon(oneShot), "streamed counters != one-shot")
+    // SUM merge is NOT double-ingest idempotent — replay safety is the
+    // partition-overwrite protocol: same batch id, same data, no drift
+    val before = canon(graft.streaming.SketchStream.readCounters(spark, store))
+    graft.streaming.SketchStream.processCmsBatch(slices(3), 3L, "token",
+      store, maxPartials = 2)
+    assert(canon(graft.streaming.SketchStream.readCounters(spark, store)) ==
+      before, "replay changed the counters")
+  }
+
+  test("histogram stream: batches compose and serve quantiles") {
+    val store = work() + "/hist"
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val slices = (0 to 2).map(i => li.filter(abs(hash(col("l_orderkey"))) % 3 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.SketchStream.processHistBatch(b, i.toLong,
+        Seq("l_returnflag"), "l_extendedprice", store)
+    }
+    val oneShot = operators.Sketches.histBuckets(li, Seq("l_returnflag"),
+      "l_extendedprice")
+    assert(canon(graft.streaming.SketchStream.readHist(spark, store,
+      Seq("l_returnflag"))) == canon(oneShot))
+    assert(canon(graft.streaming.SketchStream.histEstimate(spark, store,
+      Seq("l_returnflag"))) ==
+      canon(operators.Sketches.histQuantiles(oneShot, Seq("l_returnflag"))))
+  }
+
   test("file-stream end to end: run() folds each micro-batch") {
     val w = work()
     val inDir = s"$w/in"
