@@ -237,6 +237,36 @@ class SketchesSpec extends SparkSpec {
     assert(single.length == 1 && single.head.getString(0) == oneState)
   }
 
+  test("sidecar rollups under a slice predicate prune at the partition level") {
+    val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.etl.GoldAggregates.materializeDistinctSketch(spark, sf0001,
+      s"$base/sketch")
+    graft.etl.GoldAggregates.materializeRateHistogram(spark, sf0001,
+      s"$base/hist")
+    val st = spark.read.parquet(s"$base/sketch").select("state")
+      .filter(col("state").isNotNull).head.getString(0)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        // AQE hides the real plan behind an adaptive root — recurse
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    def partitionFiltersNonEmpty(df: org.apache.spark.sql.DataFrame) = {
+      val s = scans(df.queryExecution.executedPlan)
+      s.nonEmpty && s.forall(_.partitionFilters.nonEmpty)
+    }
+    assert(partitionFiltersNonEmpty(graft.etl.GoldAggregates
+        .distinctRollup(spark, s"$base/sketch", Seq("state"),
+          col("state") === st)),
+      "distinct rollup did not push the slice predicate to partitions")
+    assert(partitionFiltersNonEmpty(graft.etl.GoldAggregates
+        .quantileRollup(spark, s"$base/hist", Seq("state"),
+          col("state") === st)),
+      "quantile rollup did not push the slice predicate to partitions")
+  }
+
   test("sketch queries: deterministic across runs and partitionings") {
     val q = SparkEntry.queries("sketch_hll_distinct")
     val a = canon(q(spark, sf0001))
