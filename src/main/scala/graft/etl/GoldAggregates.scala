@@ -369,12 +369,6 @@ object GoldAggregates {
       .option("compression", "zstd")
       .parquet(outPath)
 
-  /** Distinct-provider estimate at an arbitrary rollup grain from the
-    * register sidecar: filter to the slices of interest (partition
-    * columns — pruned at the file listing), max-merge registers up to
-    * `groupCols`, estimate. `where` defaults to everything; pass e.g.
-    * `col("state") === "GA"` + groupCols `Seq("state")` for
-    * "distinct providers in GA across all months". */
   /** The sketch sidecars' input grain: rate rows with the provider
     * dim's state attached (same broadcast join as [[aggMarketRates]]
     * — `state` lives on the dim, not the fact), the chosen fact
@@ -424,6 +418,12 @@ object GoldAggregates {
       groupCols)
   }
 
+  /** Distinct-provider estimate at an arbitrary rollup grain from the
+    * register sidecar: filter to the slices of interest (partition
+    * columns — pruned at the file listing), max-merge registers up to
+    * `groupCols`, estimate. `where` defaults to everything; pass e.g.
+    * `col("state") === "GA"` + groupCols `Seq("state")` for
+    * "distinct providers in GA across all months". */
   def distinctRollup(spark: SparkSession, sketchPath: String,
                      groupCols: Seq[String],
                      where: org.apache.spark.sql.Column = lit(true)): DataFrame = {

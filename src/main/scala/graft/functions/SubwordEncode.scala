@@ -37,7 +37,11 @@ object SubwordKernel {
         val cand = s.substring(pos, pos + l)
         if (t.contains(cand)) tok = cand else l -= 1
       }
-      if (tok == null) tok = s.substring(pos, pos + 1)
+      // fallback advances one CODE POINT, not one char — slicing a
+      // surrogate pair in half would emit lone surrogates that decode
+      // to '?', breaking the concatenation-reversibility contract for
+      // astral-plane input
+      if (tok == null) tok = s.substring(pos, s.offsetByCodePoints(pos, 1))
       out += UTF8String.fromString(tok)
       pos += tok.length
     }
@@ -75,23 +79,45 @@ case class SubwordEncode(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "subword_encode"
 
-  @transient private lazy val table: SubwordTable = {
-    val arr = right.eval(null).asInstanceOf[ArrayData]
-    new SubwordTable(
-      (0 until arr.numElements()).map(arr.getUTF8String(_).toString).toArray)
-  }
+  /** None when the foldable vocab evaluates to NULL — the expression
+    * is then null for every row (SQL null propagation), matching what
+    * interpreted eval does. NULL elements inside the array are
+    * skipped (they can't match any prefix). */
+  @transient private lazy val tableOpt: Option[SubwordTable] =
+    Option(right.eval(null).asInstanceOf[ArrayData]).map { arr =>
+      new SubwordTable((0 until arr.numElements())
+        .filterNot(arr.isNullAt)
+        .map(arr.getUTF8String(_).toString).toArray)
+    }
 
   override def nullSafeEval(word: Any, vocab: Any): Any =
-    SubwordKernel.encode(word.asInstanceOf[UTF8String], table)
+    SubwordKernel.encode(word.asInstanceOf[UTF8String], tableOpt.get)
 
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode = {
-    // the vocab child is foldable and already baked into the table;
-    // its generated value is ignored
-    val tableRef = ctx.addReferenceObj("subwordTable", table,
-      classOf[SubwordTable].getName)
-    nullSafeCodeGen(ctx, ev, (w, _) =>
-      s"${ev.value} = graft.functions.SubwordKernel.encode($w, $tableRef);")
+                                   ev: ExprCode): ExprCode = tableOpt match {
+    case None =>
+      // null vocab literal → constant-null result; don't even
+      // evaluate the word child
+      ExprCode.forNullValue(dataType)
+    case Some(table) =>
+      // generate code for the WORD child only: the vocab is foldable
+      // and already baked into the reference object — nullSafeCodeGen
+      // over both children would materialize the ignored array per row
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val tableRef = ctx.addReferenceObj("subwordTable", table,
+        classOf[SubwordTable].getName)
+      val javaType = org.apache.spark.sql.catalyst.expressions.codegen
+        .CodeGenerator.javaType(dataType)
+      val wordGen = left.genCode(ctx)
+      ev.copy(code =
+        code"""
+          ${wordGen.code}
+          boolean ${ev.isNull} = ${wordGen.isNull};
+          $javaType ${ev.value} = null;
+          if (!${ev.isNull}) {
+            ${ev.value} = graft.functions.SubwordKernel.encode(
+              ${wordGen.value}, $tableRef);
+          }""")
   }
 
   override protected def withNewChildrenInternal(

@@ -80,7 +80,12 @@ object Sketches extends QueryPack {
     val w = shiftright(h, p)
     val rank = when(w === 0, lit(fieldBits + 1))
       .otherwise(lit(fieldBits + 1) - length(bin(w)))
-    df.select((keyCols.map(col) :+ h.bitwiseAND(lit((m - 1).toLong))
+    // NULL values don't count toward a distinct estimate (COUNT
+    // DISTINCT semantics); without this filter a null would mint a
+    // phantom NULL-cell register that shrinks v_zero and drops its
+    // s_scaled term — inflating every linear-counting estimate
+    df.filter(col(valueCol).isNotNull)
+      .select((keyCols.map(col) :+ h.bitwiseAND(lit((m - 1).toLong))
       .as("reg_idx") :+ rank.as("reg_rank")): _*)
       .groupBy(keyCols.head, (keyCols.tail :+ "reg_idx"): _*)
       .agg(max(col("reg_rank")).as("reg_rank"))
@@ -194,7 +199,7 @@ object Sketches extends QueryPack {
     * so only DISTINCT items are hashed. */
   def cmsCounters(itemCounts: DataFrame, itemCol: String,
                   cntCol: String): DataFrame =
-    itemCounts
+    itemCounts.filter(col(itemCol).isNotNull)
       .select(explode(array((0 until CmsDepth).map(lit): _*)).as("cms_row"),
         col(itemCol), col(cntCol))
       .select(col("cms_row"),
@@ -226,9 +231,13 @@ object Sketches extends QueryPack {
         h60("cms", concat(col("cms_row").cast("string"), lit("|"),
           col(itemCol).cast("string")))
           .bitwiseAND(lit((CmsWidth - 1).toLong)))
-    hashed.join(broadcast(counters), Seq("cms_row", "cms_idx"))
+    // LEFT join + 0-coalesce: a probe item the counters never saw has
+    // empty cells — its true estimate is 0 (min over d cells, some
+    // absent). An inner join would silently drop it, or worse, take
+    // the min over only its non-empty cells.
+    hashed.join(broadcast(counters), Seq("cms_row", "cms_idx"), "left")
       .groupBy(itemCol)
-      .agg(min(col("cnt")).as("est_cnt"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
   // ------------------------------------------------------------ KMV
@@ -247,7 +256,7 @@ object Sketches extends QueryPack {
     * per-partition bottom-k is the only state. */
   def kmvSketch(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 k: Int = KmvK): DataFrame = {
-    val hashed = df
+    val hashed = df.filter(col(valueCol).isNotNull)
       .select((keyCols.map(col) :+ h60("kmv", col(valueCol)).as("kmv_h")): _*)
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
@@ -286,11 +295,15 @@ object Sketches extends QueryPack {
     val estU = when(col("u_cnt") < k, col("u_cnt").cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
         col("u_kth").cast("double"))
+    // Jaccard denominator is the union sketch's EFFECTIVE size u_cnt
+    // (= k when full). Dividing by the constant k would shrink the
+    // exact-mode intersection by u_cnt/k — with both sets below k the
+    // common count IS the intersection and must come back unscaled.
     stats.crossJoin(broadcast(common))
       .select(col("u_cnt"), col("u_kth"), col("common_cnt"),
         pround(estU, 4).as("est_union"),
-        pround(col("common_cnt").cast("double") / lit(k.toDouble) * estU, 4)
-          .as("est_intersection"))
+        pround(col("common_cnt").cast("double") /
+          col("u_cnt").cast("double") * estU, 4).as("est_intersection"))
   }
 
   // ------------------------------------------------- HDR-style histogram
@@ -505,7 +518,7 @@ object Sketches extends QueryPack {
                     THEN CAST(stats.u_cnt AS DOUBLE)
                     ELSE (${(KmvK - 1).toDouble} * ${math.pow(2.0, 60)}) / CAST(stats.u_kth AS DOUBLE)
                     END) * 10000.0 + 0.5) / 10000.0 AS est_union,
-             floor((CAST(common.common_cnt AS DOUBLE) / ${KmvK.toDouble} *
+             floor((CAST(common.common_cnt AS DOUBLE) / CAST(stats.u_cnt AS DOUBLE) *
                     (CASE WHEN stats.u_cnt < $KmvK
                      THEN CAST(stats.u_cnt AS DOUBLE)
                      ELSE (${(KmvK - 1).toDouble} * ${math.pow(2.0, 60)}) / CAST(stats.u_kth AS DOUBLE)

@@ -196,10 +196,10 @@ object TextAnalysis extends QueryPack {
     // bounded driver collect like the repo's code lists.
     "text_subword_encode" -> ((s, d) => {
       graft.GraftExtensions.registerAll(s)
-      val words = docs(s, d)
+      val counts = docs(s, d)
         .select(explode(tokCol(col("text"))).as("word"))
-      val vocab: Array[String] = words.groupBy("word")
-        .agg(count(lit(1)).as("cnt"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val vocab: Array[String] = counts
         .orderBy(col("cnt").desc, col("word").asc).limit(20)
         .select("word").collect().map(_.getString(0))
       val compounds = docs(s, d)
@@ -209,7 +209,10 @@ object TextAnalysis extends QueryPack {
           col("tk"))
         .select(concat(element_at(col("tk"), col("i")),
           element_at(col("tk"), col("i") + 1)).as("word"))
-      val universe = words.union(compounds).distinct()
+      // word universe from the already-reduced counts aggregate — not
+      // the raw occurrence stream, whose re-dedup would shuffle every
+      // token occurrence a second time (the SQL twin is word-grain too)
+      val universe = counts.select("word").union(compounds).distinct()
       val toks = call_function("subword_encode", col("word"), lit(vocab))
       universe.select(col("word"),
         size(toks).as("n_tokens"),

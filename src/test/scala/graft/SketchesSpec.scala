@@ -129,6 +129,50 @@ class SketchesSpec extends SparkSpec {
     assert(est.getAs[Double]("est_distinct") == 40.0)
   }
 
+  test("KMV exact mode: below-k sets intersect exactly; null values don't count") {
+    import spark.implicits._
+    // |A|=30, |B|=21, |A∩B|=11 — all below k, so sketches hold the
+    // full hash sets and the intersection must come back EXACT
+    val a = Sketches.kmvSketch(
+      (1L to 30L).toDF("v").withColumn("k", lit("a")), Seq("k"), "v")
+      .select("kmv_h")
+    val b = Sketches.kmvSketch(
+      (20L to 40L).toDF("v").withColumn("k", lit("b")), Seq("k"), "v")
+      .select("kmv_h")
+    val r = Sketches.kmvIntersect(a, b).collect().head
+    assert(r.getAs[Long]("common_cnt") == 11L)
+    assert(r.getAs[Double]("est_intersection") == 11.0,
+      s"exact-mode intersection ${r.getAs[Double]("est_intersection")}")
+    assert(r.getAs[Double]("est_union") == 40.0) // |{1..40}|
+    // null values are not distinct values — sketch unchanged by nulls
+    val withNulls = (1L to 30L).toDF("v").withColumn("k", lit("a"))
+      .union(Seq.fill(5)((null.asInstanceOf[java.lang.Long], "a"))
+        .toDF("v", "k").select(col("v").cast("long"), col("k")))
+    assert(canon(Sketches.kmvSketch(withNulls, Seq("k"), "v")) ==
+      canon(Sketches.kmvSketch(
+        (1L to 30L).toDF("v").withColumn("k", lit("a")), Seq("k"), "v")))
+  }
+
+  test("HLL ignores nulls; CMS estimates unseen probe items as zero") {
+    import spark.implicits._
+    val clean = (1L to 500L).toDF("v").withColumn("k", lit("x"))
+    val dirty = clean.union(Seq.fill(7)((null.asInstanceOf[java.lang.Long], "x"))
+      .toDF("v", "k").select(col("v").cast("long"), col("k")))
+    assert(canon(Sketches.hllRegisters(dirty, Seq("k"), "v")) ==
+      canon(Sketches.hllRegisters(clean, Seq("k"), "v")),
+      "a NULL value minted a phantom register")
+    // unseen probe item → every cell empty → estimate 0, not dropped
+    val counters = Sketches.cmsCounters(
+      Seq(("alpha", 5L), ("beta", 3L)).toDF("item", "cnt"), "item", "cnt")
+    val est = Sketches.cmsEstimate(counters,
+      Seq("alpha", "never_ingested_zzz").toDF("item"), "item")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 5L)
+    assert(est.contains("never_ingested_zzz"),
+      "unseen probe item dropped from the estimate")
+    assert(est("never_ingested_zzz") == 0L)
+  }
+
   test("KMV intersection: partial overlap estimated within the error envelope") {
     import spark.implicits._
     // |A|=2000 (1..2000), |B|=2000 (1301..3300), |A∩B|=700

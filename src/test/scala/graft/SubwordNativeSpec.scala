@@ -33,6 +33,26 @@ class SubwordNativeSpec extends SparkSpec {
     assert(encode("join", Seq("join", "j")) == Seq("join"))
   }
 
+  test("astral chars, null vocab, and null vocab elements") {
+    // fallback advances whole code points: a surrogate pair survives
+    val astral = "a" + new String(Character.toChars(0x1D54F)) + "b"
+    assert(encode(astral, Seq("zz")).mkString == astral,
+      "surrogate pair split by the single-char fallback")
+    // null ELEMENTS in the vocab are skipped, not NPE'd
+    graft.GraftExtensions.registerAll(spark)
+    val withNullElem = Seq("x").toDF("word")
+      .select(call_function("subword_encode", col("word"),
+        array(lit("x"), lit(null).cast("string"))).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(withNullElem == Seq("x"))
+    // NULL vocab literal → null result (SQL propagation), no crash
+    val nullVocab = Seq("x").toDF("word")
+      .select(call_function("subword_encode", col("word"),
+        lit(null).cast("array<string>")).as("t"))
+      .collect().head
+    assert(nullVocab.isNullAt(0))
+  }
+
   test("corpus universe: encoding is reversible and the oracle query consistent") {
     val rows = TextAnalysis.queries("text_subword_encode")(spark, sf0001)
       .collect()
