@@ -418,6 +418,37 @@ object GoldAggregates {
       groupCols)
   }
 
+  /** Per-slice refresh of the sketch sidecars — the sidecar leg of
+    * [[refreshSlices]]: recompute ONLY the touched slices' registers /
+    * histogram buckets from the current base (recompute-from-base, so
+    * updates and deletes are honored, not just appends) and
+    * dynamic-overwrite exactly those partitions. Same null-safe slice
+    * predicates as the gold refresh. No-op for sidecars that were
+    * never materialized. */
+  def refreshSketchSlices(spark: SparkSession, dir: String,
+                          sketchPath: String, histPath: String,
+                          slices: Seq[(String, String)]): Unit = {
+    if (slices.isEmpty) return
+    val hit = slices.map { case (st, ym) =>
+      (col("state") <=> lit(st)) && (col("year_month") <=> lit(ym))
+    }.reduce(_ || _)
+    def overwrite(df: DataFrame, path: String): Unit =
+      df.repartition(col("state"), col("year_month"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("state", "year_month")
+        .option("compression", "zstd")
+        .parquet(path)
+    if (graft.FsUtils.committedExists(spark, sketchPath))
+      overwrite(graft.operators.Sketches.hllRegisters(
+        ratesWithState(spark, dir).filter(hit),
+        Seq("state", "year_month"), "v"), sketchPath)
+    if (graft.FsUtils.committedExists(spark, histPath))
+      overwrite(graft.operators.Sketches.histBuckets(
+        ratesWithState(spark, dir, "negotiated_rate").filter(hit),
+        Seq("state", "year_month"), "v"), histPath)
+  }
+
   /** Distinct-provider estimate at an arbitrary rollup grain from the
     * register sidecar: filter to the slices of interest (partition
     * columns — pruned at the file listing), max-merge registers up to

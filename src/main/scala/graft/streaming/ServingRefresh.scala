@@ -50,7 +50,8 @@ object ServingRefresh {
     * with) their arrival here — refreshSlices recomputes from `dir`,
     * the current base. */
   def run(spark: SparkSession, deltaDir: String, dir: String,
-          goldPath: String, checkpoint: String): StreamingQuery = {
+          goldPath: String, checkpoint: String,
+          sketchPath: String = null, histPath: String = null): StreamingQuery = {
     // Schema from the base table, not the delta dir: deltas are
     // lineitem-shaped by contract, and inferring from deltaDir would
     // crash a serving session that starts its refresh stream before
@@ -62,8 +63,16 @@ object ServingRefresh {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (delta: DataFrame, _: Long) =>
         val slices = touchedSlices(spark, dir, delta)
-        if (slices.nonEmpty)
+        if (slices.nonEmpty) {
           GoldAggregates.refreshSlices(spark, dir, goldPath, slices.toSeq)
+          // keep the sketch sidecars (distinct registers / rate
+          // histograms) in step with the gold slices they describe —
+          // same touched-slice set, same recompute-from-base semantics
+          GoldAggregates.refreshSketchSlices(spark, dir,
+            Option(sketchPath).getOrElse(goldPath + "_sketch"),
+            Option(histPath).getOrElse(goldPath + "_hist"),
+            slices.toSeq)
+        }
       }
       .start()
   }

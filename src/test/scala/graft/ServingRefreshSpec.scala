@@ -86,6 +86,57 @@ class ServingRefreshSpec extends SparkSpec {
     assert(servedRows.toSeq == inline.toSeq)
   }
 
+  test("streaming refresh keeps the sketch sidecars in step with the gold slices") {
+    val work = Files.createTempDirectory("graft_srefresh_sk").toString
+    val gold = s"$work/gold"
+    val sketch = s"$work/gold_sketch"
+    val hist = s"$work/gold_hist"
+    try {
+      GoldAggregates.materialize(spark, sf0001, gold)
+      GoldAggregates.materializeDistinctSketch(spark, sf0001, sketch)
+      GoldAggregates.materializeRateHistogram(spark, sf0001, hist)
+      val head = spark.read.parquet(gold).select("state", "year_month")
+        .filter(col("state").isNotNull).head
+      val (s0, ym0) = (head.getString(0), head.getString(1))
+      val targetLeaf = s"state=$s0/year_month=$ym0"
+      val (skBefore, hBefore) = (leafFiles(sketch), leafFiles(hist))
+      val pg = Roles.providers(spark, sf0001)
+        .filter(col("state") === s0).select("provider_group_id")
+      val delta = Tables.load(spark, sf0001, "lineitem")
+        .filter(graft.functions.NormExprs.yearMonth(col("l_shipdate")) === ym0)
+        .join(pg, col("l_suppkey").cast("string") === col("provider_group_id"),
+          "left_semi")
+      delta.coalesce(1).write.parquet(s"$work/delta")
+      val q = ServingRefresh.run(spark, s"$work/delta", sf0001, gold,
+        s"$work/ckpt", sketch, hist)
+      try q.processAllAvailable() finally q.stop()
+      // touched sidecar partitions rewritten, others untouched
+      for ((name, before) <- Seq("sketch" -> skBefore, "hist" -> hBefore)) {
+        val after = leafFiles(if (name == "sketch") sketch else hist)
+        assert(after(targetLeaf) != before(targetLeaf),
+          s"$name sidecar slice not refreshed")
+        val changed = (before.keySet - targetLeaf)
+          .filter(k => before(k) != after.getOrElse(k, Set[String]()))
+        assert(changed.isEmpty, s"$name sidecar slices rewritten: $changed")
+      }
+      // refreshed registers equal a from-base recompute of that slice
+      val sliceRegisters = spark.read.parquet(sketch)
+        .filter(col("state") === s0 && col("year_month") === ym0)
+        .select("reg_idx", "reg_rank")
+        .collect().map(_.toSeq).toSet
+      val recomputed = graft.operators.Sketches.hllRegisters(
+          GoldAggregates.ratesWithState(spark, sf0001)
+            .filter(col("state") === s0 && col("year_month") === ym0),
+          Seq("state", "year_month"), "v")
+        .select("reg_idx", "reg_rank")
+        .collect().map(_.toSeq).toSet
+      assert(sliceRegisters == recomputed,
+        "refreshed sidecar slice != from-base registers")
+    } finally {
+      graft.plans.GoldCatalog.invalidate(gold)
+    }
+  }
+
   test("bootstrapRouting: a fresh JVM routes from the sidecar alone") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
