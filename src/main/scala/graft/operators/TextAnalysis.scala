@@ -183,6 +183,41 @@ object TextAnalysis extends QueryPack {
         .select("rank", "pair", "cnt")
     }),
 
+    // CCNet-style LM quality signal: average per-token negative
+    // log-likelihood of each document under the corpus's OWN
+    // Laplace-smoothed unigram model — the classic
+    // perplexity-filtering recipe (high nll = unusual token mix =
+    // boilerplate/noise candidate). Determinism: each ln runs on a
+    // per-(token) scalar; the per-doc sum folds tf·ln(p) terms in
+    // token-sorted order (the DSIR/BM25 fixed-order-fold convention),
+    // so fp addition order cannot diverge from the oracle. One
+    // shuffle on doc_id; the vocab model is an Aggregate-derived
+    // broadcast.
+    "text_lm_logprob" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(tokCol(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val counts = tf.groupBy("token").agg(sum(col("tf")).as("cnt"))
+      val totals = counts.agg(
+        sum(col("cnt")).cast("double").as("t_tokens"),
+        count(lit(1)).cast("double").as("v_size"))
+      val terms = tf.join(broadcast(counts), "token")
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("token"), col("tf"),
+          (col("tf").cast("double") *
+            log((col("cnt").cast("double") + lit(1.0)) /
+              (col("t_tokens") + col("v_size")))).as("term"))
+      terms.groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          sort_array(collect_list(struct(col("token"), col("term"))))
+            .as("ts"))
+        .select(col("doc_id"), col("n_tokens"),
+          pround((lit(0.0) - aggregate(
+              transform(col("ts"), x => x.getField("term")),
+              lit(0.0), (acc, x) => acc + x)) /
+            col("n_tokens").cast("double"), 4).as("nll_per_token"))
+    }),
+
     // Subword tokenization: greedy longest-match (WordPiece-style)
     // against the corpus's own top-20 words via the native
     // `subword_encode` kernel. The synthetic corpus's 31-word
@@ -503,6 +538,31 @@ object TextAnalysis extends QueryPack {
 
       // Adjacent pairs via list slicing; the (cnt DESC, pair)
       // order/tie-break matches the Spark TakeOrdered + window.
+      // Same tokenizer, same Laplace smoothing, and the per-doc fold
+      // runs over `list(term ORDER BY token)` with a 0.0 prepend —
+      // byte-identical addition order to the Spark sort_array fold.
+      "text_lm_logprob" -> s"""
+        WITH tok AS ($tokCteSql),
+        toks AS (SELECT doc_id, unnest(tk) AS token FROM tok),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        counts AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt
+                   FROM tf GROUP BY 1),
+        totals AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t_tokens,
+                          CAST(COUNT(*) AS DOUBLE) AS v_size FROM counts),
+        terms AS (
+          SELECT tf.doc_id, tf.token, tf.tf,
+                 CAST(tf.tf AS DOUBLE) *
+                   ln((CAST(c.cnt AS DOUBLE) + 1.0) /
+                      (t.t_tokens + t.v_size)) AS term
+          FROM tf JOIN counts c USING (token) CROSS JOIN totals t)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               floor(((0.0 - list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list(term ORDER BY token)),
+                   (acc, x) -> acc + x)) / CAST(SUM(tf) AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS nll_per_token
+        FROM terms GROUP BY doc_id""",
+
       // The DuckDB twin of the greedy longest-match kernel is a
       // recursive CTE: one recursion step per emitted token, the
       // longest-match probe as a correlated argmax over the vocab

@@ -320,6 +320,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("lm logprob: positive, bounded, and rare-token docs score higher") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.queries("text_lm_logprob")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // every nll is positive and below the Laplace floor ln(T+V)
+    // (the cost of an unseen token) — anything outside is a math bug
+    val docs = Tables.load(spark, sf0001, "documents")
+    val t = docs.select(explode(split(lower(col("text")), "\\s+")))
+      .count().toDouble
+    rows.foreach { case (id, n, nll) =>
+      assert(n > 0 && nll > 0 && nll < math.log(t + 1000.0),
+        s"doc $id nll=$nll out of range")
+    }
+    // docs whose tokens skew rare must score above the corpus median:
+    // take the doc with the rarest average token frequency vs the
+    // most common one — order must agree with nll
+    val nllById = rows.map(r => r._1 -> r._3).toMap
+    val meanFreq = docs
+      .select(col("doc_id"), explode(
+        split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          "\\s+")).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy("doc_id", "tk").count()
+      .groupBy("tk").agg(sum("count").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // correlation proxy: the 10 docs with highest nll should have a
+    // lower mean corpus-frequency of their tokens than the 10 lowest
+    def avgFreq(id: Long): Double = {
+      val toks = docs.filter(col("doc_id") === id)
+        .select(explode(split(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), "\\s+")).as("tk"))
+        .filter(length(col("tk")) > 0)
+        .collect().map(_.getString(0))
+      if (toks.isEmpty) 0.0
+      else toks.map(t0 => meanFreq.getOrElse(t0, 0L).toDouble).sum / toks.length
+    }
+    val sorted = rows.sortBy(_._3)
+    val lowNll = sorted.take(5).map(r => avgFreq(r._1))
+    val highNll = sorted.takeRight(5).map(r => avgFreq(r._1))
+    assert(lowNll.sum / 5 > highNll.sum / 5,
+      s"nll does not track token rarity: low=${lowNll.sum / 5} high=${highNll.sum / 5}")
+    assert(nllById.size == rows.length)
+  }
+
   test("bpe pair counts: word bigrams, descending, ranked") {
     val rows = TextAnalysis.queries("bpe_pair_counts")(spark, sf0001)
       .orderBy("rank").collect()
