@@ -183,6 +183,56 @@ object TextAnalysis extends QueryPack {
         .select("rank", "pair", "cnt")
     }),
 
+    // Iterative BPE TRAINING (3 unrolled merge rounds, the
+    // graph_pagerank chaining pattern): each round counts adjacent
+    // symbol pairs over the freq-weighted word universe, picks the
+    // top pair (count desc, pair asc), and applies the merge to every
+    // word before the next round — the actual tokenizer-training
+    // loop, of which `bpe_pair_counts` is one round's first half.
+    // Words are SPACE-ENCODED symbol strings (symbols joined by two
+    // spaces, single-space boundary guards on the merge pattern), so
+    // the merge is a plain string `replace` with identical
+    // left-to-right non-overlap semantics in Spark and DuckDB — the
+    // guard spaces prevent a pattern from matching inside a larger
+    // symbol, while consecutive occurrences still each keep a
+    // boundary space to match on (see the spec's 'aaa' case).
+    "bpe_train_merges" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(tokCol(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(trim(regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
+          col("freq"))
+      def pairsOf(w: DataFrame) = w
+        .select(col("freq"), split(col("sym"), "  ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("freq"), col("arr"),
+          explode(sequence(lit(1), size(col("arr")) - 1)).as("i"))
+        .select(element_at(col("arr"), col("i")).as("a"),
+          element_at(col("arr"), col("i") + 1).as("b"), col("freq"))
+        .groupBy("a", "b")
+        .agg(sum(col("freq")).as("cnt"))
+        .select(concat(col("a"), lit(" "), col("b")).as("pair"),
+          col("a"), col("b"), col("cnt"))
+      def topOf(p: DataFrame) =
+        p.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+      def mergeRound(w: DataFrame, top: DataFrame) = w
+        .crossJoin(broadcast(top.select(col("a").as("ma"),
+          col("b").as("mb"))))
+        .select(trim(replace(
+          concat(lit(" "), col("sym"), lit(" ")),
+          concat(lit(" "), col("ma"), lit("  "), col("mb"), lit(" ")),
+          concat(lit(" "), col("ma"), col("mb"), lit(" ")))).as("sym"),
+          col("freq"))
+      val rounds = (1 to 3).foldLeft(
+        (words, Seq.empty[DataFrame])) { case ((w, acc), r) =>
+        val t = topOf(pairsOf(w))
+        (mergeRound(w, t),
+          acc :+ t.select(lit(r).as("rank"), col("pair"),
+            concat(col("a"), col("b")).as("merged"), col("cnt")))
+      }
+      rounds._2.reduce(_ unionByName _)
+    }),
+
     // CCNet-style LM quality signal: average per-token negative
     // log-likelihood of each document under the corpus's OWN
     // Laplace-smoothed unigram model — the classic
@@ -538,6 +588,50 @@ object TextAnalysis extends QueryPack {
 
       // Adjacent pairs via list slicing; the (cnt DESC, pair)
       // order/tie-break matches the Spark TakeOrdered + window.
+      // The 3 training rounds unrolled as chained CTEs (the
+      // graph_pagerank oracle pattern); the space-encoded merge is
+      // the same boundary-guarded `replace` as the Spark side.
+      "bpe_train_merges" -> {
+        def round(n: Int): String = {
+          val wPrev = s"w${n - 1}"
+          s"""
+        p$n AS (
+          SELECT arr[CAST(i AS INTEGER)] || ' ' ||
+                   arr[CAST(i AS INTEGER) + 1] AS pair,
+                 arr[CAST(i AS INTEGER)] AS a,
+                 arr[CAST(i AS INTEGER) + 1] AS b,
+                 CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (SELECT arr, freq, unnest(range(1, len(arr))) AS i
+                FROM (SELECT string_split(sym, '  ') AS arr, freq
+                      FROM $wPrev)
+                WHERE len(arr) >= 2)
+          GROUP BY 1, 2, 3),
+        t$n AS (SELECT * FROM p$n ORDER BY cnt DESC, pair ASC LIMIT 1),
+        w$n AS (
+          SELECT trim(replace(' ' || sym || ' ',
+                   ' ' || (SELECT a FROM t$n) || '  ' ||
+                     (SELECT b FROM t$n) || ' ',
+                   ' ' || (SELECT a FROM t$n) ||
+                     (SELECT b FROM t$n) || ' ')) AS sym, freq
+          FROM $wPrev)"""
+        }
+        s"""
+        WITH tok AS ($tokCteSql),
+        toks AS (SELECT unnest(tk) AS word FROM tok),
+        wf AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY 1),
+        w0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym,
+                      freq
+               FROM wf),
+        ${round(1)},
+        ${round(2)},
+        ${round(3)}
+        SELECT 1 AS rank, pair, a || b AS merged, cnt FROM t1
+        UNION ALL
+        SELECT 2 AS rank, pair, a || b AS merged, cnt FROM t2
+        UNION ALL
+        SELECT 3 AS rank, pair, a || b AS merged, cnt FROM t3"""
+      },
+
       // Same tokenizer, same Laplace smoothing, and the per-doc fold
       // runs over `list(term ORDER BY token)` with a 0.0 prepend —
       // byte-identical addition order to the Spark sort_array fold.

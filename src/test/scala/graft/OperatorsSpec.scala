@@ -365,6 +365,37 @@ class OperatorsSpec extends SparkSpec {
     assert(nllById.size == rows.length)
   }
 
+  test("bpe training: monotone merge counts and boundary-guarded replace") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = TextAnalysis.queries("bpe_train_merges")(spark, sf0001)
+      .orderBy("rank").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // each round's winning count can never exceed the previous
+    // round's (the previous max dominates all surviving pairs, and
+    // new pairs are bounded by the merged symbol's occurrence count)
+    val cnts = rows.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y }, cnts.toSeq)
+    rows.foreach { r =>
+      assert(r.getString(2) == r.getString(1).replace(" ", ""),
+        "merged symbol != concatenated pair")
+    }
+    // the space-encoding semantics the query relies on, pinned directly:
+    def applyMerge(sym: String, a: String, b: String): String =
+      Seq(sym).toDF("sym").select(trim(replace(
+        concat(lit(" "), col("sym"), lit(" ")),
+        lit(s" $a  $b "), lit(s" $a$b "))).as("m"))
+        .collect().head.getString(0)
+    // consecutive occurrences each merge (the greedy fold semantics)
+    assert(applyMerge("a  b  a  b", "a", "b") == "ab  ab")
+    // tripled symbol: leftmost pair wins, remainder survives
+    assert(applyMerge("a  a  a", "a", "a") == "aa  a")
+    // the guard space must keep a pattern from matching INSIDE a
+    // larger symbol ('xa' ends in 'a' but is not the symbol 'a')
+    assert(applyMerge("xa  b", "a", "b") == "xa  b")
+  }
+
   test("bpe pair counts: word bigrams, descending, ranked") {
     val rows = TextAnalysis.queries("bpe_pair_counts")(spark, sf0001)
       .orderBy("rank").collect()
