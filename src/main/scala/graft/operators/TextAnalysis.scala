@@ -197,11 +197,16 @@ object TextAnalysis extends QueryPack {
     // symbol, while consecutive occurrences still each keep a
     // boundary space to match on (see the spec's 'aaa' case).
     "bpe_train_merges" -> ((s, d) => {
+      // word-grain (vocab-sized) frame, checkpointed per round like
+      // graph_pagerank: without truncation round N's plan embeds
+      // ~fib(N) rescans of the corpus (each top-pair AND each merge
+      // re-derives its whole input lineage)
       val words = docs(s, d)
         .select(explode(tokCol(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .select(trim(regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
           col("freq"))
+        .localCheckpoint()
       def pairsOf(w: DataFrame) = w
         .select(col("freq"), split(col("sym"), "  ").as("arr"))
         .filter(size(col("arr")) >= 2)
@@ -226,7 +231,7 @@ object TextAnalysis extends QueryPack {
       val rounds = (1 to 3).foldLeft(
         (words, Seq.empty[DataFrame])) { case ((w, acc), r) =>
         val t = topOf(pairsOf(w))
-        (mergeRound(w, t),
+        (mergeRound(w, t).localCheckpoint(),
           acc :+ t.select(lit(r).as("rank"), col("pair"),
             concat(col("a"), col("b")).as("merged"), col("cnt")))
       }
