@@ -294,6 +294,12 @@ object Bench {
   private val referenceSec: Map[String, Double] = Map(
     // (r7, full 129-query suite record, idle machine) — suite-position
     // numbers, i.e. they include per-query codegen; steer-only
+    "sketch_kmv_intersection" -> 2.9, // (r7, cold 6-query suite)
+    "sketch_hist_quantiles" -> 2.6, // (r7, cold 6-query suite)
+    "text_lm_logprob" -> 2.0, // (r7, cold 6-query suite)
+    "bpe_train_merges" -> 1.8, // (r7, cold 6-query suite)
+    "text_subword_encode" -> 1.6, // (r7, cold 6-query suite)
+    "sample_lang_temperature" -> 1.5, // (r7, cold 6-query suite)
     "dq_violations_report" -> 3.1,
     "sim_ivfpq_topk" -> 3.1,
     "asof_rate_lookup" -> 2.8,
