@@ -238,6 +238,36 @@ object TextAnalysis extends QueryPack {
       rounds._2.reduce(_ unionByName _)
     }),
 
+    // True BPE APPLY: encode every distinct word by replaying the 3
+    // trained merges IN RANK ORDER (the actual BPE encode algorithm —
+    // rank-priority merge application — vs `text_subword_encode`'s
+    // greedy longest-match against a vocabulary). Each merge is one
+    // boundary-guarded replace over the space encoding, so apply =
+    // three chained string ops, fully scan-local once the 3-row merge
+    // table broadcasts.
+    "text_bpe_encode" -> ((s, d) => {
+      val merges = queries("bpe_train_merges")(s, d)
+        .orderBy("rank").limit(3)
+        .select(col("rank"),
+          split(col("pair"), " ").getItem(0).as("ma"),
+          split(col("pair"), " ").getItem(1).as("mb"))
+      val words = docs(s, d)
+        .select(explode(tokCol(col("text"))).as("word")).distinct()
+        .select(col("word"),
+          trim(regexp_replace(col("word"), "(.)", "$1  ")).as("sym"))
+      def applyOne(w: DataFrame, r: Int): DataFrame = w
+        .crossJoin(broadcast(merges.filter(col("rank") === r)
+          .select(col("ma"), col("mb"))))
+        .select(col("word"), trim(replace(
+          concat(lit(" "), col("sym"), lit(" ")),
+          concat(lit(" "), col("ma"), lit("  "), col("mb"), lit(" ")),
+          concat(lit(" "), col("ma"), col("mb"), lit(" ")))).as("sym"))
+      (1 to 3).foldLeft(words)(applyOne)
+        .select(col("word"),
+          size(split(col("sym"), "  ")).as("n_symbols"),
+          array_join(split(col("sym"), "  "), "|").as("symbols"))
+    }),
+
     // CCNet-style LM quality signal: average per-token negative
     // log-likelihood of each document under the corpus's OWN
     // Laplace-smoothed unigram model — the classic
@@ -635,6 +665,65 @@ object TextAnalysis extends QueryPack {
         SELECT 2 AS rank, pair, a || b AS merged, cnt FROM t2
         UNION ALL
         SELECT 3 AS rank, pair, a || b AS merged, cnt FROM t3"""
+      },
+
+      // The same 3 trained rounds, then each distinct word re-encoded
+      // by the three rank-ordered guarded replaces.
+      "text_bpe_encode" -> {
+        def round(n: Int): String = {
+          val wPrev = s"w${n - 1}"
+          s"""
+        p$n AS (
+          SELECT arr[CAST(i AS INTEGER)] || ' ' ||
+                   arr[CAST(i AS INTEGER) + 1] AS pair,
+                 arr[CAST(i AS INTEGER)] AS a,
+                 arr[CAST(i AS INTEGER) + 1] AS b,
+                 CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (SELECT arr, freq, unnest(range(1, len(arr))) AS i
+                FROM (SELECT string_split(sym, '  ') AS arr, freq
+                      FROM $wPrev)
+                WHERE len(arr) >= 2)
+          GROUP BY 1, 2, 3),
+        t$n AS (SELECT * FROM p$n ORDER BY cnt DESC, pair ASC LIMIT 1),
+        w$n AS (
+          SELECT trim(replace(' ' || sym || ' ',
+                   ' ' || (SELECT a FROM t$n) || '  ' ||
+                     (SELECT b FROM t$n) || ' ',
+                   ' ' || (SELECT a FROM t$n) ||
+                     (SELECT b FROM t$n) || ' ')) AS sym, freq
+          FROM $wPrev)"""
+        }
+        def applied(n: Int): String = {
+          val prev = s"e${n - 1}"
+          s"""
+        e$n AS (
+          SELECT word, trim(replace(' ' || sym || ' ',
+                   ' ' || (SELECT a FROM t$n) || '  ' ||
+                     (SELECT b FROM t$n) || ' ',
+                   ' ' || (SELECT a FROM t$n) ||
+                     (SELECT b FROM t$n) || ' ')) AS sym
+          FROM $prev)"""
+        }
+        s"""
+        WITH tok AS ($tokCteSql),
+        toks AS (SELECT unnest(tk) AS word FROM tok),
+        wf AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY 1),
+        w0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym,
+                      freq
+               FROM wf),
+        ${round(1)},
+        ${round(2)},
+        ${round(3)},
+        e0 AS (SELECT word,
+                      trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym
+               FROM wf),
+        ${applied(1)},
+        ${applied(2)},
+        ${applied(3)}
+        SELECT word, CAST(len(string_split(sym, '  ')) AS INTEGER)
+                 AS n_symbols,
+               array_to_string(string_split(sym, '  '), '|') AS symbols
+        FROM e3"""
       },
 
       // Same tokenizer, same Laplace smoothing, and the per-doc fold

@@ -396,6 +396,26 @@ class OperatorsSpec extends SparkSpec {
     assert(applyMerge("xa  b", "a", "b") == "xa  b")
   }
 
+  test("bpe encode: reversible, applies trained merges, shrinks symbol counts") {
+    val merges = TextAnalysis.queries("bpe_train_merges")(spark, sf0001)
+      .collect().map(_.getString(2)).toSet
+    val rows = TextAnalysis.queries("text_bpe_encode")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, n, syms) =>
+      val parts = syms.split('|')
+      assert(parts.length == n)
+      assert(parts.mkString == w, s"'$w' not reconstructible from '$syms'")
+    }
+    // at least one word actually uses a trained merge (multi-char symbol)
+    val merged = rows.flatMap(_._3.split('|')).filter(_.length > 1).toSet
+    assert(merged.nonEmpty && merged.subsetOf(
+      // multi-char symbols can only be (possibly stacked) merges
+      merges ++ merges.flatMap(m => merges.map(m + _)) ++
+        merges.flatMap(m => merges.map(_ + m))),
+      s"unexpected multi-char symbols: ${merged -- merges}")
+  }
+
   test("bpe pair counts: word bigrams, descending, ranked") {
     val rows = TextAnalysis.queries("bpe_pair_counts")(spark, sf0001)
       .orderBy("rank").collect()
