@@ -173,6 +173,33 @@ object Bench {
       val warm = guardMs(servingWarmRefMs)(sliceP50())
       (cold, warm)
     } catch { case _: Throwable => (-1.0, -1.0) }
+    // Sketch-rollup serving latency: the cross-slice questions the
+    // per-slice gold table CANNOT answer (distinct providers / p50
+    // per state across all months) served from the register/histogram
+    // sidecars — per rep one partition-pruned cell-grain read + merge,
+    // never a fact rescan. Materialization is untimed (it is the
+    // refresh path, measured by the suite's build queries).
+    val sketchMs: Double = try {
+      val base = java.nio.file.Files.createTempDirectory("graft_sketch")
+        .toString
+      graft.etl.GoldAggregates.materializeDistinctSketch(spark, sfDir,
+        s"$base/sk")
+      graft.etl.GoldAggregates.materializeRateHistogram(spark, sfDir,
+        s"$base/hist")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.etl.GoldAggregates
+          .distinctRollup(spark, s"$base/sk", Seq("state")).collect()
+        graft.etl.GoldAggregates
+          .quantileRollup(spark, s"$base/hist", Seq("state")).collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      once() // untimed: classload + first listing
+      guardMs(sketchRefMs) {
+        val times = (1 to 7).map(_ => once()).sorted
+        times(times.length / 2)
+      }
+    } catch { case _: Throwable => -1.0 }
     // Routed-dashboard latency: the SAME queries a dashboard would
     // issue — the full inline aggregate plus a slice filter — but with
     // GoldRoutingRule swapping the aggregate for the materialization
@@ -265,10 +292,10 @@ object Bench {
       "\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.US, v)
     }.mkString("{", ",", "}")
     // Full-precision line first (local inspection)…
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"serving_warm_ms_p50":$servingWarmMs,"routed_ms_p50":$routedMs,"slope_10x":$slopeJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"serving_warm_ms_p50":$servingWarmMs,"routed_ms_p50":$routedMs,"sketch_rollup_ms_p50":$sketchMs,"slope_10x":$slopeJson,"sf":"$sfDir"}""")
     // …then the compact line LAST (see [[compactLine]]).
     println(compactLine(results.toSeq, total, servingMs, servingWarmMs,
-      routedMs, sfDir, slopeJson))
+      routedMs, sfDir, slopeJson, sketchMs))
     spark.stop()
   }
 
@@ -290,6 +317,7 @@ object Bench {
   private val servingRefMs = 150.0
   private val servingWarmRefMs = 80.0
   private val routedRefMs = 150.0
+  private val sketchRefMs = 600.0 // (r7) two rollups/rep, each a full agg job
 
   private val referenceSec: Map[String, Double] = Map(
     // (r7, full 129-query suite record, idle machine) — suite-position
@@ -387,11 +415,12 @@ object Bench {
   def compactLine(results: Seq[(String, Double)], total: Double,
                   servingMs: Double, servingWarmMs: Double,
                   routedMs: Double, sfDir: String,
-                  slopeJson: String = "{}"): String = {
+                  slopeJson: String = "{}",
+                  sketchMs: Double = -1.0): String = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val bySlowest = results.sortBy(-_._2)
     val budget = 1500 // line budget in chars, well under the 2000-char tail
-    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"serving_ms_p50":${r3(servingMs)},"serving_warm_ms_p50":${r3(servingWarmMs)},"routed_ms_p50":${r3(routedMs)},"slope_10x":$slopeJson,"sf":"$sfDir","queries":{"""
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"serving_ms_p50":${r3(servingMs)},"serving_warm_ms_p50":${r3(servingWarmMs)},"routed_ms_p50":${r3(routedMs)},"sketch_rollup_ms_p50":${r3(sketchMs)},"slope_10x":$slopeJson,"sf":"$sfDir","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = header.length + 60 // reserve room for the omitted-queries tail
     var full = false

@@ -358,16 +358,30 @@ object GoldAggregates {
     * partition-pruned reads of a cell-grain table, never the fact.
     * Refresh rides the same dynamic-overwrite slice discipline as
     * the gold table itself. */
+  /** Sidecar partition grain is STATE ONLY — deliberately coarser
+    * than the (state, year_month) cell grain. Cell tables are tiny
+    * (≤ m / ≤ ~350 rows per slice), so slice-grain hive dirs would
+    * mean ~|states|×|months| kilobyte files and every cross-slice
+    * rollup paying thousands of file opens (measured: 2 100 slice
+    * dirs → ~5 s listing + ~1.7 s opens vs ~0.2 s of actual
+    * aggregation at sf0.01). One file per state keeps single-slice
+    * reads partition-pruned on state + row-filtered on year_month,
+    * and whole-corpus rollups at ~|states| file opens. Refresh
+    * consequently recomputes touched STATES, still slice-filtered at
+    * the fact scan. */
   def materializeDistinctSketch(spark: SparkSession, dir: String,
-                                outPath: String): Unit =
+                                outPath: String): Unit = {
+    invalidateSidecar(outPath)
     graft.operators.Sketches.hllRegisters(
         ratesWithState(spark, dir), Seq("state", "year_month"), "v")
-      .repartition(col("state"), col("year_month"))
+      .repartition(col("state"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("state", "year_month")
+      .partitionBy("state")
       .option("compression", "zstd")
       .parquet(outPath)
+    invalidateSidecar(outPath) // drop frames cached mid-overwrite
+  }
 
   /** The sketch sidecars' input grain: rate rows with the provider
     * dim's state attached (same broadcast join as [[aggMarketRates]]
@@ -392,16 +406,19 @@ object GoldAggregates {
     * [[quantileRollup]] answers p50/p90 at any slice combination
     * within one bucket width (≤ ~6%) from partition-pruned reads. */
   def materializeRateHistogram(spark: SparkSession, dir: String,
-                               outPath: String): Unit =
+                               outPath: String): Unit = {
+    invalidateSidecar(outPath)
     graft.operators.Sketches.histBuckets(
         ratesWithState(spark, dir, "negotiated_rate"),
         Seq("state", "year_month"), "v")
-      .repartition(col("state"), col("year_month"))
+      .repartition(col("state"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("state", "year_month")
+      .partitionBy("state")
       .option("compression", "zstd")
       .parquet(outPath)
+    invalidateSidecar(outPath) // drop frames cached mid-overwrite
+  }
 
   /** p50/p90 at an arbitrary rollup grain from the histogram sidecar:
     * partition-pruned read, per-bucket sum to `groupCols`, quantile
@@ -413,41 +430,95 @@ object GoldAggregates {
       "groupCols must be non-empty; use a literal key for a global rollup")
     graft.operators.Sketches.histQuantiles(
       graft.operators.Sketches.histMerge(groupCols,
-        spark.read.parquet(histPath).filter(where)
+        readSidecar(spark, histPath).filter(where)
           .select((groupCols.map(col) :+ col("bucket") :+ col("cnt")): _*)),
       groupCols)
   }
 
   /** Per-slice refresh of the sketch sidecars — the sidecar leg of
-    * [[refreshSlices]]: recompute ONLY the touched slices' registers /
+    * [[refreshSlices]]: recompute the touched STATES' registers /
     * histogram buckets from the current base (recompute-from-base, so
-    * updates and deletes are honored, not just appends) and
-    * dynamic-overwrite exactly those partitions. Same null-safe slice
-    * predicates as the gold refresh. No-op for sidecars that were
-    * never materialized. */
+    * updates and deletes are honored, not just appends — state grain
+    * because that is the sidecars' partition grain, see
+    * [[materializeDistinctSketch]]) and dynamic-overwrite exactly
+    * those partitions. Null-safe predicates like the gold refresh.
+    * No-op for sidecars that were never materialized. */
   def refreshSketchSlices(spark: SparkSession, dir: String,
                           sketchPath: String, histPath: String,
                           slices: Seq[(String, String)]): Unit = {
     if (slices.isEmpty) return
-    val hit = slices.map { case (st, ym) =>
-      (col("state") <=> lit(st)) && (col("year_month") <=> lit(ym))
-    }.reduce(_ || _)
+    val hit = slices.map(_._1).distinct
+      .map(st => col("state") <=> lit(st)).reduce(_ || _)
     def overwrite(df: DataFrame, path: String): Unit =
-      df.repartition(col("state"), col("year_month"))
+      df.repartition(col("state"))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("state", "year_month")
+        .partitionBy("state")
         .option("compression", "zstd")
         .parquet(path)
-    if (graft.FsUtils.committedExists(spark, sketchPath))
+    if (graft.FsUtils.committedExists(spark, sketchPath)) {
+      invalidateSidecar(sketchPath)
       overwrite(graft.operators.Sketches.hllRegisters(
         ratesWithState(spark, dir).filter(hit),
         Seq("state", "year_month"), "v"), sketchPath)
-    if (graft.FsUtils.committedExists(spark, histPath))
+      invalidateSidecar(sketchPath)
+    }
+    if (graft.FsUtils.committedExists(spark, histPath)) {
+      invalidateSidecar(histPath)
       overwrite(graft.operators.Sketches.histBuckets(
         ratesWithState(spark, dir, "negotiated_rate").filter(hit),
         Seq("state", "year_month"), "v"), histPath)
+      invalidateSidecar(histPath)
+    }
   }
+
+  /** Resolved-frame cache for the sketch sidecars — the sidecar
+    * analogue of the [[readSlice]] cache, and needed for the same
+    * reason amplified: a cell-grain sidecar has ~|states|×|months|
+    * tiny partitions, so EVERY uncached read pays a full-tree listing
+    * that dwarfs the actual aggregation (measured ~5 s listing vs
+    * ~0.2 s rollup at sf0.01's 2 100 slices). Executions stay fresh
+    * reads of the resolved file list; writers invalidate by path
+    * around every sidecar rewrite. Same racing-writer generation
+    * protocol as [[readSlice]]. */
+  private def readSidecar(spark: SparkSession, path: String): DataFrame = {
+    val k = (spark, path)
+    val hit = sidecarCache.synchronized(sidecarCache.get(k))
+    if (hit != null) hit
+    else {
+      val gen0: Long = sidecarGen.getOrDefault(path, 0L)
+      val df = spark.read.parquet(path)
+      sidecarCache.synchronized {
+        val raced = sidecarCache.get(k)
+        if (raced != null) raced
+        else if (sidecarGen.getOrDefault(path, 0L).longValue != gen0) df
+        else {
+          sidecarCache.keySet().removeIf(
+            (e: (SparkSession, String)) => e._1.sparkContext.isStopped)
+          sidecarCache.put(k, df); df
+        }
+      }
+    }
+  }
+
+  /** Drop cached sidecar frames under `path`; writers call this
+    * around rewrites (a cached frame pins the file list). */
+  def invalidateSidecar(path: String): Unit = sidecarCache.synchronized {
+    sidecarGen.merge(path, 1L,
+      (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+    sidecarCache.keySet().removeIf((k: (SparkSession, String)) => k._2 == path)
+  }
+
+  private val sidecarGen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val SidecarCacheMax = 64
+  private val sidecarCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]) =
+        size() > SidecarCacheMax
+    })
 
   /** Distinct-provider estimate at an arbitrary rollup grain from the
     * register sidecar: filter to the slices of interest (partition
@@ -462,7 +533,7 @@ object GoldAggregates {
       "groupCols must be non-empty; use a literal key for a global rollup")
     graft.operators.Sketches.hllEstimate(
       graft.operators.Sketches.hllMergeRegisters(groupCols,
-        spark.read.parquet(sketchPath).filter(where)
+        readSidecar(spark, sketchPath).filter(where)
           .select((groupCols.map(col) :+ col("reg_idx") :+
             col("reg_rank")): _*)),
       groupCols)

@@ -98,8 +98,17 @@ class ServingRefreshSpec extends SparkSpec {
       val head = spark.read.parquet(gold).select("state", "year_month")
         .filter(col("state").isNotNull).head
       val (s0, ym0) = (head.getString(0), head.getString(1))
-      val targetLeaf = s"state=$s0/year_month=$ym0"
-      val (skBefore, hBefore) = (leafFiles(sketch), leafFiles(hist))
+      // sidecars partition by STATE only (file-size economics — see
+      // materializeDistinctSketch), so the rewrite unit is the state dir
+      def stateFiles(dir: String): Map[String, Set[String]] =
+        new java.io.File(dir).listFiles().toSeq
+          .filter(_.getName.startsWith("state="))
+          .map(st => st.getName ->
+            st.listFiles().map(_.getName)
+              .filter(_.endsWith(".parquet")).toSet)
+          .toMap
+      val targetLeaf = s"state=$s0"
+      val (skBefore, hBefore) = (stateFiles(sketch), stateFiles(hist))
       val pg = Roles.providers(spark, sf0001)
         .filter(col("state") === s0).select("provider_group_id")
       val delta = Tables.load(spark, sf0001, "lineitem")
@@ -112,7 +121,7 @@ class ServingRefreshSpec extends SparkSpec {
       try q.processAllAvailable() finally q.stop()
       // touched sidecar partitions rewritten, others untouched
       for ((name, before) <- Seq("sketch" -> skBefore, "hist" -> hBefore)) {
-        val after = leafFiles(if (name == "sketch") sketch else hist)
+        val after = stateFiles(if (name == "sketch") sketch else hist)
         assert(after(targetLeaf) != before(targetLeaf),
           s"$name sidecar slice not refreshed")
         val changed = (before.keySet - targetLeaf)

@@ -281,6 +281,23 @@ class SketchesSpec extends SparkSpec {
     assert(single.length == 1 && single.head.getString(0) == oneState)
   }
 
+  test("sidecar read cache: rewrite invalidates the resolved file list") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sidecache")
+      .toString + "/sk"
+    graft.etl.GoldAggregates.materializeDistinctSketch(spark, sf0001, out)
+    // prime the resolved-frame cache with the first file generation
+    val before = graft.etl.GoldAggregates
+      .distinctRollup(spark, out, Seq("state")).collect()
+    assert(before.nonEmpty)
+    // full rewrite: dynamic overwrite mints new part-file names — a
+    // stale cached frame would now reference deleted paths and throw
+    graft.etl.GoldAggregates.materializeDistinctSketch(spark, sf0001, out)
+    val after = graft.etl.GoldAggregates
+      .distinctRollup(spark, out, Seq("state")).collect()
+    assert(after.map(_.toSeq).toSet == before.map(_.toSeq).toSet,
+      "post-rewrite rollup drifted (same base, same registers expected)")
+  }
+
   test("sidecar rollups under a slice predicate prune at the partition level") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
     graft.etl.GoldAggregates.materializeDistinctSketch(spark, sf0001,
