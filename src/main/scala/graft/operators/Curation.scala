@@ -390,6 +390,44 @@ object Curation extends QueryPack {
         col("lang"), col("doc_id"), alpha = 0.5)
         .select(col("doc_id"), col("lang"), col("keep_rate"))),
 
+    // T5-style span-corruption example generation: deterministic
+    // denoising spans for a masked-span training objective. Span
+    // starts are content-hash coins per (doc, pos) (~8% of positions),
+    // each start masks itself + the next 2 tokens; overlapping or
+    // adjacent masks merge into maximal spans via the gaps-and-islands
+    // window (pos − row_number), and each doc's spans are numbered in
+    // position order — the sentinel ids a seq2seq target needs.
+    // Everything is windows over the token stream: one shuffle on
+    // doc_id, no self-joins, identical plan shape at any corpus size.
+    "augment_span_corruption" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokCol(col("text"))))
+        .toDF("doc_id", "pos0", "token")
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+      val masked = toks
+        .withColumn("start_flag",
+          (hashUniform(concat_ws(":", col("doc_id"), col("pos")),
+            "t5span") < 0.08).cast("int"))
+        .withColumn("is_masked", max(col("start_flag")).over(
+          w.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 0)))
+        .filter(col("is_masked") === 1)
+      masked
+        .withColumn("grp", col("pos") - row_number().over(
+          w.partitionBy("doc_id").orderBy("pos")))
+        .groupBy("doc_id", "grp")
+        .agg(min(col("pos")).as("start_pos"),
+          count(lit(1)).as("span_len"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")), "|").as("masked_tokens"))
+        .withColumn("span_id", row_number().over(
+          w.partitionBy("doc_id").orderBy("start_pos")))
+        .select("doc_id", "span_id", "start_pos", "span_len",
+          "masked_tokens")
+    }),
+
     // Snapshot diff via the generic operator; the fixture's "next
     // version" drops doc_id%31==7, revises doc_id%23==5, and adds the
     // familiar +100000 injected docs — all four statuses populated.
@@ -723,6 +761,43 @@ object Curation extends QueryPack {
         WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)
               || ':' || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT)
               / 4294967296.0 < w - epoch""",
+
+      // Same coin, same 2-PRECEDING mask window, same islands trick.
+      "augment_span_corruption" -> s"""
+        WITH tok AS (${TextAnalysis.tokCteSql}),
+        toks AS (SELECT doc_id, unnest(tk) AS token,
+                        generate_subscripts(tk, 1) AS pos
+                 FROM tok),
+        flagged AS (
+          SELECT doc_id, pos, token,
+            CASE WHEN CAST(('0x' || substr(md5('t5span:' ||
+                   CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0 < 0.08
+                 THEN 1 ELSE 0 END AS start_flag
+          FROM toks),
+        masked AS (
+          SELECT doc_id, pos, token,
+                 MAX(start_flag) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS is_masked
+          FROM flagged),
+        isl AS (
+          SELECT doc_id, pos, token,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS grp
+          FROM masked WHERE is_masked = 1),
+        spans AS (
+          SELECT doc_id, grp, CAST(MIN(pos) AS INTEGER) AS start_pos,
+                 COUNT(*) AS span_len,
+                 array_to_string(list(token ORDER BY pos), '|')
+                   AS masked_tokens
+          FROM isl GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY start_pos) AS INTEGER) AS span_id,
+               start_pos, CAST(span_len AS BIGINT) AS span_len,
+               masked_tokens
+        FROM spans""",
 
       "sample_lang_temperature" -> """
         WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),

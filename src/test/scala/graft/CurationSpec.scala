@@ -261,6 +261,46 @@ class CurationSpec extends SparkSpec {
     assert(frac.getOrElse("test", 0.0) < 0.25, frac.toString)
   }
 
+  test("span corruption: maximal disjoint spans, sane mask rate, faithful tokens") {
+    import org.apache.spark.sql.functions._
+    val spans = q("augment_span_corruption").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getString(4)))
+    assert(spans.nonEmpty)
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), split(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), "\\s+").as("tk"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).filter(_.nonEmpty).toIndexedSeq).toMap
+    spans.groupBy(_._1).foreach { case (docId, ss) =>
+      val sorted = ss.sortBy(_._3)
+      // ids are 1..n in start order
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      // maximal islands: consecutive spans leave >= 1 unmasked token
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 > a._3 + a._4, s"doc $docId spans touch: $a $b")
+        case _ =>
+      }
+      // tokens quoted in the span are the doc's tokens at those positions
+      val tk = docs(docId)
+      sorted.foreach { case (_, _, start, len, toks) =>
+        val expect = tk.slice(start - 1, start - 1 + len.toInt)
+          .mkString("|")
+        assert(toks == expect, s"doc $docId span@$start: $toks != $expect")
+      }
+      // masked share within a loose envelope around 3x the 8% coin
+      val maskedN = sorted.map(_._4).sum.toDouble
+      assert(maskedN <= 0.6 * tk.length + 3,
+        s"doc $docId over-masked: $maskedN of ${tk.length}")
+    }
+    // corpus-wide the rate concentrates near ~1-(1-.08)^3 ≈ 22%
+    val total = spans.map(_._4).sum.toDouble
+    val corpus = docs.values.map(_.length).sum.toDouble
+    assert(total / corpus > 0.10 && total / corpus < 0.40,
+      s"corpus mask rate ${total / corpus}")
+  }
+
   test("temperature resample: rarest language kept whole, imbalance flattened") {
     import org.apache.spark.sql.functions._
     val raw = Tables.load(spark, sf0001, "documents")
