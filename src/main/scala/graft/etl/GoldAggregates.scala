@@ -283,38 +283,11 @@ object GoldAggregates {
     * invalidate by path around every slice rewrite — the same
     * freshness contract as [[graft.plans.GoldCatalog]]. */
   def readSlice(spark: SparkSession, path: String, state: String,
-                yearMonth: String): DataFrame = {
-    val k = (spark, path, state, yearMonth)
-    val hit = sliceCache.synchronized(sliceCache.get(k))
-    if (hit != null) hit
-    else {
-      // Capture the path's invalidation generation BEFORE resolving:
-      // a writer can rewrite the slice while this read is mid-
-      // resolution, and its final invalidate would land before our
-      // put — caching a frame that pins the pre-rewrite file list.
-      // The put below is conditional on the generation being
-      // unchanged; a racing reader returns its frame uncached (one
-      // extra resolution next call, never a stale file list).
-      val gen0: Long = sliceGen.getOrDefault(path, 0L)
-      val df = spark.read.option("basePath", path)
+                yearMonth: String): DataFrame =
+    sliceFrames.get((spark, path, state, yearMonth)) {
+      spark.read.option("basePath", path)
         .parquet(s"$path/state=$state/year_month=$yearMonth")
-      sliceCache.synchronized {
-        val raced = sliceCache.get(k)
-        if (raced != null) raced
-        else if (sliceGen.getOrDefault(path, 0L).longValue != gen0) df
-        else {
-          // drop frames of stopped sessions while we hold the lock —
-          // otherwise a notebook server cycling sessions pins each
-          // dead session's frames (and their file indexes) until LRU
-          // eviction at 256 entries
-          sliceCache.keySet().removeIf(
-            (e: (SparkSession, String, String, String)) =>
-              e._1.sparkContext.isStopped)
-          sliceCache.put(k, df); df
-        }
-      }
     }
-  }
 
   /** Drop every cached slice frame under `path`. Writers call this
     * around slice rewrites: a cached frame pins the leaf's FILE LIST,
@@ -322,27 +295,61 @@ object GoldAggregates {
     * would read deleted paths. Bumps the path's generation so an
     * in-flight [[readSlice]] resolution that started before this call
     * cannot re-insert the stale frame after it. */
-  def invalidateSlices(path: String): Unit = sliceCache.synchronized {
-    sliceGen.merge(path, 1L,
-      (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
-    sliceCache.keySet().removeIf(
-      (k: (SparkSession, String, String, String)) => k._2 == path)
-  }
+  def invalidateSlices(path: String): Unit = sliceFrames.invalidate(path)
 
-  private val sliceGen =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Keyed resolved-frame cache with the writer-generation protocol —
+    * ONE implementation behind both the slice cache ([[readSlice]])
+    * and the sidecar cache ([[readSidecar]]), because the subtle parts
+    * must stay in lockstep: (a) the path's invalidation generation is
+    * captured BEFORE resolving, and the put is conditional on it being
+    * unchanged — a writer whose final invalidate lands mid-resolution
+    * can never have its pre-rewrite file list re-inserted (the racing
+    * reader returns its frame uncached; one extra resolution next
+    * call, never a stale list); (b) stopped sessions' frames are
+    * purged under the lock so cycling sessions (notebook servers, test
+    * suites) can't pin dead file indexes until LRU eviction; (c) LRU
+    * bound per cache. */
+  private final class ResolvedFrameCache[K <: AnyRef](
+      max: Int, pathOf: K => String, sessionOf: K => SparkSession) {
+    private val gen =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, DataFrame](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[K, DataFrame]) = size() > max
+      })
+    def get(k: K)(resolve: => DataFrame): DataFrame = {
+      val hit = cache.synchronized(cache.get(k))
+      if (hit != null) hit
+      else {
+        val path = pathOf(k)
+        val gen0: Long = gen.getOrDefault(path, 0L)
+        val df = resolve
+        cache.synchronized {
+          val raced = cache.get(k)
+          if (raced != null) raced
+          else if (gen.getOrDefault(path, 0L).longValue != gen0) df
+          else {
+            cache.keySet().removeIf(
+              (e: K) => sessionOf(e).sparkContext.isStopped)
+            cache.put(k, df); df
+          }
+        }
+      }
+    }
+    def invalidate(path: String): Unit = cache.synchronized {
+      gen.merge(path, 1L,
+        (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+      cache.keySet().removeIf((k: K) => pathOf(k) == path)
+    }
+  }
 
   /** LRU-bounded for the same session-pinning reason as
     * [[graft.plans.GoldCatalog]]'s scan cache; 256 because slices are
     * per-(state, ym) — a dashboard's working set, not a table count. */
-  private val SliceCacheMax = 256
-  private val sliceCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(SparkSession, String, String, String),
-        DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, String, String),
-            DataFrame]) = size() > SliceCacheMax
-    })
+  private val sliceFrames =
+    new ResolvedFrameCache[(SparkSession, String, String, String)](
+      256, _._2, _._1)
 
   // --------------------------------------------- distinct-count sketches
 
@@ -372,14 +379,8 @@ object GoldAggregates {
   def materializeDistinctSketch(spark: SparkSession, dir: String,
                                 outPath: String): Unit = {
     invalidateSidecar(outPath)
-    graft.operators.Sketches.hllRegisters(
-        ratesWithState(spark, dir), Seq("state", "year_month"), "v")
-      .repartition(col("state"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("state")
-      .option("compression", "zstd")
-      .parquet(outPath)
+    writeSidecar(graft.operators.Sketches.hllRegisters(
+      ratesWithState(spark, dir), Seq("state", "year_month"), "v"), outPath)
     invalidateSidecar(outPath) // drop frames cached mid-overwrite
   }
 
@@ -408,15 +409,9 @@ object GoldAggregates {
   def materializeRateHistogram(spark: SparkSession, dir: String,
                                outPath: String): Unit = {
     invalidateSidecar(outPath)
-    graft.operators.Sketches.histBuckets(
-        ratesWithState(spark, dir, "negotiated_rate"),
-        Seq("state", "year_month"), "v")
-      .repartition(col("state"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("state")
-      .option("compression", "zstd")
-      .parquet(outPath)
+    writeSidecar(graft.operators.Sketches.histBuckets(
+      ratesWithState(spark, dir, "negotiated_rate"),
+      Seq("state", "year_month"), "v"), outPath)
     invalidateSidecar(outPath) // drop frames cached mid-overwrite
   }
 
@@ -447,30 +442,49 @@ object GoldAggregates {
                           sketchPath: String, histPath: String,
                           slices: Seq[(String, String)]): Unit = {
     if (slices.isEmpty) return
-    val hit = slices.map(_._1).distinct
-      .map(st => col("state") <=> lit(st)).reduce(_ || _)
-    def overwrite(df: DataFrame, path: String): Unit =
-      df.repartition(col("state"))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("state")
-        .option("compression", "zstd")
-        .parquet(path)
-    if (graft.FsUtils.committedExists(spark, sketchPath)) {
-      invalidateSidecar(sketchPath)
-      overwrite(graft.operators.Sketches.hllRegisters(
-        ratesWithState(spark, dir).filter(hit),
-        Seq("state", "year_month"), "v"), sketchPath)
-      invalidateSidecar(sketchPath)
+    val states = slices.map(_._1).distinct
+    val hit = states.map(st => col("state") <=> lit(st)).reduce(_ || _)
+    // Dynamic overwrite only replaces partitions PRESENT in the
+    // output: a state whose base rows were all deleted produces no
+    // recomputed rows, so its stale partition dir would survive and
+    // keep serving counts for vanished data. Drop the touched states'
+    // dirs first; the write recreates the non-empty ones. (Crash
+    // between delete and write loses those states' sidecar rows until
+    // the next refresh — estimates degrade to absent, never to stale.)
+    def dropStateDirs(path: String): Unit = {
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      states.foreach { st =>
+        val dirName = "state=" +
+          (if (st == null) "__HIVE_DEFAULT_PARTITION__" else st)
+        fs.delete(new org.apache.hadoop.fs.Path(fsPath, dirName), true)
+      }
     }
-    if (graft.FsUtils.committedExists(spark, histPath)) {
-      invalidateSidecar(histPath)
-      overwrite(graft.operators.Sketches.histBuckets(
-        ratesWithState(spark, dir, "negotiated_rate").filter(hit),
-        Seq("state", "year_month"), "v"), histPath)
-      invalidateSidecar(histPath)
-    }
+    def refreshOne(path: String, recomputed: => DataFrame): Unit =
+      if (graft.FsUtils.committedExists(spark, path)) {
+        invalidateSidecar(path)
+        dropStateDirs(path)
+        writeSidecar(recomputed, path)
+        invalidateSidecar(path)
+      }
+    refreshOne(sketchPath, graft.operators.Sketches.hllRegisters(
+      ratesWithState(spark, dir).filter(hit),
+      Seq("state", "year_month"), "v"))
+    refreshOne(histPath, graft.operators.Sketches.histBuckets(
+      ratesWithState(spark, dir, "negotiated_rate").filter(hit),
+      Seq("state", "year_month"), "v"))
   }
+
+  /** The one sidecar write recipe (see the layout rationale at
+    * [[materializeDistinctSketch]]) — shared by both materializers and
+    * the streaming refresh, like the gold table's own `write`. */
+  private def writeSidecar(df: DataFrame, path: String): Unit =
+    df.repartition(col("state"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("state")
+      .option("compression", "zstd")
+      .parquet(path)
 
   /** Resolved-frame cache for the sketch sidecars — the sidecar
     * analogue of the [[readSlice]] cache, and needed for the same
@@ -481,44 +495,15 @@ object GoldAggregates {
     * reads of the resolved file list; writers invalidate by path
     * around every sidecar rewrite. Same racing-writer generation
     * protocol as [[readSlice]]. */
-  private def readSidecar(spark: SparkSession, path: String): DataFrame = {
-    val k = (spark, path)
-    val hit = sidecarCache.synchronized(sidecarCache.get(k))
-    if (hit != null) hit
-    else {
-      val gen0: Long = sidecarGen.getOrDefault(path, 0L)
-      val df = spark.read.parquet(path)
-      sidecarCache.synchronized {
-        val raced = sidecarCache.get(k)
-        if (raced != null) raced
-        else if (sidecarGen.getOrDefault(path, 0L).longValue != gen0) df
-        else {
-          sidecarCache.keySet().removeIf(
-            (e: (SparkSession, String)) => e._1.sparkContext.isStopped)
-          sidecarCache.put(k, df); df
-        }
-      }
-    }
-  }
+  private def readSidecar(spark: SparkSession, path: String): DataFrame =
+    sidecarFrames.get((spark, path))(spark.read.parquet(path))
 
   /** Drop cached sidecar frames under `path`; writers call this
     * around rewrites (a cached frame pins the file list). */
-  def invalidateSidecar(path: String): Unit = sidecarCache.synchronized {
-    sidecarGen.merge(path, 1L,
-      (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
-    sidecarCache.keySet().removeIf((k: (SparkSession, String)) => k._2 == path)
-  }
+  def invalidateSidecar(path: String): Unit = sidecarFrames.invalidate(path)
 
-  private val sidecarGen =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private val SidecarCacheMax = 64
-  private val sidecarCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
-        16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]) =
-        size() > SidecarCacheMax
-    })
+  private val sidecarFrames =
+    new ResolvedFrameCache[(SparkSession, String)](64, _._2, _._1)
 
   /** Distinct-provider estimate at an arbitrary rollup grain from the
     * register sidecar: filter to the slices of interest (partition

@@ -33,6 +33,34 @@ object TextAnalysis extends QueryPack {
     filter(split(regexp_replace(lower(t), "[^a-z0-9 ]", " "), "\\s+"),
       v => length(v) > 0)
 
+  /** One BPE training round as DuckDB CTEs (`p$n` pair counts,
+    * `t$n` top pair, `w$n` merged words) — ONE generator shared by
+    * the `bpe_train_merges` and `text_bpe_encode` oracles, so the
+    * merge SQL cannot drift between them. */
+  private def bpeRoundSql(n: Int): String = {
+    val wPrev = s"w${n - 1}"
+    s"""
+        p$n AS (
+          SELECT arr[CAST(i AS INTEGER)] || ' ' ||
+                   arr[CAST(i AS INTEGER) + 1] AS pair,
+                 arr[CAST(i AS INTEGER)] AS a,
+                 arr[CAST(i AS INTEGER) + 1] AS b,
+                 CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (SELECT arr, freq, unnest(range(1, len(arr))) AS i
+                FROM (SELECT string_split(sym, '  ') AS arr, freq
+                      FROM $wPrev)
+                WHERE len(arr) >= 2)
+          GROUP BY 1, 2, 3),
+        t$n AS (SELECT * FROM p$n ORDER BY cnt DESC, pair ASC LIMIT 1),
+        w$n AS (
+          SELECT trim(replace(' ' || sym || ' ',
+                   ' ' || (SELECT a FROM t$n) || '  ' ||
+                     (SELECT b FROM t$n) || ' ',
+                   ' ' || (SELECT a FROM t$n) ||
+                     (SELECT b FROM t$n) || ' ')) AS sym, freq
+          FROM $wPrev)"""
+  }
+
   /** The DuckDB twin of [[tokCol]] over `documents`, as a CTE body
     * (raw string — the `\s+` must reach DuckDB as-is). */
   private[operators] val tokCteSql: String = """
@@ -255,13 +283,20 @@ object TextAnalysis extends QueryPack {
         .select(explode(tokCol(col("text"))).as("word")).distinct()
         .select(col("word"),
           trim(regexp_replace(col("word"), "(.)", "$1  ")).as("sym"))
+      // LEFT join on a constant key, not a crossJoin: training can
+      // yield FEWER than 3 merges on a degenerate corpus (all words
+      // single-char, or the pair space exhausted), and a crossJoin
+      // with an empty merge frame would annihilate every word — the
+      // missing-merge round must be the identity instead
       def applyOne(w: DataFrame, r: Int): DataFrame = w
-        .crossJoin(broadcast(merges.filter(col("rank") === r)
-          .select(col("ma"), col("mb"))))
-        .select(col("word"), trim(replace(
-          concat(lit(" "), col("sym"), lit(" ")),
-          concat(lit(" "), col("ma"), lit("  "), col("mb"), lit(" ")),
-          concat(lit(" "), col("ma"), col("mb"), lit(" ")))).as("sym"))
+        .join(broadcast(merges.filter(col("rank") === r)
+          .select(lit(1).as("jk"), col("ma"), col("mb"))),
+          lit(1) === col("jk"), "left")
+        .select(col("word"), when(col("ma").isNull, col("sym"))
+          .otherwise(trim(replace(
+            concat(lit(" "), col("sym"), lit(" ")),
+            concat(lit(" "), col("ma"), lit("  "), col("mb"), lit(" ")),
+            concat(lit(" "), col("ma"), col("mb"), lit(" "))))).as("sym"))
       (1 to 3).foldLeft(words)(applyOne)
         .select(col("word"),
           size(split(col("sym"), "  ")).as("n_symbols"),
@@ -627,29 +662,6 @@ object TextAnalysis extends QueryPack {
       // graph_pagerank oracle pattern); the space-encoded merge is
       // the same boundary-guarded `replace` as the Spark side.
       "bpe_train_merges" -> {
-        def round(n: Int): String = {
-          val wPrev = s"w${n - 1}"
-          s"""
-        p$n AS (
-          SELECT arr[CAST(i AS INTEGER)] || ' ' ||
-                   arr[CAST(i AS INTEGER) + 1] AS pair,
-                 arr[CAST(i AS INTEGER)] AS a,
-                 arr[CAST(i AS INTEGER) + 1] AS b,
-                 CAST(SUM(freq) AS BIGINT) AS cnt
-          FROM (SELECT arr, freq, unnest(range(1, len(arr))) AS i
-                FROM (SELECT string_split(sym, '  ') AS arr, freq
-                      FROM $wPrev)
-                WHERE len(arr) >= 2)
-          GROUP BY 1, 2, 3),
-        t$n AS (SELECT * FROM p$n ORDER BY cnt DESC, pair ASC LIMIT 1),
-        w$n AS (
-          SELECT trim(replace(' ' || sym || ' ',
-                   ' ' || (SELECT a FROM t$n) || '  ' ||
-                     (SELECT b FROM t$n) || ' ',
-                   ' ' || (SELECT a FROM t$n) ||
-                     (SELECT b FROM t$n) || ' ')) AS sym, freq
-          FROM $wPrev)"""
-        }
         s"""
         WITH tok AS ($tokCteSql),
         toks AS (SELECT unnest(tk) AS word FROM tok),
@@ -657,9 +669,9 @@ object TextAnalysis extends QueryPack {
         w0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym,
                       freq
                FROM wf),
-        ${round(1)},
-        ${round(2)},
-        ${round(3)}
+        ${bpeRoundSql(1)},
+        ${bpeRoundSql(2)},
+        ${bpeRoundSql(3)}
         SELECT 1 AS rank, pair, a || b AS merged, cnt FROM t1
         UNION ALL
         SELECT 2 AS rank, pair, a || b AS merged, cnt FROM t2
@@ -670,38 +682,19 @@ object TextAnalysis extends QueryPack {
       // The same 3 trained rounds, then each distinct word re-encoded
       // by the three rank-ordered guarded replaces.
       "text_bpe_encode" -> {
-        def round(n: Int): String = {
-          val wPrev = s"w${n - 1}"
-          s"""
-        p$n AS (
-          SELECT arr[CAST(i AS INTEGER)] || ' ' ||
-                   arr[CAST(i AS INTEGER) + 1] AS pair,
-                 arr[CAST(i AS INTEGER)] AS a,
-                 arr[CAST(i AS INTEGER) + 1] AS b,
-                 CAST(SUM(freq) AS BIGINT) AS cnt
-          FROM (SELECT arr, freq, unnest(range(1, len(arr))) AS i
-                FROM (SELECT string_split(sym, '  ') AS arr, freq
-                      FROM $wPrev)
-                WHERE len(arr) >= 2)
-          GROUP BY 1, 2, 3),
-        t$n AS (SELECT * FROM p$n ORDER BY cnt DESC, pair ASC LIMIT 1),
-        w$n AS (
-          SELECT trim(replace(' ' || sym || ' ',
-                   ' ' || (SELECT a FROM t$n) || '  ' ||
-                     (SELECT b FROM t$n) || ' ',
-                   ' ' || (SELECT a FROM t$n) ||
-                     (SELECT b FROM t$n) || ' ')) AS sym, freq
-          FROM $wPrev)"""
-        }
         def applied(n: Int): String = {
           val prev = s"e${n - 1}"
+          // missing merge round (empty t$n) → identity, mirroring the
+          // Spark side's null-guarded left join
           s"""
         e$n AS (
-          SELECT word, trim(replace(' ' || sym || ' ',
+          SELECT word,
+                 CASE WHEN (SELECT a FROM t$n) IS NULL THEN sym
+                 ELSE trim(replace(' ' || sym || ' ',
                    ' ' || (SELECT a FROM t$n) || '  ' ||
                      (SELECT b FROM t$n) || ' ',
                    ' ' || (SELECT a FROM t$n) ||
-                     (SELECT b FROM t$n) || ' ')) AS sym
+                     (SELECT b FROM t$n) || ' ')) END AS sym
           FROM $prev)"""
         }
         s"""
@@ -711,9 +704,9 @@ object TextAnalysis extends QueryPack {
         w0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym,
                       freq
                FROM wf),
-        ${round(1)},
-        ${round(2)},
-        ${round(3)},
+        ${bpeRoundSql(1)},
+        ${bpeRoundSql(2)},
+        ${bpeRoundSql(3)},
         e0 AS (SELECT word,
                       trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym
                FROM wf),
