@@ -42,6 +42,13 @@ class ExtensionsSpec extends SparkSpec {
         .head.getSeq[Long](0)
       assert(sig.length == graft.functions.MinHashSig.DefaultK)
 
+      // subword_encode resolves via SQL text with an array-literal
+      // vocab (the foldable-table path) through the extensions hook
+      val sw = viaConf.sql(
+        "SELECT subword_encode('customerjoin', array('customer', 'join'))")
+        .head.getSeq[String](0)
+      assert(sw == Seq("customer", "join"))
+
       // identical values through the session-scoped registration path
       graft.GraftExtensions.registerAll(base)
       val sigBase = base.sql("SELECT minhash_sig(array('a','b','c','d','e'))")
