@@ -292,18 +292,30 @@ object Sketches extends QueryPack {
     val stats = u.agg(count(lit(1)).as("u_cnt"), max(col("kmv_h")).as("u_kth"))
     val common = a.join(b, "kmv_h").join(u, "kmv_h")
       .agg(count(lit(1)).as("common_cnt"))
-    val estU = when(col("u_cnt") < k, col("u_cnt").cast("double"))
-      .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
-        col("u_kth").cast("double"))
+    val aStats = a.agg(count(lit(1)).as("a_cnt"), max(col("kmv_h")).as("a_kth"))
+    val bStats = b.agg(count(lit(1)).as("b_cnt"), max(col("kmv_h")).as("b_kth"))
+    def estOf(cnt: Column, kth: Column): Column =
+      when(cnt < k, cnt.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+          kth.cast("double"))
+    val estU = estOf(col("u_cnt"), col("u_kth"))
     // Jaccard denominator is the union sketch's EFFECTIVE size u_cnt
     // (= k when full). Dividing by the constant k would shrink the
     // exact-mode intersection by u_cnt/k — with both sets below k the
     // common count IS the intersection and must come back unscaled.
+    val estI = col("common_cnt").cast("double") /
+      col("u_cnt").cast("double") * estU
+    // difference by inclusion–exclusion (|A\B| = |A| − |A∩B|);
+    // clamped at 0 because the two estimates carry independent noise
     stats.crossJoin(broadcast(common))
+      .crossJoin(broadcast(aStats)).crossJoin(broadcast(bStats))
       .select(col("u_cnt"), col("u_kth"), col("common_cnt"),
+        pround(estOf(col("a_cnt"), col("a_kth")), 4).as("est_a"),
+        pround(estOf(col("b_cnt"), col("b_kth")), 4).as("est_b"),
         pround(estU, 4).as("est_union"),
-        pround(col("common_cnt").cast("double") /
-          col("u_cnt").cast("double") * estU, 4).as("est_intersection"))
+        pround(estI, 4).as("est_intersection"),
+        pround(greatest(estOf(col("a_cnt"), col("a_kth")) - estI,
+          lit(0.0)), 4).as("est_a_minus_b"))
   }
 
   // ------------------------------------------------- HDR-style histogram
@@ -446,6 +458,13 @@ object Sketches extends QueryPack {
           (col("est_cnt") - col("exact_cnt")).as("overcount"))
     }))
 
+  /** The SQL form of [[kmvIntersect]]'s per-sketch estimator —
+    * generated once so every use site in the twin stays identical. */
+  private def kmvEstSql(cnt: String, kth: String): String =
+    s"""CASE WHEN $cnt < $KmvK THEN CAST($cnt AS DOUBLE)
+        ELSE (${(KmvK - 1).toDouble} * ${math.pow(2.0, 60)}) / CAST($kth AS DOUBLE)
+        END"""
+
   def oracles: Map[String, String] = Map(
     "sketch_hll_distinct" -> hllSql(
       """SELECT l_returnflag, l_partkey AS v FROM lineitem
@@ -505,6 +524,12 @@ object Sketches extends QueryPack {
       stats AS (
         SELECT COUNT(*) AS u_cnt, CAST(MAX(kmv_h) AS BIGINT) AS u_kth
         FROM u),
+      astats AS (
+        SELECT COUNT(*) AS a_cnt, CAST(MAX(kmv_h) AS BIGINT) AS a_kth
+        FROM a),
+      bstats AS (
+        SELECT COUNT(*) AS b_cnt, CAST(MAX(kmv_h) AS BIGINT) AS b_kth
+        FROM b),
       common AS (
         SELECT COUNT(*) AS common_cnt
         FROM a JOIN b USING (kmv_h) JOIN u USING (kmv_h)),
@@ -514,17 +539,17 @@ object Sketches extends QueryPack {
           INTERSECT
           SELECT v FROM src WHERE l_returnflag = 'N'))
       SELECT stats.u_cnt, stats.u_kth, common.common_cnt,
-             floor((CASE WHEN stats.u_cnt < $KmvK
-                    THEN CAST(stats.u_cnt AS DOUBLE)
-                    ELSE (${(KmvK - 1).toDouble} * ${math.pow(2.0, 60)}) / CAST(stats.u_kth AS DOUBLE)
-                    END) * 10000.0 + 0.5) / 10000.0 AS est_union,
+             floor((${kmvEstSql("astats.a_cnt", "astats.a_kth")}) * 10000.0 + 0.5) / 10000.0 AS est_a,
+             floor((${kmvEstSql("bstats.b_cnt", "bstats.b_kth")}) * 10000.0 + 0.5) / 10000.0 AS est_b,
+             floor((${kmvEstSql("stats.u_cnt", "stats.u_kth")}) * 10000.0 + 0.5) / 10000.0 AS est_union,
              floor((CAST(common.common_cnt AS DOUBLE) / CAST(stats.u_cnt AS DOUBLE) *
-                    (CASE WHEN stats.u_cnt < $KmvK
-                     THEN CAST(stats.u_cnt AS DOUBLE)
-                     ELSE (${(KmvK - 1).toDouble} * ${math.pow(2.0, 60)}) / CAST(stats.u_kth AS DOUBLE)
-                     END)) * 10000.0 + 0.5) / 10000.0 AS est_intersection,
+                    (${kmvEstSql("stats.u_cnt", "stats.u_kth")})) * 10000.0 + 0.5) / 10000.0 AS est_intersection,
+             floor((greatest((${kmvEstSql("astats.a_cnt", "astats.a_kth")}) -
+                    CAST(common.common_cnt AS DOUBLE) / CAST(stats.u_cnt AS DOUBLE) *
+                    (${kmvEstSql("stats.u_cnt", "stats.u_kth")}),
+                    CAST(0.0 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS est_a_minus_b,
              exact.exact_intersection
-      FROM stats, common, exact""",
+      FROM stats, astats, bstats, common, exact""",
     "sketch_hist_quantiles" -> {
       def rep2(n: String) =
         s"""(CASE WHEN ($n >> 3) <= 3 THEN ($n & 7) * 2

@@ -144,6 +144,11 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Double]("est_intersection") == 11.0,
       s"exact-mode intersection ${r.getAs[Double]("est_intersection")}")
     assert(r.getAs[Double]("est_union") == 40.0) // |{1..40}|
+    // exact mode covers the whole algebra: per-side sizes and the
+    // inclusion–exclusion difference come back exact too
+    assert(r.getAs[Double]("est_a") == 30.0)
+    assert(r.getAs[Double]("est_b") == 21.0)
+    assert(r.getAs[Double]("est_a_minus_b") == 19.0) // |{1..19}|
     // null values are not distinct values — sketch unchanged by nulls
     val withNulls = (1L to 30L).toDF("v").withColumn("k", lit("a"))
       .union(Seq.fill(5)((null.asInstanceOf[java.lang.Long], "a"))
