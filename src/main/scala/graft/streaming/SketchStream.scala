@@ -153,6 +153,82 @@ object SketchStream {
   def readCounters(spark: SparkSession, countersPath: String): DataFrame =
     readStore(spark, countersPath, Seq("cms_row", "cms_idx"), "cnt", sum)
 
+  // ---------------------------------------------------------------- KMV
+
+  /** One bottom-k micro-batch: the batch's own per-key bottom-k
+    * partial under the shared protocol. The KMV fold is not a
+    * cell-grain aggregate (it re-SELECTS the k smallest per key), so
+    * it gets its own fold below — but min-selection is idempotent
+    * like HLL's max-merge: double ingestion cannot move a sketch. */
+  def processKmvBatch(batch: DataFrame, batchId: Long,
+                      keyCols: Seq[String], valueCol: String,
+                      sketchPath: String, k: Int = Sketches.KmvK,
+                      maxPartials: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    DedupStream.recoverCompaction(spark, sketchPath)
+    Sketches.kmvSketch(batch, keyCols, valueCol, k)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .option("compression", "zstd")
+      .parquet(sketchPath)
+    foldKmv(spark, sketchPath, batchId, keyCols, k, maxPartials)
+  }
+
+  /** Sentinel fold for the bottom-k store: re-select the k smallest
+    * hashes per key over all non-current partials. Same two-rename
+    * publish and crash recovery as [[foldStore]]. */
+  def foldKmv(spark: SparkSession, sketchPath: String,
+              currentBatchId: Long, keyCols: Seq[String],
+              k: Int = Sketches.KmvK, maxPartials: Int = 16): Boolean = {
+    if (!graft.FsUtils.committedExists(spark, sketchPath)) return false
+    val (fs, p) = DedupStream.fsOf(spark, sketchPath)
+    val partitions = fs.listStatus(p).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("ingest_batch=")
+    }
+    if (partitions.length <= maxPartials) return false
+    val current = spark.read.parquet(sketchPath)
+      .filter(col("ingest_batch") === currentBatchId)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("kmv_h"))
+    val folded = spark.read.parquet(sketchPath)
+      .filter(col("ingest_batch") =!= currentBatchId)
+      .select((keyCols.map(col) :+ col("kmv_h")): _*).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .withColumn("ingest_batch", lit(-1L))
+    val tmp = new org.apache.hadoop.fs.Path(
+      sketchPath + DedupStream.CompactTmpSuffix)
+    fs.delete(tmp, true)
+    folded.unionByName(current.select(folded.columns.map(col): _*))
+      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+      .option("compression", "zstd").parquet(tmp.toString)
+    DedupStream.swapDirs(fs, p, tmp)
+    true
+  }
+
+  /** The live bottom-k sketch per key: union all partials, re-select.
+    * Correct because each partial holds its batch's k smallest — the
+    * global k smallest are each the k smallest of their batch, so no
+    * information is lost (the KMV merge guarantee). */
+  def readKmv(spark: SparkSession, sketchPath: String,
+              keyCols: Seq[String], k: Int = Sketches.KmvK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("kmv_h"))
+    spark.read.parquet(sketchPath).drop("ingest_batch")
+      .select((keyCols.map(col) :+ col("kmv_h")): _*).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Serving-side distinct estimates from the bottom-k store. */
+  def kmvEstimate(spark: SparkSession, sketchPath: String,
+                  keyCols: Seq[String],
+                  k: Int = Sketches.KmvK): DataFrame =
+    Sketches.kmvEstimate(readKmv(spark, sketchPath, keyCols, k),
+      keyCols, k)
+
   // ---------------------------------------------------------- histogram
 
   /** One histogram micro-batch from raw (key, value) rows. */

@@ -92,6 +92,28 @@ class SketchStreamSpec extends SparkSpec {
       before, "replay changed the counters")
   }
 
+  test("KMV stream: batches compose, double-ingest idempotent, fold neutral") {
+    val store = work() + "/kmv"
+    val ev = events
+    val slices = (0 to 3).map(i => ev.filter(abs(hash(col("user_id"))) % 4 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.SketchStream.processKmvBatch(b, i.toLong,
+        keys, "user_id", store, maxPartials = 2)
+    }
+    val oneShot = operators.Sketches.kmvSketch(ev, keys, "user_id")
+    assert(canon(graft.streaming.SketchStream.readKmv(spark, store, keys)) ==
+      canon(oneShot), "streamed bottom-k != one-shot sketch")
+    // min-selection is algebraically idempotent: the same rows under a
+    // NEW batch id cannot move the sketch (the HLL-class guarantee)
+    val before = canon(graft.streaming.SketchStream.readKmv(spark, store, keys))
+    graft.streaming.SketchStream.processKmvBatch(slices(0), 9L,
+      keys, "user_id", store, maxPartials = 2)
+    assert(canon(graft.streaming.SketchStream.readKmv(spark, store, keys)) ==
+      before, "double-ingest moved a bottom-k hash")
+    assert(canon(graft.streaming.SketchStream.kmvEstimate(spark, store, keys)) ==
+      canon(operators.Sketches.kmvEstimate(oneShot, keys)))
+  }
+
   test("histogram stream: batches compose and serve quantiles") {
     val store = work() + "/hist"
     val li = Tables.load(spark, sf0001, "lineitem")
