@@ -398,6 +398,35 @@ object GoldAggregates {
       .select(col("state"), col("year_month"), col(valueCol).as("v"))
   }
 
+  /** Bottom-k (KMV) sibling of [[materializeDistinctSketch]]: keeps
+    * hash VALUES per slice, so two slices' sketches support set
+    * algebra — [[sliceIntersection]] answers "providers active in
+    * BOTH slice A and slice B" (and "only A") at serving latency, a
+    * question neither the per-slice `npi_count` nor the HLL registers
+    * can express. Exact below k per slice (small slices — the common
+    * case — intersect exactly); same layout/refresh/caching contract
+    * as the other sidecars. */
+  def materializeKmvSketch(spark: SparkSession, dir: String,
+                           outPath: String): Unit = {
+    invalidateSidecar(outPath)
+    writeSidecar(graft.operators.Sketches.kmvSketch(
+      ratesWithState(spark, dir), Seq("state", "year_month"), "v"), outPath)
+    invalidateSidecar(outPath) // drop frames cached mid-overwrite
+  }
+
+  /** Set algebra between two slices' provider sets from the KMV
+    * sidecar: union/intersection/difference estimates (exact when
+    * both slices are below k). Partition-pruned on the two states. */
+  def sliceIntersection(spark: SparkSession, kmvPath: String,
+                        a: (String, String), b: (String, String)): DataFrame = {
+    def side(s: (String, String)) =
+      readSidecar(spark, kmvPath)
+        .filter(col("state") <=> lit(s._1) &&
+          col("year_month") <=> lit(s._2))
+        .select("kmv_h")
+    graft.operators.Sketches.kmvIntersect(side(a), side(b))
+  }
+
   /** The rate-distribution sibling of [[materializeDistinctSketch]]:
     * per-slice HDR-style histograms of `negotiated_rate`
     * ([[graft.operators.Sketches.histBuckets]], ≤ ~350 BIGINT cells
@@ -440,7 +469,8 @@ object GoldAggregates {
     * No-op for sidecars that were never materialized. */
   def refreshSketchSlices(spark: SparkSession, dir: String,
                           sketchPath: String, histPath: String,
-                          slices: Seq[(String, String)]): Unit = {
+                          slices: Seq[(String, String)],
+                          kmvPath: String = null): Unit = {
     if (slices.isEmpty) return
     val states = slices.map(_._1).distinct
     val hit = states.map(st => col("state") <=> lit(st)).reduce(_ || _)
@@ -473,6 +503,10 @@ object GoldAggregates {
     refreshOne(histPath, graft.operators.Sketches.histBuckets(
       ratesWithState(spark, dir, "negotiated_rate").filter(hit),
       Seq("state", "year_month"), "v"))
+    if (kmvPath != null)
+      refreshOne(kmvPath, graft.operators.Sketches.kmvSketch(
+        ratesWithState(spark, dir).filter(hit),
+        Seq("state", "year_month"), "v"))
   }
 
   /** The one sidecar write recipe (see the layout rationale at

@@ -71,7 +71,8 @@ object ServingRefresh {
           GoldAggregates.refreshSketchSlices(spark, dir,
             Option(sketchPath).getOrElse(goldPath + "_sketch"),
             Option(histPath).getOrElse(goldPath + "_hist"),
-            slices.toSeq)
+            slices.toSeq,
+            kmvPath = goldPath + "_kmv")
         }
       }
       .start()

@@ -95,6 +95,10 @@ class ServingRefreshSpec extends SparkSpec {
       GoldAggregates.materialize(spark, sf0001, gold)
       GoldAggregates.materializeDistinctSketch(spark, sf0001, sketch)
       GoldAggregates.materializeRateHistogram(spark, sf0001, hist)
+      // the KMV sidecar refreshes at its conventional goldPath-derived
+      // location (ServingRefresh.run wires it without a parameter)
+      val kmv = s"${gold}_kmv"
+      GoldAggregates.materializeKmvSketch(spark, sf0001, kmv)
       val head = spark.read.parquet(gold).select("state", "year_month")
         .filter(col("state").isNotNull).head
       val (s0, ym0) = (head.getString(0), head.getString(1))
@@ -108,7 +112,8 @@ class ServingRefreshSpec extends SparkSpec {
               .filter(_.endsWith(".parquet")).toSet)
           .toMap
       val targetLeaf = s"state=$s0"
-      val (skBefore, hBefore) = (stateFiles(sketch), stateFiles(hist))
+      val (skBefore, hBefore, kBefore) =
+        (stateFiles(sketch), stateFiles(hist), stateFiles(kmv))
       val pg = Roles.providers(spark, sf0001)
         .filter(col("state") === s0).select("provider_group_id")
       val delta = Tables.load(spark, sf0001, "lineitem")
@@ -120,8 +125,13 @@ class ServingRefreshSpec extends SparkSpec {
         s"$work/ckpt", sketch, hist)
       try q.processAllAvailable() finally q.stop()
       // touched sidecar partitions rewritten, others untouched
-      for ((name, before) <- Seq("sketch" -> skBefore, "hist" -> hBefore)) {
-        val after = stateFiles(if (name == "sketch") sketch else hist)
+      for ((name, before) <- Seq("sketch" -> skBefore, "hist" -> hBefore,
+        "kmv" -> kBefore)) {
+        val after = stateFiles(name match {
+          case "sketch" => sketch
+          case "hist" => hist
+          case _ => kmv
+        })
         assert(after(targetLeaf) != before(targetLeaf),
           s"$name sidecar slice not refreshed")
         val changed = (before.keySet - targetLeaf)

@@ -286,6 +286,39 @@ class SketchesSpec extends SparkSpec {
     assert(single.length == 1 && single.head.getString(0) == oneState)
   }
 
+  test("gold KMV sidecar: cross-slice intersection, exact for small slices") {
+    val out = java.nio.file.Files.createTempDirectory("graft_goldkmv")
+      .toString + "/kmv"
+    graft.etl.GoldAggregates.materializeKmvSketch(spark, sf0001, out)
+    val fact = graft.etl.GoldAggregates.ratesWithState(spark, sf0001)
+    // two busiest slices of one state: months that share providers
+    val top = fact.filter(col("state").isNotNull)
+      .groupBy("state", "year_month").count()
+      .orderBy(col("count").desc, col("state"), col("year_month"))
+      .limit(2).collect()
+    val Array(a, b) = top.map(r => (r.getString(0), r.getString(1)))
+    def providerSet(s: (String, String)): Set[String] =
+      fact.filter(col("state") <=> lit(s._1) &&
+          col("year_month") <=> lit(s._2))
+        .select("v").distinct().collect().map(_.getString(0)).toSet
+    val (pa, pb) = (providerSet(a), providerSet(b))
+    val r = graft.etl.GoldAggregates.sliceIntersection(spark, out, a, b)
+      .collect().head
+    if (pa.size < Sketches.KmvK && pb.size < Sketches.KmvK) {
+      // exact mode: the sketches hold the full sets
+      assert(r.getAs[Double]("est_a") == pa.size.toDouble)
+      assert(r.getAs[Double]("est_b") == pb.size.toDouble)
+      assert(r.getAs[Double]("est_intersection") == (pa & pb).size.toDouble,
+        s"exact-mode slice intersection ${r.getAs[Double]("est_intersection")}" +
+          s" vs ${(pa & pb).size}")
+      assert(r.getAs[Double]("est_a_minus_b") == (pa -- pb).size.toDouble)
+    } else {
+      val exact = (pa & pb).size.toDouble
+      assert(math.abs(r.getAs[Double]("est_intersection") - exact) <=
+        math.max(5.0, 0.5 * exact))
+    }
+  }
+
   test("sidecar read cache: rewrite invalidates the resolved file list") {
     val out = java.nio.file.Files.createTempDirectory("graft_sidecache")
       .toString + "/sk"
