@@ -442,6 +442,37 @@ object Sketches extends QueryPack {
           pround(percentile(col("l_extendedprice"), lit(0.9)), 2)
             .as("exact_p90")), "l_returnflag")
     }),
+    // Slice set algebra (the gold KMV sidecar's serving question,
+    // proven cross-engine): providers active in BOTH of the two
+    // busiest (state, month) market slices — per-side, union,
+    // intersection and difference estimates against the exact
+    // intersection. Slice selection is a deterministic top-2
+    // (count desc, state, ym), collected like the repo's other
+    // bounded literals.
+    "sketch_kmv_slices" -> ((s, d) => {
+      val fact = graft.etl.GoldAggregates.ratesWithState(s, d)
+      val top = fact.filter(col("state").isNotNull)
+        .groupBy("state", "year_month").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("state"), col("year_month"))
+        .limit(2).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val Array(sa, sb) = top
+      def slice(sl: (String, String)) = fact
+        .filter(col("state") <=> lit(sl._1) &&
+          col("year_month") <=> lit(sl._2) && col("v").isNotNull)
+      def side(sl: (String, String)) =
+        kmvSketch(slice(sl), Seq("state"), "v").select("kmv_h")
+      val exact = slice(sa).select("v").intersect(slice(sb).select("v"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      kmvIntersect(side(sa), side(sb))
+        .crossJoin(broadcast(exact))
+        .select(lit(sa._1 + "|" + sa._2).as("slice_a"),
+          lit(sb._1 + "|" + sb._2).as("slice_b"),
+          col("u_cnt"), col("u_kth"), col("common_cnt"),
+          col("est_a"), col("est_b"), col("est_union"),
+          col("est_intersection"), col("est_a_minus_b"),
+          col("exact_intersection"))
+    }),
     // Heavy hitters: the 20 most frequent document tokens, their
     // exact corpus frequency, and the count-min estimate — the
     // overcount column is the sketch's one-sided error, observable.
@@ -598,6 +629,68 @@ object Sketches extends QueryPack {
              exact.exact_p50, exact.exact_p90
       FROM picks JOIN exact USING (l_returnflag)"""
     },
+    "sketch_kmv_slices" -> s"""
+      WITH rates AS (${graft.RolesSql.rates}),
+      providers AS (${graft.RolesSql.providers}),
+      fact AS (
+        SELECT p.state, r.year_month, r.provider_reference_id AS v
+        FROM rates r LEFT JOIN providers p
+          ON r.provider_reference_id = p.provider_group_id),
+      top2 AS (
+        SELECT state, year_month,
+               row_number() OVER (ORDER BY COUNT(*) DESC, state,
+                 year_month) AS rn
+        FROM fact WHERE state IS NOT NULL GROUP BY state, year_month
+        QUALIFY rn <= 2),
+      fa AS (SELECT DISTINCT v FROM fact
+             JOIN top2 USING (state, year_month)
+             WHERE top2.rn = 1 AND v IS NOT NULL),
+      fb AS (SELECT DISTINCT v FROM fact
+             JOIN top2 USING (state, year_month)
+             WHERE top2.rn = 2 AND v IS NOT NULL),
+      ha AS (SELECT DISTINCT
+               CAST(('0x' || substr(md5('kmv:' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS kmv_h
+             FROM fa),
+      hb AS (SELECT DISTINCT
+               CAST(('0x' || substr(md5('kmv:' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS kmv_h
+             FROM fb),
+      a AS (SELECT kmv_h FROM ha ORDER BY kmv_h LIMIT $KmvK),
+      b AS (SELECT kmv_h FROM hb ORDER BY kmv_h LIMIT $KmvK),
+      u AS (
+        SELECT kmv_h FROM (
+          SELECT DISTINCT kmv_h FROM (
+            SELECT kmv_h FROM a UNION ALL SELECT kmv_h FROM b))
+        ORDER BY kmv_h LIMIT $KmvK),
+      stats AS (
+        SELECT COUNT(*) AS u_cnt, CAST(MAX(kmv_h) AS BIGINT) AS u_kth
+        FROM u),
+      astats AS (
+        SELECT COUNT(*) AS a_cnt, CAST(MAX(kmv_h) AS BIGINT) AS a_kth
+        FROM a),
+      bstats AS (
+        SELECT COUNT(*) AS b_cnt, CAST(MAX(kmv_h) AS BIGINT) AS b_kth
+        FROM b),
+      common AS (
+        SELECT COUNT(*) AS common_cnt
+        FROM a JOIN b USING (kmv_h) JOIN u USING (kmv_h)),
+      exact AS (
+        SELECT COUNT(*) AS exact_intersection FROM (
+          SELECT v FROM fa INTERSECT SELECT v FROM fb))
+      SELECT
+        (SELECT state || '|' || year_month FROM top2 WHERE rn = 1) AS slice_a,
+        (SELECT state || '|' || year_month FROM top2 WHERE rn = 2) AS slice_b,
+        stats.u_cnt, stats.u_kth, common.common_cnt,
+        floor((${kmvEstSql("astats.a_cnt", "astats.a_kth")}) * 10000.0 + 0.5) / 10000.0 AS est_a,
+        floor((${kmvEstSql("bstats.b_cnt", "bstats.b_kth")}) * 10000.0 + 0.5) / 10000.0 AS est_b,
+        floor((${kmvEstSql("stats.u_cnt", "stats.u_kth")}) * 10000.0 + 0.5) / 10000.0 AS est_union,
+        floor((CAST(common.common_cnt AS DOUBLE) / CAST(stats.u_cnt AS DOUBLE) *
+               (${kmvEstSql("stats.u_cnt", "stats.u_kth")})) * 10000.0 + 0.5) / 10000.0 AS est_intersection,
+        floor((greatest((${kmvEstSql("astats.a_cnt", "astats.a_kth")}) -
+               CAST(common.common_cnt AS DOUBLE) / CAST(stats.u_cnt AS DOUBLE) *
+               (${kmvEstSql("stats.u_cnt", "stats.u_kth")}),
+               CAST(0.0 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS est_a_minus_b,
+        exact.exact_intersection
+      FROM stats, astats, bstats, common, exact""",
     "sketch_cms_heavy" -> s"""
       WITH tok AS (${TextAnalysis.tokCteSql}),
       toks AS (SELECT unnest(tk) AS token FROM tok),
