@@ -322,6 +322,7 @@ object Bench {
   private val referenceSec: Map[String, Double] = Map(
     // (r7, full 129-query suite record, idle machine) — suite-position
     // numbers, i.e. they include per-query codegen; steer-only
+    "sketch_kmv_slices" -> 2.9, // (r7, full-suite record)
     "sketch_kmv_intersection" -> 2.9, // (r7, cold 6-query suite)
     "sketch_hist_quantiles" -> 2.6, // (r7, cold 6-query suite)
     "text_lm_logprob" -> 2.0, // (r7, cold 6-query suite)
