@@ -348,6 +348,11 @@ object Bench {
     "split_group_aware" -> 1.5, // (r7, cold 6-query suite)
     "sample_importance_dsir" -> 1.5, // (r7, cold 1-query suite)
     "dedup_span_stats" -> 5.9, // cold-JVM 3-query-suite measurement
+    "classifier_train_logreg" -> 3.0, // (r8) 3 GD aggregates + checkpoint
+    "text_pmi_pairs" -> 2.2, // (r8) W=3 pair stream + two groupBys
+    "text_chunk_overlap" -> 1.6, // (r8) scan + Generate only
+    "augment_fim" -> 1.3, // (r8) scan-side
+    "multimodal_audio" -> 1.3, // (r8) 1/4 ids through the codec seam
     "dedup_semantic" -> 4.1, // (r7) — conservative for the full suite
     "decontam_span_removal" -> 2.6, // (r7, cold 3-query suite)
     "dedup_semantic_incremental" -> 1.7, // (r7, cold 1-query suite)

@@ -208,6 +208,105 @@ object Multimodal extends QueryPack {
     }
   }
 
+  // ------------------------------------------------------------- audio
+
+  case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+                           n_frames: Int, duration_ms: Int, peak: Int,
+                           rms: Double, zero_crossings: Int)
+
+  /** Deterministic PCM fixture: sample i of media `id` is
+    * `((i * step) % 201) - 100` with `step = id % 7 + 1` — pure
+    * integer arithmetic, so an oracle can replay the waveform exactly
+    * without touching the codec. */
+  private[operators] val AudioRateHz = 8000
+  private[operators] val AudioFrames = 800
+  private[operators] def audioSample(id: Long, i: Int): Int =
+    (((i.toLong * (id % 7 + 1)) % 201) - 100).toInt
+
+  /** ENCODE through the real JDK codec: raw 16-bit signed LE mono PCM
+    * of the fixture waveform, wrapped into a WAV container by
+    * `javax.sound.sampled.AudioSystem.write` — the bytes a decoder
+    * receives went through the same header/framing path as any real
+    * .wav payload. */
+  def synthWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = java.nio.ByteBuffer.allocate(AudioFrames * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < AudioFrames) { pcm.putShort(audioSample(id, i).toShort); i += 1 }
+    val fmt = new AudioFormat(AudioRateHz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, AudioFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Magic-byte sniff for WAV (RIFF container with a WAVE form type)
+    * — the audio analogue of [[isJdkImage]]. */
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+      b(3) == 'F'.toByte && b(8) == 'W'.toByte && b(9) == 'A'.toByte &&
+      b(10) == 'V'.toByte && b(11) == 'E'.toByte
+
+  /** REAL audio decode in the same codec seam as [[decodeOne]]:
+    * WAV payloads go through `AudioSystem.getAudioInputStream` (format
+    * from the parsed header, PCM frames from the stream — nothing is
+    * assumed from the fixture recurrence), then signal features are
+    * computed from the DECODED samples: peak amplitude, RMS, and
+    * strict sign-change zero crossings. Non-WAV payloads — and any
+    * payload the parser rejects (truncated header, non-PCM encoding)
+    * — take a crc32 stub row with sample_rate −1, mirroring the image
+    * path's one-bad-blob-must-not-kill-the-partition contract. */
+  def decodeAudioOne(m: MediaIn): AudioFeatures = {
+    def stub = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(m.payload)
+      AudioFeatures(m.media_id, -1, 0, m.payload.length, 0, 0,
+        (crc.getValue % 1000) / 1000.0, 0)
+    }
+    if (!isWav(m.payload)) stub
+    else {
+      val parsed =
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val f = ais.getFormat
+          if (f.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              f.getSampleSizeInBits != 16) None
+          else Some((f, ais.readAllBytes()))
+        } catch { case _: Exception => None }
+      parsed match {
+        case None => stub
+        case Some((f, bytes)) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bytes.length / 2
+          var i = 0; var peak = 0; var zc = 0
+          var sumSq = 0L; var prev = 0
+          while (i < n) {
+            val s = bb.getShort(2 * i).toInt
+            if (math.abs(s) > peak) peak = math.abs(s)
+            sumSq += s.toLong * s
+            if (i > 0 && s.toLong * prev < 0) zc += 1
+            prev = s
+            i += 1
+          }
+          val rate = f.getSampleRate.toInt
+          val frames = n / f.getChannels
+          // same fold as NormExprs.pround(4) so the SQL twin matches
+          val rms =
+            if (n == 0) 0.0
+            else math.floor(math.sqrt(sumSq.toDouble / n) * 1e4 + 0.5) / 1e4
+          AudioFeatures(m.media_id, rate, f.getChannels, frames,
+            (frames.toLong * 1000 / rate).toInt, peak, rms, zc)
+      }
+    }
+  }
+
   def queries: Map[String, QFn] = Map(
     "multimodal_pipeline" -> ((s, d) => {
       // documents stand in for a media table: text bytes = the payload
@@ -247,6 +346,29 @@ object Multimodal extends QueryPack {
         .select(col("media_id"), octet_length(col("payload")).as("byte_len"),
           md5(col("payload")).as("content_hash"),
           col("width"), col("height"))
+    }),
+
+    // REAL audio codec path, hash-checkable: every fourth document id
+    // names a synthetic PCM waveform; the payload is encoded into a
+    // WAV container by the JDK codec, decoded back through
+    // `AudioSystem` (header parse + frame read), and the features are
+    // signal math over the DECODED samples. Because the waveform is an
+    // integer recurrence, the oracle replays the exact features from
+    // first principles in SQL — codec fidelity IS the assertion: any
+    // header/framing/sample drift through encode→decode breaks the
+    // hash. Batch shape: ids only are read from the table; synth +
+    // decode run inside one mapPartitions (the per-partition codec
+    // seam), so partition size = codec batch size, same as the image
+    // path.
+    "multimodal_audio" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("media_id")).as[Long]
+      ids.mapPartitions { it =>
+        // <- heavier audio codec init goes here, once per partition
+        it.map(id => decodeAudioOne(MediaIn(id, synthWav(id))))
+      }.toDF()
     })
   )
 
@@ -304,6 +426,32 @@ object Multimodal extends QueryPack {
                CAST(b.blen % 640 AS INTEGER) AS width,
                CAST(b.blen % 480 AS INTEGER) AS height,
                $frameHashSql AS frame_hashes
-        FROM base b JOIN crc c USING (media_id)""")
+        FROM base b JOIN crc c USING (media_id)""",
+
+      // replay the PCM recurrence exactly: integer samples, integer
+      // peak/zero-crossing counts, fp only at the final rms (whose
+      // sqrt/divide inputs are identical integers on both engines, and
+      // IEEE sqrt/divide are correctly rounded)
+      "multimodal_audio" -> s"""
+        WITH m AS (
+          SELECT doc_id AS media_id, doc_id % 7 + 1 AS step
+          FROM documents WHERE doc_id % 4 = 0),
+        s AS (
+          SELECT media_id, i,
+                 ((i * step) % 201) - 100 AS v,
+                 (((i - 1) * step) % 201) - 100 AS pv
+          FROM (SELECT media_id, step, unnest(range(0, $AudioFrames)) AS i
+                FROM m))
+        SELECT media_id,
+               $AudioRateHz AS sample_rate,
+               1 AS channels,
+               $AudioFrames AS n_frames,
+               ${AudioFrames.toLong * 1000 / AudioRateHz} AS duration_ms,
+               CAST(MAX(abs(v)) AS INTEGER) AS peak,
+               floor(sqrt(SUM(v * v) / $AudioFrames.0) * 10000 + 0.5)
+                 / 10000 AS rms,
+               CAST(SUM(CASE WHEN i > 0 AND v * pv < 0 THEN 1 ELSE 0 END)
+                 AS INTEGER) AS zero_crossings
+        FROM s GROUP BY media_id""")
   }
 }

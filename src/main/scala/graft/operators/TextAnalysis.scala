@@ -482,6 +482,52 @@ object TextAnalysis extends QueryPack {
           when(col("text") =!= col("norm_text"), 1).otherwise(0)
             .as("changed"),
           length(col("norm_text")).as("n_chars_norm"))
+    }),
+
+    // PMI co-occurrence mining — the word-association table behind
+    // embedding-prep pipelines (phrase detection, seed lexicons,
+    // collocation features): every unordered token pair co-occurring
+    // within a ±W-token window, scored by pointwise mutual information
+    // against the unigram model. The pair stream is generated
+    // SCAN-SIDE (per offset o ≤ W, zip the token array with itself
+    // shifted by o — no positional self-join, no shuffle until the
+    // pair counts), so the only exchanges are the two
+    // map-side-combinable groupBys (pairs, unigrams). The unigram
+    // frame is a broadcast dimension; totals ride one-row broadcasts
+    // (the BM25/DSIR stats pattern). PMI divisions follow ONE
+    // parenthesization mirrored in the oracle, and the rank order is
+    // (rounded pmi, w1, w2) so ties cannot reshuffle across engines.
+    "text_pmi_pairs" -> ((s, d) => {
+      val tk = tokCol(col("text"))
+      val pairsOfDoc = (1 to PmiWindow).map { o =>
+        zip_with(
+          slice(tk, lit(1), greatest(size(tk) - o, lit(0))),
+          slice(tk, lit(o + 1), greatest(size(tk) - o, lit(0))),
+          (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))
+      }.reduce(concat(_, _))
+      val pairs = docs(s, d).select(explode(pairsOfDoc).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // both aggregates are consumed 2-3 times (join sides + totals);
+      // without the checkpoint each consumer re-scans and re-tokenizes
+      // the CORPUS (no common-subtree reuse across joins) — with it,
+      // the corpus is read once per aggregate and every reuse is a
+      // vocab-sized in-memory read
+      val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint()
+      val uc = docs(s, d).select(explode(tk).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tTok = uc.agg(sum(col("c")).cast("double").as("t_tokens"))
+      val tPair = pc.agg(sum(col("c_ab")).cast("double").as("t_pairs"))
+      pc.filter(col("c_ab") >= PmiMinCount)
+        .join(broadcast(uc.select(col("token").as("w1"), col("c").as("c_a"))), "w1")
+        .join(broadcast(uc.select(col("token").as("w2"), col("c").as("c_b"))), "w2")
+        .crossJoin(broadcast(tTok)).crossJoin(broadcast(tPair))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          pround(log((col("c_ab") / col("t_pairs")) /
+            ((col("c_a") / col("t_tokens")) *
+              (col("c_b") / col("t_tokens")))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(PmiTopK)
     })
   )
 
@@ -568,6 +614,14 @@ object TextAnalysis extends QueryPack {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
   private val Bm25TopK = 25
+
+  /** PMI co-occurrence window (±tokens), support floor, and result
+    * cap. W and the floor bound the pair-stream width: the stream is
+    * ≤ W·n_tokens slim rows and the support filter runs on the
+    * aggregated counts before any join. */
+  private val PmiWindow = 3
+  private val PmiMinCount = 5
+  private val PmiTopK = 100
 
   def oracles: Map[String, String] = {
     val scoreSql = markers.map { case (lg, m) =>
@@ -830,6 +884,36 @@ object TextAnalysis extends QueryPack {
                floor(score_raw * 10000.0 + 0.5) / 10000.0 AS score
         FROM top"""
       },
+
+      // The pair multiset is the same enumeration as the Spark
+      // shifted-zip — (i, i + o) for every o ≤ W with i + o inside the
+      // doc — normalized least/greatest; PMI mirrors the one
+      // parenthesization and rounds before the rank sort.
+      "text_pmi_pairs" -> s"""
+        WITH tok AS ($tokCteSql),
+        pr AS (
+          SELECT least(tk[i], tk[i + o]) AS w1,
+                 greatest(tk[i], tk[i + o]) AS w2
+          FROM (SELECT tk, CAST(i AS INTEGER) AS i, CAST(o AS INTEGER) AS o
+                FROM (SELECT tk, unnest(range(1, len(tk) + 1)) AS i FROM tok)
+                CROSS JOIN (SELECT unnest(range(1, $PmiWindow + 1)) AS o))
+          WHERE i + o <= len(tk)),
+        pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+               FROM pr GROUP BY 1, 2),
+        uc AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT unnest(tk) AS t FROM tok) GROUP BY 1),
+        tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t_tokens FROM uc),
+        tp AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS t_pairs FROM pc)
+        SELECT w1, w2, c_ab,
+               floor(ln((c_ab / t_pairs) /
+                 ((a.c / t_tokens) * (b.c / t_tokens))) * 10000.0 + 0.5)
+                 / 10000.0 AS pmi
+        FROM pc
+        JOIN uc a ON a.token = pc.w1
+        JOIN uc b ON b.token = pc.w2
+        CROSS JOIN tt CROSS JOIN tp
+        WHERE c_ab >= $PmiMinCount
+        ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""",
 
       // The weight vector is DERIVED in SQL by the same md5 formula as
       // [[ClsWeights]] (not pasted as a literal, so a decimal-parsing
