@@ -349,7 +349,8 @@ object Bench {
     "sample_importance_dsir" -> 1.5, // (r7, cold 1-query suite)
     "dedup_span_stats" -> 5.9, // cold-JVM 3-query-suite measurement
     "classifier_train_logreg" -> 3.0, // (r8) 3 GD aggregates + checkpoint
-    "text_pmi_pairs" -> 2.2, // (r8) W=3 pair stream + two groupBys
+    "text_pmi_pairs" -> 3.5, // (r8, full-suite record) W=3 pair stream + two groupBys
+    "cdc_apply" -> 1.2, // (r8) one grouped max-struct aggregate
     "text_chunk_overlap" -> 1.6, // (r8) scan + Generate only
     "augment_fim" -> 1.3, // (r8) scan-side
     "multimodal_audio" -> 1.3, // (r8) 1/4 ids through the codec seam

@@ -35,12 +35,14 @@ object Training extends QueryPack {
   private val GScale = 1e8
 
   /** Per-doc features (x0 bias, x1 chars, x2 tokens, x3 marker
-    * density) and the language label. x3 is the langid marker-word
+    * density) and the language label, from any documents-shaped frame
+    * (doc_id, text, n_chars, lang) — shared with the streaming trainer
+    * ([[graft.streaming.TrainStream]]). x3 is the langid marker-word
     * rate, so the trained model genuinely predicts the label rather
     * than fitting noise — TrainingSpec asserts the loss curve drops. */
-  private def features(s: SparkSession, d: String): DataFrame = {
+  def featuresOf(documents: DataFrame): DataFrame = {
     val tk = TextAnalysis.tokCol(col("text"))
-    docs(s, d).select(
+    documents.select(
       col("doc_id"),
       lit(1.0).as("x0"),
       (col("n_chars") / lit(500.0)).as("x1"),
@@ -48,6 +50,38 @@ object Training extends QueryPack {
       ((size(filter(tk, t => t === lit("order"))) * lit(1.0)) / size(tk))
         .as("x3"),
       when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+  }
+
+  private def features(s: SparkSession, d: String): DataFrame =
+    featuresOf(docs(s, d))
+
+  /** One full-batch GD step at weights `w` over a features frame
+    * (x0..x3, y): returns (updated weights, ENTERING mean logloss,
+    * row count). The gradient/loss sums are fixed-point BIGINTs
+    * (floor(term·1e8 + 0.5)), so the step is one map-side-combinable
+    * aggregate whose result — and therefore the whole weight
+    * trajectory — is independent of partitioning and engine. */
+  def gdStep(f: DataFrame, w: Array[Double],
+             lr: Double = LrRate): (Array[Double], Double, Long) = {
+    require(w.length == 4, "gdStep trains the 4-feature model")
+    val xs = w.indices.map(j => s"x$j")
+    val z = xs.zipWithIndex.map { case (x, j) => col(x) * lit(w(j)) }
+      .reduce(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val err = p - col("y")
+    val loss = -(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p))
+    val aggs =
+      xs.map(x => sum(floor(err * col(x) * lit(GScale) + lit(0.5)))
+        .as(s"g_$x")) :+
+      sum(floor(loss * lit(GScale) + lit(0.5))).as("l") :+
+      count(lit(1)).as("n")
+    val r = f.agg(aggs.head, aggs.tail: _*).head()
+    val nRows = r.getLong(xs.size + 1)
+    val n = nRows.toDouble
+    val meanLoss = (r.getLong(xs.size) / GScale) / n
+    val w2 = w.indices.map(j =>
+      w(j) - lr * ((r.getLong(j) / GScale) / n)).toArray
+    (w2, meanLoss, nRows)
   }
 
   def queries: Map[String, QFn] = Map(
@@ -113,30 +147,16 @@ object Training extends QueryPack {
     // updated weights. TrainingSpec asserts the loss strictly falls.
     "classifier_train_logreg" -> ((s, d) => {
       val f = features(s, d).localCheckpoint()
-      val xs = Seq("x0", "x1", "x2", "x3")
-      var w = Array.fill(xs.size)(0.0)
+      var w = Array.fill(4)(0.0)
       val rows = (1 to LrIters).map { it =>
-        val z = xs.zipWithIndex.map { case (x, j) => col(x) * lit(w(j)) }
-          .reduce(_ + _)
-        val p = lit(1.0) / (lit(1.0) + exp(-z))
-        val err = p - col("y")
-        val loss = -(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p))
-        val aggs =
-          xs.map(x => sum(floor(err * col(x) * lit(GScale) + lit(0.5)))
-            .as(s"g_$x")) :+
-          sum(floor(loss * lit(GScale) + lit(0.5))).as("l") :+
-          count(lit(1)).as("n")
-        val r = f.agg(aggs.head, aggs.tail: _*).head()
-        val n = r.getLong(xs.size + 1).toDouble
-        val meanLoss = (r.getLong(xs.size) / GScale) / n
-        w = w.indices.map(j =>
-          w(j) - LrRate * ((r.getLong(j) / GScale) / n)).toArray
+        val (w2, meanLoss, _) = gdStep(f, w)
+        w = w2
         Row(it, meanLoss, w(0), w(1), w(2), w(3))
       }
       val schema = org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("iter",
           org.apache.spark.sql.types.IntegerType) +:
-        ("loss" +: xs.map("w_" + _)).map(nm =>
+        ("loss" +: (0 to 3).map(j => s"w_x$j")).map(nm =>
           org.apache.spark.sql.types.StructField(nm,
             org.apache.spark.sql.types.DoubleType)))
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)

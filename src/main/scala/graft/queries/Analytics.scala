@@ -391,7 +391,34 @@ object Analytics extends QueryPack {
         .groupBy(col("cohort_week"),
           (col("active_week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct("user_id").as("n_users"))
-    })
+    }),
+
+    // CDC apply: collapse a keyed change log into the current
+    // snapshot, WITH delete semantics — the missing half of
+    // j12_upsert/W1 (which only ever keep-latest). The event log
+    // stands in for the change stream: every event upserts its user's
+    // row, 'error' is the tombstone, event_id the version. One
+    // map-side-combinable aggregate (max-by-version struct + change
+    // counters ride the same groupBy) — no window sort, so a hot key
+    // costs a combiner, not a partition-wide sort, and the plan is one
+    // exchange at any log size. Keys whose LAST op is the tombstone
+    // drop out of the snapshot after the aggregate.
+    "cdc_apply" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .groupBy("user_id")
+        .agg(max(struct(col("event_id"), col("event_type"), col("value")))
+            .as("last"),
+          count(lit(1)).as("n_changes"),
+          sum(when(col("event_type") === "error", 1).otherwise(0))
+            .as("n_deletes"))
+        .filter(col("last.event_type") =!= "error")
+        .select(col("user_id"),
+          col("last.event_id").as("last_version"),
+          col("last.event_type").as("last_op"),
+          col("last.value").as("value"),
+          col("n_changes"), col("n_deletes")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -635,6 +662,21 @@ object Analytics extends QueryPack {
              count(DISTINCT user_id) AS n_users
       FROM signup JOIN active USING (user_id)
       WHERE active_week >= cohort_week
-      GROUP BY 1, 2"""
+      GROUP BY 1, 2""",
+
+    // keep-last via the window formulation (the struct-max has no SQL
+    // twin); event_id is unique per key so the order is total
+    "cdc_apply" -> """
+      WITH v AS (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id) AS n_deletes
+        FROM events)
+      SELECT user_id, event_id AS last_version, event_type AS last_op,
+             value, n_changes, CAST(n_deletes AS BIGINT) AS n_deletes
+      FROM v WHERE rn = 1 AND event_type <> 'error'"""
   )
 }
