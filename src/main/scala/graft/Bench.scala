@@ -351,6 +351,10 @@ object Bench {
     "classifier_train_logreg" -> 3.0, // (r8) 3 GD aggregates + checkpoint
     "text_pmi_pairs" -> 3.5, // (r8, full-suite record) W=3 pair stream + two groupBys
     "cdc_apply" -> 1.2, // (r8) one grouped max-struct aggregate
+    "text_bigram_lm" -> 2.5, // (r8) bigram join + position-ordered folds
+    "multimodal_video_frames" -> 1.4, // (r8) gif codec seam
+    "embedding_quantize_int8" -> 1.5, // (r8) scan-side affine + fold
+    "privacy_k_anonymity" -> 1.3, // (r8) three combinable aggregates
     "text_chunk_overlap" -> 1.6, // (r8) scan + Generate only
     "augment_fim" -> 1.3, // (r8) scan-side
     "multimodal_audio" -> 1.3, // (r8) 1/4 ids through the codec seam

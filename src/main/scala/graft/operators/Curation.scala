@@ -43,6 +43,9 @@ object Curation extends QueryPack {
     * with N (B ≈ N/2) and the shape is unchanged. */
   private val NegBuckets = 256L
 
+  /** k-anonymity threshold: QI groups smaller than this are flagged. */
+  private val KAnonymityK = 5
+
   /** Hashed-feature bucket count for `sample_importance_dsir`. 64 keeps
     * the per-doc fold bounded (a doc touches ≤ 64 distinct buckets, so
     * the clamped product stays inside double range without logs);
@@ -275,6 +278,37 @@ object Curation extends QueryPack {
     "have", "with")
 
   def queries: Map[String, QFn] = Map(
+    // k-anonymity audit — the release gate next to PII scrubbing: can
+    // an individual be singled out by quasi-identifiers alone? Each
+    // user reduces to a QI profile (activity band, spend band,
+    // dominant event type); profiles shared by fewer than K users are
+    // re-identification risks. Three aggregates, all
+    // map-side-combinable: (user, type) counts → per-user argmax via
+    // max(struct) (no window sort), per-user bands with the
+    // DECIMAL-exact spend sum (fp accumulation order must not move a
+    // user across a band boundary), then QI-grain group sizes.
+    "privacy_k_anonymity" -> ((s, d) => {
+      val ev = graft.Tables.load(s, d, "events")
+      val topType = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(max(struct(col("cnt"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("top_type"))
+      val bands = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+        .select(col("user_id"),
+          floor(col("n_events") / lit(5.0)).cast("int").as("band_events"),
+          floor(col("sv").cast("double") / col("n_events") / lit(10.0))
+            .cast("int").as("band_value"))
+      bands.join(topType, "user_id")
+        .groupBy("band_events", "band_value", "top_type")
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("band_events"), col("band_value"), col("top_type"),
+          col("n_users"),
+          when(col("n_users") < KAnonymityK, 1).otherwise(0).as("at_risk"))
+    }),
+
     // Dedup clustering via the generic operator: the fixture supplies
     // the injected candidate pairs (src, src+100000) so the oracle
     // stays deterministic; at corpus scale the pairs come from
@@ -647,6 +681,31 @@ object Curation extends QueryPack {
       s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")
       .mkString(" + ")
     Map(
+      // per-user argmax mirrored as (cnt DESC, event_type DESC) — the
+      // max(struct) total order; the spend sum is DECIMAL on both
+      // engines before the one double divide
+      "privacy_k_anonymity" -> s"""
+        WITH tt AS (
+          SELECT user_id, event_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY COUNT(*) DESC, event_type DESC) AS rn
+            FROM events GROUP BY user_id, event_type)
+          WHERE rn = 1),
+        bands AS (
+          SELECT user_id,
+                 CAST(floor(COUNT(*) / 5.0) AS INTEGER) AS band_events,
+                 CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     AS DOUBLE) / COUNT(*) / 10.0) AS INTEGER)
+                   AS band_value
+          FROM events GROUP BY user_id)
+        SELECT b.band_events, b.band_value, t.event_type AS top_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CASE WHEN COUNT(*) < $KAnonymityK THEN 1 ELSE 0 END
+                 AS at_risk
+        FROM bands b JOIN tt t USING (user_id)
+        GROUP BY 1, 2, 3""",
+
       "dedup_cluster_canonical" -> s"""WITH RECURSIVE aug AS ($augmentedSql),
         h AS (SELECT doc_id, md5(text) AS hh FROM aug),
         roots AS (SELECT hh, min(doc_id) AS src FROM h GROUP BY 1),

@@ -307,6 +307,97 @@ object Multimodal extends QueryPack {
     }
   }
 
+  // ------------------------------------------------------------- video
+
+  case class FrameFeatures(media_id: Long, frame_id: Int, width: Int,
+                           height: Int, gray_sum: Long, min_gray: Int,
+                           max_gray: Int, mean_gray: Double)
+
+  /** Deterministic video fixture: frame f of media `id` is an 8×8
+    * grayscale image with pixel (x, y) = `(x + 8y + 7f + id) % 256`
+    * — integer-exact, so the oracle replays frame statistics without
+    * the codec. */
+  private[operators] val VideoFrames = 4
+  private[operators] val VideoDim = 8
+  private[operators] def videoPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((x + VideoDim * y + 7L * f + id) % 256).toInt
+
+  /** ENCODE through the real JDK codec: the frames are written as one
+    * multi-frame (animated) GIF via `ImageWriter.writeToSequence` —
+    * the same container path any real animated GIF takes. Grayscale
+    * pixels survive the GIF palette exactly (256 gray levels fit the
+    * 256-entry palette), which the decode spec pins. */
+  def synthVideo(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until VideoFrames) {
+        val img = new java.awt.image.BufferedImage(VideoDim, VideoDim,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < VideoDim) {
+          var x = 0
+          while (x < VideoDim) {
+            raster.setSample(x, y, 0, videoPixel(id, f, x, y)); x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+          null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode + frame sampling: a GIF payload is opened
+    * with the JDK's GIF `ImageReader`, the frame count read from the
+    * container, and every SECOND frame (the sampling stride) decoded
+    * to integer pixel statistics — the exact sum/min/max are
+    * order-free, so the oracle can replay them; fp appears only in the
+    * final mean, whose inputs are identical integers on both engines.
+    * Non-GIF payloads and unreadable frames yield no rows (sampling a
+    * corrupt blob must not kill the partition). */
+  def decodeVideoFrames(m: MediaIn): Iterator[FrameFeatures] = {
+    val isGif = m.payload.length >= 4 &&
+      m.payload(0) == 'G'.toByte && m.payload(1) == 'I'.toByte &&
+      m.payload(2) == 'F'.toByte && m.payload(3) == '8'.toByte
+    if (!isGif) Iterator.empty
+    else {
+      try {
+        val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload)))
+        val n = reader.getNumImages(true)
+        val out = (0 until n by 2).iterator.map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L; var mn = 255; var mx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y) & 0xFF // gray: B == G == R
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          FrameFeatures(m.media_id, f, w, h, sum, mn, mx,
+            math.floor(sum.toDouble / (w.toLong * h * 255) * 1e6 + 0.5) / 1e6)
+        }.toVector
+        reader.dispose()
+        out.iterator
+      } catch { case _: Exception => Iterator.empty }
+    }
+  }
+
   def queries: Map[String, QFn] = Map(
     "multimodal_pipeline" -> ((s, d) => {
       // documents stand in for a media table: text bytes = the payload
@@ -368,6 +459,26 @@ object Multimodal extends QueryPack {
       ids.mapPartitions { it =>
         // <- heavier audio codec init goes here, once per partition
         it.map(id => decodeAudioOne(MediaIn(id, synthWav(id))))
+      }.toDF()
+    }),
+
+    // REAL multi-frame (video-shaped) codec path: every doc_id ≡ 1
+    // (mod 4) names a 4-frame animated GIF; the frames are written
+    // through the JDK GIF writer's sequence API, read back through the
+    // GIF ImageReader (container frame count + per-frame decode), and
+    // every second frame is sampled to integer pixel statistics. The
+    // oracle replays the statistics from the pixel recurrence, so the
+    // encode→palette→decode roundtrip is the hash-green assertion —
+    // the frame-sampling stride, the container parse, and the pixel
+    // fidelity all break the hash if wrong.
+    "multimodal_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id").as("media_id")).as[Long]
+      ids.mapPartitions { it =>
+        // <- heavier video codec init goes here, once per partition
+        it.flatMap(id => decodeVideoFrames(MediaIn(id, synthVideo(id))))
       }.toDF()
     })
   )
@@ -452,6 +563,26 @@ object Multimodal extends QueryPack {
                  / 10000 AS rms,
                CAST(SUM(CASE WHEN i > 0 AND v * pv < 0 THEN 1 ELSE 0 END)
                  AS INTEGER) AS zero_crossings
-        FROM s GROUP BY media_id""")
+        FROM s GROUP BY media_id""",
+
+      // the pixel recurrence replayed per sampled frame; sum/min/max
+      // are pure integers, the mean's divide/round inputs identical
+      "multimodal_video_frames" -> s"""
+        WITH m AS (
+          SELECT doc_id AS media_id FROM documents WHERE doc_id % 4 = 1),
+        px AS (
+          SELECT media_id, CAST(f AS INTEGER) AS f,
+                 (x + $VideoDim * y + 7 * f + media_id) % 256 AS v
+          FROM (SELECT media_id, unnest([0, 2]) AS f FROM m)
+          CROSS JOIN (SELECT unnest(range(0, $VideoDim)) AS x)
+          CROSS JOIN (SELECT unnest(range(0, $VideoDim)) AS y))
+        SELECT media_id, f AS frame_id,
+               $VideoDim AS width, $VideoDim AS height,
+               CAST(SUM(v) AS BIGINT) AS gray_sum,
+               CAST(MIN(v) AS INTEGER) AS min_gray,
+               CAST(MAX(v) AS INTEGER) AS max_gray,
+               floor(SUM(v) / ${VideoDim * VideoDim * 255}.0 * 1000000.0
+                 + 0.5) / 1000000.0 AS mean_gray
+        FROM px GROUP BY 1, 2""")
   }
 }

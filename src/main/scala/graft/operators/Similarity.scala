@@ -71,6 +71,42 @@ object Similarity extends QueryPack {
   }
 
   def queries: Map[String, QFn] = Map(
+    // Int8 scalar quantization — the storage tier below PQ: per-vector
+    // min/max affine mapping to 0..255 codes (4x smaller than fp32,
+    // codebook-free, exact dequantization bounds), with per-vector
+    // reconstruction MSE as the quality audit. Entirely scan-side
+    // (transform/zip_with over the staged array, no shuffle); every
+    // fp step — the affine map, the dequantized residual fold in
+    // ARRAY order, the roundings — follows one parenthesization
+    // mirrored by the oracle, and the code vector itself is pinned by
+    // an md5 fingerprint, so a single off-by-one code anywhere in the
+    // corpus breaks the hash.
+    "embedding_quantize_int8" -> ((s, d) => {
+      val e = emb(s, d)
+      e.select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double")).as("ed"))
+        .select(col("vec_id"), col("ed"),
+          array_min(col("ed")).as("mn"), array_max(col("ed")).as("mx"))
+        .select(col("vec_id"), col("ed"), col("mn"), col("mx"),
+          when(col("mx") > col("mn"), (col("mx") - col("mn")) / lit(255.0))
+            .otherwise(lit(1.0)).as("scale"))
+        .select(col("vec_id"), col("ed"), col("mn"), col("mx"), col("scale"),
+          transform(col("ed"), v =>
+            floor((v - col("mn")) / col("scale") + lit(0.5)).cast("int"))
+            .as("codes"))
+        .select(col("vec_id"),
+          size(col("ed")).as("dim"),
+          pround(col("mn"), 6).as("qmin"),
+          pround(col("mx"), 6).as("qmax"),
+          md5(concat_ws("|", col("codes"))).as("code_fp"),
+          pround(aggregate(
+            zip_with(col("ed"), col("codes"), (v, c) => {
+              val dq = col("mn") + c.cast("double") * col("scale")
+              (v - dq) * (v - dq)
+            }),
+            lit(0.0), (acc, x) => acc + x) / size(col("ed")), 8).as("mse"))
+    }),
+
     // Fixed query/candidate pairing — ranking-free oracle check of the
     // cosine kernel itself
     "sim_cosine_pairs" -> ((s, d) => {
@@ -775,6 +811,37 @@ object Similarity extends QueryPack {
     GROUP BY qid, cid"""
 
   def oracles: Map[String, String] = Map(
+    // same affine map, same residual fold in array order, same
+    // roundings; codes replayed element-wise then fingerprinted
+    "embedding_quantize_int8" -> """
+      WITH ed AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed
+        FROM embeddings),
+      st AS (SELECT vec_id, ed, list_min(ed) AS mn, list_max(ed) AS mx
+             FROM ed),
+      sc AS (SELECT vec_id, ed, mn, mx,
+               CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END
+                 AS scale
+             FROM st),
+      cd AS (SELECT vec_id, ed, mn, mx, scale,
+               list_transform(ed, v ->
+                 CAST(floor((v - mn) / scale + 0.5) AS INTEGER)) AS codes
+             FROM sc)
+      SELECT vec_id, CAST(len(ed) AS INTEGER) AS dim,
+             floor(mn * 1000000.0 + 0.5) / 1000000.0 AS qmin,
+             floor(mx * 1000000.0 + 0.5) / 1000000.0 AS qmax,
+             md5(array_to_string(codes, '|')) AS code_fp,
+             floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(ed) + 1), i ->
+                   (ed[CAST(i AS INTEGER)] -
+                     (mn + codes[CAST(i AS INTEGER)] * scale)) *
+                   (ed[CAST(i AS INTEGER)] -
+                     (mn + codes[CAST(i AS INTEGER)] * scale)))),
+               (acc, x) -> acc + x) / len(ed) * 100000000.0 + 0.5)
+               / 100000000.0 AS mse
+      FROM cd""",
+
     "sim_cosine_pairs" -> s"""WITH
       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
       c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings

@@ -528,6 +528,59 @@ object TextAnalysis extends QueryPack {
             ((col("c_a") / col("t_tokens")) *
               (col("c_b") / col("t_tokens")))), 4).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(PmiTopK)
+    }),
+
+    // Interpolated bigram LM scoring — one rung up the CCNet ladder
+    // from `text_lm_logprob`'s unigram model: per-doc NLL under
+    // p(w|prev) = 0.7·ML-bigram + 0.3·Laplace-unigram, first token
+    // scored by the unigram alone. Every observed (prev, w) pair has a
+    // positive bigram count by construction, so the mixture never
+    // takes ln(0). Shapes: position rows come from exploding the index
+    // sequence (house rule) with prev via element_at; the bigram count
+    // table joins back on its own (prev, w) key — the one
+    // corpus-sized exchange — while unigram/left-context tables are
+    // vocab-sized broadcasts; both derived count frames are
+    // checkpointed so consumers reuse instead of re-scanning. Per-doc
+    // sums fold ln-terms in POSITION order on both engines.
+    "text_bigram_lm" -> ((s, d) => {
+      val posed = docs(s, d)
+        .select(col("doc_id"), tokCol(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), size(col("tk"))))).as("pos"))
+        .filter(col("pos").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          element_at(col("tk"), col("pos")).as("w"),
+          when(col("pos") > 1, element_at(col("tk"), col("pos") - 1))
+            .as("w_prev"))
+        .localCheckpoint()
+      val bc = posed.filter(col("w_prev").isNotNull)
+        .groupBy("w_prev", "w").agg(count(lit(1)).as("c_pp"))
+        .localCheckpoint()
+      val lc = bc.groupBy("w_prev").agg(sum(col("c_pp")).as("c_left"))
+      val uc = posed.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val tot = uc.agg(sum(col("cnt")).cast("double").as("t"),
+        count(lit(1)).cast("double").as("v"))
+      val pU = (col("cnt").cast("double") + lit(1.0)) / (col("t") + col("v"))
+      val pB = col("c_pp").cast("double") / col("c_left").cast("double")
+      val term = when(col("pos") === 1, log(pU))
+        .otherwise(log(lit(0.7) * pB + lit(0.3) * pU))
+      posed
+        .join(broadcast(uc), "w")
+        .join(bc, Seq("w_prev", "w"), "left")
+        .join(broadcast(lc), Seq("w_prev"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("pos"), term.as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sort_array(collect_list(struct(col("pos"), col("term"))))
+            .as("ts"))
+        .select(col("doc_id"), col("n_tokens"),
+          pround((lit(0.0) - aggregate(
+              transform(col("ts"), x => x.getField("term")),
+              lit(0.0), (acc, x) => acc + x)) /
+            col("n_tokens").cast("double"), 4).as("nll_bigram"))
     })
   )
 
@@ -914,6 +967,47 @@ object TextAnalysis extends QueryPack {
         CROSS JOIN tt CROSS JOIN tp
         WHERE c_ab >= $PmiMinCount
         ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""",
+
+      // Same mixture, same parenthesization, same position-ordered
+      // fold as the Spark side; the LEFT joins go NULL exactly where
+      // pos = 1 takes the unigram branch.
+      "text_bigram_lm" -> s"""
+        WITH tok AS ($tokCteSql),
+        posed AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                 tk[CAST(i AS INTEGER)] AS w,
+                 CASE WHEN i > 1 THEN tk[CAST(i AS INTEGER) - 1] END
+                   AS w_prev
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                FROM tok)),
+        bc AS (SELECT w_prev, w, CAST(COUNT(*) AS BIGINT) AS c_pp
+               FROM posed WHERE w_prev IS NOT NULL GROUP BY 1, 2),
+        lc AS (SELECT w_prev, CAST(SUM(c_pp) AS BIGINT) AS c_left
+               FROM bc GROUP BY 1),
+        uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM posed GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t,
+                       CAST(COUNT(*) AS DOUBLE) AS v FROM uc),
+        terms AS (
+          SELECT p.doc_id, p.pos,
+                 CASE WHEN p.pos = 1
+                   THEN ln((CAST(u.cnt AS DOUBLE) + 1.0) / (t.t + t.v))
+                   ELSE ln(0.7 * (CAST(b.c_pp AS DOUBLE) /
+                       CAST(l.c_left AS DOUBLE)) +
+                     0.3 * ((CAST(u.cnt AS DOUBLE) + 1.0) / (t.t + t.v)))
+                 END AS term
+          FROM posed p
+          JOIN uc u ON u.w = p.w
+          LEFT JOIN bc b ON b.w_prev = p.w_prev AND b.w = p.w
+          LEFT JOIN lc l ON l.w_prev = p.w_prev
+          CROSS JOIN tot t)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               floor(((0.0 - list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list(term ORDER BY pos)),
+                   (acc, x) -> acc + x)) / CAST(COUNT(*) AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS nll_bigram
+        FROM terms GROUP BY doc_id""",
 
       // The weight vector is DERIVED in SQL by the same md5 formula as
       // [[ClsWeights]] (not pasted as a literal, so a decimal-parsing
