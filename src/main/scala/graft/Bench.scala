@@ -355,6 +355,8 @@ object Bench {
     "multimodal_video_frames" -> 1.4, // (r8) gif codec seam
     "embedding_quantize_int8" -> 1.5, // (r8) scan-side affine + fold
     "privacy_k_anonymity" -> 1.3, // (r8) three combinable aggregates
+    "search_index_topk" -> 4.0, // (r8) index BUILD + pruned probe per run
+    "search_phrase" -> 2.3, // (r8) index build + two posting lists
     "text_chunk_overlap" -> 1.6, // (r8) scan + Generate only
     "augment_fim" -> 1.3, // (r8) scan-side
     "multimodal_audio" -> 1.3, // (r8) 1/4 ids through the codec seam

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.NormExprs.pround
+import graft.queries.QueryPack
+
+/** Materialized inverted-index retrieval — the serving tier for text
+  * search, built with the same discipline as the IVF/PQ vector
+  * indexes and the gold pre-aggs: build once from the corpus, then
+  * answer queries from partition-pruned index reads that never touch
+  * the corpus again.
+  *
+  * Index layout under `dir/`:
+  *  - `postings/bucket=<h(token) % B>/`: (token, doc_id, tf, dl,
+  *    positions) — hive-partitioned on the token's hash bucket so a
+  *    query's term set prunes to ≤ |terms| partitions AT FILE LISTING,
+  *    sorted within partitions by token for row-group min/max
+  *    skipping;
+  *  - `tokenstats/bucket=…/`: (token, df) at the same grain;
+  *  - `stats/`: ONE row (n_docs, avgdl) — corpus-wide, including
+  *    docs that produced no postings, so index scoring is identical
+  *    to scan scoring.
+  *
+  * The integrity proof is the oracle wiring: `search_index_topk`
+  * shares [[TextAnalysis.bm25OracleSql]] VERBATIM with the corpus-scan
+  * `search_bm25_topk` — one first-principles DuckDB twin, two
+  * physical plans — and [[TextAnalysis.bm25ScoreCol]] is the one
+  * Spark score fold both run, so the index can only hash green by
+  * reproducing scan-over-corpus retrieval exactly.
+  *
+  * 100 TB shape: the build is two map-side-combinable aggregates over
+  * one tokenize pass; a probe reads |terms| postings partitions
+  * (row-group-pruned within), pivots per-term tf rows scan-side into
+  * one row per candidate doc (max(when) — no window), broadcasts the
+  * one-row stats, and TakeOrdereds the top-k. Query latency scales
+  * with posting-list length, not corpus size.
+  */
+object Retrieval extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Token-hash partition count. Small here (the fixture vocab is
+    * tiny); at corpus scale B grows so a partition holds a few GB of
+    * postings — pruning economics, same as the IVF bucket count. */
+  private val IndexBuckets = 16
+
+  private def bucketCol(t: Column): Column =
+    (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % IndexBuckets)
+      .cast("int")
+
+  /** Scala twin of [[bucketCol]] for driver-side probe literals. */
+  private def bucketOf(term: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(
+      md.take(4).map(b => "%02x".format(b & 0xff)).mkString, 16)
+    (h % IndexBuckets).toInt
+  }
+
+  /** Build the index from a documents-shaped frame. */
+  def writeTextIndex(documents: DataFrame, idCol: String, textCol: String,
+                     dir: String): Unit = {
+    val staged = documents
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokCol(col(textCol)).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
+    // one tokenize pass feeds postings, token stats, and corpus stats
+    val posed = staged
+      .select(col("doc_id"), col("dl"), col("tk"),
+        explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("tk"))))).as("pos"))
+      .filter(col("pos").isNotNull)
+      .select(col("doc_id"), col("dl"), col("pos"),
+        element_at(col("tk"), col("pos")).as("token"))
+    val postings = posed.groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", bucketCol(col("token")))
+    postings
+      .repartition(col("bucket")).sortWithinPartitions("token")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .option("compression", "zstd").parquet(s"$dir/postings")
+    postings.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", bucketCol(col("token")))
+      .repartition(col("bucket")).sortWithinPartitions("token")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$dir/tokenstats")
+    staged.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k over the index alone: postings/tokenstats reads prune
+    * to the query terms' buckets at file listing, per-term tf rows
+    * pivot to one row per candidate doc, and the score is the SAME
+    * fixed-order fold as the corpus-scan query. `terms` must be
+    * [[TextAnalysis.Bm25Terms]]-shaped (the fold is positional). */
+  def probeIndexTopK(spark: SparkSession, dir: String,
+                     terms: Seq[String], topK: Int): DataFrame = {
+    val buckets = terms.map(bucketOf).distinct.map(lit(_))
+    val termLits = terms.map(lit(_))
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(termLits: _*))
+    val tstats = spark.read.parquet(s"$dir/tokenstats")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(termLits: _*))
+      .select("token", "df")
+    // pivot tf per term; a doc missing a term scores 0 for it, and
+    // dfs fan in as one-row-per-term broadcast turned into columns
+    val tf = posts.groupBy("doc_id", "dl")
+      .agg(terms.zipWithIndex.map { case (t, i) =>
+        coalesce(max(when(col("token") === t, col("tf"))), lit(0L))
+          .as(s"tf_$i")
+      }.head, terms.zipWithIndex.drop(1).map { case (t, i) =>
+        coalesce(max(when(col("token") === t, col("tf"))), lit(0L))
+          .as(s"tf_$i")
+      }: _*)
+    val dfRow = tstats.groupBy()
+      .agg(terms.zipWithIndex.map { case (t, i) =>
+        coalesce(max(when(col("token") === t, col("df"))), lit(0L))
+          .as(s"df_$i")
+      }.head, terms.zipWithIndex.drop(1).map { case (t, i) =>
+        coalesce(max(when(col("token") === t, col("df"))), lit(0L))
+          .as(s"df_$i")
+      }: _*)
+    val stats = spark.read.parquet(s"$dir/stats")
+      .crossJoin(dfRow)
+    val scored = tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), TextAnalysis.bm25ScoreCol.as("score_raw"))
+      .filter(col("score_raw") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_raw").desc, col("doc_id"))
+    scored.orderBy(col("score_raw").desc, col("doc_id")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"),
+        pround(col("score_raw"), 4).as("score"))
+  }
+
+  /** Exact phrase search from the positional index: occurrences of
+    * `w1 w2` = positions p of w1 with p+1 among w2's positions in the
+    * same doc. Both posting lists come from pruned bucket reads; the
+    * adjacency test explodes only the two terms' position lists —
+    * corpus size never enters. */
+  def probePhrase(spark: SparkSession, dir: String,
+                  w1: String, w2: String): DataFrame = {
+    val buckets = Seq(w1, w2).map(bucketOf).distinct.map(lit(_))
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+    def positionsOf(t: String, alias: String) = posts
+      .filter(col("token") === t)
+      .select(col("doc_id"), explode(col("positions")).as(alias))
+    val left = positionsOf(w1, "p1")
+    val right = positionsOf(w2, "p2")
+      .withColumnRenamed("doc_id", "doc_id_r")
+    left.join(right,
+        col("doc_id") === col("doc_id_r") && col("p2") === col("p1") + 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Phrase fixture: a high-support adjacent pair in the corpus. */
+  private val PhraseW1 = "table"
+  private val PhraseW2 = "hash"
+
+  /** Query-private index dir (the PQ/IVF sidecar convention: the
+    * declared queries overwrite it, so the probes and the oracles
+    * always see the index the build just wrote). */
+  val oracleIndexDir: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_text_index_oracle").getAbsolutePath
+
+  def queries: Map[String, QFn] = Map(
+    // Index-based BM25: build the inverted index, probe it, and match
+    // the corpus-scan twin's oracle verbatim — index ≡ scan, proven
+    // cross-engine.
+    "search_index_topk" -> ((s, d) => {
+      writeTextIndex(docs(s, d), "doc_id", "text", oracleIndexDir)
+      probeIndexTopK(s, oracleIndexDir, TextAnalysis.Bm25Terms,
+        TextAnalysis.Bm25TopK)
+    }),
+
+    // Positional phrase search over the same index.
+    "search_phrase" -> ((s, d) => {
+      writeTextIndex(docs(s, d), "doc_id", "text", oracleIndexDir)
+      probePhrase(s, oracleIndexDir, PhraseW1, PhraseW2)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // VERBATIM the corpus-scan oracle — one truth, two physical plans
+    "search_index_topk" -> TextAnalysis.bm25OracleSql,
+
+    // phrase occurrences from first principles over the token stream
+    "search_phrase" -> s"""
+        WITH tok AS (${TextAnalysis.tokCteSql})
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tok)
+        WHERE tk[CAST(i AS INTEGER)] = '$PhraseW1'
+          AND tk[CAST(i AS INTEGER) + 1] = '$PhraseW2'
+        GROUP BY doc_id"""
+  )
+}

@@ -400,17 +400,8 @@ object TextAnalysis extends QueryPack {
         avg(col("dl")).as("avgdl") +:
           Bm25Terms.indices.map(i =>
             sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).as(s"df_$i")): _*)
-      val score = Bm25Terms.indices.map { i =>
-        val tfc = col(s"tf_$i").cast("double")
-        val idf = log(lit(1.0) +
-          (col("n_docs") - col(s"df_$i") + lit(0.5)) /
-            (col(s"df_$i") + lit(0.5)))
-        idf * (tfc * lit(Bm25K1 + 1.0)) /
-          (tfc + lit(Bm25K1) *
-            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
-      }.reduce(_ + _)
       val scored = tf.crossJoin(broadcast(stats))
-        .select(col("doc_id"), score.as("score_raw"))
+        .select(col("doc_id"), bm25ScoreCol.as("score_raw"))
         .filter(col("score_raw") > 0)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("score_raw").desc, col("doc_id"))
@@ -663,10 +654,10 @@ object TextAnalysis extends QueryPack {
     * matches exist) and the standard Robertson parameters. Terms are
     * scored in THIS order on both engines — fp addition order is part
     * of the contract. */
-  private val Bm25Terms = Seq("order", "customer", "scan")
-  private val Bm25K1 = 1.2
-  private val Bm25B = 0.75
-  private val Bm25TopK = 25
+  private[operators] val Bm25Terms = Seq("order", "customer", "scan")
+  private[operators] val Bm25K1 = 1.2
+  private[operators] val Bm25B = 0.75
+  private[operators] val Bm25TopK = 25
 
   /** PMI co-occurrence window (±tokens), support floor, and result
     * cap. W and the floor bound the pair-stream width: the stream is
@@ -675,6 +666,60 @@ object TextAnalysis extends QueryPack {
   private val PmiWindow = 3
   private val PmiMinCount = 5
   private val PmiTopK = 100
+
+  /** The BM25 score fold over columns (tf_0.., df_0.., n_docs, dl,
+    * avgdl) in FIXED Bm25Terms order — ONE expression shared by the
+    * corpus-scan query and [[Retrieval]]'s index probe, so the two
+    * physical plans cannot drift numerically. */
+  private[operators] def bm25ScoreCol: org.apache.spark.sql.Column =
+    Bm25Terms.indices.map { i =>
+      val tfc = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5)))
+      idf * (tfc * lit(Bm25K1 + 1.0)) /
+        (tfc + lit(Bm25K1) *
+          (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+
+  /** The BM25 top-k DuckDB twin, from first principles over the base
+    * table — shared verbatim by `search_bm25_topk` (corpus-scan
+    * formulation) and [[Retrieval]]'s `search_index_topk`
+    * (inverted-index formulation): ONE oracle for two physical plans
+    * is exactly the index-integrity assertion. */
+  private[operators] val bm25OracleSql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf_$i"
+    }.mkString(",\n                 ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(", ")
+    val scoreSql = Bm25Terms.indices.map { i =>
+      s"""ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) *
+               (tf_$i * ${Bm25K1 + 1.0}) /
+               (tf_$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))"""
+    }.mkString("\n             + ")
+    s"""WITH tok AS ($tokCteSql),
+        tf AS (
+          SELECT doc_id, len(tk) AS dl,
+                 $tfCols
+          FROM tok),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, $dfCols FROM tf),
+        scored AS (
+          SELECT doc_id,
+             $scoreSql
+             AS score_raw
+          FROM tf CROSS JOIN stats),
+        top AS (
+          SELECT doc_id, score_raw FROM scored WHERE score_raw > 0
+          ORDER BY score_raw DESC, doc_id LIMIT $Bm25TopK)
+        SELECT CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id)
+                 AS INTEGER) AS rank,
+               doc_id,
+               floor(score_raw * 10000.0 + 0.5) / 10000.0 AS score
+        FROM top"""
+  }
 
   def oracles: Map[String, String] = {
     val scoreSql = markers.map { case (lg, m) =>
@@ -904,39 +949,7 @@ object TextAnalysis extends QueryPack {
 
       // Same tokenizer, same stats fold, and the score terms added in
       // the same fixed order as the Spark fold — see Bm25Terms.
-      "search_bm25_topk" -> {
-        val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-          s"len(list_filter(tk, x -> x = '$t')) AS tf_$i"
-        }.mkString(",\n                 ")
-        val dfCols = Bm25Terms.indices.map(i =>
-          s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
-          .mkString(", ")
-        val scoreSql = Bm25Terms.indices.map { i =>
-          s"""ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) *
-               (tf_$i * ${Bm25K1 + 1.0}) /
-               (tf_$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))"""
-        }.mkString("\n             + ")
-        s"""WITH tok AS ($tokCteSql),
-        tf AS (
-          SELECT doc_id, len(tk) AS dl,
-                 $tfCols
-          FROM tok),
-        stats AS (
-          SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, $dfCols FROM tf),
-        scored AS (
-          SELECT doc_id,
-             $scoreSql
-             AS score_raw
-          FROM tf CROSS JOIN stats),
-        top AS (
-          SELECT doc_id, score_raw FROM scored WHERE score_raw > 0
-          ORDER BY score_raw DESC, doc_id LIMIT $Bm25TopK)
-        SELECT CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id)
-                 AS INTEGER) AS rank,
-               doc_id,
-               floor(score_raw * 10000.0 + 0.5) / 10000.0 AS score
-        FROM top"""
-      },
+      "search_bm25_topk" -> bm25OracleSql,
 
       // The pair multiset is the same enumeration as the Spark
       // shifted-zip — (i, i + o) for every o ≤ W with i + o inside the

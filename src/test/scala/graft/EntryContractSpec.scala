@@ -14,7 +14,8 @@ class EntryContractSpec extends SparkSpec {
       graft.operators.Decontaminate, graft.operators.Packing,
       graft.operators.Pipeline, graft.operators.Export,
       graft.operators.Linkage, graft.operators.Graph,
-      graft.operators.Sketches, graft.operators.Training)
+      graft.operators.Sketches, graft.operators.Training,
+      graft.operators.Retrieval)
       .flatMap(_.queries.keys)
     val dups = names.groupBy(identity).collect {
       case (n, occ) if occ.size > 1 => n

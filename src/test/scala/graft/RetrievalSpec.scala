@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** Inverted-index retrieval: the oracle already pins index ≡ scan
+  * cross-engine; these specs pin the SCALE claims — the probe prunes
+  * postings partitions at file listing, and the index answers without
+  * touching the corpus. */
+class RetrievalSpec extends SparkSpec {
+
+  private def work() = {
+    val d = java.nio.file.Files.createTempDirectory("graft_textindex")
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  test("index probe equals the corpus-scan query row for row") {
+    val dir = s"${work()}/idx"
+    Retrieval.writeTextIndex(
+      Tables.load(spark, sf0001, "documents"), "doc_id", "text", dir)
+    val probe = Retrieval.probeIndexTopK(spark, dir,
+      Seq("order", "customer", "scan"), 25)
+      .collect().map(_.toString).toSeq
+    val scan = SparkEntry.queries("search_bm25_topk")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(probe == scan, "index probe diverged from corpus scan")
+  }
+
+  test("probe prunes postings partitions to the query terms' buckets") {
+    val dir = s"${work()}/idx"
+    Retrieval.writeTextIndex(
+      Tables.load(spark, sf0001, "documents"), "doc_id", "text", dir)
+    val plan = Retrieval.probeIndexTopK(spark, dir,
+      Seq("order", "customer", "scan"), 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*IN[^\\]]*\\].*"),
+      s"bucket partition filter missing from probe plan:\n${plan.take(2000)}")
+    // and the pruning is real: ≤ 3 of the 16 bucket dirs are listed
+    val scanned = plan.linesIterator
+      .filter(_.contains("Location: InMemoryFileIndex"))
+      .mkString("\n")
+    assert(!scanned.contains("16 paths"),
+      "postings scan lists every bucket — pruning did not happen")
+  }
+
+  test("phrase search matches a direct token-stream recount") {
+    val dir = s"${work()}/idx"
+    val docs = Tables.load(spark, sf0001, "documents")
+    Retrieval.writeTextIndex(docs, "doc_id", "text", dir)
+    val got = Retrieval.probePhrase(spark, dir, "table", "hash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recount from the raw token stream
+    val tk = filter(split(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", " "), "\\s+"), v => length(v) > 0)
+    val expect = docs.select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), col("tk"), explode(
+        when(size(col("tk")) < 2, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("tk")) - 1))).as("i"))
+      .filter(element_at(col("tk"), col("i")) === "table" &&
+        element_at(col("tk"), col("i") + 1) === "hash")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+}
