@@ -357,6 +357,9 @@ object Bench {
     "privacy_k_anonymity" -> 1.3, // (r8) three combinable aggregates
     "search_index_topk" -> 4.0, // (r8) index BUILD + pruned probe per run
     "search_phrase" -> 2.3, // (r8) index build + two posting lists
+    "classifier_eval_auc" -> 1.5, // (r8) score-group-grain rank sums
+    "classifier_calibration" -> 1.5, // (r8) one rank window
+    "corpus_drift_js" -> 1.5, // (r8) two combinable aggs
     "text_chunk_overlap" -> 1.6, // (r8) scan + Generate only
     "augment_fim" -> 1.3, // (r8) scan-side
     "multimodal_audio" -> 1.3, // (r8) 1/4 ids through the codec seam

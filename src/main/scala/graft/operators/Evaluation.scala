@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.NormExprs.pround
+import graft.queries.QueryPack
+
+/** Model / corpus evaluation operators — the QA layer a training-data
+  * platform runs over its own filters and distributions:
+  *
+  *  - `classifier_eval_auc`: EXACT distributed ROC-AUC of the quality
+  *    classifier against the language label, via the rank-sum
+  *    (Mann-Whitney) identity computed entirely in INTEGERS — tie
+  *    groups get average ranks, carried as doubled ranks so nothing
+  *    is ever fractional until the single final divide. No sampling,
+  *    no approximation, no fp accumulation anywhere.
+  *  - `classifier_calibration`: decile-bucketed observed positive
+  *    rates — the calibration curve behind threshold selection. Rank
+  *    deciles come from an explicit integer formula (not ntile, whose
+  *    edge semantics would be an engine-compat risk), mean scores are
+  *    fixed-point sums of the published 4-dp scores.
+  *  - `corpus_drift_js`: Jensen-Shannon divergence between two
+  *    sub-corpora's Laplace-smoothed unigram distributions — the
+  *    drift monitor between ingest generations. Per-token terms are
+  *    fixed-point rounded and summed as BIGINTs (order-free), so the
+  *    divergence is deterministic without collecting the vocabulary
+  *    anywhere.
+  *
+  * Scale shapes: AUC aggregates at SCORE-group grain (thousands of
+  * distinct rounded scores, not corpus rows) — the one ordered window
+  * runs over that bounded frame; calibration's rank window orders
+  * score groups the same way; drift is two map-side-combinable
+  * aggregates and a broadcast totals row.
+  */
+object Evaluation extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Published classifier scores joined with the binary label. */
+  private def scoredLabeled(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.classifierScore(docs(s, d), "doc_id", "text",
+      TextAnalysis.ClsWeights)
+      .join(docs(s, d).select(col("doc_id"),
+        when(col("lang") === "en", 1).otherwise(0).as("y")), "doc_id")
+
+  /** JS-divergence fixed-point scale (term magnitudes ≤ 1; vocab-many
+    * roundings stay far below the published 4 dp). */
+  private val JsScale = 1e12
+
+  def queries: Map[String, QFn] = Map(
+    "classifier_eval_auc" -> ((s, d) => {
+      val groups = scoredLabeled(s, d)
+        .groupBy("score")
+        .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withCum = groups
+        .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      // doubled average rank of a tie group = 2·cum_before + c + 1;
+      // Σ over positives stays integral
+      withCum.agg(
+          sum(col("p") * (lit(2) * col("cum_before") + col("c") + 1))
+            .as("s2"),
+          sum(col("p")).as("n_pos"),
+          sum(col("c")).as("n_all"))
+        .select(col("n_pos"), (col("n_all") - col("n_pos")).as("n_neg"),
+          pround((col("s2") - col("n_pos") * (col("n_pos") + 1))
+              .cast("double") /
+            (lit(2.0) * col("n_pos") * (col("n_all") - col("n_pos"))), 6)
+            .as("auc"))
+    }),
+
+    "classifier_calibration" -> ((s, d) => {
+      val sc = scoredLabeled(s, d)
+      val n = sc.agg(count(lit(1)).as("n_total"))
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      sc.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(n))
+        .withColumn("decile",
+          (floor(((col("rn") - 1) * 10).cast("double") / col("n_total"))
+            + 1).cast("int"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("y")).as("n_pos"),
+          // the published score is k/1e4; recover k exactly, sum ints
+          sum(floor(col("score") * 10000 + lit(0.5))).as("s4"))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          pround(col("n_pos").cast("double") / col("n_docs"), 4)
+            .as("pos_rate"),
+          pround((col("s4") / lit(10000.0)) / col("n_docs"), 6)
+            .as("mean_score"))
+    }),
+
+    "corpus_drift_js" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select((col("doc_id") % 2 === 0).as("side_a"),
+          explode(TextAnalysis.tokCol(col("text"))).as("token"))
+      val counts = tok.groupBy("token")
+        .agg(sum(when(col("side_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("side_a"), 0L).otherwise(1L)).as("cb"))
+      val tot = counts.agg(sum(col("ca")).cast("double").as("ta"),
+        sum(col("cb")).cast("double").as("tb"),
+        count(lit(1)).cast("double").as("v"))
+      val pa = (col("ca").cast("double") + lit(1.0)) / (col("ta") + col("v"))
+      val pb = (col("cb").cast("double") + lit(1.0)) / (col("tb") + col("v"))
+      val m = (pa + pb) / lit(2.0)
+      val term = lit(0.5) * (pa * log(pa / m)) + lit(0.5) * (pb * log(pb / m))
+      counts.crossJoin(broadcast(tot))
+        .select(col("ta"), col("tb"), col("v"),
+          floor(term * lit(JsScale) + lit(0.5)).as("t_scaled"))
+        .groupBy("ta", "tb", "v")
+        .agg(sum(col("t_scaled")).as("s"))
+        .select(col("v").cast("long").as("v_size"),
+          col("ta").cast("long").as("tokens_a"),
+          col("tb").cast("long").as("tokens_b"),
+          pround(col("s") / lit(JsScale), 4).as("js_div"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // ranks from the same score-group cumulative identity; integers
+    // end to end until the one divide
+    "classifier_eval_auc" -> s"""
+        WITH cls AS (${TextAnalysis.classifierOracleSql}),
+        lab AS (SELECT c.doc_id, c.score,
+                       CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM cls c JOIN documents d ON c.doc_id = d.doc_id),
+        g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+                     CAST(SUM(y) AS BIGINT) AS p
+              FROM lab GROUP BY score),
+        cum AS (SELECT score, c, p,
+                  coalesce(SUM(c) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+                FROM g)
+        SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+               floor((CAST(SUM(p * (2 * cum_before + c + 1)) -
+                   SUM(p) * (SUM(p) + 1) AS DOUBLE) /
+                 (2.0 * SUM(p) * (SUM(c) - SUM(p)))) * 1000000.0 + 0.5)
+                 / 1000000.0 AS auc
+        FROM cum""",
+
+    "classifier_calibration" -> s"""
+        WITH cls AS (${TextAnalysis.classifierOracleSql}),
+        lab AS (SELECT c.doc_id, c.score,
+                       CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM cls c JOIN documents d ON c.doc_id = d.doc_id),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lab),
+        rk AS (SELECT score, y,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+               FROM lab)
+        SELECT CAST(floor(CAST((rn - 1) * 10 AS DOUBLE) / n_total) + 1
+                 AS INTEGER) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               floor((CAST(SUM(y) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5)
+                 / 10000.0 AS pos_rate,
+               floor(((SUM(CAST(floor(score * 10000 + 0.5) AS BIGINT))
+                   / 10000.0) / COUNT(*)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_score
+        FROM rk CROSS JOIN n
+        GROUP BY 1""",
+
+    "corpus_drift_js" -> s"""
+        WITH tok AS (${TextAnalysis.tokCteSql}),
+        t AS (SELECT doc_id % 2 = 0 AS side_a, unnest(tk) AS token
+              FROM tok),
+        counts AS (
+          SELECT token,
+                 CAST(SUM(CASE WHEN side_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(SUM(CASE WHEN side_a THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cb
+          FROM t GROUP BY token),
+        tot AS (SELECT CAST(SUM(ca) AS DOUBLE) AS ta,
+                       CAST(SUM(cb) AS DOUBLE) AS tb,
+                       CAST(COUNT(*) AS DOUBLE) AS v FROM counts),
+        terms AS (
+          SELECT ta, tb, v,
+                 CAST(floor((0.5 * (((CAST(ca AS DOUBLE) + 1.0) / (ta + v)) *
+                     ln(((CAST(ca AS DOUBLE) + 1.0) / (ta + v)) /
+                       ((((CAST(ca AS DOUBLE) + 1.0) / (ta + v)) +
+                         ((CAST(cb AS DOUBLE) + 1.0) / (tb + v))) / 2.0))) +
+                   0.5 * (((CAST(cb AS DOUBLE) + 1.0) / (tb + v)) *
+                     ln(((CAST(cb AS DOUBLE) + 1.0) / (tb + v)) /
+                       ((((CAST(ca AS DOUBLE) + 1.0) / (ta + v)) +
+                         ((CAST(cb AS DOUBLE) + 1.0) / (tb + v))) / 2.0))))
+                   * ${JsScale} + 0.5) AS BIGINT) AS t_scaled
+          FROM counts CROSS JOIN tot)
+        SELECT CAST(v AS BIGINT) AS v_size,
+               CAST(ta AS BIGINT) AS tokens_a,
+               CAST(tb AS BIGINT) AS tokens_b,
+               floor((SUM(t_scaled) / ${JsScale}) * 10000.0 + 0.5)
+                 / 10000.0 AS js_div
+        FROM terms GROUP BY ta, tb, v"""
+  )
+}

@@ -667,6 +667,28 @@ object TextAnalysis extends QueryPack {
   private val PmiMinCount = 5
   private val PmiTopK = 100
 
+  /** The classifier-score DuckDB twin, shared verbatim with
+    * [[Evaluation]]'s AUC/calibration oracles so the evaluated scores
+    * are exactly the published ones. */
+  private[operators] lazy val classifierOracleSql: String = s"""
+        WITH tok AS ($tokCteSql),
+        wt AS (
+          SELECT list_transform(range(0, $ClsBuckets), i ->
+            (CAST(('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2001 - 1000) / 1000.0) AS w),
+        sc AS (
+          SELECT doc_id, len(tk) AS n_tokens,
+                 CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                   list_reduce(list_transform(tk, t ->
+                     w[CAST((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                       % $ClsBuckets) + 1 AS INTEGER)]),
+                     (acc, x) -> acc + x) / len(tk) END AS z
+          FROM tok CROSS JOIN wt)
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+               floor(z * 10000.0 + 0.5) / 10000.0 AS score,
+               CASE WHEN z >= 0 THEN 1 ELSE 0 END AS keep
+        FROM sc"""
+
   /** The BM25 score fold over columns (tf_0.., df_0.., n_docs, dl,
     * avgdl) in FIXED Bm25Terms order — ONE expression shared by the
     * corpus-scan query and [[Retrieval]]'s index probe, so the two
@@ -1027,24 +1049,7 @@ object TextAnalysis extends QueryPack {
       // type quirk can never creep in); the per-doc fold adds bucket
       // weights in token order exactly like the Spark `aggregate`, and
       // `keep` tests the unrounded margin on both engines.
-      "text_classifier_score" -> s"""
-        WITH tok AS ($tokCteSql),
-        wt AS (
-          SELECT list_transform(range(0, $ClsBuckets), i ->
-            (CAST(('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 1, 8))
-               AS BIGINT) % 2001 - 1000) / 1000.0) AS w),
-        sc AS (
-          SELECT doc_id, len(tk) AS n_tokens,
-                 CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-                   list_reduce(list_transform(tk, t ->
-                     w[CAST((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
-                       % $ClsBuckets) + 1 AS INTEGER)]),
-                     (acc, x) -> acc + x) / len(tk) END AS z
-          FROM tok CROSS JOIN wt)
-        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
-               floor(z * 10000.0 + 0.5) / 10000.0 AS score,
-               CASE WHEN z >= 0 THEN 1 ELSE 0 END AS keep
-        FROM sc""",
+      "text_classifier_score" -> classifierOracleSql,
 
       // Identical codepoint sequences rebuilt via chr(); both engines
       // run their own UAX #15 NFC implementation on them.
