@@ -87,7 +87,67 @@ object Retrieval extends QueryPack {
       .repartition(col("bucket")).sortWithinPartitions("token")
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$dir/tokenstats")
-    staged.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // stats carry the MERGEABLE form (n_docs, sum_dl) alongside the
+    // derived avgdl so incremental appends recompute avgdl exactly:
+    // dl is integral, so sum_dl is exact and
+    // (sum_old + sum_new) / (n_old + n_new) equals a full rebuild's
+    // avg bit for bit
+    staged.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"), avg(col("dl")).as("avgdl"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+  }
+
+  /** Incremental index maintenance: append a delta of NEW documents
+    * (ids disjoint from the indexed set — the snapshot-diff `added`
+    * stream) without touching existing postings. New posting rows
+    * append into their bucket dirs; token df and corpus stats merge
+    * mergeable integer forms, so a probe after N appends is
+    * BIT-IDENTICAL to a probe of a full rebuild (RetrievalSpec pins
+    * append ≡ rebuild ≡ corpus scan). Cost is O(delta) postings plus
+    * a vocab-grain stats merge — the corpus is never re-tokenized. */
+  def appendTextIndex(newDocuments: DataFrame, idCol: String,
+                      textCol: String, dir: String): Unit = {
+    val spark = newDocuments.sparkSession
+    val staged = newDocuments
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokCol(col(textCol)).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
+    val posed = staged
+      .select(col("doc_id"), col("dl"), col("tk"),
+        explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("tk"))))).as("pos"))
+      .filter(col("pos").isNotNull)
+      .select(col("doc_id"), col("dl"), col("pos"),
+        element_at(col("tk"), col("pos")).as("token"))
+    val postings = posed.groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", bucketCol(col("token")))
+      .localCheckpoint() // consumed twice (append + df merge)
+    postings
+      .repartition(col("bucket")).sortWithinPartitions("token")
+      .write.mode(SaveMode.Append).partitionBy("bucket")
+      .option("compression", "zstd").parquet(s"$dir/postings")
+    // merge df at vocab grain; only then rewrite (tokenstats is
+    // vocab-sized, so the rewrite is metadata-cheap next to the corpus)
+    val mergedDf = spark.read.parquet(s"$dir/tokenstats")
+      .select("token", "df")
+      .unionByName(postings.groupBy("token").agg(count(lit(1)).as("df")))
+      .groupBy("token").agg(sum(col("df")).as("df"))
+      .withColumn("bucket", bucketCol(col("token")))
+      .localCheckpoint() // sever lineage before overwriting the input
+    mergedDf
+      .repartition(col("bucket")).sortWithinPartitions("token")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$dir/tokenstats")
+    val old = spark.read.parquet(s"$dir/stats")
+      .select("n_docs", "sum_dl").head()
+    val add = staged.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val (n, sdl) = (old.getLong(0) + add.getLong(0),
+      old.getLong(1) + add.getLong(1))
+    import spark.implicits._
+    Seq((n, sdl, sdl.toDouble / n)).toDF("n_docs", "sum_dl", "avgdl")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
   }

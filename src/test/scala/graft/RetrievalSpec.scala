@@ -44,6 +44,29 @@ class RetrievalSpec extends SparkSpec {
       "postings scan lists every bucket — pruning did not happen")
   }
 
+  test("append ≡ rebuild: incremental index maintenance is exact") {
+    val base = s"${work()}/inc"
+    val full = s"${work()}/full"
+    val docs = Tables.load(spark, sf0001, "documents")
+    Retrieval.writeTextIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", base)
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", base)
+    Retrieval.writeTextIndex(docs, "doc_id", "text", full)
+    val terms = Seq("order", "customer", "scan")
+    val inc = Retrieval.probeIndexTopK(spark, base, terms, 25)
+      .collect().map(_.toString).toSeq
+    val one = Retrieval.probeIndexTopK(spark, full, terms, 25)
+      .collect().map(_.toString).toSeq
+    assert(inc == one, "append-maintained index diverged from rebuild")
+    // and phrase search agrees too (positions appended intact)
+    val pInc = Retrieval.probePhrase(spark, base, "table", "hash")
+      .collect().map(_.toString).sorted.toSeq
+    val pOne = Retrieval.probePhrase(spark, full, "table", "hash")
+      .collect().map(_.toString).sorted.toSeq
+    assert(pInc == pOne)
+  }
+
   test("phrase search matches a direct token-stream recount") {
     val dir = s"${work()}/idx"
     val docs = Tables.load(spark, sf0001, "documents")
