@@ -66,9 +66,14 @@ object Evaluation extends QueryPack {
           sum(col("p")).as("n_pos"),
           sum(col("c")).as("n_all"))
         .select(col("n_pos"), (col("n_all") - col("n_pos")).as("n_neg"),
-          pround((col("s2") - col("n_pos") * (col("n_pos") + 1))
-              .cast("double") /
-            (lit(2.0) * col("n_pos") * (col("n_all") - col("n_pos"))), 6)
+          // single-class input has no ROC curve: explicit NULL on both
+          // engines (Spark's 0-divide is NULL, DuckDB's is inf — an
+          // unguarded divide would diverge cross-engine)
+          when(col("n_pos") === 0 || col("n_all") === col("n_pos"),
+            lit(null).cast("double"))
+            .otherwise(pround((col("s2") - col("n_pos") * (col("n_pos") + 1))
+                .cast("double") /
+              (lit(2.0) * col("n_pos") * (col("n_all") - col("n_pos"))), 6))
             .as("auc"))
     }),
 
@@ -79,8 +84,10 @@ object Evaluation extends QueryPack {
       sc.withColumn("rn", row_number().over(w))
         .crossJoin(broadcast(n))
         .withColumn("decile",
-          (floor(((col("rn") - 1) * 10).cast("double") / col("n_total"))
-            + 1).cast("int"))
+          // widen BEFORE the ×10: row_number is 32-bit, so (rn−1)*10
+          // wraps above ~214M rows while the BIGINT oracle stays right
+          (floor(((col("rn") - 1).cast("long") * 10).cast("double") /
+            col("n_total")) + 1).cast("int"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("y")).as("n_pos"),
@@ -137,10 +144,11 @@ object Evaluation extends QueryPack {
                 FROM g)
         SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
                CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
-               floor((CAST(SUM(p * (2 * cum_before + c + 1)) -
-                   SUM(p) * (SUM(p) + 1) AS DOUBLE) /
-                 (2.0 * SUM(p) * (SUM(c) - SUM(p)))) * 1000000.0 + 0.5)
-                 / 1000000.0 AS auc
+               CASE WHEN SUM(p) = 0 OR SUM(c) = SUM(p) THEN NULL
+                 ELSE floor((CAST(SUM(p * (2 * cum_before + c + 1)) -
+                     SUM(p) * (SUM(p) + 1) AS DOUBLE) /
+                   (2.0 * SUM(p) * (SUM(c) - SUM(p)))) * 1000000.0 + 0.5)
+                   / 1000000.0 END AS auc
         FROM cum""",
 
     "classifier_calibration" -> s"""

@@ -368,12 +368,16 @@ object Multimodal extends QueryPack {
       m.payload(2) == 'F'.toByte && m.payload(3) == '8'.toByte
     if (!isGif) Iterator.empty
     else {
+      // dispose/close in finally: the input stream is temp-FILE-backed
+      // by default (ImageIO cache), so a leak here is fd + /tmp growth
+      // per decoded media — fatal over a large partition
+      val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
       try {
-        val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
-        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(m.payload)))
+        reader.setInput(iis)
         val n = reader.getNumImages(true)
-        val out = (0 until n by 2).iterator.map { f =>
+        (0 until n by 2).iterator.map { f =>
           val img = reader.read(f)
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L; var mn = 255; var mx = 0
@@ -391,10 +395,9 @@ object Multimodal extends QueryPack {
           }
           FrameFeatures(m.media_id, f, w, h, sum, mn, mx,
             math.floor(sum.toDouble / (w.toLong * h * 255) * 1e6 + 0.5) / 1e6)
-        }.toVector
-        reader.dispose()
-        out.iterator
+        }.toVector.iterator
       } catch { case _: Exception => Iterator.empty }
+      finally { reader.dispose(); iis.close() }
     }
   }
 

@@ -59,14 +59,16 @@ object Retrieval extends QueryPack {
     (h % IndexBuckets).toInt
   }
 
-  /** Build the index from a documents-shaped frame. */
-  def writeTextIndex(documents: DataFrame, idCol: String, textCol: String,
-                     dir: String): Unit = {
+  /** Shared tokenize → postings staging: (doc_id, tk, dl) and the
+    * bucket-tagged posting rows. ONE implementation for build and
+    * append — the append-equals-rebuild bit-identity contract depends
+    * on the posting shape never drifting between the two. */
+  private def stagePostings(documents: DataFrame, idCol: String,
+                            textCol: String): (DataFrame, DataFrame) = {
     val staged = documents
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokCol(col(textCol)).as("tk"))
       .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
-    // one tokenize pass feeds postings, token stats, and corpus stats
     val posed = staged
       .select(col("doc_id"), col("dl"), col("tk"),
         explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))
@@ -78,6 +80,14 @@ object Retrieval extends QueryPack {
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", bucketCol(col("token")))
+    (staged, postings)
+  }
+
+  /** Build the index from a documents-shaped frame. */
+  def writeTextIndex(documents: DataFrame, idCol: String, textCol: String,
+                     dir: String): Unit = {
+    // one tokenize pass feeds postings, token stats, and corpus stats
+    val (staged, postings) = stagePostings(documents, idCol, textCol)
     postings
       .repartition(col("bucket")).sortWithinPartitions("token")
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
@@ -109,22 +119,9 @@ object Retrieval extends QueryPack {
   def appendTextIndex(newDocuments: DataFrame, idCol: String,
                       textCol: String, dir: String): Unit = {
     val spark = newDocuments.sparkSession
-    val staged = newDocuments
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokCol(col(textCol)).as("tk"))
-      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
-    val posed = staged
-      .select(col("doc_id"), col("dl"), col("tk"),
-        explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))
-          .otherwise(sequence(lit(1), size(col("tk"))))).as("pos"))
-      .filter(col("pos").isNotNull)
-      .select(col("doc_id"), col("dl"), col("pos"),
-        element_at(col("tk"), col("pos")).as("token"))
-    val postings = posed.groupBy("token", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
-      .withColumn("bucket", bucketCol(col("token")))
-      .localCheckpoint() // consumed twice (append + df merge)
+    val (staged, rawPostings) = stagePostings(newDocuments, idCol, textCol)
+    val postings =
+      rawPostings.localCheckpoint() // consumed twice (append + df merge)
     postings
       .repartition(col("bucket")).sortWithinPartitions("token")
       .write.mode(SaveMode.Append).partitionBy("bucket")
@@ -144,6 +141,7 @@ object Retrieval extends QueryPack {
     val old = spark.read.parquet(s"$dir/stats")
       .select("n_docs", "sum_dl").head()
     val add = staged.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    if (add.getLong(0) == 0) return // empty delta: sum is NULL, stats unchanged
     val (n, sdl) = (old.getLong(0) + add.getLong(0),
       old.getLong(1) + add.getLong(1))
     import spark.implicits._
@@ -170,22 +168,15 @@ object Retrieval extends QueryPack {
       .select("token", "df")
     // pivot tf per term; a doc missing a term scores 0 for it, and
     // dfs fan in as one-row-per-term broadcast turned into columns
-    val tf = posts.groupBy("doc_id", "dl")
-      .agg(terms.zipWithIndex.map { case (t, i) =>
-        coalesce(max(when(col("token") === t, col("tf"))), lit(0L))
-          .as(s"tf_$i")
-      }.head, terms.zipWithIndex.drop(1).map { case (t, i) =>
-        coalesce(max(when(col("token") === t, col("tf"))), lit(0L))
-          .as(s"tf_$i")
-      }: _*)
-    val dfRow = tstats.groupBy()
-      .agg(terms.zipWithIndex.map { case (t, i) =>
-        coalesce(max(when(col("token") === t, col("df"))), lit(0L))
-          .as(s"df_$i")
-      }.head, terms.zipWithIndex.drop(1).map { case (t, i) =>
-        coalesce(max(when(col("token") === t, col("df"))), lit(0L))
-          .as(s"df_$i")
-      }: _*)
+    def pivotAggs(valueCol: String, prefix: String) =
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(max(when(col("token") === t, col(valueCol))), lit(0L))
+          .as(s"$prefix$i")
+      }
+    val tfAggs = pivotAggs("tf", "tf_")
+    val tf = posts.groupBy("doc_id", "dl").agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = pivotAggs("df", "df_")
+    val dfRow = tstats.groupBy().agg(dfAggs.head, dfAggs.tail: _*)
     val stats = spark.read.parquet(s"$dir/stats")
       .crossJoin(dfRow)
     val scored = tf.crossJoin(broadcast(stats))

@@ -47,8 +47,12 @@ object Training extends QueryPack {
       lit(1.0).as("x0"),
       (col("n_chars") / lit(500.0)).as("x1"),
       (size(tk) / lit(100.0)).as("x2"),
-      ((size(filter(tk, t => t === lit("order"))) * lit(1.0)) / size(tk))
-        .as("x3"),
+      // zero-token guard (the classifierScore convention): without it
+      // 0/0 NULL-poisons the whole gradient row on Spark while DuckDB
+      // would compute NaN — silent bias here, hash break there
+      when(size(tk) === 0, lit(0.0))
+        .otherwise((size(filter(tk, t => t === lit("order"))) * lit(1.0)) /
+          size(tk)).as("x3"),
       when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
   }
 
@@ -77,6 +81,9 @@ object Training extends QueryPack {
       count(lit(1)).as("n")
     val r = f.agg(aggs.head, aggs.tail: _*).head()
     val nRows = r.getLong(xs.size + 1)
+    // empty frame: sums are NULL and n = 0 — a step over nothing is
+    // the identity, not an NPE (streaming micro-batches can be empty)
+    if (nRows == 0) return (w.clone(), 0.0, 0L)
     val n = nRows.toDouble
     val meanLoss = (r.getLong(xs.size) / GScale) / n
     val w2 = w.indices.map(j =>
@@ -174,8 +181,9 @@ object Training extends QueryPack {
                  1.0 AS x0,
                  d.n_chars / 500.0 AS x1,
                  len(t.tk) / 100.0 AS x2,
-                 (len(list_filter(t.tk, x -> x = 'order')) * 1.0)
-                   / len(t.tk) AS x3,
+                 CASE WHEN len(t.tk) = 0 THEN 0.0
+                      ELSE (len(list_filter(t.tk, x -> x = 'order')) * 1.0)
+                        / len(t.tk) END AS x3,
                  CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
           FROM tok t JOIN documents d ON t.doc_id = d.doc_id)"""
 

@@ -66,6 +66,10 @@ object TrainStream {
     val w0 = enteringWeights(spark, storePath, batchId)
     val (w1, loss, n) = Training.gdStep(
       Training.featuresOf(docsBatch).localCheckpoint(), w0, lr)
+    // an empty micro-batch (replay after restart, empty trigger) is a
+    // no-op: no state row — a zero-row "loss 0.0" entry would corrupt
+    // the training curve, and the identity step carries no information
+    if (n == 0) return
     val row = Row(w1(0), w1(1), w1(2), w1(3), loss, n, batchId)
     spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(row), 1), StateSchema)

@@ -46,27 +46,14 @@ class TrainStreamSpec extends SparkSpec {
     assert(TrainStream.lossCurve(spark, s"$w/st").count() == 2)
   }
 
-  test("gif video codec roundtrip: sampled frames carry exact pixel stats") {
-    import graft.operators.Multimodal
-    import graft.operators.Multimodal.MediaIn
-    val id = 13L
-    val frames = Multimodal.decodeVideoFrames(
-      MediaIn(id, Multimodal.synthVideo(id))).toVector
-    // stride 2 over 4 container frames
-    assert(frames.map(_.frame_id) == Vector(0, 2))
-    frames.foreach { fr =>
-      assert(fr.width == 8 && fr.height == 8)
-      val px = for (y <- 0 until 8; x <- 0 until 8)
-        yield ((x + 8 * y + 7L * fr.frame_id + id) % 256).toInt
-      assert(fr.gray_sum == px.map(_.toLong).sum,
-        s"frame ${fr.frame_id}: palette roundtrip changed pixels")
-      assert(fr.min_gray == px.min && fr.max_gray == px.max)
-    }
-    // corrupt/non-gif payloads sample to nothing, not an exception
-    assert(Multimodal.decodeVideoFrames(
-      MediaIn(1L, "GIF8 but not really".getBytes("UTF-8"))).isEmpty)
-    assert(Multimodal.decodeVideoFrames(
-      MediaIn(1L, Array[Byte](1, 2, 3))).isEmpty)
+  test("empty micro-batch is a no-op, not a crash or a curve entry") {
+    val w = work()
+    TrainStream.processBatch(half(0), 0L, s"$w/st")
+    val before = TrainStream.currentWeights(spark, s"$w/st").toSeq
+    TrainStream.processBatch(docs.filter(col("doc_id") < 0), 1L, s"$w/st")
+    assert(TrainStream.currentWeights(spark, s"$w/st").toSeq == before)
+    assert(TrainStream.lossCurve(spark, s"$w/st").count() == 1,
+      "empty batch must not write a state row")
   }
 
   test("file-stream end to end: run() matches direct processBatch calls") {

@@ -91,6 +91,27 @@ class TrainingSpec extends SparkSpec {
     assert(f.rms == rms)
   }
 
+  test("gif video codec roundtrip: sampled frames carry exact pixel stats") {
+    val id = 13L
+    val frames = Multimodal.decodeVideoFrames(
+      MediaIn(id, Multimodal.synthVideo(id))).toVector
+    // stride 2 over 4 container frames
+    assert(frames.map(_.frame_id) == Vector(0, 2))
+    frames.foreach { fr =>
+      assert(fr.width == 8 && fr.height == 8)
+      val px = for (y <- 0 until 8; x <- 0 until 8)
+        yield ((x + 8 * y + 7L * fr.frame_id + id) % 256).toInt
+      assert(fr.gray_sum == px.map(_.toLong).sum,
+        s"frame ${fr.frame_id}: palette roundtrip changed pixels")
+      assert(fr.min_gray == px.min && fr.max_gray == px.max)
+    }
+    // corrupt/non-gif payloads sample to nothing, not an exception
+    assert(Multimodal.decodeVideoFrames(
+      MediaIn(1L, "GIF8 but not really".getBytes("UTF-8"))).isEmpty)
+    assert(Multimodal.decodeVideoFrames(
+      MediaIn(1L, Array[Byte](1, 2, 3))).isEmpty)
+  }
+
   test("wav codec: truncated payload and non-wav payload fall to the stub, not a crash") {
     val good = Multimodal.synthWav(3L)
     val truncated = good.take(30) // RIFF/WAVE magic intact, body gone
