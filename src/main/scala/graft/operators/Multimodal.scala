@@ -8,13 +8,18 @@ import graft.queries.QueryPack
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, plus a feature-extraction pass.
   *
-  * Both codec seams are content-sniffed: JDK-decodable image payloads
-  * (PNG/JPEG/GIF/BMP) are REALLY decoded (pure-JDK `javax.imageio` —
-  * no native libs required) to actual width/height/mean-luma, and
-  * REALLY resized (`Graphics2D` bilinear down-scale + PNG re-encode,
-  * [[resizeImage]]); every other modality (the text-bytes fixture,
-  * audio, video) keeps the deterministic crc32/stride stubs until a
-  * codec for it is dropped into the same seam. Around the decode sits the Spark plumbing that matters
+  * All codec seams are content-sniffed, and all three media
+  * modalities go through REAL pure-JDK codecs: images (PNG/JPEG/GIF/
+  * BMP via `javax.imageio`) decode to actual width/height/mean-luma
+  * and REALLY resize (`Graphics2D` bilinear down-scale + PNG
+  * re-encode, [[resizeImage]]); audio (WAV via `javax.sound.sampled`)
+  * decodes to signal features over the parsed PCM frames
+  * ([[decodeAudioOne]]); video-shaped multi-frame containers
+  * (animated GIF via the sequence `ImageReader`) decode to per-frame
+  * pixel statistics with a sampling stride ([[decodeVideoFrames]]).
+  * Unrecognized payloads take the clearly-marked deterministic
+  * crc32/stride stubs — the drop-in point for heavier codecs.
+  * Around the decode sits the Spark plumbing that matters
   * at 100 TB:
   *  - payloads stay binary end to end (never stringified);
   *  - metadata travels in a struct column next to the payload;
@@ -463,6 +468,12 @@ object Multimodal extends QueryPack {
         // <- heavier audio codec init goes here, once per partition
         it.map(id => decodeAudioOne(MediaIn(id, synthWav(id))))
       }.toDF()
+        // no-silent-fallbacks: stub rows (sample_rate = -1) are counted
+        // as an observed metric, so a corpus whose payloads silently
+        // stop decoding is visible without changing the output schema
+        .observe("multimodal_audio_codec",
+          sum(when(col("sample_rate") === -1, 1).otherwise(0))
+            .as("stub_rows"))
     }),
 
     // REAL multi-frame (video-shaped) codec path: every doc_id ≡ 1

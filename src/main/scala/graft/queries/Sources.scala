@@ -107,8 +107,45 @@ object Sources extends QueryPack {
               t => t.getField("primary")), 1).getField("code"),
             element_at(col("j.taxonomies"), 1).getField("code"))
             .as("primary_taxonomy_code"))
+    }),
+
+    // JSONL corpus ingestion roundtrip — the dominant interchange
+    // format for web-scale corpora: serialize the documents through
+    // to_json, read the files back through Spark's REAL JSON line
+    // reader (schema-directed, PERMISSIVE), with three injected
+    // garbage lines proving malformed-line tolerance. Both engines
+    // null-fill bad/partial lines identically (Spark PERMISSIVE,
+    // DuckDB ignore_errors), so the parse path itself — escaping,
+    // schema projection, corruption policy — is the hash-green
+    // assertion. The sidecar-path pattern is [[graft.operators
+    // .Similarity]]'s: the query writes what the oracle reads.
+    "source_jsonl_roundtrip" -> ((s, d) => {
+      val lines = Tables.load(s, d, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"),
+          substring(col("text"), 1, 40).as("prefix"))).as("value"))
+        .unionByName(s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row("this line is not json"),
+            org.apache.spark.sql.Row("{\"doc_id\": 900001, \"lang\""),
+            org.apache.spark.sql.Row("[1, 2, 3")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType)))))
+      lines.coalesce(1).write.mode("overwrite").text(oracleJsonlSidecar)
+      s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG, prefix STRING")
+        .option("mode", "PERMISSIVE")
+        .json(oracleJsonlSidecar)
     })
   )
+
+  /** Sidecar dir for the JSONL roundtrip (the fixed-path-by-necessity
+    * contract documented at [[graft.operators.Similarity
+    * .oracleCentroidSidecar]]). */
+  val oracleJsonlSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_jsonl_oracle").getAbsolutePath
 
   def oracles: Map[String, String] = Map(
     "s6_sheet_union" -> """
@@ -188,6 +225,15 @@ object Sources extends QueryPack {
                   THEN '2' || CAST(s_suppkey % 10 AS VARCHAR) || 'Y'
                   ELSE '1' || CAST(s_suppkey % 10 AS VARCHAR) || 'X'
              END AS primary_taxonomy_code
-      FROM supplier"""
+      FROM supplier""",
+
+    // the real DuckDB JSON reader over the same files; both engines
+    // keep malformed lines as all-NULL rows
+    "source_jsonl_roundtrip" -> s"""
+      SELECT * FROM read_json('$oracleJsonlSidecar/*.txt',
+        format = 'newline_delimited',
+        columns = {doc_id: 'BIGINT', lang: 'VARCHAR',
+                   n_chars: 'BIGINT', prefix: 'VARCHAR'},
+        ignore_errors = true)"""
   )
 }
