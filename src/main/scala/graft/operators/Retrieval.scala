@@ -51,7 +51,7 @@ object Retrieval extends QueryPack {
       .cast("int")
 
   /** Scala twin of [[bucketCol]] for driver-side probe literals. */
-  private def bucketOf(term: String): Int = {
+  private[graft] def bucketOf(term: String): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(term.getBytes("UTF-8"))
     val h = java.lang.Long.parseLong(
@@ -63,8 +63,8 @@ object Retrieval extends QueryPack {
     * bucket-tagged posting rows. ONE implementation for build and
     * append — the append-equals-rebuild bit-identity contract depends
     * on the posting shape never drifting between the two. */
-  private def stagePostings(documents: DataFrame, idCol: String,
-                            textCol: String): (DataFrame, DataFrame) = {
+  private[graft] def stagePostings(documents: DataFrame, idCol: String,
+                                   textCol: String): (DataFrame, DataFrame) = {
     val staged = documents
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokCol(col(textCol)).as("tk"))
@@ -150,6 +150,39 @@ object Retrieval extends QueryPack {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
   }
 
+  /** The probe's scoring tail, shared with the streaming index
+    * ([[graft.streaming.IndexStream]]): pivot per-term tf rows to one
+    * row per candidate doc, fold the SAME BM25 score as the
+    * corpus-scan query, TakeOrdered the top-k. `posts` carries
+    * (doc_id, dl, token, tf) for the query terms only; `tstats`
+    * carries (token, df); `statsRow` is the one-row (n_docs, avgdl)
+    * frame. */
+  private[graft] def scoreTopK(posts: DataFrame, tstats: DataFrame,
+                               statsRow: DataFrame, terms: Seq[String],
+                               topK: Int): DataFrame = {
+    // pivot tf per term; a doc missing a term scores 0 for it, and
+    // dfs fan in as one-row-per-term broadcast turned into columns
+    def pivotAggs(valueCol: String, prefix: String) =
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(max(when(col("token") === t, col(valueCol))), lit(0L))
+          .as(s"$prefix$i")
+      }
+    val tfAggs = pivotAggs("tf", "tf_")
+    val tf = posts.groupBy("doc_id", "dl").agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = pivotAggs("df", "df_")
+    val dfRow = tstats.groupBy().agg(dfAggs.head, dfAggs.tail: _*)
+    val stats = statsRow.crossJoin(dfRow)
+    val scored = tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), TextAnalysis.bm25ScoreCol.as("score_raw"))
+      .filter(col("score_raw") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_raw").desc, col("doc_id"))
+    scored.orderBy(col("score_raw").desc, col("doc_id")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"),
+        pround(col("score_raw"), 4).as("score"))
+  }
+
   /** BM25 top-k over the index alone: postings/tokenstats reads prune
     * to the query terms' buckets at file listing, per-term tf rows
     * pivot to one row per candidate doc, and the score is the SAME
@@ -166,28 +199,9 @@ object Retrieval extends QueryPack {
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(termLits: _*))
       .select("token", "df")
-    // pivot tf per term; a doc missing a term scores 0 for it, and
-    // dfs fan in as one-row-per-term broadcast turned into columns
-    def pivotAggs(valueCol: String, prefix: String) =
-      terms.zipWithIndex.map { case (t, i) =>
-        coalesce(max(when(col("token") === t, col(valueCol))), lit(0L))
-          .as(s"$prefix$i")
-      }
-    val tfAggs = pivotAggs("tf", "tf_")
-    val tf = posts.groupBy("doc_id", "dl").agg(tfAggs.head, tfAggs.tail: _*)
-    val dfAggs = pivotAggs("df", "df_")
-    val dfRow = tstats.groupBy().agg(dfAggs.head, dfAggs.tail: _*)
-    val stats = spark.read.parquet(s"$dir/stats")
-      .crossJoin(dfRow)
-    val scored = tf.crossJoin(broadcast(stats))
-      .select(col("doc_id"), TextAnalysis.bm25ScoreCol.as("score_raw"))
-      .filter(col("score_raw") > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score_raw").desc, col("doc_id"))
-    scored.orderBy(col("score_raw").desc, col("doc_id")).limit(topK)
-      .withColumn("rank", row_number().over(w))
-      .select(col("rank"), col("doc_id"),
-        pround(col("score_raw"), 4).as("score"))
+    scoreTopK(posts, tstats,
+      spark.read.parquet(s"$dir/stats").select("n_docs", "avgdl"),
+      terms, topK)
   }
 
   /** Exact phrase search from the positional index: occurrences of

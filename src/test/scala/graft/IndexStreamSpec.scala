@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+import graft.streaming.IndexStream
+
+/** Streaming inverted-index maintenance: probe-after-batches equals a
+  * batch-built index of the union corpus (and therefore the corpus
+  * scan), replays rewrite only their own partitions, and phrase search
+  * works over the streamed layout unchanged. */
+class IndexStreamSpec extends SparkSpec {
+
+  private def work() = {
+    val d = java.nio.file.Files.createTempDirectory("graft_indexstream")
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+  private def third(i: Int) = docs.filter(col("doc_id") % 3 === i)
+  private val terms = Seq("order", "customer", "scan")
+
+  test("stream ≡ batch index ≡ corpus scan") {
+    val w = work()
+    (0 to 2).foreach(i =>
+      IndexStream.processBatch(third(i), i.toLong, s"$w/idx"))
+    val streamed = IndexStream.probeTopK(spark, s"$w/idx", terms, 25)
+      .collect().map(_.toString).toSeq
+    val full = s"$w/full"
+    Retrieval.writeTextIndex(docs, "doc_id", "text", full)
+    val batch = Retrieval.probeIndexTopK(spark, full, terms, 25)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch, "streamed index diverged from batch build")
+    val scan = SparkEntry.queries("search_bm25_topk")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(streamed == scan, "streamed index diverged from corpus scan")
+  }
+
+  test("replay rewrites only its own partitions; empty batch is a no-op") {
+    val w = work()
+    IndexStream.processBatch(third(0), 0L, s"$w/idx")
+    IndexStream.processBatch(third(1), 1L, s"$w/idx")
+    val before = IndexStream.probeTopK(spark, s"$w/idx", terms, 25)
+      .collect().map(_.toString).toSeq
+    IndexStream.processBatch(third(1), 1L, s"$w/idx") // replay
+    IndexStream.processBatch(docs.filter(col("doc_id") < 0), 2L, s"$w/idx")
+    val after = IndexStream.probeTopK(spark, s"$w/idx", terms, 25)
+      .collect().map(_.toString).toSeq
+    assert(after == before)
+    // no stats partial for the empty batch
+    assert(!new java.io.File(s"$w/idx/stats/ingest_batch=2").exists())
+  }
+
+  test("phrase search runs unchanged over the streamed layout") {
+    val w = work()
+    (0 to 2).foreach(i =>
+      IndexStream.processBatch(third(i), i.toLong, s"$w/idx"))
+    val full = s"$w/full"
+    Retrieval.writeTextIndex(docs, "doc_id", "text", full)
+    val streamed = Retrieval.probePhrase(spark, s"$w/idx", "table", "hash")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Retrieval.probePhrase(spark, full, "table", "hash")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
+  test("file-stream end to end via run()") {
+    val w = work()
+    val inDir = s"$w/in"
+    new java.io.File(inDir).mkdirs()
+    (0 to 1).foreach { i =>
+      docs.filter(col("doc_id") % 2 === i).coalesce(1)
+        .write.parquet(s"$w/b$i")
+      val src = new java.io.File(s"$w/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(s"$inDir/batch_$i.parquet").toPath)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = IndexStream.run(stream, s"$w/idx", s"$w/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = IndexStream.probeTopK(spark, s"$w/idx", terms, 25)
+      .collect().map(_.toString).toSeq
+    val scan = SparkEntry.queries("search_bm25_topk")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(streamed == scan)
+  }
+}
