@@ -544,7 +544,11 @@ object TextAnalysis extends QueryPack {
           element_at(col("tk"), col("pos")).as("w"),
           when(col("pos") > 1, element_at(col("tk"), col("pos") - 1))
             .as("w_prev"))
-        .localCheckpoint()
+      // posed is CORPUS-sized and consumed three times — but it stays
+      // un-checkpointed on purpose: re-tokenizing at scan speed is the
+      // right trade at 100 TB, where materializing the position stream
+      // would pin corpus-scale blocks in executor memory. Only the
+      // VOCAB-sized count frames below checkpoint.
       val bc = posed.filter(col("w_prev").isNotNull)
         .groupBy("w_prev", "w").agg(count(lit(1)).as("c_pp"))
         .localCheckpoint()
