@@ -259,8 +259,11 @@ object Bench {
         // plus the two heaviest text-dedup shapes: the gram-stream
         // window (span removal) and the banded LSH join — the
         // operators whose 100 TB story most needs a measured envelope.
+        // ...and (r8) the pair-stream PMI and the index build+probe —
+        // the round's two heaviest new shapes
         Seq("s15_agg_market_rates", "a7_market_profile",
-          "dedup_span_removal", "dedup_minhash_lsh").flatMap { q =>
+          "dedup_span_removal", "dedup_minhash_lsh",
+          "text_pmi_pairs", "search_index_topk").flatMap { q =>
           SparkEntry.queries.get(q).flatMap { fn =>
             try {
               def timeOn(dir: String): Double = {

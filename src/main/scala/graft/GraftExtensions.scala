@@ -82,8 +82,17 @@ object GraftExtensions {
     (FunctionIdentifier("subword_encode"),
       new ExpressionInfo(
         classOf[graft.functions.SubwordEncode].getName, "subword_encode"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.SubwordEncode(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        // arity-checked: the only multi-arg kernel here — a bare
+        // exprs(1) would surface as IndexOutOfBounds instead of a
+        // readable analysis error when a SQL caller forgets the vocab
+        if (exprs.length != 2) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> "`subword_encode`",
+            "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+        graft.functions.SubwordEncode(exprs.head, exprs(1))
+      }))
 
   /** Register every kernel into an existing session's function
     * registry. Idempotent (re-registration replaces the same entry). */

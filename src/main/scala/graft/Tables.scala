@@ -120,9 +120,11 @@ object Tables {
     * at 100 TB salvage cost is one decode pass over suspect files,
     * not a driver loop. Like [[readSalvage]] this is scoped to the
     * ingest-repair path: the listing/probe runs eagerly at call time,
-    * and the recovered copies live in `salvageDir` (a fresh temp dir
-    * by default) rather than mutating the source. Returns an empty
-    * frame (source schema) when nothing is recoverable. */
+    * and the recovered copies live in `salvageDir` (defaulting to a
+    * `<path>_salvage` sibling on the source's own filesystem, so
+    * recovered files are reachable from every node) rather than
+    * mutating the source. Returns an empty frame (source schema) when
+    * nothing is recoverable. */
   def readSalvageRowGroups(spark: SparkSession, path: String,
                            salvageDir: String = null): DataFrame = {
     val hconf = spark.sessionState.newHadoopConf()
@@ -136,15 +138,30 @@ object Tables {
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
       .map(_.getPath.toString)
+    // recovered copies default to a SIBLING dir on the SOURCE's
+    // filesystem — a driver-local temp dir would be unreadable from
+    // the driver once executors on other hosts wrote into their own
+    // local copies of it (and vice versa)
     val out =
       if (salvageDir != null) salvageDir
-      else java.nio.file.Files.createTempDirectory("graft_salvage").toString
+      else path.stripSuffix("/") + "_salvage"
+    // executors must probe with the SESSION's Hadoop settings
+    // (credentials, endpoints for object stores) — a bare
+    // `new Configuration()` on the task classpath lacks them and
+    // would silently fail to open every remote file
+    val confProps: Array[(String, String)] = {
+      val b = Array.newBuilder[(String, String)]
+      val it = hconf.iterator()
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     val sc = spark.sparkContext
+    val propsB = sc.broadcast(confProps)
     val readable: Seq[String] =
       if (files.isEmpty) Nil
       else sc.parallelize(files,
           math.min(files.size, math.max(1, sc.defaultParallelism)))
-        .map(f => salvageFile(f, out)).collect().toSeq.flatten
+        .map(f => salvageFile(f, out, propsB.value)).collect().toSeq.flatten
     if (readable.isEmpty) readSalvage(spark, path).limit(0)
     else spark.read.parquet(readable: _*)
   }
@@ -153,10 +170,13 @@ object Tables {
     * file — the original (all groups good), a recovered copy (some
     * good), or None (footer unreadable / nothing decodes). Runs on
     * executors: builds its own Hadoop conf from the task classpath. */
-  private def salvageFile(file: String, outDir: String): Option[String] = {
+  private def salvageFile(file: String, outDir: String,
+                          confProps: Array[(String, String)])
+      : Option[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
     val conf = new org.apache.hadoop.conf.Configuration()
+    confProps.foreach { case (k, v) => conf.set(k, v) }
     val p = new org.apache.hadoop.fs.Path(file)
     val in = HadoopInputFile.fromPath(p, conf)
     val footer =
@@ -176,7 +196,7 @@ object Tables {
       val writer = new org.apache.parquet.hadoop.ParquetFileWriter(
         HadoopOutputFile.fromPath(outPath, conf),
         footer.getFileMetaData.getSchema,
-        org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE,
+        org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE,
         128L << 20, 8388608)
       writer.start()
       val sis = in.newStream()

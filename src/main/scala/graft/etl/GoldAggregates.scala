@@ -380,7 +380,7 @@ object GoldAggregates {
                                 outPath: String): Unit = {
     invalidateSidecar(outPath)
     writeSidecar(graft.operators.Sketches.hllRegisters(
-      ratesWithState(spark, dir), Seq("state", "year_month"), "v"), outPath)
+      ratesWithState(spark, dir), Seq("state", "year_month"), "v"), outPath, dynamic = false)
     invalidateSidecar(outPath) // drop frames cached mid-overwrite
   }
 
@@ -410,7 +410,7 @@ object GoldAggregates {
                            outPath: String): Unit = {
     invalidateSidecar(outPath)
     writeSidecar(graft.operators.Sketches.kmvSketch(
-      ratesWithState(spark, dir), Seq("state", "year_month"), "v"), outPath)
+      ratesWithState(spark, dir), Seq("state", "year_month"), "v"), outPath, dynamic = false)
     invalidateSidecar(outPath) // drop frames cached mid-overwrite
   }
 
@@ -440,7 +440,7 @@ object GoldAggregates {
     invalidateSidecar(outPath)
     writeSidecar(graft.operators.Sketches.histBuckets(
       ratesWithState(spark, dir, "negotiated_rate"),
-      Seq("state", "year_month"), "v"), outPath)
+      Seq("state", "year_month"), "v"), outPath, dynamic = false)
     invalidateSidecar(outPath) // drop frames cached mid-overwrite
   }
 
@@ -512,10 +512,18 @@ object GoldAggregates {
   /** The one sidecar write recipe (see the layout rationale at
     * [[materializeDistinctSketch]]) — shared by both materializers and
     * the streaming refresh, like the gold table's own `write`. */
-  private def writeSidecar(df: DataFrame, path: String): Unit =
+  /** `dynamic = true` (the refresh leg) overwrites only the
+    * partitions present in `df` — callers pre-drop vanished states
+    * (see [[refreshSketchSlices]]'s dropStateDirs). `dynamic = false`
+    * (the full materialize leg) STATIC-overwrites the whole path, so
+    * a state that vanished from the base since the last materialize
+    * cannot leave a stale partition dir behind — the same hazard the
+    * refresh guards, closed at the rebuild entry points too. */
+  private def writeSidecar(df: DataFrame, path: String,
+                           dynamic: Boolean = true): Unit =
     df.repartition(col("state"))
       .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .partitionBy("state")
       .option("compression", "zstd")
       .parquet(path)

@@ -62,6 +62,10 @@ object Export extends QueryPack {
     assignShards(df, idCol, nShards, seed)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shuffle_h"), col(idCol))
+      // the order key is recomputable from (seed, id) — writing it
+      // would add dead payload to every training shard (a Project
+      // above the sort preserves the written row order)
+      .drop("shuffle_h")
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("shard")
@@ -112,6 +116,7 @@ object Export extends QueryPack {
       .collect().map(_.getLong(0)).toSet
     rows.repartition(touched.size, col("shard"))
       .sortWithinPartitions(col("shard"), col("shuffle_h"), col(idCol))
+      .drop("shuffle_h") // recomputable from (seed, id); see exportShards
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard")
@@ -156,6 +161,7 @@ object Export extends QueryPack {
       .withColumn("ingest_batch", lit(batchId))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shuffle_h"), col(idCol))
+      .drop("shuffle_h") // recomputable from (seed, id); see exportShards
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard", "ingest_batch")

@@ -153,7 +153,7 @@ object Multimodal extends QueryPack {
     media.mapPartitions { it =>
       // <- heavier scaler init goes here, once per partition/batch
       it.map { m =>
-        if (isJdkImage(m.payload)) resizeImage(m, maxDim)
+        if (isJdkImage(m.payload)) resizeImage(m, maxDim, targetBytes)
         else resizeStub(m, targetBytes)
       }
     }
@@ -184,12 +184,15 @@ object Multimodal extends QueryPack {
     * deterministic for a given JVM. A payload the reader rejects
     * (magic sniff passed but body corrupt) falls back to the stub —
     * one bad blob must not fail the partition. */
-  def resizeImage(m: MediaIn, maxDim: Int): MediaResized = {
+  def resizeImage(m: MediaIn, maxDim: Int, fallbackBytes: Int)
+      : MediaResized = {
     val img =
       try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(m.payload))
       catch { case _: Exception => null }
-    if (img == null) resizeStub(m, maxDim * maxDim)
+    // corrupt body behind a valid magic: honor the CALLER's byte
+    // budget, exactly as resizePartitions documents for this case
+    if (img == null) resizeStub(m, fallbackBytes)
     else {
       val (w, h) = (img.getWidth, img.getHeight)
       if (math.max(w, h) <= maxDim) MediaResized(m.media_id, m.payload, w, h)

@@ -456,6 +456,9 @@ object Sketches extends QueryPack {
         .orderBy(col("c").desc, col("state"), col("year_month"))
         .limit(2).collect()
         .map(r => (r.getString(0), r.getString(1)))
+      require(top.length == 2,
+        s"sketch_kmv_slices needs >= 2 non-empty (state, year_month) " +
+          s"slices in the fact; found ${top.length}")
       val Array(sa, sb) = top
       def slice(sl: (String, String)) = fact
         .filter(col("state") <=> lit(sl._1) &&

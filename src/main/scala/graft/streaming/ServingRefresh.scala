@@ -51,7 +51,8 @@ object ServingRefresh {
     * the current base. */
   def run(spark: SparkSession, deltaDir: String, dir: String,
           goldPath: String, checkpoint: String,
-          sketchPath: String = null, histPath: String = null): StreamingQuery = {
+          sketchPath: String = null, histPath: String = null,
+          kmvPath: String = null): StreamingQuery = {
     // Schema from the base table, not the delta dir: deltas are
     // lineitem-shaped by contract, and inferring from deltaDir would
     // crash a serving session that starts its refresh stream before
@@ -72,7 +73,7 @@ object ServingRefresh {
             Option(sketchPath).getOrElse(goldPath + "_sketch"),
             Option(histPath).getOrElse(goldPath + "_hist"),
             slices.toSeq,
-            kmvPath = goldPath + "_kmv")
+            kmvPath = Option(kmvPath).getOrElse(goldPath + "_kmv"))
         }
       }
       .start()
