@@ -52,47 +52,52 @@ object GraftExtensions {
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
   /** One shared description per kernel — injected by the extensions
-    * hook and by per-session registration alike. */
+    * hook and by per-session registration alike. Every builder goes
+    * through [[arity]] — a SQL caller with the wrong argument count
+    * gets Spark's standard WRONG_NUM_ARGS analysis error, not an
+    * IndexOutOfBounds from a bare `exprs(i)`. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> s"`$name`",
+          "expectedNum" -> n.toString, "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(exprs)
+    }
+
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(
         classOf[graft.functions.CosineSimF32].getName, "cosine_f32"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.CosineSimF32(exprs.head, exprs(1))),
+      arity("cosine_f32", 2)(exprs =>
+        graft.functions.CosineSimF32(exprs.head, exprs(1)))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(
         classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.MinHashSig.fromDefaults(exprs.head)),
+      arity("minhash_sig", 1)(exprs =>
+        graft.functions.MinHashSig.fromDefaults(exprs.head))),
     (FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(
         classOf[graft.functions.RollingFp].getName, "rolling_fp"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.RollingFp(exprs.head)),
+      arity("rolling_fp", 1)(exprs =>
+        graft.functions.RollingFp(exprs.head))),
     (FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(
         classOf[graft.functions.SimHashSig].getName, "simhash_sig"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.SimHashSig(exprs.head)),
+      arity("simhash_sig", 1)(exprs =>
+        graft.functions.SimHashSig(exprs.head))),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(
         classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.NfcNormalize(exprs.head)),
+      arity("nfc_normalize", 1)(exprs =>
+        graft.functions.NfcNormalize(exprs.head))),
     (FunctionIdentifier("subword_encode"),
       new ExpressionInfo(
         classOf[graft.functions.SubwordEncode].getName, "subword_encode"),
-      (exprs: Seq[Expression]) => {
-        // arity-checked: the only multi-arg kernel here — a bare
-        // exprs(1) would surface as IndexOutOfBounds instead of a
-        // readable analysis error when a SQL caller forgets the vocab
-        if (exprs.length != 2) throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map("functionName" -> "`subword_encode`",
-            "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
-            "docroot" -> "https://spark.apache.org/docs/latest"))
-        graft.functions.SubwordEncode(exprs.head, exprs(1))
-      }))
+      arity("subword_encode", 2)(exprs =>
+        graft.functions.SubwordEncode(exprs.head, exprs(1)))))
 
   /** Register every kernel into an existing session's function
     * registry. Idempotent (re-registration replaces the same entry). */

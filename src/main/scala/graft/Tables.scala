@@ -193,8 +193,17 @@ object Tables {
     else {
       val outPath = new org.apache.hadoop.fs.Path(outDir,
         p.getName.stripSuffix(".parquet") + "_salvaged.parquet")
+      // write-to-temp + rename-commit: duplicate task attempts
+      // (speculation, retry-after-partial-write) or concurrent salvage
+      // runs of the same path must not interleave bytes in the shared
+      // recovery dir — the loser of the rename defers to the winner's
+      // complete file (salvage is deterministic, both wrote the same
+      // groups)
+      val tmpPath = new org.apache.hadoop.fs.Path(outDir,
+        "." + p.getName.stripSuffix(".parquet") + "_salvaged." +
+          java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       val writer = new org.apache.parquet.hadoop.ParquetFileWriter(
-        HadoopOutputFile.fromPath(outPath, conf),
+        HadoopOutputFile.fromPath(tmpPath, conf),
         footer.getFileMetaData.getSchema,
         org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE,
         128L << 20, 8388608)
@@ -203,6 +212,12 @@ object Tables {
       try good.foreach(i => writer.appendRowGroup(sis, blocks.get(i), false))
       finally sis.close()
       writer.end(footer.getFileMetaData.getKeyValueMetaData)
+      val ofs = outPath.getFileSystem(conf)
+      if (!ofs.rename(tmpPath, outPath)) {
+        // another attempt committed first: keep its file
+        ofs.delete(tmpPath, false)
+        if (!ofs.exists(outPath)) return None
+      }
       Some(outPath.toString)
     }
   }

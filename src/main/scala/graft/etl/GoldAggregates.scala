@@ -509,11 +509,11 @@ object GoldAggregates {
         Seq("state", "year_month"), "v"))
   }
 
-  /** The one sidecar write recipe (see the layout rationale at
-    * [[materializeDistinctSketch]]) — shared by both materializers and
-    * the streaming refresh, like the gold table's own `write`. */
-  /** `dynamic = true` (the refresh leg) overwrites only the
-    * partitions present in `df` — callers pre-drop vanished states
+  /** The one sidecar write recipe (layout rationale at
+    * [[materializeDistinctSketch]]), shared by the materializers and
+    * the streaming refresh. `dynamic = true` (the refresh leg)
+    * overwrites only the partitions present in `df` — callers
+    * pre-drop vanished states
     * (see [[refreshSketchSlices]]'s dropStateDirs). `dynamic = false`
     * (the full materialize leg) STATIC-overwrites the whole path, so
     * a state that vanished from the base since the last materialize

@@ -376,13 +376,18 @@ object Multimodal extends QueryPack {
       m.payload(2) == 'F'.toByte && m.payload(3) == '8'.toByte
     if (!isGif) Iterator.empty
     else {
+      // acquire INSIDE the try (createImageInputStream can itself
+      // throw on a full/read-only ImageIO cache dir — one bad
+      // environment must not fail the partition either) and
       // dispose/close in finally: the input stream is temp-FILE-backed
       // by default (ImageIO cache), so a leak here is fd + /tmp growth
       // per decoded media — fatal over a large partition
-      val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(m.payload))
+      var reader: javax.imageio.ImageReader = null
+      var iis: javax.imageio.stream.ImageInputStream = null
       try {
+        reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+        iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
         reader.setInput(iis)
         val n = reader.getNumImages(true)
         (0 until n by 2).iterator.map { f =>
@@ -405,7 +410,10 @@ object Multimodal extends QueryPack {
             math.floor(sum.toDouble / (w.toLong * h * 255) * 1e6 + 0.5) / 1e6)
         }.toVector.iterator
       } catch { case _: Exception => Iterator.empty }
-      finally { reader.dispose(); iis.close() }
+      finally {
+        if (reader != null) reader.dispose()
+        if (iis != null) iis.close()
+      }
     }
   }
 

@@ -64,11 +64,17 @@ object Retrieval extends QueryPack {
     * append — the append-equals-rebuild bit-identity contract depends
     * on the posting shape never drifting between the two. */
   private[graft] def stagePostings(documents: DataFrame, idCol: String,
-                                   textCol: String): (DataFrame, DataFrame) = {
-    val staged = documents
+                                   textCol: String,
+                                   materialize: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val staged0 = documents
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokCol(col(textCol)).as("tk"))
       .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
+    // materialize=true: tokenize ONCE for multiple consumers — right
+    // for BATCH-sized inputs (the streaming path); the corpus-sized
+    // one-off build keeps recompute (the bigram-stream trade)
+    val staged = if (materialize) staged0.localCheckpoint() else staged0
     val posed = staged
       .select(col("doc_id"), col("dl"), col("tk"),
         explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))

@@ -32,10 +32,18 @@ import graft.operators.Retrieval
   */
 object IndexStream {
 
+  /** The stats row doubles as the batch's COMMIT MARKER: postings
+    * land first, the stats partial second, and [[probeTopK]] scores
+    * ONLY batches whose stats row exists — a probe racing a
+    * mid-flight batch (or a replay) sees a consistent pre-batch
+    * index, never postings scored against a stats fold that excludes
+    * them. */
   def processBatch(docsBatch: DataFrame, batchId: Long, dir: String,
                    idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // materialize: a micro-batch is batch-sized, so tokenizing once
+    // for the stats agg + postings write is the right trade here
     val (staged, postings) =
-      Retrieval.stagePostings(docsBatch, idCol, textCol)
+      Retrieval.stagePostings(docsBatch, idCol, textCol, materialize = true)
     val add = staged
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
     if (add.getLong(0) == 0) return // empty batch: nothing to index
@@ -63,12 +71,21 @@ object IndexStream {
                 topK: Int): DataFrame = {
     val buckets = terms.map(Retrieval.bucketOf).distinct.map(lit(_))
     val termLits = terms.map(lit(_))
+    // committed = batches with a stats row (the commit marker); the
+    // id set is one slim row per batch and becomes a postings
+    // PARTITION filter, so an uncommitted batch's postings are
+    // never scored
+    val statsRows = spark.read.parquet(s"$dir/stats")
+    val committed = statsRows
+      .select(col("ingest_batch").cast("long")) // partition col infers int
+      .collect().map(r => lit(r.getLong(0)))
     val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("ingest_batch").isin(committed: _*))
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(termLits: _*))
       .select("doc_id", "dl", "token", "tf")
     val tstats = posts.groupBy("token").agg(count(lit(1)).as("df"))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = statsRows
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))

@@ -50,6 +50,23 @@ class IndexStreamSpec extends SparkSpec {
     assert(!new java.io.File(s"$w/idx/stats/ingest_batch=2").exists())
   }
 
+  test("uncommitted postings (no stats marker) are invisible to the probe") {
+    val w = work()
+    IndexStream.processBatch(third(0), 0L, s"$w/idx")
+    val before = IndexStream.probeTopK(spark, s"$w/idx", terms, 25)
+      .collect().map(_.toString).toSeq
+    // simulate a crash between the postings write and the stats
+    // commit marker: land batch 9's postings by hand, no stats row
+    val (_, postings) = Retrieval.stagePostings(third(1), "doc_id", "text")
+    postings.withColumn("ingest_batch", lit(9L))
+      .write.mode("append").partitionBy("ingest_batch", "bucket")
+      .parquet(s"$w/idx/postings")
+    val after = IndexStream.probeTopK(spark, s"$w/idx", terms, 25)
+      .collect().map(_.toString).toSeq
+    assert(after == before,
+      "probe scored postings of a batch with no commit marker")
+  }
+
   test("phrase search runs unchanged over the streamed layout") {
     val w = work()
     (0 to 2).foreach(i =>
