@@ -393,6 +393,35 @@ object Analytics extends QueryPack {
         .agg(countDistinct("user_id").as("n_users"))
     }),
 
+    // Robust anomaly detection over the event stream: per event type,
+    // median + MAD (median absolute deviation) and the count of
+    // values outside median ± 3·MAD — the outlier monitor that
+    // survives heavy tails where mean/stddev break. Three passes over
+    // a 5-type grain: exact median per type (one percentile buffer),
+    // exact MAD over the re-centered values, then the flag count —
+    // the per-type scalars broadcast back each time, so the event
+    // stream itself never shuffles. Exact percentiles are the a4/a7
+    // convention (quantile_cont twin); the ±3·MAD comparison runs on
+    // the UNROUNDED scalars on both engines.
+    "events_anomaly_mad" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val withMed = ev.join(broadcast(med), "event_type")
+      val mad = withMed.groupBy("event_type")
+        .agg(max(col("med")).as("med"),
+          percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      withMed.drop("med").join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1)
+            .otherwise(0)).as("n_anomalies"))
+        .select(col("event_type"), pround(col("med"), 4).as("med"),
+          pround(col("mad"), 4).as("mad"), col("n_events"),
+          col("n_anomalies"))
+    }),
+
     // CDC apply: collapse a keyed change log into the current
     // snapshot, WITH delete semantics — the missing half of
     // j12_upsert/W1 (which only ever keep-latest). The event log
@@ -663,6 +692,27 @@ object Analytics extends QueryPack {
       FROM signup JOIN active USING (user_id)
       WHERE active_week >= cohort_week
       GROUP BY 1, 2""",
+
+    // same two-level exact quantile_cont, same unrounded ±3·MAD test
+    "events_anomaly_mad" -> """
+      WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      j AS (
+        SELECT e.event_type, e.value, m.med
+        FROM events e JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, max(med) AS med,
+               quantile_cont(abs(value - med), 0.5) AS mad
+        FROM j GROUP BY 1)
+      SELECT j.event_type,
+             floor(m2.med * 10000.0 + 0.5) / 10000.0 AS med,
+             floor(m2.mad * 10000.0 + 0.5) / 10000.0 AS mad,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN abs(j.value - m2.med) > 3.0 * m2.mad
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      FROM j JOIN mad m2 USING (event_type)
+      GROUP BY j.event_type, m2.med, m2.mad""",
 
     // keep-last via the window formulation (the struct-max has no SQL
     // twin); event_id is unique per key so the order is total
