@@ -142,9 +142,15 @@ object Tables {
     // filesystem — a driver-local temp dir would be unreadable from
     // the driver once executors on other hosts wrote into their own
     // local copies of it (and vice versa)
+    // per-RUN recovery dir: reusing one shared dir across salvage
+    // runs would let the rename-defer below serve a PREVIOUS run's
+    // recovered rows after the source file was rewritten and
+    // re-salvaged (rename-to-existing fails on HDFS/object stores,
+    // deferring to the stale winner)
     val out =
       if (salvageDir != null) salvageDir
-      else path.stripSuffix("/") + "_salvage"
+      else path.stripSuffix("/") + "_salvage_" +
+        java.util.UUID.randomUUID().toString.take(8)
     // executors must probe with the SESSION's Hadoop settings
     // (credentials, endpoints for object stores) — a bare
     // `new Configuration()` on the task classpath lacks them and
@@ -194,11 +200,11 @@ object Tables {
       val outPath = new org.apache.hadoop.fs.Path(outDir,
         p.getName.stripSuffix(".parquet") + "_salvaged.parquet")
       // write-to-temp + rename-commit: duplicate task attempts
-      // (speculation, retry-after-partial-write) or concurrent salvage
-      // runs of the same path must not interleave bytes in the shared
-      // recovery dir — the loser of the rename defers to the winner's
-      // complete file (salvage is deterministic, both wrote the same
-      // groups)
+      // (speculation, retry-after-partial-write) within THIS run must
+      // not interleave bytes in the shared recovery dir — the loser of
+      // the rename defers to the winner's complete file (salvage is
+      // deterministic, both attempts wrote the same groups; cross-RUN
+      // staleness is impossible because each run gets its own dir)
       val tmpPath = new org.apache.hadoop.fs.Path(outDir,
         "." + p.getName.stripSuffix(".parquet") + "_salvaged." +
           java.util.UUID.randomUUID().toString.take(8) + ".tmp")

@@ -80,8 +80,22 @@ object Evaluation extends QueryPack {
     "classifier_calibration" -> ((s, d) => {
       val sc = scoredLabeled(s, d)
       val n = sc.agg(count(lit(1)).as("n_total"))
-      val w = Window.orderBy(col("score").desc, col("doc_id"))
-      sc.withColumn("rn", row_number().over(w))
+      // TWO-LEVEL ranking (the distributed prefix-sum): a global
+      // row_number window would funnel the whole corpus through one
+      // task. Instead the bounded score-group frame carries each
+      // group's rank offset (cum_before — the same grain AUC uses),
+      // and the per-doc tiebreak ranks only WITHIN its score
+      // partition; rank = cum_before + rn_within is exactly the
+      // global (score desc, doc_id) row_number.
+      val groups = sc.groupBy("score").agg(count(lit(1)).as("gc"))
+      val wg = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = groups
+        .withColumn("cum_before", coalesce(sum(col("gc")).over(wg), lit(0L)))
+        .select("score", "cum_before")
+      val wIn = Window.partitionBy("score").orderBy("doc_id")
+      sc.join(broadcast(offsets), "score")
+        .withColumn("rn", col("cum_before") + row_number().over(wIn))
         .crossJoin(broadcast(n))
         .withColumn("decile",
           // widen BEFORE the ×10: row_number is 32-bit, so (rn−1)*10

@@ -281,9 +281,13 @@ object Multimodal extends QueryPack {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(m.payload))
           val f = ais.getFormat
+          // mono 16-bit PCM only: the feature loop walks the raw
+          // sample stream, so interleaved multi-channel audio would
+          // yield meaningless zero-crossing/peak/RMS mixes — stereo
+          // takes the stub until per-channel math lands in this seam
           if (f.getEncoding !=
                 javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-              f.getSampleSizeInBits != 16) None
+              f.getSampleSizeInBits != 16 || f.getChannels != 1) None
           else Some((f, ais.readAllBytes()))
         } catch { case _: Exception => None }
       parsed match {

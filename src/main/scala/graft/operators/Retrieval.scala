@@ -121,7 +121,19 @@ object Retrieval extends QueryPack {
     * mergeable integer forms, so a probe after N appends is
     * BIT-IDENTICAL to a probe of a full rebuild (RetrievalSpec pins
     * append ≡ rebuild ≡ corpus scan). Cost is O(delta) postings plus
-    * a vocab-grain stats merge — the corpus is never re-tokenized. */
+    * a vocab-grain stats merge — the corpus is never re-tokenized.
+    *
+    * LIMITATION — no commit marker on this batch path: a crash
+    * between the postings append and the stats rewrite leaves an
+    * index whose postings include the delta while df/avgdl do not
+    * (probes then score with stale stats until repaired), and a
+    * RETRIED append double-appends its posting rows. One-shot batch
+    * maintenance with external retry-on-failure semantics should
+    * re-run [[writeTextIndex]] after a failed append; continuous or
+    * at-least-once ingestion belongs on
+    * [[graft.streaming.IndexStream]], whose stats row IS a per-batch
+    * commit marker and whose replays rewrite only their own
+    * partitions. */
   def appendTextIndex(newDocuments: DataFrame, idCol: String,
                       textCol: String, dir: String): Unit = {
     val spark = newDocuments.sparkSession
@@ -218,7 +230,19 @@ object Retrieval extends QueryPack {
   def probePhrase(spark: SparkSession, dir: String,
                   w1: String, w2: String): DataFrame = {
     val buckets = Seq(w1, w2).map(bucketOf).distinct.map(lit(_))
-    val posts = spark.read.parquet(s"$dir/postings")
+    val raw = spark.read.parquet(s"$dir/postings")
+    // streamed layout: honor the stats commit marker exactly like
+    // IndexStream.probeTopK, so the two probes can never disagree
+    // about which batches exist after a mid-batch crash
+    val committed =
+      if (!raw.columns.contains("ingest_batch")) raw
+      else {
+        val ids = spark.read.parquet(s"$dir/stats")
+          .select(col("ingest_batch").cast("long"))
+          .collect().map(r => lit(r.getLong(0)))
+        raw.filter(col("ingest_batch").isin(ids: _*))
+      }
+    val posts = committed
       .filter(col("bucket").isin(buckets: _*))
     def positionsOf(t: String, alias: String) = posts
       .filter(col("token") === t)

@@ -412,7 +412,7 @@ object Analytics extends QueryPack {
       val mad = withMed.groupBy("event_type")
         .agg(max(col("med")).as("med"),
           percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
-      withMed.drop("med").join(broadcast(mad), "event_type")
+      ev.join(broadcast(mad), "event_type")
         .groupBy(col("event_type"), col("med"), col("mad"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1)

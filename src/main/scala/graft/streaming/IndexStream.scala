@@ -69,6 +69,19 @@ object IndexStream {
     * mergeable partials — then the one shared scoring tail. */
   def probeTopK(spark: SparkSession, dir: String, terms: Seq[String],
                 topK: Int): DataFrame = {
+    // pre-first-commit (stream starting up, or only empty batches so
+    // far): an empty result, not a PATH_NOT_FOUND — the
+    // CdcStream.snapshot / TrainStream.enteringWeights convention
+    if (!graft.FsUtils.committedExists(spark, s"$dir/stats"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType))))
     val buckets = terms.map(Retrieval.bucketOf).distinct.map(lit(_))
     val termLits = terms.map(lit(_))
     // committed = batches with a stats row (the commit marker); the

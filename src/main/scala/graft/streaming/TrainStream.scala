@@ -64,8 +64,11 @@ object TrainStream {
                    lr: Double = 0.5): Unit = {
     val spark = docsBatch.sparkSession
     val w0 = enteringWeights(spark, storePath, batchId)
+    // no checkpoint: unlike the batch trainer's LrIters reuse, the
+    // stream runs ONE gdStep aggregate per batch — materializing the
+    // features would add a full extra pass for zero reuse
     val (w1, loss, n) = Training.gdStep(
-      Training.featuresOf(docsBatch).localCheckpoint(), w0, lr)
+      Training.featuresOf(docsBatch), w0, lr)
     // an empty micro-batch (replay after restart, empty trigger) is a
     // no-op: no state row — a zero-row "loss 0.0" entry would corrupt
     // the training curve, and the identity step carries no information
