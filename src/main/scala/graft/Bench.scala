@@ -365,6 +365,7 @@ object Bench {
     "corpus_drift_js" -> 1.5, // (r8) two combinable aggs
     "source_jsonl_roundtrip" -> 1.4, // (r8) sidecar write + json parse
     "events_anomaly_mad" -> 1.3, // (r8) two percentile passes, 5-type grain
+    "clean_winsorize" -> 1.3, // (r8) fence percentiles broadcast back
     "text_chunk_overlap" -> 1.6, // (r8) scan + Generate only
     "augment_fim" -> 1.3, // (r8) scan-side
     "multimodal_audio" -> 1.3, // (r8) 1/4 ids through the codec seam

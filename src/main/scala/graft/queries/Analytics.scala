@@ -393,6 +393,28 @@ object Analytics extends QueryPack {
         .agg(countDistinct("user_id").as("n_users"))
     }),
 
+    // Winsorization — the clamp-don't-drop outlier treatment for rate
+    // cleaning: per event type, values outside [p05, p95] are clamped
+    // to the fence and counted. The exact per-type fences come from
+    // one percentile buffer and broadcast back, so the event stream
+    // never shuffles; the clamped value itself is emitted so the
+    // operator is a corpus REWRITE (the dedup_span_clean convention),
+    // not just a report.
+    "clean_winsorize" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val fences = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.05)).as("lo"),
+          percentile(col("value"), lit(0.95)).as("hi"))
+      ev.join(broadcast(fences), "event_type")
+        .select(col("event_id"), col("event_type"),
+          pround(col("value"), 2).as("value"),
+          pround(greatest(least(col("value"), col("hi")), col("lo")), 4)
+            .as("value_w"),
+          when(col("value") < col("lo"), -1)
+            .when(col("value") > col("hi"), 1).otherwise(0).as("clamped"))
+    }),
+
     // Robust anomaly detection over the event stream: per event type,
     // median + MAD (median absolute deviation) and the count of
     // values outside median ± 3·MAD — the outlier monitor that
@@ -692,6 +714,20 @@ object Analytics extends QueryPack {
       FROM signup JOIN active USING (user_id)
       WHERE active_week >= cohort_week
       GROUP BY 1, 2""",
+
+    // same exact quantile_cont fences, same unrounded clamp compare
+    "clean_winsorize" -> """
+      WITH f AS (
+        SELECT event_type, quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY 1)
+      SELECT e.event_id, e.event_type,
+             floor(e.value * 100.0 + 0.5) / 100.0 AS value,
+             floor(greatest(least(e.value, f.hi), f.lo) * 10000.0 + 0.5)
+               / 10000.0 AS value_w,
+             CASE WHEN e.value < f.lo THEN -1
+                  WHEN e.value > f.hi THEN 1 ELSE 0 END AS clamped
+      FROM events e JOIN f USING (event_type)""",
 
     // same two-level exact quantile_cont, same unrounded ±3·MAD test
     "events_anomaly_mad" -> """
