@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.NormExprs.pround
 import graft.queries.QueryPack
+import graft.streaming.DedupStream
 
 /** Materialized inverted-index retrieval — the serving tier for text
   * search, built with the same discipline as the IVF/PQ vector
@@ -12,16 +13,41 @@ import graft.queries.QueryPack
   * answer queries from partition-pruned index reads that never touch
   * the corpus again.
   *
-  * Index layout under `dir/`:
-  *  - `postings/bucket=<h(token) % B>/`: (token, doc_id, tf, dl,
-  *    positions) — hive-partitioned on the token's hash bucket so a
-  *    query's term set prunes to ≤ |terms| partitions AT FILE LISTING,
+  * ONE index layout, shared verbatim by the batch build, batch append
+  * maintenance, and the streaming path
+  * ([[graft.streaming.IndexStream]]) — generations of postings plus a
+  * per-generation stats row that doubles as the COMMIT MARKER:
+  *
+  *  - `postings/ingest_batch=<g>/bucket=<h(token) % B>/`: (token,
+  *    doc_id, tf, dl, positions) — hive-partitioned on the writing
+  *    generation and the token's hash bucket, so a query's term set
+  *    prunes to ≤ |terms| buckets per generation AT FILE LISTING,
   *    sorted within partitions by token for row-group min/max
   *    skipping;
-  *  - `tokenstats/bucket=…/`: (token, df) at the same grain;
-  *  - `stats/`: ONE row (n_docs, avgdl) — corpus-wide, including
-  *    docs that produced no postings, so index scoring is identical
-  *    to scan scoring.
+  *  - `stats/ingest_batch=<g>/`: ONE mergeable row (n_docs, sum_dl)
+  *    per generation — corpus-wide, including docs that produced no
+  *    postings, so index scoring is identical to scan scoring. dl is
+  *    integral, so sum_dl is exact and the probe-side fold
+  *    Σsum_dl / Σn_docs equals a full rebuild's avgdl bit for bit.
+  *
+  * Durability protocol (the SketchStream/DedupStream discipline):
+  * every maintenance write lands postings FIRST and the generation's
+  * stats row LAST; probes score ONLY generations whose stats row
+  * exists. A crash between the two writes leaves an orphan postings
+  * generation that every probe ignores — the index keeps serving the
+  * exact pre-append state — and a RETRIED append reuses the same
+  * generation id (derived from the committed set, not the dirs on
+  * disk), clearing the orphan before writing, so retries are
+  * idempotent even when the retried delta differs. Token df is NOT a
+  * third store: it is derived exactly from the pruned posting rows a
+  * probe already reads (df(t) = #(token=t) posting rows), so there is
+  * no df/postings consistency window at all.
+  *
+  * Accumulated generations fold into the `ingest_batch=-1` sentinel
+  * via [[compactTextIndex]] (two-rename publish, crash-healed by
+  * [[graft.streaming.DedupStream.recoverCompaction]]), so probe
+  * planning reads a BOUNDED number of stats rows and file listings —
+  * not one per append ever made.
   *
   * The integrity proof is the oracle wiring: `search_index_topk`
   * shares [[TextAnalysis.bm25OracleSql]] VERBATIM with the corpus-scan
@@ -30,16 +56,25 @@ import graft.queries.QueryPack
   * Spark score fold both run, so the index can only hash green by
   * reproducing scan-over-corpus retrieval exactly.
   *
-  * 100 TB shape: the build is two map-side-combinable aggregates over
-  * one tokenize pass; a probe reads |terms| postings partitions
-  * (row-group-pruned within), pivots per-term tf rows scan-side into
-  * one row per candidate doc (max(when) — no window), broadcasts the
-  * one-row stats, and TakeOrdereds the top-k. Query latency scales
-  * with posting-list length, not corpus size.
+  * 100 TB shape: the build is one tokenize pass feeding two map-side-
+  * combinable aggregates; an append tokenizes only its delta; a probe
+  * reads |terms| postings buckets per live generation (row-group-
+  * pruned within), pivots per-term tf rows scan-side into one row per
+  * candidate doc (max(when) — no window), broadcasts the one-row
+  * stats fold, and TakeOrdereds the top-k. Query latency scales with
+  * posting-list length, not corpus size; compaction is the one
+  * index-grain job and runs on the maxPartials amortization schedule.
+  * Single-writer maintenance is assumed throughout (the reference
+  * serves reads from one writer's output the same way).
   */
 object Retrieval extends QueryPack {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** The compaction sentinel generation: always treated as committed
+    * (see [[committedPostings]] for why that closes the fold's crash
+    * window). */
+  val FoldedGen: Long = -1L
 
   /** Token-hash partition count. Small here (the fixture vocab is
     * tiny); at corpus scale B grows so a partition holds a few GB of
@@ -60,9 +95,9 @@ object Retrieval extends QueryPack {
   }
 
   /** Shared tokenize → postings staging: (doc_id, tk, dl) and the
-    * bucket-tagged posting rows. ONE implementation for build and
-    * append — the append-equals-rebuild bit-identity contract depends
-    * on the posting shape never drifting between the two. */
+    * bucket-tagged posting rows. ONE implementation for build, append
+    * and stream — the append-equals-rebuild bit-identity contract
+    * depends on the posting shape never drifting between them. */
   private[graft] def stagePostings(documents: DataFrame, idCol: String,
                                    textCol: String,
                                    materialize: Boolean = false)
@@ -72,8 +107,8 @@ object Retrieval extends QueryPack {
         TextAnalysis.tokCol(col(textCol)).as("tk"))
       .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
     // materialize=true: tokenize ONCE for multiple consumers — right
-    // for BATCH-sized inputs (the streaming path); the corpus-sized
-    // one-off build keeps recompute (the bigram-stream trade)
+    // for BATCH-sized inputs (appends, micro-batches); the corpus-
+    // sized one-off build keeps recompute (the bigram-stream trade)
     val staged = if (materialize) staged0.localCheckpoint() else staged0
     val posed = staged
       .select(col("doc_id"), col("dl"), col("tk"),
@@ -89,92 +124,201 @@ object Retrieval extends QueryPack {
     (staged, postings)
   }
 
-  /** Build the index from a documents-shaped frame. */
+  /** Build the index from a documents-shaped frame: generation 0 of a
+    * fresh index (static overwrite clears every older generation).
+    * The build is ONE tokenize recipe consumed twice — once by the
+    * postings aggregate, once by the stats aggregate; a corpus-sized
+    * input is deliberately re-scanned rather than checkpointed
+    * (materializing a 100 TB token stream to trade two scans for one
+    * write is the wrong side of that exchange). */
   def writeTextIndex(documents: DataFrame, idCol: String, textCol: String,
                      dir: String): Unit = {
-    // one tokenize pass feeds postings, token stats, and corpus stats
     val (staged, postings) = stagePostings(documents, idCol, textCol)
-    postings
+    postings.withColumn("ingest_batch", lit(0L))
       .repartition(col("bucket")).sortWithinPartitions("token")
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch", "bucket")
       .option("compression", "zstd").parquet(s"$dir/postings")
-    postings.groupBy("token").agg(count(lit(1)).as("df"))
-      .withColumn("bucket", bucketCol(col("token")))
-      .repartition(col("bucket")).sortWithinPartitions("token")
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$dir/tokenstats")
-    // stats carry the MERGEABLE form (n_docs, sum_dl) alongside the
-    // derived avgdl so incremental appends recompute avgdl exactly:
-    // dl is integral, so sum_dl is exact and
-    // (sum_old + sum_new) / (n_old + n_new) equals a full rebuild's
-    // avg bit for bit
+    // sum_dl coalesced: an EMPTY corpus sums to NULL, and the stats
+    // fold/merge arithmetic downstream needs (0, 0), not (0, NULL)
     staged.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("sum_dl"), avg(col("dl")).as("avgdl"))
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .withColumn("ingest_batch", lit(0L))
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+      .parquet(s"$dir/stats")
+  }
+
+  /** Land one generation of NEW documents under an explicit id:
+    * postings first, the generation's stats row (the commit marker)
+    * LAST. Shared verbatim by [[appendTextIndex]] (which derives the
+    * next id from the committed set) and
+    * [[graft.streaming.IndexStream.processBatch]] (whose id is the
+    * micro-batch id). Clears any orphan postings already sitting at
+    * this id — the residue of a crashed earlier attempt — so a retry
+    * is idempotent even if the retried delta differs from the crashed
+    * one. An empty delta writes nothing at all. */
+  private[graft] def ingestGeneration(newDocuments: DataFrame, idCol: String,
+                                      textCol: String, dir: String,
+                                      gen: Long): Unit = {
+    val spark = newDocuments.sparkSession
+    val (staged, postings) =
+      stagePostings(newDocuments, idCol, textCol, materialize = true)
+    val add = staged.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    if (add.getLong(0) == 0) return // empty delta: nothing to index
+    val (fs, _) = DedupStream.fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/postings/ingest_batch=$gen"), true)
+    postings.withColumn("ingest_batch", lit(gen))
+      .repartition(col("bucket")).sortWithinPartitions("token")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "bucket")
+      .option("compression", "zstd")
+      .parquet(s"$dir/postings")
+    import spark.implicits._
+    Seq((add.getLong(0), add.getLong(1), gen))
+      .toDF("n_docs", "sum_dl", "ingest_batch")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(s"$dir/stats")
   }
 
   /** Incremental index maintenance: append a delta of NEW documents
     * (ids disjoint from the indexed set — the snapshot-diff `added`
-    * stream) without touching existing postings. New posting rows
-    * append into their bucket dirs; token df and corpus stats merge
-    * mergeable integer forms, so a probe after N appends is
-    * BIT-IDENTICAL to a probe of a full rebuild (RetrievalSpec pins
-    * append ≡ rebuild ≡ corpus scan). Cost is O(delta) postings plus
-    * a vocab-grain stats merge — the corpus is never re-tokenized.
-    *
-    * LIMITATION — no commit marker on this batch path: a crash
-    * between the postings append and the stats rewrite leaves an
-    * index whose postings include the delta while df/avgdl do not
-    * (probes then score with stale stats until repaired), and a
-    * RETRIED append double-appends its posting rows. One-shot batch
-    * maintenance with external retry-on-failure semantics should
-    * re-run [[writeTextIndex]] after a failed append; continuous or
-    * at-least-once ingestion belongs on
-    * [[graft.streaming.IndexStream]], whose stats row IS a per-batch
-    * commit marker and whose replays rewrite only their own
-    * partitions. */
+    * stream) without touching existing postings. The delta lands as
+    * its own generation under the [[ingestGeneration]] commit-marker
+    * protocol, so a probe after N appends is BIT-IDENTICAL to a probe
+    * of a full rebuild (RetrievalSpec pins append ≡ rebuild ≡ corpus
+    * scan), a crash at ANY point leaves the exact pre-append index
+    * serving (the orphan generation has no marker and is invisible),
+    * and a retry — same delta or not — reuses and clears the crashed
+    * id. Cost is O(delta) postings plus one slim stats row; the
+    * corpus is never re-tokenized and nothing existing is rewritten. */
   def appendTextIndex(newDocuments: DataFrame, idCol: String,
                       textCol: String, dir: String): Unit = {
     val spark = newDocuments.sparkSession
-    val (staged, rawPostings) = stagePostings(newDocuments, idCol, textCol)
-    val postings =
-      rawPostings.localCheckpoint() // consumed twice (append + df merge)
-    postings
-      .repartition(col("bucket")).sortWithinPartitions("token")
-      .write.mode(SaveMode.Append).partitionBy("bucket")
-      .option("compression", "zstd").parquet(s"$dir/postings")
-    // merge df at vocab grain; only then rewrite (tokenstats is
-    // vocab-sized, so the rewrite is metadata-cheap next to the corpus)
-    val mergedDf = spark.read.parquet(s"$dir/tokenstats")
-      .select("token", "df")
-      .unionByName(postings.groupBy("token").agg(count(lit(1)).as("df")))
-      .groupBy("token").agg(sum(col("df")).as("df"))
-      .withColumn("bucket", bucketCol(col("token")))
-      .localCheckpoint() // sever lineage before overwriting the input
-    mergedDf
-      .repartition(col("bucket")).sortWithinPartitions("token")
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$dir/tokenstats")
-    val old = spark.read.parquet(s"$dir/stats")
-      .select("n_docs", "sum_dl").head()
-    val add = staged.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
-    if (add.getLong(0) == 0) return // empty delta: sum is NULL, stats unchanged
-    val (n, sdl) = (old.getLong(0) + add.getLong(0),
-      old.getLong(1) + add.getLong(1))
-    import spark.implicits._
-    Seq((n, sdl, sdl.toDouble / n)).toDF("n_docs", "sum_dl", "avgdl")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+    DedupStream.recoverCompaction(spark, s"$dir/postings")
+    DedupStream.recoverCompaction(spark, s"$dir/stats")
+    // next id from the COMMITTED set (never the dirs on disk): a
+    // crashed append's orphan postings do not advance the id, so the
+    // retry overwrites them instead of stranding them forever
+    val gen = committedGenIds(spark, dir).foldLeft(FoldedGen)(math.max) + 1
+    ingestGeneration(newDocuments, idCol, textCol, dir, gen)
   }
 
-  /** The probe's scoring tail, shared with the streaming index
-    * ([[graft.streaming.IndexStream]]): pivot per-term tf rows to one
-    * row per candidate doc, fold the SAME BM25 score as the
-    * corpus-scan query, TakeOrdered the top-k. `posts` carries
-    * (doc_id, dl, token, tf) for the query terms only; `tstats`
-    * carries (token, df); `statsRow` is the one-row (n_docs, avgdl)
-    * frame. */
+  /** Fold accumulated committed generations into the [[FoldedGen]]
+    * sentinel once more than `maxPartials` stats rows exist, so probe
+    * planning (one slim stats read + the generation partition filter)
+    * stays BOUNDED no matter how many appends or micro-batches the
+    * index has absorbed. `protectGen` (the in-flight micro-batch on
+    * the streaming path) is kept unfolded so its at-least-once replay
+    * can still dynamic-overwrite exactly its own partitions.
+    *
+    * Publish order closes the crash window without a transaction log:
+    * postings fold-and-swap FIRST, stats second. Between the two
+    * swaps the store is readable and exact — probes always score the
+    * sentinel (see [[committedPostings]]) and the still-unfolded
+    * stats rows only reference generation dirs that no longer exist
+    * (a no-op partition filter), while the stats FOLD is a plain sum
+    * that is invariant to its own grouping. A crash inside either
+    * swap is healed by [[DedupStream.recoverCompaction]] at the next
+    * maintenance call. Uncommitted orphan generations are dropped by
+    * the rewrite — under the single-writer contract they can only be
+    * residue of a crashed append.
+    *
+    * This is the one index-grain job in the family (the LSM trade):
+    * the sentinel is rewritten once per `maxPartials` appends, so the
+    * amortized per-append cost is O(index / maxPartials). */
+  def compactTextIndex(spark: SparkSession, dir: String,
+                       protectGen: Long = Long.MinValue,
+                       maxPartials: Int = 16): Boolean = {
+    DedupStream.recoverCompaction(spark, s"$dir/postings")
+    DedupStream.recoverCompaction(spark, s"$dir/stats")
+    if (!graft.FsUtils.committedExists(spark, s"$dir/stats")) return false
+    val ids = committedGenIds(spark, dir)
+    if (ids.length <= maxPartials) return false
+    val foldable = ids.filter(g => g != protectGen).map(lit(_))
+    def swap(store: String)(fresh: DataFrame, partCols: Seq[String]): Unit = {
+      val (fs, p) = DedupStream.fsOf(spark, store)
+      val tmp = new org.apache.hadoop.fs.Path(
+        store + DedupStream.CompactTmpSuffix)
+      fs.delete(tmp, true)
+      fresh.write.mode(SaveMode.Overwrite)
+        .partitionBy(partCols: _*)
+        .option("compression", "zstd").parquet(tmp.toString)
+      DedupStream.swapDirs(fs, p, tmp)
+    }
+    val posts = spark.read.parquet(s"$dir/postings")
+    swap(s"$dir/postings")(
+      posts.filter(col("ingest_batch").isin(foldable: _*))
+        .withColumn("ingest_batch", lit(FoldedGen))
+        .unionByName(posts.filter(col("ingest_batch") === protectGen))
+        .repartition(col("bucket")).sortWithinPartitions("token"),
+      Seq("ingest_batch", "bucket"))
+    val stats = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs"), col("sum_dl"),
+        col("ingest_batch").cast("long").as("ingest_batch"))
+    swap(s"$dir/stats")(
+      stats.filter(col("ingest_batch").isin(foldable: _*))
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+        .withColumn("ingest_batch", lit(FoldedGen))
+        .unionByName(stats.filter(col("ingest_batch") === protectGen))
+        .coalesce(1),
+      Seq("ingest_batch"))
+    true
+  }
+
+  /** Committed generation ids: the stats rows ARE the commit markers.
+    * Slim — one row per live generation, bounded by compaction. */
+  private[graft] def committedGenIds(spark: SparkSession,
+                                     dir: String): Array[Long] =
+    spark.read.parquet(s"$dir/stats")
+      .select(col("ingest_batch").cast("long")) // partition col infers int
+      .collect().map(_.getLong(0))
+
+  /** The scorable postings frame: generations with a stats marker,
+    * plus the fold sentinel UNCONDITIONALLY — during the window where
+    * a compaction has swapped postings but not yet stats, the
+    * sentinel holds exactly the rows whose old generation dirs are
+    * gone, so admitting it (and letting the stale stats ids filter
+    * against now-absent partitions) keeps the probe exact. */
+  private[graft] def committedPostings(spark: SparkSession,
+                                       dir: String): DataFrame = {
+    val ids = committedGenIds(spark, dir).map(lit(_))
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("ingest_batch") === FoldedGen ||
+        col("ingest_batch").isin(ids: _*))
+  }
+
+  /** One-row corpus stats: fold the mergeable per-generation partials.
+    * Exact — n_docs/sum_dl are integers, so the fold is order-free
+    * and equals a full rebuild's aggregate bit for bit. */
+  private[graft] def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+
+  private[graft] def emptyTopKFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))))
+
+  /** The probe's scoring tail: pivot per-term tf rows to one row per
+    * candidate doc, fold the SAME BM25 score as the corpus-scan
+    * query, TakeOrdered the top-k. `posts` carries (doc_id, dl,
+    * token, tf) for the query terms only; `tstats` carries (token,
+    * df); `statsRow` is the one-row (n_docs, avgdl) frame. */
   private[graft] def scoreTopK(posts: DataFrame, tstats: DataFrame,
                                statsRow: DataFrame, terms: Seq[String],
                                topK: Int): DataFrame = {
@@ -201,48 +345,41 @@ object Retrieval extends QueryPack {
         pround(col("score_raw"), 4).as("score"))
   }
 
-  /** BM25 top-k over the index alone: postings/tokenstats reads prune
-    * to the query terms' buckets at file listing, per-term tf rows
-    * pivot to one row per candidate doc, and the score is the SAME
-    * fixed-order fold as the corpus-scan query. `terms` must be
-    * [[TextAnalysis.Bm25Terms]]-shaped (the fold is positional). */
+  /** BM25 top-k over the index alone: postings reads prune to the
+    * query terms' buckets (within committed generations) at file
+    * listing, per-term tf rows pivot to one row per candidate doc,
+    * term df is derived exactly from the pruned rows themselves
+    * (df(t) = posting-row count — no separate df store to drift), and
+    * the score is the SAME fixed-order fold as the corpus-scan query.
+    * `terms` must be [[TextAnalysis.Bm25Terms]]-shaped (the fold is
+    * positional). An index with no committed generation yet answers
+    * empty, not PATH_NOT_FOUND. */
   def probeIndexTopK(spark: SparkSession, dir: String,
                      terms: Seq[String], topK: Int): DataFrame = {
+    if (!graft.FsUtils.committedExists(spark, s"$dir/stats"))
+      return emptyTopKFrame(spark)
     val buckets = terms.map(bucketOf).distinct.map(lit(_))
     val termLits = terms.map(lit(_))
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = committedPostings(spark, dir)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(termLits: _*))
-    val tstats = spark.read.parquet(s"$dir/tokenstats")
-      .filter(col("bucket").isin(buckets: _*))
-      .filter(col("token").isin(termLits: _*))
-      .select("token", "df")
-    scoreTopK(posts, tstats,
-      spark.read.parquet(s"$dir/stats").select("n_docs", "avgdl"),
-      terms, topK)
+      .select("doc_id", "dl", "token", "tf")
+    val tstats = posts.groupBy("token").agg(count(lit(1)).as("df"))
+    scoreTopK(posts, tstats, corpusStats(spark, dir), terms, topK)
   }
 
   /** Exact phrase search from the positional index: occurrences of
     * `w1 w2` = positions p of w1 with p+1 among w2's positions in the
-    * same doc. Both posting lists come from pruned bucket reads; the
-    * adjacency test explodes only the two terms' position lists —
-    * corpus size never enters. */
+    * same doc. Both posting lists come from pruned committed-bucket
+    * reads — the SAME committed-generation guard as [[probeIndexTopK]]
+    * (one shared helper, so the two probes can never disagree about
+    * which generations exist after a mid-batch crash); the adjacency
+    * test explodes only the two terms' position lists — corpus size
+    * never enters. */
   def probePhrase(spark: SparkSession, dir: String,
                   w1: String, w2: String): DataFrame = {
     val buckets = Seq(w1, w2).map(bucketOf).distinct.map(lit(_))
-    val raw = spark.read.parquet(s"$dir/postings")
-    // streamed layout: honor the stats commit marker exactly like
-    // IndexStream.probeTopK, so the two probes can never disagree
-    // about which batches exist after a mid-batch crash
-    val committed =
-      if (!raw.columns.contains("ingest_batch")) raw
-      else {
-        val ids = spark.read.parquet(s"$dir/stats")
-          .select(col("ingest_batch").cast("long"))
-          .collect().map(r => lit(r.getLong(0)))
-        raw.filter(col("ingest_batch").isin(ids: _*))
-      }
-    val posts = committed
+    val posts = committedPostings(spark, dir)
       .filter(col("bucket").isin(buckets: _*))
     def positionsOf(t: String, alias: String) = posts
       .filter(col("token") === t)

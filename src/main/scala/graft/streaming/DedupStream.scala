@@ -104,7 +104,7 @@ object DedupStream {
     compactStore(spark, storePath, maxStoreFiles)
   }
 
-  private[streaming] def fsOf(spark: SparkSession, path: String) = {
+  private[graft] def fsOf(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
@@ -155,7 +155,7 @@ object DedupStream {
     * drop the displaced original. Uses the suffixes
     * [[recoverCompaction]] heals, so a crash at any point between the
     * renames is recovered at the next batch start. */
-  private[streaming] def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
                        p: org.apache.hadoop.fs.Path,
                        tmp: org.apache.hadoop.fs.Path): Unit = {
     val old = new org.apache.hadoop.fs.Path(p.toString + CompactOldSuffix)
@@ -169,7 +169,7 @@ object DedupStream {
     fs.delete(old, true)
   }
 
-  private[streaming] val CompactTmpSuffix = ".compacting"
+  private[graft] val CompactTmpSuffix = ".compacting"
   private val CompactOldSuffix = ".old"
 
   /** Heal a crashed [[compactStore]]: if the store dir is missing,

@@ -80,6 +80,45 @@ class IndexStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("compaction keeps the store bounded and the probe exact") {
+    val w = work()
+    (0 to 4).foreach(i =>
+      IndexStream.processBatch(docs.filter(col("doc_id") % 5 === i),
+        i.toLong, s"$w/idx", maxPartials = 2))
+    // generations fold as batches accumulate: never more than
+    // maxPartials + 1 (sentinel + protected current + headroom) live
+    val gens = spark.read.parquet(s"$w/idx/stats")
+      .select(col("ingest_batch").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(gens.size <= 3 && gens.contains(-1L),
+      s"store not compacted: generations $gens")
+    val streamed = IndexStream.probeTopK(spark, s"$w/idx", terms, 25)
+      .collect().map(_.toString).toSeq
+    val full = s"$w/full"
+    Retrieval.writeTextIndex(docs, "doc_id", "text", full)
+    assert(streamed == Retrieval.probeIndexTopK(spark, full, terms, 25)
+      .collect().map(_.toString).toSeq,
+      "compacted streamed index diverged from batch build")
+  }
+
+  test("a crashed compaction swap heals at the next batch") {
+    val w = work()
+    (0 to 2).foreach(i =>
+      IndexStream.processBatch(third(i), i.toLong, s"$w/idx"))
+    val before = IndexStream.probeTopK(spark, s"$w/idx", terms, 25)
+      .collect().map(_.toString).toSeq
+    // simulate a crash between the two renames: the live postings dir
+    // is displaced to the .old side dir and never promoted back
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$w/idx/postings"),
+      new org.apache.hadoop.fs.Path(s"$w/idx/postings.old")))
+    IndexStream.processBatch(docs.filter(col("doc_id") < 0), 3L, s"$w/idx")
+    val after = IndexStream.probeTopK(spark, s"$w/idx", terms, 25)
+      .collect().map(_.toString).toSeq
+    assert(after == before, "recovery did not restore the displaced store")
+  }
+
   test("file-stream end to end via run()") {
     val w = work()
     val inDir = s"$w/in"

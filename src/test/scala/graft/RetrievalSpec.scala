@@ -67,6 +67,92 @@ class RetrievalSpec extends SparkSpec {
     assert(pInc == pOne)
   }
 
+  test("crashed append is invisible; the retry reuses and clears its generation") {
+    val base = s"${work()}/inc"
+    val docs = Tables.load(spark, sf0001, "documents")
+    val terms = Seq("order", "customer", "scan")
+    Retrieval.writeTextIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", base)
+    val before = Retrieval.probeIndexTopK(spark, base, terms, 25)
+      .collect().map(_.toString).toSeq
+    // simulate the crash window: a WRONG delta's postings land at the
+    // next generation id, but the run dies before the stats marker
+    val (_, orphan) = Retrieval.stagePostings(
+      docs.filter(col("doc_id") % 4 === 1), "doc_id", "text")
+    orphan.withColumn("ingest_batch", lit(1L))
+      .write.mode("append").partitionBy("ingest_batch", "bucket")
+      .parquet(s"$base/postings")
+    val crashed = Retrieval.probeIndexTopK(spark, base, terms, 25)
+      .collect().map(_.toString).toSeq
+    assert(crashed == before,
+      "probe scored postings of an append with no commit marker")
+    // the retry (with the REAL delta) must reuse generation 1 and
+    // clear the orphan — not strand it or double-append
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", base)
+    val full = s"${work()}/full"
+    Retrieval.writeTextIndex(docs, "doc_id", "text", full)
+    val inc = Retrieval.probeIndexTopK(spark, base, terms, 25)
+      .collect().map(_.toString).toSeq
+    val one = Retrieval.probeIndexTopK(spark, full, terms, 25)
+      .collect().map(_.toString).toSeq
+    assert(inc == one, "retried append diverged from rebuild")
+  }
+
+  test("compaction folds generations, keeps probes exact, and appends resume") {
+    val dir = s"${work()}/idx"
+    val docs = Tables.load(spark, sf0001, "documents")
+    val terms = Seq("order", "customer", "scan")
+    Retrieval.writeTextIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", dir)
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", dir)
+    assert(Retrieval.compactTextIndex(spark, dir, maxPartials = 1),
+      "compaction should trigger above maxPartials generations")
+    assert(spark.read.parquet(s"$dir/stats")
+      .select(col("ingest_batch").cast("long")).collect()
+      .map(_.getLong(0)).toSet == Set(-1L),
+      "compaction should leave only the fold sentinel")
+    // probe across the sentinel equals a rebuild of the same corpus...
+    val full = s"${work()}/full"
+    Retrieval.writeTextIndex(docs.filter(col("doc_id") % 3 < 2),
+      "doc_id", "text", full)
+    assert(Retrieval.probeIndexTopK(spark, dir, terms, 25)
+      .collect().map(_.toString).toSeq ==
+      Retrieval.probeIndexTopK(spark, full, terms, 25)
+        .collect().map(_.toString).toSeq)
+    // ...and maintenance continues on the compacted index
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", dir)
+    val all = s"${work()}/all"
+    Retrieval.writeTextIndex(docs, "doc_id", "text", all)
+    assert(Retrieval.probeIndexTopK(spark, dir, terms, 25)
+      .collect().map(_.toString).toSeq ==
+      Retrieval.probeIndexTopK(spark, all, terms, 25)
+        .collect().map(_.toString).toSeq,
+      "append after compaction diverged from rebuild")
+    assert(Retrieval.probePhrase(spark, dir, "table", "hash")
+      .collect().map(_.toString).sorted.toSeq ==
+      Retrieval.probePhrase(spark, all, "table", "hash")
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("append onto an empty-corpus base neither NPEs nor skews stats") {
+    val dir = s"${work()}/idx"
+    val docs = Tables.load(spark, sf0001, "documents")
+    Retrieval.writeTextIndex(docs.filter(col("doc_id") < 0),
+      "doc_id", "text", dir) // empty base: n_docs=0, sum_dl must be 0
+    Retrieval.appendTextIndex(docs, "doc_id", "text", dir)
+    val full = s"${work()}/full"
+    Retrieval.writeTextIndex(docs, "doc_id", "text", full)
+    val terms = Seq("order", "customer", "scan")
+    assert(Retrieval.probeIndexTopK(spark, dir, terms, 25)
+      .collect().map(_.toString).toSeq ==
+      Retrieval.probeIndexTopK(spark, full, terms, 25)
+        .collect().map(_.toString).toSeq,
+      "empty-base append diverged from rebuild")
+  }
+
   test("phrase search matches a direct token-stream recount") {
     val dir = s"${work()}/idx"
     val docs = Tables.load(spark, sf0001, "documents")
