@@ -386,7 +386,12 @@ object Bench {
     "sql_rate_summary" -> 3.6,
     "dedup_cluster_canonical" -> 3.4,
     "funnel_stage3_proc_sets" -> 3.1,
-    "f2_uid_mint" -> 2.9,
+    // (r8 adjudication) 1.35 s fresh-JVM REPEAT=3; the old 2.9 s
+    // suite-position reference put the 3x retry threshold at 8.7 s, so
+    // the r8 record's 6.6 s mid-suite spike sailed under the guard.
+    // 1.4 s arms the retry at ~4.2 s — above any honest run of this
+    // plan, below the suite-pressure artifacts.
+    "f2_uid_mint" -> 1.4,
     "f_categorize_xwalk" -> 2.8,
     "sim_ivf_topk" -> 2.8,
     "sort_pagination" -> 2.3,

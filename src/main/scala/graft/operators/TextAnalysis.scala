@@ -488,6 +488,21 @@ object TextAnalysis extends QueryPack {
     // (the BM25/DSIR stats pattern). PMI divisions follow ONE
     // parenthesization mirrored in the oracle, and the rank order is
     // (rounded pmi, w1, w2) so ties cannot reshuffle across engines.
+    //
+    // SCALE GOVERNOR — the unigram support floor: the pair-grain
+    // aggregate is the one exchange whose CARDINALITY grows super-
+    // linearly with corpus size (vocab growth is long-tailed, and
+    // distinct pairs grow roughly with the square of the tail), which
+    // is exactly what the slope_10x probe measured (4.96, the suite's
+    // steepest). PMI estimates for rare words are statistical noise
+    // anyway, so tokens with unigram count < PmiSupportFloor are
+    // dropped from the PAIR STREAM before the pair aggregate — a
+    // broadcast semi-join on each side of the pair, applied SCAN-SIDE
+    // so the long tail of singleton pairs never enters the shuffle.
+    // Window adjacency is computed on the UNFILTERED token stream (the
+    // floor removes pairs, it never splices distant tokens together),
+    // and the unigram model/t_tokens stay full-vocab; the oracle
+    // mirrors the floor with the same semi-joins.
     "text_pmi_pairs" -> ((s, d) => {
       val tk = tokCol(col("text"))
       val pairsOfDoc = (1 to PmiWindow).map { o =>
@@ -496,17 +511,22 @@ object TextAnalysis extends QueryPack {
           slice(tk, lit(o + 1), greatest(size(tk) - o, lit(0))),
           (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))
       }.reduce(concat(_, _))
-      val pairs = docs(s, d).select(explode(pairsOfDoc).as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       // both aggregates are consumed 2-3 times (join sides + totals);
       // without the checkpoint each consumer re-scans and re-tokenizes
       // the CORPUS (no common-subtree reuse across joins) — with it,
       // the corpus is read once per aggregate and every reuse is a
       // vocab-sized in-memory read
-      val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-        .localCheckpoint()
       val uc = docs(s, d).select(explode(tk).as("token"))
         .groupBy("token").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val supported = uc.filter(col("c") >= PmiSupportFloor).select("token")
+      val pairs = docs(s, d).select(explode(pairsOfDoc).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .join(broadcast(supported.withColumnRenamed("token", "w1")),
+          Seq("w1"), "left_semi")
+        .join(broadcast(supported.withColumnRenamed("token", "w2")),
+          Seq("w2"), "left_semi")
+      val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
         .localCheckpoint()
       val tTok = uc.agg(sum(col("c")).cast("double").as("t_tokens"))
       val tPair = pc.agg(sum(col("c_ab")).cast("double").as("t_pairs"))
@@ -663,12 +683,14 @@ object TextAnalysis extends QueryPack {
   private[operators] val Bm25B = 0.75
   private[operators] val Bm25TopK = 25
 
-  /** PMI co-occurrence window (±tokens), support floor, and result
-    * cap. W and the floor bound the pair-stream width: the stream is
-    * ≤ W·n_tokens slim rows and the support filter runs on the
-    * aggregated counts before any join. */
+  /** PMI co-occurrence window (±tokens), floors, and result cap. W
+    * bounds the pair-stream width (≤ W·n_tokens slim rows);
+    * PmiSupportFloor drops rare-token pairs BEFORE the pair aggregate
+    * (the cardinality governor — see the query comment); PmiMinCount
+    * filters the aggregated pair counts before any join. */
   private val PmiWindow = 3
   private val PmiMinCount = 5
+  private val PmiSupportFloor = 5
   private val PmiTopK = 100
 
   /** The classifier-score DuckDB twin, shared verbatim with
@@ -979,21 +1001,28 @@ object TextAnalysis extends QueryPack {
 
       // The pair multiset is the same enumeration as the Spark
       // shifted-zip — (i, i + o) for every o ≤ W with i + o inside the
-      // doc — normalized least/greatest; PMI mirrors the one
+      // doc — normalized least/greatest, then floored by the SAME
+      // unigram support semi-joins (adjacency from the unfiltered
+      // stream; unigram model stays full-vocab); PMI mirrors the one
       // parenthesization and rounds before the rank sort.
       "text_pmi_pairs" -> s"""
         WITH tok AS ($tokCteSql),
+        uc AS MATERIALIZED (
+          SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT unnest(tk) AS t FROM tok) GROUP BY 1),
+        sup AS MATERIALIZED (
+          SELECT token FROM uc WHERE c >= $PmiSupportFloor),
         pr AS (
           SELECT least(tk[i], tk[i + o]) AS w1,
                  greatest(tk[i], tk[i + o]) AS w2
           FROM (SELECT tk, CAST(i AS INTEGER) AS i, CAST(o AS INTEGER) AS o
                 FROM (SELECT tk, unnest(range(1, len(tk) + 1)) AS i FROM tok)
                 CROSS JOIN (SELECT unnest(range(1, $PmiWindow + 1)) AS o))
-          WHERE i + o <= len(tk)),
+          WHERE i + o <= len(tk)
+            AND least(tk[i], tk[i + o]) IN (SELECT token FROM sup)
+            AND greatest(tk[i], tk[i + o]) IN (SELECT token FROM sup)),
         pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
                FROM pr GROUP BY 1, 2),
-        uc AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c
-               FROM (SELECT unnest(tk) AS t FROM tok) GROUP BY 1),
         tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t_tokens FROM uc),
         tp AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS t_pairs FROM pc)
         SELECT w1, w2, c_ab,

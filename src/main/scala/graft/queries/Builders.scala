@@ -50,7 +50,48 @@ object Builders extends QueryPack {
   private val FunnelState = "NATION_9"
   private val FunnelYm = "1995-09"
 
+  /** Multi-select fixtures shared by the queries and their oracles so
+    * the IN lists can never drift between the two engines. All values
+    * exist at sf0.001+ except two taxonomies that only appear from
+    * sf0.01 up — deliberately: absent IN values must be a no-op, not
+    * an error, on both sides. */
+  private val MsCodes = (3 to 199 by 5).map(_.toString)
+  private val MsPayers = Seq("payer_1", "payer_3")
+  private val MsClasses = Seq("professional", "institutional")
+  private val MsTypes = Seq("negotiated", "fee schedule")
+  private val MsTaxonomies =
+    Seq("Taxonomy 3", "Taxonomy 23", "Taxonomy 42", "Taxonomy 77")
+  private def inList(vs: Seq[String]): String =
+    vs.map(v => s"'$v'").mkString("(", ", ", ")")
+
   def queries: Map[String, QFn] = Map(
+    // Consolidated-dashboard multi-select search: every fact-side
+    // filter field carries a comma-separated value LIST that the
+    // grammar decodes into IN predicates (consolidated_dashboard.py:
+    // 139-160; staged_dashboard.py:167-180) — all pushed into the one
+    // fact scan; result rows ranked highest-rate-first with a
+    // deterministic tie-break (simple_queries.py:16-202).
+    "api_multi_select" -> ((s, d) =>
+      QueryApi.multiFieldSearch(s, d, QueryApi.RateFilter(
+        state = "", yearMonth = "1995-09",
+        codes = QueryApi.parseMulti(MsCodes.mkString(", ")),
+        billingClasses = QueryApi.parseMulti(MsClasses.mkString(" , ")),
+        negotiatedTypes = QueryApi.parseMulti(MsTypes.mkString(",")),
+        payers = QueryApi.parseMulti(MsPayers.mkString(",")),
+        minRate = Some(50.0)))),
+
+    // Multi-select on the NPPES-dim side: taxonomy + enumeration-type
+    // lists filter the dim, which attaches as ONE broadcast semi-join
+    // (staged_dashboard.py:330-347's taxonomy IN over the joined
+    // NPPES table) under the same A4 summary the single-value J14
+    // path serves.
+    "api_multi_taxonomy" -> ((s, d) =>
+      QueryApi.rateSummary(s, d, QueryApi.RateFilter(
+        state = "", yearMonth = "1995-09",
+        payers = QueryApi.parseMulti("payer_0, payer_2, payer_4"),
+        taxonomies = QueryApi.parseMulti(MsTaxonomies.mkString(",")),
+        enumerationTypes = QueryApi.parseMulti("NPI-1")))),
+
     // §2.9 prod path: crosswalk dim build + broadcast categorization join
     // with pre-computed search fields (optimized_queries.py:131-149)
     "f_categorize_xwalk" -> ((s, d) => {
@@ -270,6 +311,39 @@ object Builders extends QueryPack {
             FROM rates))"""
     val (wSet, wCls, wGrp) = Categorizer.sqlCase("billing_code")
     Map(
+      // same IN lists (one shared fixture), same rounded-rate rank
+      // with the same (l_orderkey, l_linenumber) tie-break
+      "api_multi_select" -> s"""$R
+        SELECT l_orderkey, l_linenumber, billing_code,
+               ${prS("negotiated_rate")} AS negotiated_rate,
+               payer_slug, billing_class, negotiated_type
+        FROM rates
+        WHERE year_month = '1995-09'
+          AND billing_code IN ${inList(MsCodes)}
+          AND billing_class IN ${inList(MsClasses)}
+          AND negotiated_type IN ${inList(MsTypes)}
+          AND payer_slug IN ${inList(MsPayers)}
+          AND negotiated_rate >= 50.0
+        ORDER BY 4 DESC, l_orderkey, l_linenumber
+        LIMIT 100""",
+
+      // the NPPES-side lists filter the dim subquery — the semi-join
+      // twin — under the verbatim A4 summary aggregates
+      "api_multi_taxonomy" -> s"""$RP,
+        dim AS (${EnrichmentDimsSql.dimNpi})
+        SELECT COUNT(*) AS rate_count,
+               ${avgS("negotiated_rate")} AS avg_rate,
+               ${prS("MIN(negotiated_rate)")} AS min_rate,
+               ${prS("MAX(negotiated_rate)")} AS max_rate,
+               ${qS("negotiated_rate", "0.5")} AS median_rate,
+               COUNT(DISTINCT billing_code) AS unique_codes
+        FROM rates
+        WHERE year_month = '1995-09'
+          AND payer_slug IN ('payer_0', 'payer_2', 'payer_4')
+          AND provider_reference_id IN (
+            SELECT npi FROM dim
+            WHERE primary_taxonomy_desc IN ${inList(MsTaxonomies)}
+              AND enumeration_type IN ('NPI-1'))""",
       "f_categorize_xwalk" -> s"""$R, codes AS (
           SELECT l_orderkey, l_linenumber,
                  ${synthCodeSql("billing_code")} AS code FROM rates),

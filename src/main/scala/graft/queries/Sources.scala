@@ -228,7 +228,13 @@ object Sources extends QueryPack {
       FROM supplier""",
 
     // the real DuckDB JSON reader over the same files; both engines
-    // keep malformed lines as all-NULL rows
+    // keep malformed lines as all-NULL rows. NOTE: this parity is
+    // coupled to the pinned DuckDB version's corruption policy —
+    // ignore_errors=true NULL-FILLS a malformed line here (matching
+    // Spark PERMISSIVE's corrupt-row-as-NULLs), but other DuckDB
+    // versions have SKIPPED errored lines instead, which would drop
+    // the injected garbage rows and break the row-count/hash match.
+    // If the oracle engine moves, re-check this query first.
     "source_jsonl_roundtrip" -> s"""
       SELECT * FROM read_json('$oracleJsonlSidecar/*.txt',
         format = 'newline_delimited',
