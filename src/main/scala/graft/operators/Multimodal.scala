@@ -250,6 +250,30 @@ object Multimodal extends QueryPack {
     bos.toByteArray
   }
 
+  /** Stereo twin of [[synthWav]]: interleaved 16-bit LE frames where
+    * channel c carries the [[audioSample]] recurrence seeded with
+    * `id + c` — two genuinely different waveforms per payload (steps
+    * (id%7)+1 and ((id+1)%7)+1), so a decoder that mixed the channels
+    * up (or walked the interleaving as one mono stream) could not
+    * reproduce the per-channel features. */
+  def synthWavStereo(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = java.nio.ByteBuffer.allocate(AudioFrames * 2 * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < AudioFrames) {
+      pcm.putShort(audioSample(id, i).toShort)
+      pcm.putShort(audioSample(id + 1, i).toShort)
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioRateHz.toFloat, 16, 2, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, AudioFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Magic-byte sniff for WAV (RIFF container with a WAVE form type)
     * — the audio analogue of [[isJdkImage]]. */
   private def isWav(b: Array[Byte]): Boolean =
@@ -281,13 +305,14 @@ object Multimodal extends QueryPack {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(m.payload))
           val f = ais.getFormat
-          // mono 16-bit PCM only: the feature loop walks the raw
-          // sample stream, so interleaved multi-channel audio would
-          // yield meaningless zero-crossing/peak/RMS mixes — stereo
-          // takes the stub until per-channel math lands in this seam
+          // 16-bit signed PCM, any channel count ≥ 1: the feature
+          // loop de-interleaves per channel (sample i belongs to
+          // channel i % C), so multi-channel audio gets honest
+          // per-channel zero-crossing math instead of a meaningless
+          // interleaved mix; other encodings/depths take the stub
           if (f.getEncoding !=
                 javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-              f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+              f.getSampleSizeInBits != 16 || f.getChannels < 1) None
           else Some((f, ais.readAllBytes()))
         } catch { case _: Exception => None }
       parsed match {
@@ -296,19 +321,27 @@ object Multimodal extends QueryPack {
           val bb = java.nio.ByteBuffer.wrap(bytes).order(
             if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
             else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nCh = f.getChannels
           val n = bytes.length / 2
+          // peak and the RMS energy are channel-agnostic (max / mean
+          // square over every sample); zero crossings are counted
+          // WITHIN each channel (sign changes of the de-interleaved
+          // stream) and summed — the interleaved L/R sign flips of a
+          // stereo payload are not crossings of anything
           var i = 0; var peak = 0; var zc = 0
-          var sumSq = 0L; var prev = 0
+          var sumSq = 0L
+          val prev = new Array[Int](nCh)
           while (i < n) {
             val s = bb.getShort(2 * i).toInt
+            val c = i % nCh
             if (math.abs(s) > peak) peak = math.abs(s)
             sumSq += s.toLong * s
-            if (i > 0 && s.toLong * prev < 0) zc += 1
-            prev = s
+            if (i >= nCh && s.toLong * prev(c) < 0) zc += 1
+            prev(c) = s
             i += 1
           }
           val rate = f.getSampleRate.toInt
-          val frames = n / f.getChannels
+          val frames = n / nCh
           // same fold as NormExprs.pround(4) so the SQL twin matches
           val rms =
             if (n == 0) 0.0
@@ -481,7 +514,13 @@ object Multimodal extends QueryPack {
         .select(col("doc_id").as("media_id")).as[Long]
       ids.mapPartitions { it =>
         // <- heavier audio codec init goes here, once per partition
-        it.map(id => decodeAudioOne(MediaIn(id, synthWav(id))))
+        // mixed-corpus fixture: half the payloads are mono, half
+        // interleaved stereo, through the SAME decode seam — the
+        // per-channel feature math is part of the hash
+        it.map { id =>
+          val wav = if (id % 8 == 0) synthWav(id) else synthWavStereo(id)
+          decodeAudioOne(MediaIn(id, wav))
+        }
       }.toDF()
         // no-silent-fallbacks: stub rows (sample_rate = -1) are counted
         // as an observed metric, so a corpus whose payloads silently
@@ -568,28 +607,36 @@ object Multimodal extends QueryPack {
                $frameHashSql AS frame_hashes
         FROM base b JOIN crc c USING (media_id)""",
 
-      // replay the PCM recurrence exactly: integer samples, integer
-      // peak/zero-crossing counts, fp only at the final rms (whose
-      // sqrt/divide inputs are identical integers on both engines, and
-      // IEEE sqrt/divide are correctly rounded)
+      // replay the PCM recurrence exactly, PER CHANNEL (channel c of
+      // media id runs the recurrence seeded with id + c): integer
+      // samples, integer peak/zero-crossing counts — crossings within
+      // a channel, summed across channels — fp only at the final rms
+      // (whose sqrt/divide inputs are identical integers on both
+      // engines, and IEEE sqrt/divide are correctly rounded)
       "multimodal_audio" -> s"""
         WITH m AS (
-          SELECT doc_id AS media_id, doc_id % 7 + 1 AS step
+          SELECT doc_id AS media_id,
+                 CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 2 END AS n_ch
           FROM documents WHERE doc_id % 4 = 0),
+        ch AS (
+          SELECT media_id, n_ch, CAST(c AS BIGINT) AS c,
+                 ((media_id + c) % 7) + 1 AS step
+          FROM (SELECT media_id, n_ch, unnest(range(0, n_ch)) AS c FROM m)),
         s AS (
-          SELECT media_id, i,
+          SELECT media_id, n_ch, c, i,
                  ((i * step) % 201) - 100 AS v,
                  (((i - 1) * step) % 201) - 100 AS pv
-          FROM (SELECT media_id, step, unnest(range(0, $AudioFrames)) AS i
-                FROM m))
+          FROM (SELECT media_id, n_ch, c, step,
+                       unnest(range(0, $AudioFrames)) AS i
+                FROM ch))
         SELECT media_id,
                $AudioRateHz AS sample_rate,
-               1 AS channels,
+               CAST(MAX(n_ch) AS INTEGER) AS channels,
                $AudioFrames AS n_frames,
                ${AudioFrames.toLong * 1000 / AudioRateHz} AS duration_ms,
                CAST(MAX(abs(v)) AS INTEGER) AS peak,
-               floor(sqrt(SUM(v * v) / $AudioFrames.0) * 10000 + 0.5)
-                 / 10000 AS rms,
+               floor(sqrt(SUM(v * v) / (MAX(n_ch) * $AudioFrames.0))
+                 * 10000 + 0.5) / 10000 AS rms,
                CAST(SUM(CASE WHEN i > 0 AND v * pv < 0 THEN 1 ELSE 0 END)
                  AS INTEGER) AS zero_crossings
         FROM s GROUP BY media_id""",

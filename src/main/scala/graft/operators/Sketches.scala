@@ -389,6 +389,35 @@ object Sketches extends QueryPack {
           .as("est_p90")): _*)
   }
 
+  /** Arbitrary-quantile picks from a (possibly merged) histogram: for
+    * each (q, name), the bucket-midpoint estimate of quantile q as an
+    * UNROUNDED double column `name` (callers round for output; scalar
+    * consumers — winsorize fences, MAD thresholds — compare against
+    * the raw rep so a rounding step can't flip a boundary row). Same
+    * cumulative-in-bucket-order pick as [[histQuantiles]]; kept
+    * separate so that serving path's (p50, p90, n_values) shape stays
+    * pinned. */
+  def histQuantilesAt(hist: DataFrame, keyCols: Seq[String],
+                      qs: Seq[(Double, String)]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("bucket"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+    val picks = qs.map { case (q, name) =>
+      min(when(col("cum").cast("double") >=
+        lit(q) * col("total").cast("double"), col("bucket")))
+        .as(s"b_$name")
+    }
+    cum.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(picks.head, picks.tail: _*)
+      .select((keyCols.map(col) ++ qs.map { case (_, name) =>
+        (rep2Expr(s"b_$name").cast("double") / lit(200.0)).as(name)
+      }): _*)
+  }
+
   // ------------------------------------------------------------ queries
 
   def queries: Map[String, QFn] = Map(

@@ -28,6 +28,50 @@ object Analytics extends QueryPack {
 
   private def avg2(c: Column) =
     pround(sum(c.cast("decimal(18,2)")).cast("double") / count(c), 2)
+
+  /** DuckDB twin of [[graft.operators.Sketches.histBuckets]] +
+    * [[graft.operators.Sketches.histQuantilesAt]] as a reusable CTE
+    * chain: from source CTE `src` (carrying `key` and value expr `v`),
+    * emits `{p}hv → {p}oct → {p}hist → {p}cum → {p}pick → {p}q`, where
+    * `{p}q` holds `key` plus one UNROUNDED bucket-rep double per
+    * requested (quantile, name). Bucket math is the verbatim integer
+    * recipe the sketch_hist_quantiles oracle already pins. */
+  private def histCteSql(src: String, key: String, v: String,
+                         picks: Seq[(String, String)], p: String): String = {
+    def rep2(n: String) =
+      s"""(CASE WHEN ($n >> 3) <= 3 THEN ($n & 7) * 2
+           ELSE (8 + ($n & 7)) *
+                  (CAST(1 AS BIGINT) << CAST(($n >> 3) - 4 AS INTEGER)) * 2
+                + (CAST(1 AS BIGINT) << CAST(($n >> 3) - 4 AS INTEGER))
+           END)"""
+    val pickCols = picks.map { case (q, n) =>
+      s"""MIN(CASE WHEN CAST(cum AS DOUBLE) >=
+            $q * CAST(total AS DOUBLE) THEN bucket END) AS b_$n"""
+    }.mkString(",\n               ")
+    val repCols = picks.map { case (_, n) =>
+      s"CAST(${rep2(s"b_$n")} AS DOUBLE) / 200.0 AS $n"
+    }.mkString(",\n               ")
+    s"""${p}hv AS (
+        SELECT $key,
+               greatest(CAST(floor(($v) * 100.0 + 0.5) AS BIGINT), 1) AS hv
+        FROM $src),
+      ${p}oct AS (SELECT $key, hv, length(bin(hv)) AS ho FROM ${p}hv),
+      ${p}hist AS (
+        SELECT $key,
+               ho * 8 + ((hv >> (CASE WHEN ho - 4 > 0 THEN ho - 4 ELSE 0 END))
+                 & 7) AS bucket,
+               COUNT(*) AS cnt
+        FROM ${p}oct GROUP BY 1, 2),
+      ${p}cum AS (
+        SELECT $key, bucket,
+               SUM(cnt) OVER (PARTITION BY $key ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY $key) AS total
+        FROM ${p}hist),
+      ${p}pick AS (
+        SELECT $key, $pickCols
+        FROM ${p}cum GROUP BY 1),
+      ${p}q AS (SELECT $key, $repCols FROM ${p}pick)"""
+  }
   private def prS(e: String, scale: Int = 2): String = {
     val f = math.pow(10, scale)
     s"floor(($e) * $f + 0.5) / $f"
@@ -444,6 +488,63 @@ object Analytics extends QueryPack {
           col("n_anomalies"))
     }),
 
+    // The SKETCH TIER of clean_winsorize — what the same operator runs
+    // as when the ApproxTier policy is on at 100 TB: the exact
+    // per-type percentile buffers (ObjectHashAggregate holding EVERY
+    // value of a group) are replaced by the mergeable HDR histogram
+    // (≤~350 integer cells per type, map-side combinable, the gold-
+    // sidecar geometry), and the fences become bucket-midpoint
+    // estimates (≤2^-3 relative error). The clamp/count pass is then
+    // EXACT against those estimated fences — approximation lives only
+    // in where the fence sits, never in whether a row was clamped
+    // consistently. Same output shape as the exact twin.
+    "clean_winsorize_hdr" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val fences = graft.operators.Sketches.histQuantilesAt(
+        graft.operators.Sketches.histBuckets(ev, Seq("event_type"), "value"),
+        Seq("event_type"), Seq(0.05 -> "lo", 0.95 -> "hi"))
+      ev.join(broadcast(fences), "event_type")
+        .select(col("event_id"), col("event_type"),
+          pround(col("value"), 2).as("value"),
+          pround(greatest(least(col("value"), col("hi")), col("lo")), 4)
+            .as("value_w"),
+          when(col("value") < col("lo"), -1)
+            .when(col("value") > col("hi"), 1).otherwise(0).as("clamped"))
+    }),
+
+    // The sketch tier of events_anomaly_mad: median and MAD come from
+    // two HDR histograms (value, then |value − med̂| re-centered on
+    // the broadcast estimate) instead of two exact percentile
+    // buffers — three scans either way, but per-group state drops
+    // from O(values) to ≤~350 cells, which is the difference between
+    // an operator that fits executor memory at 100 TB and one that
+    // doesn't. The ±3·MAD comparison runs on the UNROUNDED bucket
+    // reps on both engines (the exact twin's convention), so the
+    // anomaly count is exact given the estimated scalars.
+    "events_anomaly_hdr" -> ((s, d) => {
+      import graft.operators.Sketches
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"), col("value"))
+      val med = Sketches.histQuantilesAt(
+        Sketches.histBuckets(ev, Seq("event_type"), "value"),
+        Seq("event_type"), Seq(0.5 -> "med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("value") - col("med")).as("adev"))
+      val mad = Sketches.histQuantilesAt(
+        Sketches.histBuckets(dev, Seq("event_type"), "adev"),
+        Seq("event_type"), Seq(0.5 -> "mad"))
+      ev.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1)
+            .otherwise(0)).as("n_anomalies"))
+        .select(col("event_type"), pround(col("med"), 4).as("med"),
+          pround(col("mad"), 4).as("mad"), col("n_events"),
+          col("n_anomalies"))
+    }),
+
     // CDC apply: collapse a keyed change log into the current
     // snapshot, WITH delete semantics — the missing half of
     // j12_upsert/W1 (which only ever keep-latest). The event log
@@ -728,6 +829,38 @@ object Analytics extends QueryPack {
              CASE WHEN e.value < f.lo THEN -1
                   WHEN e.value > f.hi THEN 1 ELSE 0 END AS clamped
       FROM events e JOIN f USING (event_type)""",
+
+    // same integer bucket math as Sketches.histBuckets/histQuantilesAt,
+    // same estimated fences, same unrounded clamp compare
+    "clean_winsorize_hdr" -> s"""
+      WITH ev AS (SELECT event_id, event_type, value FROM events),
+      ${histCteSql("ev", "event_type", "value",
+        Seq("0.05" -> "lo", "0.95" -> "hi"), "f")}
+      SELECT e.event_id, e.event_type,
+             floor(e.value * 100.0 + 0.5) / 100.0 AS value,
+             floor(greatest(least(e.value, q.hi), q.lo) * 10000.0 + 0.5)
+               / 10000.0 AS value_w,
+             CASE WHEN e.value < q.lo THEN -1
+                  WHEN e.value > q.hi THEN 1 ELSE 0 END AS clamped
+      FROM ev e JOIN fq q USING (event_type)""",
+
+    // two replayed histograms (value, then |value − med̂|), same
+    // unrounded ±3·MAD test against the bucket reps
+    "events_anomaly_hdr" -> s"""
+      WITH ev AS (SELECT event_type, value FROM events),
+      ${histCteSql("ev", "event_type", "value", Seq("0.5" -> "med"), "m")},
+      dev AS (
+        SELECT ev.event_type, abs(ev.value - mq.med) AS adev
+        FROM ev JOIN mq USING (event_type)),
+      ${histCteSql("dev", "event_type", "adev", Seq("0.5" -> "mad"), "d")}
+      SELECT ev.event_type,
+             floor(mq.med * 10000.0 + 0.5) / 10000.0 AS med,
+             floor(dq.mad * 10000.0 + 0.5) / 10000.0 AS mad,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN abs(ev.value - mq.med) > 3.0 * dq.mad
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      FROM ev JOIN mq USING (event_type) JOIN dq USING (event_type)
+      GROUP BY 1, 2, 3""",
 
     // same two-level exact quantile_cont, same unrounded ±3·MAD test
     "events_anomaly_mad" -> """

@@ -112,6 +112,27 @@ class TrainingSpec extends SparkSpec {
       MediaIn(1L, Array[Byte](1, 2, 3))).isEmpty)
   }
 
+  test("stereo wav roundtrip: per-channel decode, not an interleaved mix") {
+    val id = 12L // L step = 12%7+1 = 6; R step = 13%7+1 = 7
+    val f = Multimodal.decodeAudioOne(
+      MediaIn(id, Multimodal.synthWavStereo(id)))
+    assert(f.sample_rate == 8000 && f.channels == 2 && f.n_frames == 800)
+    assert(f.duration_ms == 100)
+    def wave(seed: Long) =
+      (0 until 800).map(i => ((i.toLong * (seed % 7 + 1)) % 201 - 100).toInt)
+    val (l, r) = (wave(id), wave(id + 1))
+    assert(f.peak == (l ++ r).map(math.abs).max)
+    // crossings are per channel, summed — the interleaved stream's
+    // sign flips between L and R must NOT count
+    def zc(s: Seq[Int]) = s.sliding(2).count { case Seq(a, b) => a.toLong * b < 0 }
+    assert(f.zero_crossings == zc(l) + zc(r),
+      "zero crossings not de-interleaved per channel")
+    val all = l ++ r
+    val rms = math.floor(math.sqrt(
+      all.map(s => s.toLong * s).sum.toDouble / 1600) * 1e4 + 0.5) / 1e4
+    assert(f.rms == rms)
+  }
+
   test("wav codec: truncated payload and non-wav payload fall to the stub, not a crash") {
     val good = Multimodal.synthWav(3L)
     val truncated = good.take(30) // RIFF/WAVE magic intact, body gone
