@@ -360,6 +360,11 @@ object Bench {
     "privacy_k_anonymity" -> 1.3, // (r8) three combinable aggregates
     "search_index_topk" -> 4.0, // (r8) index BUILD + pruned probe per run
     "search_phrase" -> 2.3, // (r8) index build + two posting lists
+    "search_hybrid_rerank" -> 4.5, // (r9) index build + probe + 25-row rerank
+    "api_multi_select" -> 1.5, // (r9) one fact scan, IN pushdown + topk
+    "api_multi_taxonomy" -> 1.5, // (r9) fact scan + NPPES semi + summary
+    "clean_winsorize_hdr" -> 1.5, // (r9) hist cells + broadcast-back rewrite
+    "events_anomaly_hdr" -> 1.8, // (r9) two hist passes + count pass
     "classifier_eval_auc" -> 1.5, // (r8) score-group-grain rank sums
     "classifier_calibration" -> 1.5, // (r8) one rank window
     "corpus_drift_js" -> 1.5, // (r8) two combinable aggs

@@ -396,6 +396,11 @@ object Retrieval extends QueryPack {
   private val PhraseW1 = "table"
   private val PhraseW2 = "hash"
 
+  /** Hybrid-rerank fixture: the query embedding's vec_id and the
+    * final result depth. */
+  private val HybridQueryVec = 7L
+  private val HybridTopK = 10
+
   /** Query-private index dir (the PQ/IVF sidecar convention: the
     * declared queries overwrite it, so the probes and the oracles
     * always see the index the build just wrote). */
@@ -417,6 +422,41 @@ object Retrieval extends QueryPack {
     "search_phrase" -> ((s, d) => {
       writeTextIndex(docs(s, d), "doc_id", "text", oracleIndexDir)
       probePhrase(s, oracleIndexDir, PhraseW1, PhraseW2)
+    }),
+
+    // Two-stage hybrid retrieval — the production RAG shape (lexical
+    // recall, semantic precision): stage 1 takes the BM25 top-k from
+    // the inverted index (bucket-pruned probe, corpus untouched);
+    // stage 2 reranks ONLY those candidates by embedding cosine
+    // against a query vector. The candidate set broadcasts into the
+    // embeddings scan as a semi-filter (the corpus-side frame streams;
+    // k rows reach the rerank) and the query vector rides a one-row
+    // broadcast — at any corpus size the rerank costs k dot products,
+    // so the expensive model-quality stage runs on a bounded set, the
+    // shape every two-tower serving stack uses. Ranking sorts the
+    // UNROUNDED cosine (sim_ann_topk's convention) with a doc_id
+    // tie-break; both stages' scores are published.
+    "search_hybrid_rerank" -> ((s, d) => {
+      graft.functions.CosineSimF32.register(s)
+      writeTextIndex(docs(s, d), "doc_id", "text", oracleIndexDir)
+      val cands = probeIndexTopK(s, oracleIndexDir, TextAnalysis.Bm25Terms,
+          TextAnalysis.Bm25TopK)
+        .select(col("doc_id"), col("score").as("bm25"))
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === HybridQueryVec)
+        .select(col("embedding").as("qe"))
+      val scored = e
+        .select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+        .join(broadcast(cands), "doc_id")
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"), col("bm25"),
+          call_function("cosine_f32", col("qe"), col("ce")).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sim").desc, col("doc_id"))
+      scored.orderBy(col("sim").desc, col("doc_id")).limit(HybridTopK)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("doc_id"), col("bm25"),
+          pround(col("sim"), 4).as("cosine"))
     })
   )
 
@@ -431,6 +471,28 @@ object Retrieval extends QueryPack {
         FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tok)
         WHERE tk[CAST(i AS INTEGER)] = '$PhraseW1'
           AND tk[CAST(i AS INTEGER) + 1] = '$PhraseW2'
-        GROUP BY doc_id"""
+        GROUP BY doc_id""",
+
+    // stage 1 = the VERBATIM shared BM25 twin; stage 2 = the
+    // similarity family's dot-product fold over exactly those
+    // candidates, ranked on the unrounded cosine
+    "search_hybrid_rerank" -> s"""
+        WITH bm AS MATERIALIZED (${TextAnalysis.bm25OracleSql}),
+        q AS (SELECT 0 AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id = $HybridQueryVec),
+        c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+              WHERE vec_id IN (SELECT doc_id FROM bm)),
+        dots AS (${Similarity.dotSql("q", "c", "1 = 1")}),
+        scored AS (SELECT cid AS doc_id, dp / (sqrt(na) * sqrt(nb)) AS sim
+                   FROM dots),
+        ranked AS (SELECT doc_id, sim,
+                          row_number() OVER (ORDER BY sim DESC, doc_id)
+                            AS rank
+                   FROM scored)
+        SELECT CAST(r.rank AS INTEGER) AS rank, r.doc_id,
+               bm.score AS bm25,
+               floor(r.sim * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM ranked r JOIN bm ON bm.doc_id = r.doc_id
+        WHERE r.rank <= $HybridTopK"""
   )
 }

@@ -798,7 +798,7 @@ object Similarity extends QueryPack {
       "graft_outlier_oracle_centroids").getAbsolutePath
 
   /** Shared SQL: per-(pair) double-precision dot products via UNNEST. */
-  private def dotSql(qTbl: String, cTbl: String, joinCond: String): String = s"""
+  private[operators] def dotSql(qTbl: String, cTbl: String, joinCond: String): String = s"""
     SELECT qid, cid,
            SUM(CAST(qe[CAST(i AS INTEGER)] AS DOUBLE) *
                CAST(ce[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
