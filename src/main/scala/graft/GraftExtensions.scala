@@ -97,7 +97,38 @@ object GraftExtensions {
       new ExpressionInfo(
         classOf[graft.functions.SubwordEncode].getName, "subword_encode"),
       arity("subword_encode", 2)(exprs =>
-        graft.functions.SubwordEncode(exprs.head, exprs(1)))))
+        graft.functions.SubwordEncode(exprs.head, exprs(1)))),
+    // Catalyst's own runtime-filter bloom machinery surfaced as
+    // ordinary functions (it ships unregistered, reserved for
+    // InjectRuntimeFilter): bloom_build(value, est_items, num_bits)
+    // aggregates xxhash64(value) into a mergeable bloom bitset;
+    // bloom_might_contain(bloom, value) is the codegen'd scan-side
+    // probe. The value is hashed IDENTICALLY on both sides (XxHash64,
+    // default seed), so membership of every inserted value is
+    // guaranteed — no false negatives, which is what makes the
+    // prefilter-then-exact-join pattern semantics-preserving. The
+    // bloom operand must be foldable (Catalyst's own contract), i.e.
+    // a collected literal — the codebook/centroid bounded-collect
+    // convention.
+    (FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "bloom_build"),
+      arity("bloom_build", 3)(exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            new org.apache.spark.sql.catalyst.expressions.XxHash64(
+              Seq(exprs.head)),
+            exprs(1), exprs(2)))),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "bloom_might_contain"),
+      arity("bloom_might_contain", 2)(exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head,
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(exprs(1)))))))
 
   /** Register every kernel into an existing session's function
     * registry. Idempotent (re-registration replaces the same entry). */

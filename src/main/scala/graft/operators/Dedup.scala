@@ -556,6 +556,41 @@ object Dedup extends QueryPack {
       augmented(s, d).groupBy(md5(col("text")).as("text_hash"))
         .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))),
 
+    // Bloom-prefiltered incremental exact dedup — Catalyst's own
+    // runtime-filter machinery (bloom_build / bloom_might_contain,
+    // surfaced by GraftExtensions) used the way a 100 TB ingest
+    // pipeline uses it: the KNOWN corpus's content digests fold into
+    // one mergeable bloom bitset (a bounded driver collect, the
+    // codebook convention), and the incoming scan probes it
+    // codegen-side. might-contain = false proves NOT-a-member (no
+    // false negatives), so those rows pass WITHOUT any join; only the
+    // bloom-positive sliver reaches the exact anti-join that settles
+    // false positives. The result is therefore EXACTLY the plain
+    // anti-join's — the oracle states it as one — while the shuffle
+    // the anti-join pays shrinks from O(incoming) to O(candidates).
+    // Routing volume is observed, never silent.
+    "dedup_bloom_prefilter" -> ((s, d) => {
+      graft.GraftExtensions.registerAll(s)
+      val aug = augmented(s, d)
+      val known = aug.filter(col("doc_id") < 200)
+        .select(md5(col("text")).as("digest"))
+      val incoming = aug.filter(col("doc_id") >= 200)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      val bfRow = known.agg(call_function("bloom_build",
+        col("digest"), lit(4096L), lit(65536L)).as("bf")).head()
+      if (bfRow.isNullAt(0)) incoming // empty known set: all docs are new
+      else {
+        val mc = call_function("bloom_might_contain",
+          lit(bfRow.getAs[Array[Byte]](0)), col("digest"))
+        val fast = incoming.filter(!mc)
+        val survivors = incoming.filter(mc)
+          .observe("dedup_bloom_candidates",
+            count(lit(1)).as("n_candidates"))
+          .join(known, Seq("digest"), "left_anti")
+        fast.unionByName(survivors.select(fast.columns.map(col): _*))
+      }
+    }),
+
     // MinHash + LSH banding: candidate near-dup pairs via band-bucket join
     "dedup_minhash_lsh" -> ((s, d) =>
       lshCandidatePairs(minhashSignatures(s, d))),
@@ -1337,6 +1372,16 @@ object Dedup extends QueryPack {
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
              COUNT(*) AS n_copies
       FROM aug GROUP BY 1""",
+
+    // the bloom prefilter is semantics-preserving, so its twin is the
+    // PLAIN anti-join it accelerates — the strongest possible pin on
+    // "no false negatives leaked, every false positive settled"
+    "dedup_bloom_prefilter" -> s"""WITH aug AS ($augmentedSql),
+      known AS (SELECT md5(text) AS digest FROM aug WHERE doc_id < 200)
+      SELECT doc_id, md5(text) AS digest
+      FROM aug
+      WHERE doc_id >= 200
+        AND md5(text) NOT IN (SELECT digest FROM known)""",
 
     // Shingle construction in SQL mirrors `shinglesOf` exactly,
     // including the <3-token single-shingle fallback.

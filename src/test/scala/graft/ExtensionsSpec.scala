@@ -49,6 +49,23 @@ class ExtensionsSpec extends SparkSpec {
         .head.getSeq[String](0)
       assert(sw == Seq("customer", "join"))
 
+      // bloom machinery: build over SQL, probe from SQL — and the
+      // membership law that makes the prefilter pattern sound: every
+      // inserted value MUST probe true (no false negatives, ever)
+      val bf = viaConf.sql(
+        """SELECT bloom_build(v, CAST(64 AS BIGINT), CAST(4096 AS BIGINT))
+          |FROM (SELECT explode(sequence(1, 50)) AS v)""".stripMargin)
+        .head.getAs[Array[Byte]](0)
+      assert(bf != null && bf.nonEmpty)
+      import org.apache.spark.sql.functions.{call_function, col, explode,
+        lit, sequence, sum, when}
+      val probed = viaConf.range(1)
+        .select(explode(sequence(lit(1), lit(50))).as("v"))
+        .select(when(call_function("bloom_might_contain", lit(bf), col("v")),
+          1).otherwise(0).as("hit"))
+        .agg(sum(col("hit"))).head.getLong(0)
+      assert(probed == 50L, "bloom false negative: a member probed false")
+
       // identical values through the session-scoped registration path
       graft.GraftExtensions.registerAll(base)
       val sigBase = base.sql("SELECT minhash_sig(array('a','b','c','d','e'))")
