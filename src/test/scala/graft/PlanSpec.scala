@@ -53,7 +53,12 @@ class PlanSpec extends SparkSpec {
     "sim_pq_topk", "sim_ivfpq_topk",
     // the broadcast benchmark is `vec_id % 13 = 4 AND vec_id < 130` —
     // ≤ 10 rows at any SF (an eval set does not grow with the corpus)
-    "decontam_semantic")
+    "decontam_semantic",
+    // the rerank's two hints are both bounded by construction: the
+    // query vector is `vec_id = <literal>` (≤ 1 row at any SF) and the
+    // candidate set is the BM25 probe's top-k (≤ 25 by the limit;
+    // its subtree also carries the Aggregate exemption)
+    "search_hybrid_rerank")
 
   test("broadcast hints appear only on bounded dims, never on fact-scaled tables") {
     // EVERY declared query — a new operator with a scale-killer hint
