@@ -142,6 +142,39 @@ object StarSchemaBuilder {
       .option("parquet.block.size", (256L << 20).toString)
       .parquet(path)
 
+  /** Partition-lifecycle retention for the hive fact: drop every
+    * `year_month=<v>` leaf strictly OLDER than the cutoff (YYYY-MM
+    * compares lexicographically), across all states. Pure directory
+    * operations — dropping a month at 100 TB is O(#partition dirs),
+    * never a row rewrite, which is exactly why the fact partitions on
+    * year_month in the first place. `execute=false` is the audit
+    * mode: report what WOULD drop, touch nothing. Returns the dropped
+    * (or would-drop) partition paths so the sweep is loggable — the
+    * no-silent-deletes twin of the dedup family's observe metrics.
+    * Emptied `state=` parents are cleaned so file listings don't
+    * accumulate dead levels. */
+  def retentionSweep(spark: SparkSession, path: String,
+                     cutoffYearMonth: String,
+                     execute: Boolean = true): Seq[String] = {
+    if (!exists(spark, path)) return Nil
+    val (fs, root) = graft.streaming.DedupStream.fsOf(spark, path)
+    val dropped = for {
+      st <- fs.listStatus(root).toSeq
+      if st.isDirectory && st.getPath.getName.startsWith("state=")
+      ym <- fs.listStatus(st.getPath).toSeq
+      if ym.isDirectory && ym.getPath.getName.startsWith("year_month=")
+      if ym.getPath.getName.stripPrefix("year_month=") < cutoffYearMonth
+    } yield ym.getPath
+    if (execute) {
+      dropped.foreach(p => fs.delete(p, true))
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("state="))
+        .filter(st => fs.listStatus(st.getPath).isEmpty)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    dropped.map(_.toString)
+  }
+
   /** Full batch build (SURVEY §3.2): dims append-unique + fact upsert. */
   def runFull(spark: SparkSession, dir: String, outDir: String): Unit = {
     val b = base(spark, dir).cache()

@@ -107,6 +107,34 @@ class EtlSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("retention sweep drops only pre-cutoff months, audit mode touches nothing") {
+    val out = tmp() + "/fact"
+    val fact = StarSchemaBuilder.fact(StarSchemaBuilder.base(spark, sf0001))
+    StarSchemaBuilder.writePartitionedFact(spark, fact, out)
+    val months = spark.read.parquet(out).select("year_month")
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(months.length >= 2, "fixture needs at least two months")
+    val cutoff = months.last // drop everything strictly before the newest
+    val before = spark.read.parquet(out).count()
+    val oldRows = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("year_month") < cutoff)
+      .count()
+    // audit mode: reports, deletes nothing
+    val wouldDrop = StarSchemaBuilder.retentionSweep(spark, out, cutoff,
+      execute = false)
+    assert(wouldDrop.nonEmpty)
+    assert(spark.read.parquet(out).count() == before,
+      "dry-run sweep must not delete")
+    // execute: pre-cutoff months gone, newest month intact, row-exact
+    val dropped = StarSchemaBuilder.retentionSweep(spark, out, cutoff)
+    assert(dropped.toSet == wouldDrop.toSet)
+    val after = spark.read.parquet(out)
+    assert(after.count() == before - oldRows)
+    assert(after.select("year_month").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(cutoff),
+      "only the cutoff month should survive")
+  }
+
   test("partition pruning: state+year_month filter reads one partition") {
     val out = tmp() + "/fact"
     val fact = StarSchemaBuilder.fact(StarSchemaBuilder.base(spark, sf0001))

@@ -98,4 +98,34 @@ class NormPropertySpec extends SparkSpec {
       assert(r == math.floor(x * 100.0 + 0.5) / 100.0, s"pround($x)")
     }
   }
+
+  test("bloom law on hostile strings: every member probes true, prefilter = exact") {
+    import spark.implicits._
+    graft.GraftExtensions.registerAll(spark)
+    // hostile inserted set (empties, unicode, near-dupes) + a disjoint
+    // probe set; the law that makes dedup_bloom_prefilter sound is
+    // ONLY no-false-negatives — false positives are allowed and are
+    // settled by the exact join, so the composed filter must equal
+    // the plain NOT IN at any false-positive rate
+    val members = sample(400).distinct
+    val probes = sample(1200).map(_ + "probe").distinct
+    val bf = members.toDF("v")
+      .agg(call_function("bloom_build", col("v"),
+        lit(1024L), lit(8192L)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mc = call_function("bloom_might_contain", lit(bf), col("v"))
+    // (1) membership: no member may probe false
+    val fn = members.toDF("v").filter(!mc).count()
+    assert(fn == 0L, s"$fn bloom false negatives")
+    // (2) composed prefilter ≡ exact NOT IN over a mixed stream
+    val stream = (members ++ probes).toDF("v")
+    val memberSet = members.toSet
+    val exact = (members ++ probes).filterNot(memberSet).sorted
+    val fast = stream.filter(!mc)
+    val settled = stream.filter(mc)
+      .join(members.toDF("v"), Seq("v"), "left_anti")
+    val composed = fast.unionByName(settled)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(composed == exact, "bloom prefilter diverged from exact anti-join")
+  }
 }

@@ -131,6 +131,30 @@ class SketchStreamSpec extends SparkSpec {
       canon(operators.Sketches.histQuantiles(oneShot, Seq("l_returnflag"))))
   }
 
+  test("streamed hist store serves the sketch-tier anomaly monitor's scalars") {
+    // the round-9 tie-in: events_anomaly_hdr's median estimate comes
+    // from the SAME bucket geometry the streaming store folds, so a
+    // continuously-ingested histogram can serve the monitor's med̂
+    // without any batch recompute — prove the streamed store's pick
+    // equals the batch pick over the union corpus
+    val store = work() + "/ev_hist"
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), col("value"))
+    (0 to 2).foreach { i =>
+      graft.streaming.SketchStream.processHistBatch(
+        ev.filter(abs(hash(col("value"))) % 3 === i), i.toLong,
+        Seq("event_type"), "value", store)
+    }
+    val streamedMed = canon(operators.Sketches.histQuantilesAt(
+      graft.streaming.SketchStream.readHist(spark, store, Seq("event_type")),
+      Seq("event_type"), Seq(0.5 -> "med")))
+    val batchMed = canon(operators.Sketches.histQuantilesAt(
+      operators.Sketches.histBuckets(ev, Seq("event_type"), "value"),
+      Seq("event_type"), Seq(0.5 -> "med")))
+    assert(streamedMed == batchMed,
+      "streamed hist store diverged from the batch monitor's median")
+  }
+
   test("file-stream end to end: run() folds each micro-batch") {
     val w = work()
     val inDir = s"$w/in"
