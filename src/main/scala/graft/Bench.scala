@@ -361,6 +361,7 @@ object Bench {
     "search_index_topk" -> 4.0, // (r8) index BUILD + pruned probe per run
     "search_phrase" -> 2.3, // (r8) index build + two posting lists
     "search_hybrid_rerank" -> 4.5, // (r9) index build + probe + 25-row rerank
+    "search_phrase3" -> 2.3, // (r9) index build + three posting lists
     "api_multi_select" -> 1.5, // (r9) one fact scan, IN pushdown + topk
     "api_multi_taxonomy" -> 1.5, // (r9) fact scan + NPPES semi + summary
     "clean_winsorize_hdr" -> 1.5, // (r9) hist cells + broadcast-back rewrite

@@ -368,33 +368,44 @@ object Retrieval extends QueryPack {
     scoreTopK(posts, tstats, corpusStats(spark, dir), terms, topK)
   }
 
-  /** Exact phrase search from the positional index: occurrences of
-    * `w1 w2` = positions p of w1 with p+1 among w2's positions in the
-    * same doc. Both posting lists come from pruned committed-bucket
-    * reads — the SAME committed-generation guard as [[probeIndexTopK]]
-    * (one shared helper, so the two probes can never disagree about
-    * which generations exist after a mid-batch crash); the adjacency
-    * test explodes only the two terms' position lists — corpus size
-    * never enters. */
-  def probePhrase(spark: SparkSession, dir: String,
-                  w1: String, w2: String): DataFrame = {
-    val buckets = Seq(w1, w2).map(bucketOf).distinct.map(lit(_))
+  /** Exact phrase search from the positional index, any phrase
+    * length ≥ 2: an occurrence of `w0 w1 … wk` is a position p of w0
+    * such that wi's positions contain p+i for every i, all within one
+    * doc. Every posting list comes from pruned committed-bucket reads
+    * — the SAME committed-generation guard as [[probeIndexTopK]] (one
+    * shared helper, so the probes can never disagree about which
+    * generations exist after a mid-batch crash). The adjacency fold
+    * is k−1 equi-joins over exploded position lists of ONLY the
+    * phrase's terms — posting-list-sized at every step (each join can
+    * only shrink the match set), corpus size never enters. */
+  def probePhraseSeq(spark: SparkSession, dir: String,
+                     words: Seq[String]): DataFrame = {
+    require(words.length >= 2, "a phrase needs at least two words")
+    val buckets = words.map(bucketOf).distinct.map(lit(_))
     val posts = committedPostings(spark, dir)
       .filter(col("bucket").isin(buckets: _*))
     def positionsOf(t: String, alias: String) = posts
       .filter(col("token") === t)
       .select(col("doc_id"), explode(col("positions")).as(alias))
-    val left = positionsOf(w1, "p1")
-    val right = positionsOf(w2, "p2")
-      .withColumnRenamed("doc_id", "doc_id_r")
-    left.join(right,
-        col("doc_id") === col("doc_id_r") && col("p2") === col("p1") + 1)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+    val first = positionsOf(words.head, "p0")
+    words.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      val r = positionsOf(w, s"p$i")
+        .withColumnRenamed("doc_id", s"doc_id_$i")
+      acc.join(r, col("doc_id") === col(s"doc_id_$i") &&
+          col(s"p$i") === col("p0") + i)
+        .drop(s"doc_id_$i")
+    }.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
   }
 
-  /** Phrase fixture: a high-support adjacent pair in the corpus. */
+  /** Two-word convenience form of [[probePhraseSeq]]. */
+  def probePhrase(spark: SparkSession, dir: String,
+                  w1: String, w2: String): DataFrame =
+    probePhraseSeq(spark, dir, Seq(w1, w2))
+
+  /** Phrase fixtures: a high-support adjacent pair and trigram. */
   private val PhraseW1 = "table"
   private val PhraseW2 = "hash"
+  private val Phrase3 = Seq("slow", "hash", "batch")
 
   /** Hybrid-rerank fixture: the query embedding's vec_id and the
     * final result depth. */
@@ -422,6 +433,13 @@ object Retrieval extends QueryPack {
     "search_phrase" -> ((s, d) => {
       writeTextIndex(docs(s, d), "doc_id", "text", oracleIndexDir)
       probePhrase(s, oracleIndexDir, PhraseW1, PhraseW2)
+    }),
+
+    // k-word positional phrase search (k = 3 here): the adjacency
+    // fold over three pruned posting lists.
+    "search_phrase3" -> ((s, d) => {
+      writeTextIndex(docs(s, d), "doc_id", "text", oracleIndexDir)
+      probePhraseSeq(s, oracleIndexDir, Phrase3)
     }),
 
     // Two-stage hybrid retrieval — the production RAG shape (lexical
@@ -471,6 +489,17 @@ object Retrieval extends QueryPack {
         FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tok)
         WHERE tk[CAST(i AS INTEGER)] = '$PhraseW1'
           AND tk[CAST(i AS INTEGER) + 1] = '$PhraseW2'
+        GROUP BY doc_id""",
+
+    // the trigram recount from first principles — same shape as the
+    // pair twin with one more adjacency conjunct
+    "search_phrase3" -> s"""
+        WITH tok AS (${TextAnalysis.tokCteSql})
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM tok)
+        WHERE tk[CAST(i AS INTEGER)] = '${Phrase3(0)}'
+          AND tk[CAST(i AS INTEGER) + 1] = '${Phrase3(1)}'
+          AND tk[CAST(i AS INTEGER) + 2] = '${Phrase3(2)}'
         GROUP BY doc_id""",
 
     // stage 1 = the VERBATIM shared BM25 twin; stage 2 = the
