@@ -43,11 +43,13 @@ import graft.streaming.DedupStream
   * probe already reads (df(t) = #(token=t) posting rows), so there is
   * no df/postings consistency window at all.
   *
-  * Accumulated generations fold into the `ingest_batch=-1` sentinel
-  * via [[compactTextIndex]] (two-rename publish, crash-healed by
-  * [[graft.streaming.DedupStream.recoverCompaction]]), so probe
-  * planning reads a BOUNDED number of stats rows and file listings —
-  * not one per append ever made.
+  * Accumulated generations fold through [[compactTextIndex]]'s
+  * two-level LSM (minor folds collapse recent batch generations into
+  * a fresh sentinel run at O(recent) cost; a rare major fold collapses
+  * the sentinel runs), committing via the same marker-last protocol,
+  * so probe planning reads a BOUNDED number of stats rows and file
+  * listings — not one per append ever made — and the index body is
+  * rewritten only on the amortized-rare major fold.
   *
   * The integrity proof is the oracle wiring: `search_index_topk`
   * shares [[TextAnalysis.bm25OracleSql]] VERBATIM with the corpus-scan
@@ -71,9 +73,12 @@ object Retrieval extends QueryPack {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  /** The compaction sentinel generation: always treated as committed
-    * (see [[committedPostings]] for why that closes the fold's crash
-    * window). */
+  /** Ceiling of the sentinel-generation id space: compaction folds
+    * allocate ids downward from here (−1, −2, …), and batch
+    * generations count up from 0 — [[appendTextIndex]] seeds its
+    * max-fold with this value so an all-sentinel index still hands
+    * out 0 next. Sentinels commit through the same stats-marker
+    * protocol as every other generation. */
   val FoldedGen: Long = -1L
 
   /** Token-hash partition count. Small here (the fixture vocab is
@@ -209,66 +214,93 @@ object Retrieval extends QueryPack {
     ingestGeneration(newDocuments, idCol, textCol, dir, gen)
   }
 
-  /** Fold accumulated committed generations into the [[FoldedGen]]
-    * sentinel once more than `maxPartials` stats rows exist, so probe
+  /** Two-level LSM fold of accumulated generations, so probe
     * planning (one slim stats read + the generation partition filter)
     * stays BOUNDED no matter how many appends or micro-batches the
-    * index has absorbed. `protectGen` (the in-flight micro-batch on
-    * the streaming path) is kept unfolded so its at-least-once replay
-    * can still dynamic-overwrite exactly its own partitions.
+    * index has absorbed. MINOR fold (the common case): once more than
+    * `maxPartials` generations are live, the committed batch
+    * generations (never sentinels) collapse into ONE fresh sentinel
+    * generation (negative ids, allocated downward) — cost
+    * O(recently-appended postings), the index body is NOT rewritten.
+    * MAJOR fold: once `maxSentinels` sentinel runs have accumulated,
+    * sentinels fold too — the only index-grain pass, amortized over
+    * `maxPartials · maxSentinels` appends. `protectGen` (the
+    * in-flight micro-batch on the streaming path) is never folded so
+    * its at-least-once replay can still dynamic-overwrite exactly its
+    * own partitions.
     *
-    * Publish order closes the crash window without a transaction log:
-    * postings fold-and-swap FIRST, stats second. Between the two
-    * swaps the store is readable and exact — probes always score the
-    * sentinel (see [[committedPostings]]) and the still-unfolded
-    * stats rows only reference generation dirs that no longer exist
-    * (a no-op partition filter), while the stats FOLD is a plain sum
-    * that is invariant to its own grouping. A crash inside either
-    * swap is healed by [[DedupStream.recoverCompaction]] at the next
-    * maintenance call. Uncommitted orphan generations are dropped by
-    * the rewrite — under the single-writer contract they can only be
-    * residue of a crashed append.
-    *
-    * This is the one index-grain job in the family (the LSM trade):
-    * the sentinel is rewritten once per `maxPartials` appends, so the
-    * amortized per-append cost is O(index / maxPartials). */
+    * The fold commits through the SAME marker protocol as an append —
+    * no postings directory is ever swapped:
+    *  1. the folded rows land as the new sentinel's postings
+    *     partition (partition-local dynamic overwrite; a retry of a
+    *     crashed fold recomputes it in place);
+    *  2. the stats store swaps to (unfolded rows + the sentinel's
+    *     merged row) — the atomic commit point: before it, the
+    *     sentinel has no marker and is invisible while the source
+    *     generations still serve; after it, the sentinel serves while
+    *     the source generations' markers are gone;
+    *  3. postings partitions with no marker (the folded sources, plus
+    *     any crashed-append orphans) are garbage-collected — they are
+    *     already invisible, so a crash before this step costs disk,
+    *     never correctness.
+    * The stats swap itself is healed by
+    * [[DedupStream.recoverCompaction]] at the next maintenance call.
+    * Single-writer maintenance assumed, as everywhere in this
+    * family. */
   def compactTextIndex(spark: SparkSession, dir: String,
                        protectGen: Long = Long.MinValue,
-                       maxPartials: Int = 16): Boolean = {
+                       maxPartials: Int = 16,
+                       maxSentinels: Int = 8): Boolean = {
     DedupStream.recoverCompaction(spark, s"$dir/postings")
     DedupStream.recoverCompaction(spark, s"$dir/stats")
     if (!graft.FsUtils.committedExists(spark, s"$dir/stats")) return false
     val ids = committedGenIds(spark, dir)
     if (ids.length <= maxPartials) return false
-    val foldable = ids.filter(g => g != protectGen).map(lit(_))
-    def swap(store: String)(fresh: DataFrame, partCols: Seq[String]): Unit = {
-      val (fs, p) = DedupStream.fsOf(spark, store)
-      val tmp = new org.apache.hadoop.fs.Path(
-        store + DedupStream.CompactTmpSuffix)
-      fs.delete(tmp, true)
-      fresh.write.mode(SaveMode.Overwrite)
-        .partitionBy(partCols: _*)
-        .option("compression", "zstd").parquet(tmp.toString)
-      DedupStream.swapDirs(fs, p, tmp)
-    }
-    val posts = spark.read.parquet(s"$dir/postings")
-    swap(s"$dir/postings")(
-      posts.filter(col("ingest_batch").isin(foldable: _*))
-        .withColumn("ingest_batch", lit(FoldedGen))
-        .unionByName(posts.filter(col("ingest_batch") === protectGen))
-        .repartition(col("bucket")).sortWithinPartitions("token"),
-      Seq("ingest_batch", "bucket"))
+    val major = ids.count(_ < 0) >= maxSentinels
+    val foldable = ids.filter(g => g != protectGen && (g >= 0 || major))
+    if (foldable.length < 2) return false // relocating one gen buys nothing
+    val newGen = math.min(ids.min, 0L) - 1
+    val foldLits = foldable.map(lit(_))
+    val (fs, postsRoot) = DedupStream.fsOf(spark, s"$dir/postings")
+    // 1. the sentinel's postings partition — no marker yet, invisible
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/postings/ingest_batch=$newGen"), true)
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("ingest_batch").isin(foldLits: _*))
+      .withColumn("ingest_batch", lit(newGen))
+      .repartition(col("bucket")).sortWithinPartitions("token")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "bucket")
+      .option("compression", "zstd")
+      .parquet(s"$dir/postings")
+    // 2. the commit point: swap stats to (kept rows + sentinel row)
     val stats = spark.read.parquet(s"$dir/stats")
       .select(col("n_docs"), col("sum_dl"),
         col("ingest_batch").cast("long").as("ingest_batch"))
-    swap(s"$dir/stats")(
-      stats.filter(col("ingest_batch").isin(foldable: _*))
-        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-          coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
-        .withColumn("ingest_batch", lit(FoldedGen))
-        .unionByName(stats.filter(col("ingest_batch") === protectGen))
-        .coalesce(1),
-      Seq("ingest_batch"))
+    val fresh = stats
+      .filter(col("ingest_batch").isin(foldLits: _*))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+      .withColumn("ingest_batch", lit(newGen))
+      .unionByName(stats.filter(!col("ingest_batch").isin(foldLits: _*)))
+      .coalesce(1)
+    val (sfs, statsRoot) = DedupStream.fsOf(spark, s"$dir/stats")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/stats" + DedupStream.CompactTmpSuffix)
+    sfs.delete(tmp, true)
+    fresh.write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+      .option("compression", "zstd").parquet(tmp.toString)
+    DedupStream.swapDirs(sfs, statsRoot, tmp)
+    // 3. GC: drop postings partitions with no marker (folded sources
+    // and crashed-append orphans alike) — already invisible
+    val live = (committedGenIds(spark, dir).toSet + protectGen).map(g =>
+      s"ingest_batch=$g")
+    fs.listStatus(postsRoot)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch=") &&
+        !live.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
     true
   }
 
@@ -280,18 +312,17 @@ object Retrieval extends QueryPack {
       .select(col("ingest_batch").cast("long")) // partition col infers int
       .collect().map(_.getLong(0))
 
-  /** The scorable postings frame: generations with a stats marker,
-    * plus the fold sentinel UNCONDITIONALLY — during the window where
-    * a compaction has swapped postings but not yet stats, the
-    * sentinel holds exactly the rows whose old generation dirs are
-    * gone, so admitting it (and letting the stale stats ids filter
-    * against now-absent partitions) keeps the probe exact. */
+  /** The scorable postings frame: EXACTLY the generations with a
+    * stats marker — appends and compaction folds alike commit by
+    * writing that marker last, so at every intermediate state of
+    * either operation this one filter serves a consistent index
+    * (uncommitted sentinel → sources still marked; committed sentinel
+    * → sources' markers gone, their un-GC'd dirs invisible). */
   private[graft] def committedPostings(spark: SparkSession,
                                        dir: String): DataFrame = {
     val ids = committedGenIds(spark, dir).map(lit(_))
     spark.read.parquet(s"$dir/postings")
-      .filter(col("ingest_batch") === FoldedGen ||
-        col("ingest_batch").isin(ids: _*))
+      .filter(col("ingest_batch").isin(ids: _*))
   }
 
   /** One-row corpus stats: fold the mergeable per-generation partials.

@@ -29,13 +29,14 @@ import graft.operators.Retrieval
   * Scale: per batch the delta is tokenized once and only O(batch)
   * posting rows are written, so batch cost is independent of index
   * size — EXCEPT the amortized compaction share:
-  * [[Retrieval.compactTextIndex]] folds accumulated generations into
-  * the `ingest_batch=-1` sentinel once more than `maxPartials` stats
-  * rows exist (two-rename publish, crash-healed at the next batch
-  * start), so probe planning cost — the stats read, the generation
-  * partition filter, and the postings file listing — stays BOUNDED
-  * over the stream's lifetime instead of growing one partition per
-  * batch forever. The in-flight batch is always kept unfolded so its
+  * [[Retrieval.compactTextIndex]]'s two-level LSM folds recent batch
+  * generations into a fresh sentinel run once more than `maxPartials`
+  * stats rows exist (marker-last commit, O(recent) per minor fold;
+  * sentinel runs themselves fold only in the rare major pass), so
+  * probe planning cost — the stats read, the generation partition
+  * filter, and the postings file listing — stays BOUNDED over the
+  * stream's lifetime instead of growing one partition per batch
+  * forever. The in-flight batch is always kept unfolded so its
   * replay discipline survives compaction.
   */
 object IndexStream {

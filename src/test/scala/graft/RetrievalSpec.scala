@@ -107,12 +107,32 @@ class RetrievalSpec extends SparkSpec {
       "doc_id", "text", dir)
     Retrieval.appendTextIndex(docs.filter(col("doc_id") % 3 === 1),
       "doc_id", "text", dir)
+    // crash window of a fold: the sentinel's postings land but the
+    // stats swap (the commit point) never happens — the index must
+    // keep serving the source generations exactly
+    val preFold = Retrieval.probeIndexTopK(spark, dir, terms, 25)
+      .collect().map(_.toString).toSeq
+    val (_, orphanFold) = Retrieval.stagePostings(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    orphanFold.withColumn("ingest_batch", lit(-1L))
+      .write.mode("append").partitionBy("ingest_batch", "bucket")
+      .parquet(s"$dir/postings")
+    assert(Retrieval.probeIndexTopK(spark, dir, terms, 25)
+      .collect().map(_.toString).toSeq == preFold,
+      "an uncommitted fold sentinel leaked into the probe")
     assert(Retrieval.compactTextIndex(spark, dir, maxPartials = 1),
       "compaction should trigger above maxPartials generations")
     assert(spark.read.parquet(s"$dir/stats")
       .select(col("ingest_batch").cast("long")).collect()
       .map(_.getLong(0)).toSet == Set(-1L),
       "compaction should leave only the fold sentinel")
+    // ...and the GC step dropped every unmarked postings partition
+    // (the folded sources AND the crashed fold's half-written
+    // sentinel, which the real fold recomputed in place)
+    val leftDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(leftDirs == Set("ingest_batch=-1"),
+      s"unmarked postings partitions survived GC: $leftDirs")
     // probe across the sentinel equals a rebuild of the same corpus...
     val full = s"${work()}/full"
     Retrieval.writeTextIndex(docs.filter(col("doc_id") % 3 < 2),
@@ -135,6 +155,40 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq ==
       Retrieval.probePhrase(spark, all, "table", "hash")
         .collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("major fold collapses sentinel runs; minor folds never touch them") {
+    val dir = s"${work()}/lsm"
+    val docs = Tables.load(spark, sf0001, "documents")
+    val terms = Seq("order", "customer", "scan")
+    def part(i: Int) = docs.filter(col("doc_id") % 6 === i)
+    Retrieval.writeTextIndex(part(0), "doc_id", "text", dir)
+    Retrieval.appendTextIndex(part(1), "doc_id", "text", dir)
+    assert(Retrieval.compactTextIndex(spark, dir, maxPartials = 1))
+    def gens = spark.read.parquet(s"$dir/stats")
+      .select(col("ingest_batch").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(gens == Set(-1L))
+    Retrieval.appendTextIndex(part(2), "doc_id", "text", dir)
+    Retrieval.appendTextIndex(part(3), "doc_id", "text", dir)
+    // minor fold: batch gens collapse into a SECOND run, -1 untouched
+    assert(Retrieval.compactTextIndex(spark, dir, maxPartials = 1))
+    assert(gens == Set(-1L, -2L), s"minor fold rewrote sentinels: $gens")
+    Retrieval.appendTextIndex(part(4), "doc_id", "text", dir)
+    Retrieval.appendTextIndex(part(5), "doc_id", "text", dir)
+    assert(Retrieval.compactTextIndex(spark, dir, maxPartials = 1))
+    assert(gens == Set(-1L, -2L, -3L))
+    // major fold: sentinel count reaches the threshold, runs collapse
+    assert(Retrieval.compactTextIndex(spark, dir, maxPartials = 1,
+      maxSentinels = 3))
+    assert(gens == Set(-4L), s"major fold left runs behind: $gens")
+    val full = s"${work()}/full"
+    Retrieval.writeTextIndex(docs, "doc_id", "text", full)
+    assert(Retrieval.probeIndexTopK(spark, dir, terms, 25)
+      .collect().map(_.toString).toSeq ==
+      Retrieval.probeIndexTopK(spark, full, terms, 25)
+        .collect().map(_.toString).toSeq,
+      "LSM-folded index diverged from rebuild")
   }
 
   test("append onto an empty-corpus base neither NPEs nor skews stats") {
