@@ -63,6 +63,14 @@ object Builders extends QueryPack {
     Seq("Taxonomy 3", "Taxonomy 23", "Taxonomy 42", "Taxonomy 77")
   private def inList(vs: Seq[String]): String =
     vs.map(v => s"'$v'").mkString("(", ", ", ")")
+  private val MsStates = Seq("NATION_3", "NATION_9")
+
+  /** Query-private materialized-fact sidecar (the PQ/IVF convention:
+    * the declared query overwrites it, the oracle reads the same
+    * files, so both engines filter the same hive layout). */
+  private val oracleFactDir: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fact_multiselect_oracle").getAbsolutePath
 
   def queries: Map[String, QFn] = Map(
     // Consolidated-dashboard multi-select search: every fact-side
@@ -79,6 +87,50 @@ object Builders extends QueryPack {
         negotiatedTypes = QueryApi.parseMulti(MsTypes.mkString(",")),
         payers = QueryApi.parseMulti(MsPayers.mkString(",")),
         minRate = Some(50.0)))),
+
+    // The same multi-select grammar against the MATERIALIZED star
+    // fact: state/year_month/payer/class are hive partition levels,
+    // so their IN lists prune at FILE LISTING (multi-state select =
+    // listing two state dirs), and the data-side INs
+    // (negotiated_type) push into the parquet scan as native IN
+    // filters — the layout the role-view variant can't give because
+    // its filter columns are derived expressions. QueryApiSpec pins
+    // both in the plan.
+    "api_multi_select_gold" -> ((s, d) => {
+      // materialize ONE month's slice — the query's grain; a real
+      // deployment materializes the whole fact once, but a per-run
+      // sidecar rebuild must not pay the full-fact small-file fan-out
+      // (5 hive levels × every month ≈ thousands of leaf writes)
+      // repartition by state: each writer task owns ONE state subtree
+      // (~20 leaves), so the 5-level dynamic write creates one file
+      // per leaf instead of fanning 32 shuffle partitions × ~500
+      // leaves into thousands of tiny files (the small-file problem
+      // compactPartitions exists to undo — don't create it here)
+      // slice BEFORE fact(): its fact_uid dedup is an aggregate whose
+      // non-key columns come back as first() outputs, so a filter
+      // placed above it cannot push through — filtering the base
+      // keeps the md5 minting and the dedup shuffle month-sized
+      graft.etl.StarSchemaBuilder.writePartitionedFact(s,
+        graft.etl.StarSchemaBuilder.fact(
+            graft.etl.StarSchemaBuilder.base(s, d)
+              .filter(col("year_month") === "1995-09"))
+          .repartition(col("state")),
+        oracleFactDir)
+      val fact = s.read.parquet(oracleFactDir)
+        .withColumnRenamed("code", "billing_code")
+      QueryApi.filteredFact(fact, QueryApi.RateFilter(
+          state = "", yearMonth = "1995-09",
+          states = QueryApi.parseMulti(MsStates.mkString(", ")),
+          payers = QueryApi.parseMulti(MsPayers.mkString(",")),
+          billingClasses = QueryApi.parseMulti(MsClasses.mkString(",")),
+          negotiatedTypes = QueryApi.parseMulti(MsTypes.mkString(",")),
+          minRate = Some(50.0)))
+        .select(col("fact_uid"), col("state"), col("billing_code"),
+          pround(col("negotiated_rate"), 2).as("negotiated_rate"),
+          col("payer_slug"), col("billing_class"))
+        .orderBy(col("negotiated_rate").desc, col("fact_uid"))
+        .limit(100)
+    }),
 
     // Multi-select on the NPPES-dim side: taxonomy + enumeration-type
     // lists filter the dim, which attaches as ONE broadcast semi-join
@@ -325,6 +377,25 @@ object Builders extends QueryPack {
           AND payer_slug IN ${inList(MsPayers)}
           AND negotiated_rate >= 50.0
         ORDER BY 4 DESC, l_orderkey, l_linenumber
+        LIMIT 100""",
+
+      // the SAME hive files the query just wrote, read back with
+      // DuckDB's hive_partitioning — both engines filter one layout
+      "api_multi_select_gold" -> s"""
+        WITH fact AS (
+          SELECT * FROM read_parquet('$oracleFactDir/**/*.parquet',
+            hive_partitioning = true))
+        SELECT fact_uid, state, code AS billing_code,
+               ${prS("negotiated_rate")} AS negotiated_rate,
+               payer_slug, billing_class
+        FROM fact
+        WHERE year_month = '1995-09'
+          AND state IN ${inList(MsStates)}
+          AND payer_slug IN ${inList(MsPayers)}
+          AND billing_class IN ${inList(MsClasses)}
+          AND negotiated_type IN ${inList(MsTypes)}
+          AND negotiated_rate >= 50.0
+        ORDER BY 4 DESC, fact_uid
         LIMIT 100""",
 
       // the NPPES-side lists filter the dim subquery — the semi-join

@@ -42,6 +42,7 @@ object QueryApi {
     minRate: Option[Double] = None,
     maxRate: Option[Double] = None,
     // multi-selects (consolidated_dashboard.py:139-160)
+    states: Seq[String] = Nil,
     codes: Seq[String] = Nil,
     billingClasses: Seq[String] = Nil,
     negotiatedTypes: Seq[String] = Nil,
@@ -80,12 +81,13 @@ object QueryApi {
     df = opts.flatten.foldLeft(df)(_ filter _)
     // state lives on the provider dim; the join (and with it the state
     // predicate) is attached only when needed — J14's exact shape
-    val needProviders = f.providerGroup.isDefined || f.state.nonEmpty
+    val stateSet = (if (f.state.nonEmpty) Seq(f.state) else Nil) ++ f.states
+    val needProviders = f.providerGroup.isDefined || stateSet.nonEmpty
     if (needProviders) {
       val p = Roles.providers(spark, dir)
       df = df.join(broadcast(p),
         df("provider_reference_id") === p("provider_group_id"), "left")
-      if (f.state.nonEmpty) df = df.filter(col("state") === f.state)
+      if (stateSet.nonEmpty) df = df.filter(col("state").isin(stateSet: _*))
       f.providerGroup.foreach(g =>
         df = df.filter(col("provider_group_id") === g))
     }
@@ -133,6 +135,34 @@ object QueryApi {
       pround(max(col("negotiated_rate")), 2).as("max_rate"),
       pround(percentile(col("negotiated_rate"), lit(0.5)), 2).as("median_rate"),
       size(collect_set(col("billing_code"))).cast("long").as("unique_codes"))
+
+  /** The same grammar over a MATERIALIZED star fact (the
+    * StarSchemaBuilder layout): state/year_month/payer/class live in
+    * the hive partition path, so their predicates — including the
+    * multi-select IN lists — prune AT FILE LISTING, and the data-side
+    * INs (codes, types) push into the parquet scan, which the
+    * role-view variant cannot offer (its filter columns are derived
+    * expressions). Fact-side filters only: dim-side predicates (TIN,
+    * NPPES, provider group) belong to [[filteredRates]], which owns
+    * the joins. `fact` must be rates-shaped on the filtered columns
+    * (rename `code` → `billing_code` on read). */
+  def filteredFact(fact: DataFrame, f: RateFilter): DataFrame = {
+    def inSet(c: Column, vs: Seq[String]): Option[Column] =
+      if (vs.isEmpty) None else Some(c.isin(vs: _*))
+    val stateSet = (if (f.state.nonEmpty) Seq(f.state) else Nil) ++ f.states
+    val opts: Seq[Option[Column]] = Seq(
+      Some(col("year_month") === f.yearMonth),
+      inSet(col("state"), stateSet),
+      f.payerIlike.map(q => lower(col("payer_slug")).contains(q.toLowerCase)),
+      inSet(col("payer_slug"), f.payers),
+      inSet(col("billing_code"), f.code.toSeq ++ f.codes),
+      inSet(col("billing_class"), f.billingClass.toSeq ++ f.billingClasses),
+      inSet(col("negotiated_type"),
+        f.negotiatedType.toSeq ++ f.negotiatedTypes),
+      f.minRate.map(col("negotiated_rate") >= _),
+      f.maxRate.map(col("negotiated_rate") <= _))
+    opts.flatten.foldLeft(fact)(_ filter _)
+  }
 
   /** The consolidated dashboard's multi-field search result shape:
     * matching rate rows, highest first, deterministically tie-broken

@@ -59,6 +59,29 @@ class QueryApiSpec extends SparkSpec {
     assert(absent == 0L)
   }
 
+  test("gold-fact grammar: partition INs prune at listing, data INs push to parquet") {
+    val out = java.nio.file.Files.createTempDirectory("graft_api_gold")
+      .toString + "/fact"
+    graft.etl.StarSchemaBuilder.writePartitionedFact(spark,
+      graft.etl.StarSchemaBuilder.fact(
+        graft.etl.StarSchemaBuilder.base(spark, sf0001)), out)
+    val fact = spark.read.parquet(out)
+      .withColumnRenamed("code", "billing_code")
+    val plan = QueryApi.filteredFact(fact, RateFilter(
+        state = "", yearMonth = "1995-09",
+        states = Seq("NATION_3", "NATION_9"),
+        payers = Seq("payer_1", "payer_3"),
+        negotiatedTypes = Seq("negotiated", "fee schedule"),
+        minRate = Some(50.0)))
+      .queryExecution.executedPlan.toString
+    assert(plan.matches(
+      "(?s).*PartitionFilters: \\[[^\\]]*state[^\\]]*IN[^\\]]*\\].*"),
+      s"state IN not a partition filter:\n${plan.take(1500)}")
+    assert(plan.contains("PushedFilters:") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(negotiated_type[^\\]]*\\].*"),
+      s"negotiated_type IN not pushed to parquet:\n${plan.take(1500)}")
+  }
+
   test("multiFieldSearch ranks highest-rate-first with a total tie-break") {
     val rows = QueryApi.multiFieldSearch(spark, sf0001,
       RateFilter(state = "", yearMonth = "1995-09",
