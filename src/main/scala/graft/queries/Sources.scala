@@ -137,8 +137,59 @@ object Sources extends QueryPack {
         .schema("doc_id LONG, lang STRING, n_chars LONG, prefix STRING")
         .option("mode", "PERMISSIVE")
         .json(oracleJsonlSidecar)
+    }),
+
+    // CSV round-trip through Spark's REAL writer/reader — the
+    // reference's dominant ingest format (CMS/NPPES files are CSVs),
+    // and the parity minefield is the DIALECT: Spark's default escape
+    // is backslash, RFC 4180 (and DuckDB) double the quote, so both
+    // the write and the read pin escape='"'. The fixture injects the
+    // classic hostiles — embedded separators, embedded quotes,
+    // embedded NEWLINES (multiLine parsing), and NULLs under an
+    // explicit nullValue token so null never collides with empty.
+    // The oracle re-parses the SAME files with DuckDB's read_csv:
+    // quoting, escaping, record splitting, and null policy must all
+    // agree to hash green.
+    "source_csv_roundtrip" -> ((s, d) => {
+      val fix = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 30).as("payload"), col("n_chars"))
+        .unionByName(s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(9000001L, "en", "comma, embedded", 1L),
+            org.apache.spark.sql.Row(9000002L, "en", "quote \" embedded", 2L),
+            org.apache.spark.sql.Row(9000003L, "de", "newline\nembedded", 3L),
+            org.apache.spark.sql.Row(9000004L, "fr", "all \"three\",\nat once", 4L),
+            org.apache.spark.sql.Row(9000005L, null, null, 5L)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("payload",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_chars",
+              org.apache.spark.sql.types.LongType)))))
+      fix.coalesce(1).write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", "\"") // RFC 4180 doubled quotes, not backslash
+        .option("nullValue", "\\N")
+        .csv(oracleCsvSidecar)
+      s.read
+        .schema("doc_id LONG, lang STRING, payload STRING, n_chars LONG")
+        .option("header", "true")
+        .option("escape", "\"")
+        .option("nullValue", "\\N")
+        .option("multiLine", "true") // quoted newlines are one record
+        .csv(oracleCsvSidecar)
     })
   )
+
+  /** Sidecar dir for the CSV roundtrip (same contract as
+    * [[oracleJsonlSidecar]]). */
+  val oracleCsvSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_csv_oracle").getAbsolutePath
 
   /** Sidecar dir for the JSONL roundtrip (the fixed-path-by-necessity
     * contract documented at [[graft.operators.Similarity
@@ -235,6 +286,15 @@ object Sources extends QueryPack {
     // versions have SKIPPED errored lines instead, which would drop
     // the injected garbage rows and break the row-count/hash match.
     // If the oracle engine moves, re-check this query first.
+    // DuckDB's RFC 4180 parser over the same files: quote='"',
+    // escape='"' (doubled quotes), the same explicit null token, and
+    // quoted newlines kept inside one record
+    "source_csv_roundtrip" -> s"""
+      SELECT * FROM read_csv('$oracleCsvSidecar/*.csv',
+        header = true, quote = '"', escape = '"', nullstr = '\\N',
+        columns = {doc_id: 'BIGINT', lang: 'VARCHAR',
+                   payload: 'VARCHAR', n_chars: 'BIGINT'})""",
+
     "source_jsonl_roundtrip" -> s"""
       SELECT * FROM read_json('$oracleJsonlSidecar/*.txt',
         format = 'newline_delimited',
