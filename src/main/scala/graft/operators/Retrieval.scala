@@ -73,13 +73,9 @@ object Retrieval extends QueryPack {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  /** Ceiling of the sentinel-generation id space: compaction folds
-    * allocate ids downward from here (−1, −2, …), and batch
-    * generations count up from 0 — [[appendTextIndex]] seeds its
-    * max-fold with this value so an all-sentinel index still hands
-    * out 0 next. Sentinels commit through the same stats-marker
-    * protocol as every other generation. */
-  val FoldedGen: Long = -1L
+  /** Ceiling of the sentinel-generation id space — see
+    * [[GenStore.SentinelCeiling]], whose protocol this index runs. */
+  val FoldedGen: Long = GenStore.SentinelCeiling
 
   /** Token-hash partition count. Small here (the fixture vocab is
     * tiny); at corpus scale B grows so a partition holds a few GB of
@@ -171,24 +167,12 @@ object Retrieval extends QueryPack {
     val add = staged.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("s")).head()
     if (add.getLong(0) == 0) return // empty delta: nothing to index
-    val (fs, _) = DedupStream.fsOf(spark, dir)
-    fs.delete(new org.apache.hadoop.fs.Path(
-      s"$dir/postings/ingest_batch=$gen"), true)
-    postings.withColumn("ingest_batch", lit(gen))
-      .repartition(col("bucket")).sortWithinPartitions("token")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "bucket")
-      .option("compression", "zstd")
-      .parquet(s"$dir/postings")
     import spark.implicits._
-    Seq((add.getLong(0), add.getLong(1), gen))
-      .toDF("n_docs", "sum_dl", "ingest_batch")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(s"$dir/stats")
+    GenStore.ingest(spark, s"$dir/postings", s"$dir/stats", gen,
+      postings.repartition(col("bucket")).sortWithinPartitions("token"),
+      Seq("bucket"),
+      Seq((add.getLong(0), add.getLong(1), gen))
+        .toDF("n_docs", "sum_dl", "ingest_batch"))
   }
 
   /** Incremental index maintenance: append a delta of NEW documents
@@ -210,8 +194,8 @@ object Retrieval extends QueryPack {
     // next id from the COMMITTED set (never the dirs on disk): a
     // crashed append's orphan postings do not advance the id, so the
     // retry overwrites them instead of stranding them forever
-    val gen = committedGenIds(spark, dir).foldLeft(FoldedGen)(math.max) + 1
-    ingestGeneration(newDocuments, idCol, textCol, dir, gen)
+    ingestGeneration(newDocuments, idCol, textCol, dir,
+      GenStore.nextGen(spark, s"$dir/stats"))
   }
 
   /** Two-level LSM fold of accumulated generations, so probe
@@ -250,67 +234,21 @@ object Retrieval extends QueryPack {
   def compactTextIndex(spark: SparkSession, dir: String,
                        protectGen: Long = Long.MinValue,
                        maxPartials: Int = 16,
-                       maxSentinels: Int = 8): Boolean = {
-    DedupStream.recoverCompaction(spark, s"$dir/postings")
-    DedupStream.recoverCompaction(spark, s"$dir/stats")
-    if (!graft.FsUtils.committedExists(spark, s"$dir/stats")) return false
-    val ids = committedGenIds(spark, dir)
-    if (ids.length <= maxPartials) return false
-    val major = ids.count(_ < 0) >= maxSentinels
-    val foldable = ids.filter(g => g != protectGen && (g >= 0 || major))
-    if (foldable.length < 2) return false // relocating one gen buys nothing
-    val newGen = math.min(ids.min, 0L) - 1
-    val foldLits = foldable.map(lit(_))
-    val (fs, postsRoot) = DedupStream.fsOf(spark, s"$dir/postings")
-    // 1. the sentinel's postings partition — no marker yet, invisible
-    fs.delete(new org.apache.hadoop.fs.Path(
-      s"$dir/postings/ingest_batch=$newGen"), true)
-    spark.read.parquet(s"$dir/postings")
-      .filter(col("ingest_batch").isin(foldLits: _*))
-      .withColumn("ingest_batch", lit(newGen))
-      .repartition(col("bucket")).sortWithinPartitions("token")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "bucket")
-      .option("compression", "zstd")
-      .parquet(s"$dir/postings")
-    // 2. the commit point: swap stats to (kept rows + sentinel row)
-    val stats = spark.read.parquet(s"$dir/stats")
-      .select(col("n_docs"), col("sum_dl"),
-        col("ingest_batch").cast("long").as("ingest_batch"))
-    val fresh = stats
-      .filter(col("ingest_batch").isin(foldLits: _*))
-      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
-      .withColumn("ingest_batch", lit(newGen))
-      .unionByName(stats.filter(!col("ingest_batch").isin(foldLits: _*)))
-      .coalesce(1)
-    val (sfs, statsRoot) = DedupStream.fsOf(spark, s"$dir/stats")
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$dir/stats" + DedupStream.CompactTmpSuffix)
-    sfs.delete(tmp, true)
-    fresh.write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
-      .option("compression", "zstd").parquet(tmp.toString)
-    DedupStream.swapDirs(sfs, statsRoot, tmp)
-    // 3. GC: drop postings partitions with no marker (folded sources
-    // and crashed-append orphans alike) — already invisible
-    val live = (committedGenIds(spark, dir).toSet + protectGen).map(g =>
-      s"ingest_batch=$g")
-    fs.listStatus(postsRoot)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("ingest_batch=") &&
-        !live.contains(st.getPath.getName))
-      .foreach(st => fs.delete(st.getPath, true))
-    true
-  }
+                       maxSentinels: Int = 8): Boolean =
+    GenStore.compact(spark, s"$dir/postings", s"$dir/stats",
+      partCols = Seq("bucket"),
+      layout = _.repartition(col("bucket")).sortWithinPartitions("token"),
+      foldStats = _.agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")),
+      protectGen = protectGen, maxPartials = maxPartials,
+      maxSentinels = maxSentinels)
 
   /** Committed generation ids: the stats rows ARE the commit markers.
     * Slim — one row per live generation, bounded by compaction. */
   private[graft] def committedGenIds(spark: SparkSession,
                                      dir: String): Array[Long] =
-    spark.read.parquet(s"$dir/stats")
-      .select(col("ingest_batch").cast("long")) // partition col infers int
-      .collect().map(_.getLong(0))
+    GenStore.committedIds(spark, s"$dir/stats")
 
   /** The scorable postings frame: EXACTLY the generations with a
     * stats marker — appends and compaction folds alike commit by
@@ -319,11 +257,8 @@ object Retrieval extends QueryPack {
     * (uncommitted sentinel → sources still marked; committed sentinel
     * → sources' markers gone, their un-GC'd dirs invisible). */
   private[graft] def committedPostings(spark: SparkSession,
-                                       dir: String): DataFrame = {
-    val ids = committedGenIds(spark, dir).map(lit(_))
-    spark.read.parquet(s"$dir/postings")
-      .filter(col("ingest_batch").isin(ids: _*))
-  }
+                                       dir: String): DataFrame =
+    GenStore.committedData(spark, s"$dir/postings", s"$dir/stats")
 
   /** One-row corpus stats: fold the mergeable per-generation partials.
     * Exact — n_docs/sum_dl are integers, so the fold is order-free

@@ -389,14 +389,27 @@ object Similarity extends QueryPack {
     val cents = centroids(e)
     assignBuckets(e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
       "cid", "ce", cents)
-      .write.mode("overwrite").partitionBy("bucket")
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest_batch", "bucket")
       .option("compression", "zstd").parquet(outPath)
     cents.write.mode("overwrite")
       .option("compression", "zstd").parquet(centroidsPathOf(outPath))
+    // the generation marker commits LAST, so the sidecar is part of
+    // the committed state (GenStore protocol, shared with the text
+    // index): a build that dies mid-way leaves nothing probes score
+    import spark.implicits._
+    Seq((e.count(), 0L)).toDF("n_vecs", "ingest_batch")
+      .coalesce(1).write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(gensPathOf(outPath))
   }
 
   /** The centroid sidecar of a materialized index. */
   def centroidsPathOf(indexPath: String): String = s"${indexPath}_centroids"
+
+  /** The generation-marker store of a materialized index — the
+    * [[GenStore]] stats path (one slim (n_vecs) row per committed
+    * generation). */
+  def gensPathOf(indexPath: String): String = s"${indexPath}_gens"
 
   /** Incrementally add vectors to a materialized IVF index — the
     * maintenance half of build-once/probe-many: a growing corpus must
@@ -415,15 +428,41 @@ object Similarity extends QueryPack {
                      delta: DataFrame, idCol: String,
                      vecCol: String): Unit = {
     val centsPath = centroidsPathOf(indexPath)
+    val gensPath = gensPathOf(indexPath)
     require(graft.FsUtils.committedExists(spark, centsPath),
       s"no centroid sidecar at $centsPath — appending under recomputed " +
         "centroids would skew bucket assignment against the index")
-    assignBuckets(
+    require(graft.FsUtils.committedExists(spark, gensPath),
+      s"no generation markers at $gensPath — rebuild with writeIvfIndex")
+    graft.streaming.DedupStream.recoverCompaction(spark, indexPath)
+    graft.streaming.DedupStream.recoverCompaction(spark, gensPath)
+    // the GenStore append protocol (shared with the text index): the
+    // delta lands as its own generation — vectors first, marker LAST —
+    // so a crash leaves an invisible orphan (probes keep serving the
+    // exact pre-append index) and a retry reuses and clears the id
+    val gen = GenStore.nextGen(spark, gensPath)
+    val assigned = assignBuckets(
       delta.select(col(idCol).as("cid"), col(vecCol).as("ce")),
       "cid", "ce", spark.read.parquet(centsPath))
-      .write.mode("append").partitionBy("bucket")
-      .option("compression", "zstd").parquet(indexPath)
+      .localCheckpoint() // consumed twice: count + write
+    val n = assigned.count()
+    if (n == 0) return // empty delta: nothing to commit
+    import spark.implicits._
+    GenStore.ingest(spark, indexPath, gensPath, gen, assigned,
+      Seq("bucket"), Seq((n, gen)).toDF("n_vecs", "ingest_batch"))
   }
+
+  /** Two-level LSM fold of an IVF index's generations — the
+    * [[GenStore.compact]] schedule, so probe file listings stay
+    * bounded over a long append history. */
+  def compactIvfIndex(spark: SparkSession, indexPath: String,
+                      maxPartials: Int = 16,
+                      maxSentinels: Int = 8): Boolean =
+    GenStore.compact(spark, indexPath, gensPathOf(indexPath),
+      partCols = Seq("bucket"),
+      layout = _.repartition(col("bucket")),
+      foldStats = _.agg(coalesce(sum(col("n_vecs")), lit(0L)).as("n_vecs")),
+      maxPartials = maxPartials, maxSentinels = maxSentinels)
 
   /** Probe a materialized IVF index. The probed bucket ids are resolved
     * driver-side from the (by-definition tiny) query set and pushed as
@@ -445,7 +484,8 @@ object Similarity extends QueryPack {
       spark.read.parquet(centsPath), nprobe)
     val probedBuckets = probes.select("probe").distinct()
       .collect().map(_.getLong(0))
-    val index = spark.read.parquet(indexPath)
+    val index = GenStore
+      .committedData(spark, indexPath, gensPathOf(indexPath))
       .filter(col("bucket").isin(probedBuckets: _*))
     val scored = probes.join(index,
         col("probe") === col("bucket") && col("cid") =!= col("vid"))
@@ -477,12 +517,18 @@ object Similarity extends QueryPack {
       "cid", "ce", cents)
     pqEncode(e, cb).select(col("vec_id").as("cid"), col("codes"))
       .join(assigned.select("cid", "bucket"), Seq("cid"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest_batch", "bucket")
       .option("compression", "zstd").parquet(outPath)
     cents.write.mode("overwrite")
       .option("compression", "zstd").parquet(centroidsPathOf(outPath))
     pqCodebookDf(spark, cb).write.mode("overwrite")
       .option("compression", "zstd").parquet(codebookPathOf(outPath))
+    // generation marker LAST (GenStore protocol — see writeIvfIndex)
+    import spark.implicits._
+    Seq((e.count(), 0L)).toDF("n_vecs", "ingest_batch")
+      .coalesce(1).write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(gensPathOf(outPath))
   }
 
   /** The codebook sidecar of a materialized IVFPQ index. */
@@ -518,7 +564,8 @@ object Similarity extends QueryPack {
       spark.read.parquet(centsPath), nprobe)
     val probedBuckets = probes.select("probe").distinct()
       .collect().map(_.getLong(0))
-    val index = spark.read.parquet(indexPath)
+    val index = GenStore
+      .committedData(spark, indexPath, gensPathOf(indexPath))
       .filter(col("bucket").isin(probedBuckets: _*))
     val cand = index
       .join(broadcast(probes.select("vid", "probe")),

@@ -599,35 +599,55 @@ class OperatorsSpec extends SparkSpec {
     assert(probed.collect().map(_.toSeq).toSet == inline)
   }
 
-  test("ivf append: delta under sidecar centroids, probe equals one-shot") {
+  test("ivf append: delta under sidecar centroids, probe equals one-shot; crash + fold safe") {
+    import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_ivfapp")
       .toString
     val idxA = s"$work/idxA"
     val idxB = s"$work/idxB"
     Similarity.writeIvfIndex(spark, sf0001, idxA) // one shot, centroids C
-    // idxB: the SAME centroids, corpus arriving in two waves
+    // idxB: the SAME centroids, corpus arriving in three waves under
+    // the GenStore marker protocol
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val cents = spark.read.parquet(Similarity.centroidsPathOf(idxA))
-    Similarity.assignBuckets(
-        e.filter(col("vec_id") < 400)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce")),
-        "cid", "ce", cents)
-      .write.mode("overwrite").partitionBy("bucket").parquet(idxB)
     cents.write.mode("overwrite")
       .parquet(Similarity.centroidsPathOf(idxB))
+    graft.operators.GenStore.ingest(spark, idxB,
+      Similarity.gensPathOf(idxB), 0L,
+      Similarity.assignBuckets(
+        e.filter(col("vec_id") < 300)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        "cid", "ce", cents),
+      Seq("bucket"), Seq((300L, 0L)).toDF("n_vecs", "ingest_batch"))
+    Similarity.appendIvfIndex(spark, idxB,
+      e.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding")
     Similarity.appendIvfIndex(spark, idxB,
       e.filter(col("vec_id") >= 400), "vec_id", "embedding")
 
-    def membership(p: String) = spark.read.parquet(p)
-      .select(col("cid"), col("bucket").cast("long")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toSet
-    assert(membership(idxB) == membership(idxA),
-      "append drifted bucket membership vs the one-shot build")
     def probe(p: String) = Similarity.probeIvfIndex(spark, sf0001, p)
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
-    assert(probe(idxB) == probe(idxA),
+    val oneShot = probe(idxA)
+    assert(probe(idxB) == oneShot,
       "probe results differ between appended and one-shot index")
+    // a crashed append (vectors landed, no marker) is invisible
+    Similarity.assignBuckets(
+        e.filter(col("vec_id") < 50) // junk re-ingest of existing ids
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        "cid", "ce", cents)
+      .withColumn("ingest_batch", lit(99L))
+      .write.mode("append").partitionBy("ingest_batch", "bucket")
+      .parquet(idxB)
+    assert(probe(idxB) == oneShot,
+      "probe scored an append with no commit marker")
+    // compaction folds generations and changes nothing a probe sees
+    assert(Similarity.compactIvfIndex(spark, idxB, maxPartials = 1))
+    assert(probe(idxB) == oneShot, "fold changed probe results")
+    val gens = spark.read.parquet(Similarity.gensPathOf(idxB))
+      .select(col("ingest_batch").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(gens == Set(-1L), s"generations not folded: $gens")
   }
 
   test("ivfpq materialized index: probe prunes partitions, matches inline") {
