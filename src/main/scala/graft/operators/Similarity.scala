@@ -440,28 +440,44 @@ object Similarity extends QueryPack {
     // delta lands as its own generation — vectors first, marker LAST —
     // so a crash leaves an invisible orphan (probes keep serving the
     // exact pre-append index) and a retry reuses and clears the id
-    val gen = GenStore.nextGen(spark, gensPath)
+    ingestVectorGeneration(spark, indexPath, delta, idCol, vecCol,
+      GenStore.nextGen(spark, gensPath))
+  }
+
+  /** Land one vector generation under an explicit id — the core
+    * [[appendIvfIndex]] (next-id derived) and
+    * [[graft.streaming.VectorIndexStream]] (micro-batch id) share.
+    * Assumes the caller verified the sidecars and ran compaction
+    * recovery. An empty delta writes nothing. */
+  private[graft] def ingestVectorGeneration(spark: SparkSession,
+                                            indexPath: String,
+                                            delta: DataFrame, idCol: String,
+                                            vecCol: String,
+                                            gen: Long): Unit = {
     val assigned = assignBuckets(
       delta.select(col(idCol).as("cid"), col(vecCol).as("ce")),
-      "cid", "ce", spark.read.parquet(centsPath))
+      "cid", "ce", spark.read.parquet(centroidsPathOf(indexPath)))
       .localCheckpoint() // consumed twice: count + write
     val n = assigned.count()
     if (n == 0) return // empty delta: nothing to commit
     import spark.implicits._
-    GenStore.ingest(spark, indexPath, gensPath, gen, assigned,
+    GenStore.ingest(spark, indexPath, gensPathOf(indexPath), gen, assigned,
       Seq("bucket"), Seq((n, gen)).toDF("n_vecs", "ingest_batch"))
   }
 
   /** Two-level LSM fold of an IVF index's generations — the
     * [[GenStore.compact]] schedule, so probe file listings stay
-    * bounded over a long append history. */
+    * bounded over a long append history. `protectGen` keeps the
+    * in-flight streaming micro-batch unfolded. */
   def compactIvfIndex(spark: SparkSession, indexPath: String,
+                      protectGen: Long = Long.MinValue,
                       maxPartials: Int = 16,
                       maxSentinels: Int = 8): Boolean =
     GenStore.compact(spark, indexPath, gensPathOf(indexPath),
       partCols = Seq("bucket"),
       layout = _.repartition(col("bucket")),
       foldStats = _.agg(coalesce(sum(col("n_vecs")), lit(0L)).as("n_vecs")),
+      protectGen = protectGen,
       maxPartials = maxPartials, maxSentinels = maxSentinels)
 
   /** Probe a materialized IVF index. The probed bucket ids are resolved
