@@ -243,6 +243,69 @@ object Analytics extends QueryPack {
             lit(32.35)), 2).as("medicare_prof_rate"))
     }),
 
+    // The RateCalculator's full locality resolution chain
+    // (src/transformers/rate_calculator.py:174-220): UNIQUE zip/code
+    // pairs (the reference dedups before rating — P9 applied) walk
+    // zip → (carrier, locality) → fee-schedule area → the GPCI triple
+    // → the code's RVU triple, then the professional-rate formula at
+    // the national conversion factor. Every lookup is a bounded dim
+    // on the build side (locality geography and the RVU table don't
+    // grow with claims volume), so the SF-scaled pair stream takes
+    // four broadcast hash joins and never shuffles; nulls at any hop
+    // zero-fill in the formula exactly like the reference's
+    // row.get(..., 0).
+    "medicare_locality_chain" -> ((s, d) => {
+      def zipOf(k: Column) =
+        lpad(((k * 7) % 100000).cast("string"), 5, "0")
+      val pairs = Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(zipOf(col("l_suppkey")).as("zip_code"),
+          col("l_partkey").cast("string").as("procedure_code"))
+        .distinct()
+      val localityMap = Tables.load(s, d, "supplier")
+        .select(zipOf(col("s_suppkey")).as("zip_code"),
+          concat(lit("MAC"), (col("s_suppkey") % 5).cast("string"))
+            .as("carrier_code"),
+          (col("s_suppkey") % 8).cast("int").as("locality_code"))
+        .distinct()
+      val meta = Tables.load(s, d, "nation")
+        .select(concat(lit("MAC"), (col("n_nationkey") % 5).cast("string"))
+          .as("mac_code"))
+        .distinct()
+        .select(col("mac_code"),
+          explode(sequence(lit(0), lit(7))).as("m_loc"))
+        .select(col("mac_code"), col("m_loc"),
+          concat(lit("FSA_"), col("mac_code"), lit("_"),
+            col("m_loc").cast("string")).as("fee_schedule_area"))
+      val gpci = meta.select(
+        col("fee_schedule_area").as("locality_name"),
+        col("m_loc").as("g_loc"),
+        (col("m_loc") / lit(10.0) + 0.8).as("work_gpci"),
+        (col("m_loc") % 3 / lit(10.0) + 0.9).as("pe_gpci"),
+        (col("m_loc") % 5 / lit(10.0) + 0.5).as("mp_gpci"))
+      val rvu = Tables.load(s, d, "part").select(
+        col("p_partkey").cast("string").as("procedure_code"),
+        (col("p_retailprice") / 100.0).as("work_rvu"),
+        (col("p_size") / 10.0).as("practice_expense_rvu"),
+        (col("p_partkey") % 13 / lit(100.0)).as("malpractice_rvu"))
+      pairs
+        .join(broadcast(localityMap), Seq("zip_code"), "left")
+        .join(broadcast(meta),
+          col("carrier_code") === col("mac_code") &&
+            col("locality_code") === col("m_loc"), "left")
+        .join(broadcast(gpci),
+          col("fee_schedule_area") === col("locality_name") &&
+            col("locality_code") === col("g_loc"), "left")
+        .join(broadcast(rvu), Seq("procedure_code"), "left")
+        .select(col("zip_code"), col("procedure_code"),
+          col("carrier_code"), col("locality_code"),
+          col("fee_schedule_area"),
+          pround(medicareProfRate(col("work_rvu"),
+            col("practice_expense_rvu"), col("malpractice_rvu"),
+            col("work_gpci"), col("pe_gpci"), col("mp_gpci"),
+            lit(32.74)), 2).as("medicare_prof"))
+    }),
+
     // §2.6: autocomplete — alphabetical distinct with prefix filter
     // (backend/main.py:804-888)
     "autocomplete_distinct" -> ((s, d) =>
@@ -665,6 +728,56 @@ object Analytics extends QueryPack {
                (p_partkey % 13 / 100.0) * (n_nationkey % 5 / 10.0 + 0.5)
              ) * 32.35) * 100.0 + 0.5) / 100.0 AS medicare_prof_rate
       FROM nation CROSS JOIN part""",
+
+    // the same four lookups and the same zero-filled formula, replayed
+    // relationally; integer-derived gpci/rvu doubles are identical on
+    // both engines, so only the final rate rounds
+    "medicare_locality_chain" -> """
+      WITH pairs AS (
+        SELECT DISTINCT
+               lpad(CAST((l_suppkey * 7) % 100000 AS VARCHAR), 5, '0')
+                 AS zip_code,
+               CAST(l_partkey AS VARCHAR) AS procedure_code
+        FROM lineitem WHERE l_orderkey % 7 = 0),
+      lmap AS (
+        SELECT DISTINCT
+               lpad(CAST((s_suppkey * 7) % 100000 AS VARCHAR), 5, '0')
+                 AS zip_code,
+               'MAC' || CAST(s_suppkey % 5 AS VARCHAR) AS carrier_code,
+               CAST(s_suppkey % 8 AS INTEGER) AS locality_code
+        FROM supplier),
+      meta AS (
+        SELECT DISTINCT 'MAC' || CAST(n_nationkey % 5 AS VARCHAR) AS mac_code,
+               CAST(i AS INTEGER) AS m_loc,
+               'FSA_MAC' || CAST(n_nationkey % 5 AS VARCHAR) || '_' ||
+                 CAST(i AS VARCHAR) AS fee_schedule_area
+        FROM nation CROSS JOIN (SELECT unnest(range(0, 8)) AS i)),
+      gpci AS (
+        SELECT fee_schedule_area AS locality_name, m_loc AS g_loc,
+               m_loc / 10.0 + 0.8 AS work_gpci,
+               m_loc % 3 / 10.0 + 0.9 AS pe_gpci,
+               m_loc % 5 / 10.0 + 0.5 AS mp_gpci
+        FROM meta),
+      rvu AS (
+        SELECT CAST(p_partkey AS VARCHAR) AS procedure_code,
+               p_retailprice / 100.0 AS work_rvu,
+               p_size / 10.0 AS practice_expense_rvu,
+               p_partkey % 13 / 100.0 AS malpractice_rvu
+        FROM part)
+      SELECT p.zip_code, p.procedure_code, l.carrier_code,
+             l.locality_code, m.fee_schedule_area,
+             floor((
+               (COALESCE(r.work_rvu, 0) * COALESCE(g.work_gpci, 0) +
+                COALESCE(r.practice_expense_rvu, 0) * COALESCE(g.pe_gpci, 0) +
+                COALESCE(r.malpractice_rvu, 0) * COALESCE(g.mp_gpci, 0))
+               * 32.74) * 100.0 + 0.5) / 100.0 AS medicare_prof
+      FROM pairs p
+      LEFT JOIN lmap l USING (zip_code)
+      LEFT JOIN meta m ON l.carrier_code = m.mac_code
+                      AND l.locality_code = m.m_loc
+      LEFT JOIN gpci g ON m.fee_schedule_area = g.locality_name
+                      AND l.locality_code = g.g_loc
+      LEFT JOIN rvu r USING (procedure_code)""",
 
     "autocomplete_distinct" -> """
       SELECT DISTINCT p_name FROM part
