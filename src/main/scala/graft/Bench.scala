@@ -365,6 +365,8 @@ object Bench {
     "api_multi_select" -> 1.5, // (r9) one fact scan, IN pushdown + topk
     "api_multi_select_gold" -> 8.6, // (r9) builds the 5-level hive slice per run
     "api_multi_taxonomy" -> 1.5, // (r9) fact scan + NPPES semi + summary
+    "api_multi_ilike" -> 1.5, // (r9) OR-contains + NPPES semi + summary
+    "medicare_locality_chain" -> 1.5, // (r9) 4 broadcast dim hops
     "clean_winsorize_hdr" -> 1.5, // (r9) hist cells + broadcast-back rewrite
     "events_anomaly_hdr" -> 1.8, // (r9) two hist passes + count pass
     "classifier_eval_auc" -> 1.5, // (r8) score-group-grain rank sums

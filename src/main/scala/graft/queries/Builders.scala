@@ -144,6 +144,18 @@ object Builders extends QueryPack {
         taxonomies = QueryApi.parseMulti(MsTaxonomies.mkString(",")),
         enumerationTypes = QueryApi.parseMulti("NPI-1")))),
 
+    // OR-of-ILIKE multi-select (optimized_queries.py:579-588's
+    // build_ilike_clause): each listed value is a case-insensitive
+    // CONTAINS, any match passes — one list on the fact side
+    // (payer), one on the NPPES dim (organization name, where a NULL
+    // org — a person-type NPI — never matches, the reference's ILIKE
+    // NULL semantics).
+    "api_multi_ilike" -> ((s, d) =>
+      QueryApi.rateSummary(s, d, QueryApi.RateFilter(
+        state = "", yearMonth = "1995-09",
+        payerIlikes = QueryApi.parseMulti("AYER_1, ayer_4"),
+        orgIlikes = QueryApi.parseMulti("er#00000001, ER#00000002")))),
+
     // §2.9 prod path: crosswalk dim build + broadcast categorization join
     // with pre-computed search fields (optimized_queries.py:131-149)
     "f_categorize_xwalk" -> ((s, d) => {
@@ -397,6 +409,25 @@ object Builders extends QueryPack {
           AND negotiated_rate >= 50.0
         ORDER BY 4 DESC, fact_uid
         LIMIT 100""",
+
+      // literal contains() on both sides (LIKE would read the
+      // fixture's underscores as wildcards), same NULL-org exclusion
+      "api_multi_ilike" -> s"""$RP,
+        dim AS (${EnrichmentDimsSql.dimNpi})
+        SELECT COUNT(*) AS rate_count,
+               ${avgS("negotiated_rate")} AS avg_rate,
+               ${prS("MIN(negotiated_rate)")} AS min_rate,
+               ${prS("MAX(negotiated_rate)")} AS max_rate,
+               ${qS("negotiated_rate", "0.5")} AS median_rate,
+               COUNT(DISTINCT billing_code) AS unique_codes
+        FROM rates
+        WHERE year_month = '1995-09'
+          AND (contains(lower(payer_slug), 'ayer_1')
+               OR contains(lower(payer_slug), 'ayer_4'))
+          AND provider_reference_id IN (
+            SELECT npi FROM dim
+            WHERE contains(lower(organization_name), 'er#00000001')
+               OR contains(lower(organization_name), 'er#00000002'))""",
 
       // the NPPES-side lists filter the dim subquery — the semi-join
       // twin — under the verbatim A4 summary aggregates

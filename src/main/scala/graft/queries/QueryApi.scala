@@ -50,7 +50,12 @@ object QueryApi {
     tinValues: Seq[String] = Nil,
     taxonomies: Seq[String] = Nil, // NPPES primary_taxonomy_desc IN (staged_dashboard.py:346-347)
     npis: Seq[String] = Nil,
-    enumerationTypes: Seq[String] = Nil)
+    enumerationTypes: Seq[String] = Nil,
+    // OR-of-ILIKE lists (optimized_queries.py:579-588's
+    // build_ilike_clause): each value is a case-insensitive CONTAINS,
+    // any match passes
+    payerIlikes: Seq[String] = Nil,
+    orgIlikes: Seq[String] = Nil) // NPPES organization_name ILIKE any
 
   /** The dashboard's comma-separated multi-select decoding
     * (consolidated_dashboard.py:139-144): split, trim, drop empties —
@@ -69,8 +74,12 @@ object QueryApi {
       .filter(col("year_month") === f.yearMonth)
     def inSet(c: Column, vs: Seq[String]): Option[Column] =
       if (vs.isEmpty) None else Some(c.isin(vs: _*))
+    def anyIlike(c: Column, vs: Seq[String]): Option[Column] =
+      if (vs.isEmpty) None
+      else Some(vs.map(q => lower(c).contains(q.toLowerCase)).reduce(_ || _))
     val opts: Seq[Option[Column]] = Seq(
       f.payerIlike.map(q => lower(col("payer_slug")).contains(q.toLowerCase)),
+      anyIlike(col("payer_slug"), f.payerIlikes),
       inSet(col("billing_code"), f.code.toSeq ++ f.codes),
       inSet(col("billing_class"), f.billingClass.toSeq ++ f.billingClasses),
       inSet(col("negotiated_type"),
@@ -109,11 +118,14 @@ object QueryApi {
     // way). Semi, not inner: the dim is 1:1 per group id here, but the
     // filter contract must not depend on that.
     if (f.taxonomies.nonEmpty || f.npis.nonEmpty ||
-        f.enumerationTypes.nonEmpty) {
+        f.enumerationTypes.nonEmpty || f.orgIlikes.nonEmpty) {
       var dim = graft.etl.EnrichmentDims.dimNpi(Roles.providers(spark, dir))
       Seq(inSet(col("primary_taxonomy_desc"), f.taxonomies),
           inSet(col("npi"), f.npis),
-          inSet(col("enumeration_type"), f.enumerationTypes))
+          inSet(col("enumeration_type"), f.enumerationTypes),
+          // ILIKE on a NULL organization_name is NULL → excluded,
+          // exactly the reference's semantics for person-type NPIs
+          anyIlike(col("organization_name"), f.orgIlikes))
         .flatten.foreach(p => dim = dim.filter(p))
       df = df.join(broadcast(dim.select(col("npi").as("nppes_pgid"))),
         df("provider_reference_id") === col("nppes_pgid"), "left_semi")
