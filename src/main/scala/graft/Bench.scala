@@ -363,7 +363,7 @@ object Bench {
     "search_hybrid_rerank" -> 4.5, // (r9) index build + probe + 25-row rerank
     "search_phrase3" -> 2.3, // (r9) index build + three posting lists
     "api_multi_select" -> 1.5, // (r9) one fact scan, IN pushdown + topk
-    "api_multi_select_gold" -> 8.6, // (r9) builds the 5-level hive slice per run
+    "api_multi_select_gold" -> 3.4, // (r9) builds a 6-state 5-level hive slice per run
     "api_multi_taxonomy" -> 1.5, // (r9) fact scan + NPPES semi + summary
     "api_multi_ilike" -> 1.5, // (r9) OR-contains + NPPES semi + summary
     "medicare_locality_chain" -> 1.5, // (r9) 4 broadcast dim hops

@@ -109,13 +109,24 @@ object Builders extends QueryPack {
       // slice BEFORE fact(): its fact_uid dedup is an aggregate whose
       // non-key columns come back as first() outputs, so a filter
       // placed above it cannot push through — filtering the base
-      // keeps the md5 minting and the dedup shuffle month-sized
-      graft.etl.StarSchemaBuilder.writePartitionedFact(s,
-        graft.etl.StarSchemaBuilder.fact(
-            graft.etl.StarSchemaBuilder.base(s, d)
-              .filter(col("year_month") === "1995-09"))
-          .repartition(col("state")),
-        oracleFactDir)
+      // keeps the md5 minting and the dedup shuffle slice-sized. Six
+      // states (a superset of the two queried) keep the multi-state
+      // listing-prune demonstrable while bounding the per-run leaf
+      // fan-out of the 5-level write. STATIC overwrite on purpose —
+      // the production sink's dynamic-overwrite semantics
+      // (writePartitionedFact) would leave residue partitions behind
+      // when consecutive runs use different SF dirs, and a
+      // query-private sidecar must be exactly what this run wrote.
+      graft.etl.StarSchemaBuilder.fact(
+          graft.etl.StarSchemaBuilder.base(s, d)
+            .filter(col("year_month") === "1995-09" &&
+              col("state").isin("NATION_1", "NATION_3", "NATION_7",
+                "NATION_9", "NATION_12", "NATION_20")))
+        .repartition(col("state"))
+        .write.mode("overwrite")
+        .partitionBy(graft.etl.StarSchemaBuilder.FactPartitionCols: _*)
+        .option("compression", "zstd")
+        .parquet(oracleFactDir)
       val fact = s.read.parquet(oracleFactDir)
         .withColumnRenamed("code", "billing_code")
       QueryApi.filteredFact(fact, QueryApi.RateFilter(
