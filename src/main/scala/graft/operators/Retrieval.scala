@@ -164,15 +164,20 @@ object Retrieval extends QueryPack {
     val spark = newDocuments.sparkSession
     val (staged, postings) =
       stagePostings(newDocuments, idCol, textCol, materialize = true)
-    val add = staged.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-    if (add.getLong(0) == 0) return // empty delta: nothing to index
-    import spark.implicits._
-    GenStore.ingest(spark, s"$dir/postings", s"$dir/stats", gen,
-      postings.repartition(col("bucket")).sortWithinPartitions("token"),
-      Seq("bucket"),
-      Seq((add.getLong(0), add.getLong(1), gen))
-        .toDF("n_docs", "sum_dl", "ingest_batch"))
+    // unpersist when done: a long-lived stream calls this every
+    // micro-batch, and each call's localCheckpoint would otherwise
+    // pin its blocks until a driver GC happens to collect the frame
+    try {
+      val add = staged.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+      if (add.getLong(0) == 0) return // empty delta: nothing to index
+      import spark.implicits._
+      GenStore.ingest(spark, s"$dir/postings", s"$dir/stats", gen,
+        postings.repartition(col("bucket")).sortWithinPartitions("token"),
+        Seq("bucket"),
+        Seq((add.getLong(0), add.getLong(1), gen))
+          .toDF("n_docs", "sum_dl", "ingest_batch"))
+    } finally staged.unpersist()
   }
 
   /** Incremental index maintenance: append a delta of NEW documents

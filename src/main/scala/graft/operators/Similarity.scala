@@ -458,11 +458,15 @@ object Similarity extends QueryPack {
       delta.select(col(idCol).as("cid"), col(vecCol).as("ce")),
       "cid", "ce", spark.read.parquet(centroidsPathOf(indexPath)))
       .localCheckpoint() // consumed twice: count + write
-    val n = assigned.count()
-    if (n == 0) return // empty delta: nothing to commit
-    import spark.implicits._
-    GenStore.ingest(spark, indexPath, gensPathOf(indexPath), gen, assigned,
-      Seq("bucket"), Seq((n, gen)).toDF("n_vecs", "ingest_batch"))
+    // unpersist when done — the streaming path calls this per
+    // micro-batch (see Retrieval.ingestGeneration's identical note)
+    try {
+      val n = assigned.count()
+      if (n == 0) return // empty delta: nothing to commit
+      import spark.implicits._
+      GenStore.ingest(spark, indexPath, gensPathOf(indexPath), gen, assigned,
+        Seq("bucket"), Seq((n, gen)).toDF("n_vecs", "ingest_batch"))
+    } finally assigned.unpersist()
   }
 
   /** Two-level LSM fold of an IVF index's generations — the
