@@ -352,6 +352,16 @@ object Retrieval extends QueryPack {
   def probePhraseSeq(spark: SparkSession, dir: String,
                      words: Seq[String]): DataFrame = {
     require(words.length >= 2, "a phrase needs at least two words")
+    // pre-first-commit: empty result, not PATH_NOT_FOUND — the same
+    // startup convention as probeIndexTopK
+    if (!graft.FsUtils.committedExists(spark, s"$dir/stats"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_occurrences",
+            org.apache.spark.sql.types.LongType))))
     val buckets = words.map(bucketOf).distinct.map(lit(_))
     val posts = committedPostings(spark, dir)
       .filter(col("bucket").isin(buckets: _*))

@@ -80,6 +80,13 @@ class IndexStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("pre-first-commit probes answer empty, not PATH_NOT_FOUND") {
+    val w = s"${work()}/never_written"
+    assert(IndexStream.probeTopK(spark, w, terms, 25).collect().isEmpty)
+    assert(Retrieval.probePhrase(spark, w, "table", "hash")
+      .collect().isEmpty)
+  }
+
   test("compaction keeps the store bounded and the probe exact") {
     val w = work()
     (0 to 4).foreach(i =>
