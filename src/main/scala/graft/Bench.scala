@@ -350,7 +350,7 @@ object Bench {
     "link_blocking_stats" -> 1.8, // (r7, cold 6-query suite)
     "split_group_aware" -> 1.5, // (r7, cold 6-query suite)
     "sample_importance_dsir" -> 1.5, // (r7, cold 1-query suite)
-    "dedup_span_stats" -> 5.9, // cold-JVM 3-query-suite measurement
+    "dedup_span_stats" -> 2.8, // (r9 full-suite record; was a cold 3-query 5.9)
     "classifier_train_logreg" -> 3.0, // (r8) 3 GD aggregates + checkpoint
     "text_pmi_pairs" -> 3.5, // (r8, full-suite record) W=3 pair stream + two groupBys
     "cdc_apply" -> 1.2, // (r8) one grouped max-struct aggregate
@@ -358,8 +358,8 @@ object Bench {
     "multimodal_video_frames" -> 1.4, // (r8) gif codec seam
     "embedding_quantize_int8" -> 1.5, // (r8) scan-side affine + fold
     "privacy_k_anonymity" -> 1.3, // (r8) three combinable aggregates
-    "search_index_topk" -> 4.0, // (r8) index BUILD + pruned probe per run
-    "search_phrase" -> 2.3, // (r8) index build + two posting lists
+    "search_index_topk" -> 2.2, // (r9) generational layout dropped the tokenstats write
+    "search_phrase" -> 1.8, // (r9) index build + two posting lists
     "search_hybrid_rerank" -> 4.5, // (r9) index build + probe + 25-row rerank
     "search_phrase3" -> 2.3, // (r9) index build + three posting lists
     "api_multi_select" -> 1.5, // (r9) one fact scan, IN pushdown + topk
@@ -384,11 +384,11 @@ object Bench {
     "text_tfidf_keywords" -> 2.6, // (r7, cold 3-query suite)
     "search_bm25_topk" -> 2.0,
     "dedup_span_removal" -> 2.1, // (r7, warm window-min formulation)
-    "star_fact_build" -> 8.2,
-    "s15_agg_market_rates" -> 5.3,
+    "star_fact_build" -> 2.7, // (r9 full-suite record)
+    "s15_agg_market_rates" -> 3.3, // (r9 full-suite record)
     "a10_search_stats" -> 4.7,
     "corpus_curate_e2e" -> 4.6,
-    "j12_upsert" -> 4.5,
+    "j12_upsert" -> 2.4, // (r9 full-suite record)
     "text_repetition" -> 3.6,
     "dedup_embedding_cosine" -> 3.6,
     "w1_latest_dedup" -> 3.6,
