@@ -45,15 +45,25 @@ object GenStore {
 
   /** The next append generation, derived from the COMMITTED set only
     * — a crashed append's orphan never advances the id, so the retry
-    * overwrites it. ≥ 0 always (sentinels are negative). */
+    * overwrites it. ≥ 0 always (sentinels are negative). A store with
+    * no committed marker yet (fresh dir, or a first ingest that died
+    * before its marker) starts at 0 rather than failing the read. */
   def nextGen(spark: SparkSession, statsPath: String): Long =
-    committedIds(spark, statsPath).foldLeft(SentinelCeiling)(math.max) + 1
+    if (!graft.FsUtils.committedExists(spark, statsPath)) 0L
+    else committedIds(spark, statsPath).foldLeft(SentinelCeiling)(math.max) + 1
 
-  /** Marked-generations filter for a data read. */
+  /** Marked-generations filter for a data read. ignoreMissingFiles:
+    * the GC sweep deletes unmarked partitions a concurrent reader may
+    * have already file-listed — those partitions are invisible to the
+    * marker filter anyway, so skipping their vanished files changes
+    * nothing about the rows served, it only keeps the scan from
+    * failing mid-flight (readers are unrestricted; only maintenance
+    * is single-writer). */
   def committedData(spark: SparkSession, dataPath: String,
                     statsPath: String): DataFrame = {
     val ids = committedIds(spark, statsPath).map(lit(_))
-    spark.read.parquet(dataPath).filter(col("ingest_batch").isin(ids: _*))
+    spark.read.option("ignoreMissingFiles", "true").parquet(dataPath)
+      .filter(col("ingest_batch").isin(ids: _*))
   }
 
   /** Land one generation: clear any orphan at this id, write the data
@@ -78,11 +88,35 @@ object GenStore {
       .parquet(statsPath)
   }
 
+  /** Drop data partitions that carry no marker — folded sources a
+    * crashed fold never got to GC, and crashed-append orphans whose
+    * id has since been passed over. They are invisible to every
+    * reader already (the marker filter), so this sweep costs disk
+    * reclamation only, never correctness. `protectGen` (an in-flight
+    * ingest that has not committed its marker yet) is kept. */
+  private[graft] def gcUnmarked(spark: SparkSession, dataPath: String,
+                                statsPath: String,
+                                protectGen: Long = Long.MinValue): Unit = {
+    val (fs, dataRoot) = DedupStream.fsOf(spark, dataPath)
+    if (!fs.exists(dataRoot)) return
+    val live = (committedIds(spark, statsPath).toSet + protectGen)
+      .map(g => s"ingest_batch=$g")
+    fs.listStatus(dataRoot)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch=") &&
+        !live.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
   /** The two-level LSM fold (see object doc). `layout` arranges the
     * folded rows before the partitioned write (repartition/sort —
     * store-specific); `foldStats` merges the folded generations'
     * marker rows into ONE row (without `ingest_batch` — it is
-    * attached here). Returns true if a fold ran. */
+    * attached here). Returns true if a fold ran. The orphan sweep
+    * runs UNCONDITIONALLY (before the fold-threshold early returns):
+    * a crash between a previous fold's stats swap and its GC must not
+    * strand the folded sources until the NEXT fold happens to
+    * trigger — any maintenance call reclaims them. */
   def compact(spark: SparkSession, dataPath: String, statsPath: String,
               partCols: Seq[String], layout: DataFrame => DataFrame,
               foldStats: DataFrame => DataFrame,
@@ -91,6 +125,7 @@ object GenStore {
     DedupStream.recoverCompaction(spark, dataPath)
     DedupStream.recoverCompaction(spark, statsPath)
     if (!graft.FsUtils.committedExists(spark, statsPath)) return false
+    gcUnmarked(spark, dataPath, statsPath, protectGen)
     val ids = committedIds(spark, statsPath)
     if (ids.length <= maxPartials) return false
     val major = ids.count(_ < 0) >= maxSentinels
@@ -98,7 +133,7 @@ object GenStore {
     if (foldable.length < 2) return false // relocating one gen buys nothing
     val newGen = math.min(ids.min, 0L) - 1
     val foldLits = foldable.map(lit(_))
-    val (fs, dataRoot) = DedupStream.fsOf(spark, dataPath)
+    val (fs, _) = DedupStream.fsOf(spark, dataPath)
     // 1. the sentinel's data partition — no marker yet, invisible
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$dataPath/ingest_batch=$newGen"), true)
@@ -129,14 +164,10 @@ object GenStore {
       .option("compression", "zstd").parquet(tmp.toString)
     DedupStream.swapDirs(sfs, statsRoot, tmp)
     // 3. GC: drop data partitions with no marker (folded sources and
-    // crashed-append orphans alike) — already invisible
-    val live = (committedIds(spark, statsPath).toSet + protectGen)
-      .map(g => s"ingest_batch=$g")
-    fs.listStatus(dataRoot)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("ingest_batch=") &&
-        !live.contains(st.getPath.getName))
-      .foreach(st => fs.delete(st.getPath, true))
+    // crashed-append orphans alike) — already invisible. A crash
+    // before this step costs disk, never correctness, and the
+    // unconditional sweep at the next maintenance call reclaims it.
+    gcUnmarked(spark, dataPath, statsPath, protectGen)
     true
   }
 }

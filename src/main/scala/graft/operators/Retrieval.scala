@@ -125,28 +125,78 @@ object Retrieval extends QueryPack {
     (staged, postings)
   }
 
-  /** Build the index from a documents-shaped frame: generation 0 of a
-    * fresh index (static overwrite clears every older generation).
-    * The build is ONE tokenize recipe consumed twice — once by the
-    * postings aggregate, once by the stats aggregate; a corpus-sized
-    * input is deliberately re-scanned rather than checkpointed
-    * (materializing a 100 TB token stream to trade two scans for one
-    * write is the wrong side of that exchange). */
+  /** Build the index from a documents-shaped frame. The build is ONE
+    * tokenize recipe consumed twice — once by the postings aggregate,
+    * once by the stats aggregate; a corpus-sized input is deliberately
+    * re-scanned rather than checkpointed (materializing a 100 TB token
+    * stream to trade two scans for one write is the wrong side of
+    * that exchange).
+    *
+    * A FRESH directory gets generation 0 by static overwrite. A
+    * directory already holding a committed index is a
+    * REBUILD-IN-PLACE, and it runs inside the same marker protocol as
+    * every other maintenance write here (a bare double-overwrite
+    * would clear all old postings before the stats overwrite, so a
+    * crash in that window — or a probe racing it — would see stats
+    * markers pointing at deleted postings): the new corpus lands as
+    * one UNMARKED generation (invisible; the old index keeps serving
+    * bit-identically), the stats store swaps to that generation's
+    * single row via the two-rename publish (the atomic commit point,
+    * healed by [[DedupStream.recoverCompaction]] at the next
+    * maintenance call), and the old generations — unmarked now — are
+    * garbage-collected. A retried crashed rebuild re-derives the same
+    * generation id from the still-committed old set and overwrites
+    * its own orphan. Either path clears any persisted `_stream_base`
+    * marker: a rebuild starts a new generation history, so a stream
+    * band derived against the old one must not survive it
+    * (re-attached streams derive a fresh base above the rebuild). */
   def writeTextIndex(documents: DataFrame, idCol: String, textCol: String,
                      dir: String): Unit = {
+    val spark = documents.sparkSession
+    DedupStream.recoverCompaction(spark, s"$dir/postings")
+    DedupStream.recoverCompaction(spark, s"$dir/stats")
+    val (fs, _) = DedupStream.fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_base"), false)
     val (staged, postings) = stagePostings(documents, idCol, textCol)
-    postings.withColumn("ingest_batch", lit(0L))
-      .repartition(col("bucket")).sortWithinPartitions("token")
-      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch", "bucket")
-      .option("compression", "zstd").parquet(s"$dir/postings")
     // sum_dl coalesced: an EMPTY corpus sums to NULL, and the stats
     // fold/merge arithmetic downstream needs (0, 0), not (0, NULL)
-    staged.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .withColumn("ingest_batch", lit(0L))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
-      .parquet(s"$dir/stats")
+    def statsOf(gen: Long) =
+      staged.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .withColumn("ingest_batch", lit(gen))
+        .coalesce(1)
+    if (!graft.FsUtils.committedExists(spark, s"$dir/stats")) {
+      postings.withColumn("ingest_batch", lit(0L))
+        .repartition(col("bucket")).sortWithinPartitions("token")
+        .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch", "bucket")
+        .option("compression", "zstd").parquet(s"$dir/postings")
+      statsOf(0L)
+        .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+        .parquet(s"$dir/stats")
+    } else {
+      // 1. the rebuilt corpus as one unmarked generation — invisible
+      val gen = GenStore.nextGen(spark, s"$dir/stats")
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/postings/ingest_batch=$gen"), true)
+      postings.withColumn("ingest_batch", lit(gen))
+        .repartition(col("bucket")).sortWithinPartitions("token")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch", "bucket")
+        .option("compression", "zstd").parquet(s"$dir/postings")
+      // 2. the commit point: swap stats to the one new marker row
+      val (sfs, statsRoot) = DedupStream.fsOf(spark, s"$dir/stats")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$dir/stats" + DedupStream.CompactTmpSuffix)
+      sfs.delete(tmp, true)
+      statsOf(gen)
+        .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+        .parquet(tmp.toString)
+      DedupStream.swapDirs(sfs, statsRoot, tmp)
+      // 3. GC the now-unmarked old generations (disk only; a crash
+      // here is reclaimed by the next maintenance call's sweep)
+      GenStore.gcUnmarked(spark, s"$dir/postings", s"$dir/stats")
+    }
   }
 
   /** Land one generation of NEW documents under an explicit id:

@@ -385,6 +385,7 @@ object Similarity extends QueryPack {
     * recomputation also costs a full-corpus sample scan + driver
     * k-means per probe call. */
   def writeIvfIndex(spark: SparkSession, dir: String, outPath: String): Unit = {
+    clearStreamBase(spark, outPath)
     val e = emb(spark, dir)
     val cents = centroids(e)
     assignBuckets(e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
@@ -405,6 +406,17 @@ object Similarity extends QueryPack {
 
   /** The centroid sidecar of a materialized index. */
   def centroidsPathOf(indexPath: String): String = s"${indexPath}_centroids"
+
+  /** A (re)build starts a new generation history, so a persisted
+    * stream band derived against the old one
+    * ([[graft.streaming.VectorIndexStream]]'s `_stream_base` marker)
+    * must not survive it — a stream re-attached after the rebuild
+    * derives a fresh base above the rebuild's generations instead of
+    * colliding with them. */
+  private def clearStreamBase(spark: SparkSession, indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${indexPath}_stream_base")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+  }
 
   /** The generation-marker store of a materialized index — the
     * [[GenStore]] stats path (one slim (n_vecs) row per committed
@@ -529,6 +541,7 @@ object Similarity extends QueryPack {
     * codebook that encoded them, buckets under their centroids. */
   def writeIvfPqIndex(spark: SparkSession, dir: String,
                       outPath: String): Unit = {
+    clearStreamBase(spark, outPath)
     val e = emb(spark, dir)
     val cents = centroids(e)
     val cb = pqCodebook(e)

@@ -8,8 +8,8 @@ import graft.operators.Retrieval
   * sketch/CDC stores, and since round 9 a THIN shim over the one
   * generational index implementation in [[Retrieval]]: each
   * micro-batch of NEW documents is one [[Retrieval.ingestGeneration]]
-  * call with the micro-batch id as the generation — postings land
-  * first under `postings/ingest_batch=<id>/bucket=<b>/`, the one-row
+  * call at generation `streamBase + batchId` — postings land
+  * first under `postings/ingest_batch=<gen>/bucket=<b>/`, the one-row
   * mergeable stats partial (the COMMIT MARKER) lands last, and an
   * at-least-once replay clears and rewrites exactly its own
   * generation. The probes ([[probeTopK]] here,
@@ -41,6 +41,31 @@ import graft.operators.Retrieval
   */
 object IndexStream {
 
+  /** The stream's generation band starts above every generation
+    * committed when the stream FIRST touched the index (a
+    * [[Retrieval.writeTextIndex]] seed's 0, any
+    * [[Retrieval.appendTextIndex]] generations since): the base is
+    * derived once, persisted beside the index, and re-read forever
+    * after — the exact [[VectorIndexStream]] discipline. Without it,
+    * micro-batch ids 0/1/2… would REUSE committed generation ids on a
+    * seeded index and `ingestGeneration`'s orphan-clearing overwrite
+    * would silently drop the pre-stream corpus. The persisted marker
+    * (not a recomputation per batch) keeps replays deterministic: a
+    * restarted batch maps to the SAME generation while never
+    * colliding with pre-stream ones. One logical stream per index
+    * (same checkpoint across restarts) — the single-writer contract
+    * every maintenance path here assumes. */
+  private def streamBase(spark: SparkSession, dir: String): Long = {
+    val marker = s"$dir/_stream_base"
+    graft.FsUtils.readString(spark, marker) match {
+      case Some(v) => v.trim.toLong
+      case None =>
+        val base = graft.operators.GenStore.nextGen(spark, s"$dir/stats")
+        graft.FsUtils.writeString(spark, marker, base.toString)
+        base
+    }
+  }
+
   /** One micro-batch: ingest under the commit-marker protocol, then
     * fold old generations when they pile up. */
   def processBatch(docsBatch: DataFrame, batchId: Long, dir: String,
@@ -49,8 +74,9 @@ object IndexStream {
     val spark = docsBatch.sparkSession
     DedupStream.recoverCompaction(spark, s"$dir/postings")
     DedupStream.recoverCompaction(spark, s"$dir/stats")
-    Retrieval.ingestGeneration(docsBatch, idCol, textCol, dir, batchId)
-    Retrieval.compactTextIndex(spark, dir, protectGen = batchId,
+    val gen = streamBase(spark, dir) + batchId
+    Retrieval.ingestGeneration(docsBatch, idCol, textCol, dir, gen)
+    Retrieval.compactTextIndex(spark, dir, protectGen = gen,
       maxPartials = maxPartials)
   }
 

@@ -60,6 +60,12 @@ object VectorIndexStream {
       Similarity.centroidsPathOf(indexPath)),
       "no centroid sidecar — seed the index with writeIvfIndex (or an " +
         "empty-corpus build) before streaming into it")
+    // a centroids-only dir (a seed build that died before its marker,
+    // or a hand-copied sidecar) must fail with the same explicit
+    // instruction appendIvfIndex gives, not a raw PATH_NOT_FOUND from
+    // the marker-store read inside streamBase
+    require(graft.FsUtils.committedExists(spark, gensPath),
+      s"no generation markers at $gensPath — rebuild with writeIvfIndex")
     DedupStream.recoverCompaction(spark, indexPath)
     DedupStream.recoverCompaction(spark, gensPath)
     val gen = streamBase(spark, indexPath) + batchId

@@ -126,6 +126,37 @@ class IndexStreamSpec extends SparkSpec {
     assert(after == before, "recovery did not restore the displaced store")
   }
 
+  test("a stream attached to a seeded index never overwrites committed " +
+      "generations") {
+    val w = work()
+    val idx = s"$w/idx"
+    def fifth(i: Int) = docs.filter(col("doc_id") % 5 === i)
+    Retrieval.writeTextIndex(fifth(0), "doc_id", "text", idx) // gen 0
+    Retrieval.appendTextIndex(fifth(1), "doc_id", "text", idx) // gen 1
+    // batch ids 0..2 must land at generations 2..4 (stream base above
+    // the committed set), never at 0/1 where they would clear-and-
+    // overwrite the seed and the append
+    (0 to 2).foreach(i =>
+      IndexStream.processBatch(fifth(i + 2), i.toLong, idx))
+    val gens = spark.read.parquet(s"$idx/stats")
+      .select(col("ingest_batch").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(gens == Set(0L, 1L, 2L, 3L, 4L), s"generations $gens")
+    val streamed = IndexStream.probeTopK(spark, idx, terms, 25)
+      .collect().map(_.toString).toSeq
+    val full = s"$w/full"
+    Retrieval.writeTextIndex(docs, "doc_id", "text", full)
+    assert(streamed == Retrieval.probeIndexTopK(spark, full, terms, 25)
+      .collect().map(_.toString).toSeq,
+      "stream over a seeded index dropped the pre-stream corpus")
+    // the persisted base keeps replays deterministic: a replayed batch
+    // still rewrites exactly its own generation
+    IndexStream.processBatch(fifth(3), 1L, idx)
+    assert(IndexStream.probeTopK(spark, idx, terms, 25)
+      .collect().map(_.toString).toSeq == streamed,
+      "replay on a seeded index changed the probe")
+  }
+
   test("file-stream end to end via run()") {
     val w = work()
     val inDir = s"$w/in"

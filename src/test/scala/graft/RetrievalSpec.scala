@@ -207,6 +207,89 @@ class RetrievalSpec extends SparkSpec {
       "empty-base append diverged from rebuild")
   }
 
+  test("rebuild-in-place over a serving index is crash-safe and exact") {
+    val dir = s"${work()}/idx"
+    val docs = Tables.load(spark, sf0001, "documents")
+    Retrieval.writeTextIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    val terms = Seq("order", "customer", "scan")
+    val preBuild = Retrieval.probeIndexTopK(spark, dir, terms, 25)
+      .collect().map(_.toString).toSeq
+    // crash between the rebuild's two writes: the rebuilt corpus has
+    // landed as its (unmarked) generation, the stats swap never ran —
+    // probes must keep serving the exact pre-build index
+    val (_, postings) = Retrieval.stagePostings(docs, "doc_id", "text")
+    postings.withColumn("ingest_batch", lit(1L))
+      .write.mode("append").partitionBy("ingest_batch", "bucket")
+      .parquet(s"$dir/postings")
+    assert(Retrieval.probeIndexTopK(spark, dir, terms, 25)
+      .collect().map(_.toString).toSeq == preBuild,
+      "probe scored an uncommitted rebuild")
+    // the retried rebuild reuses and clears the orphan, commits via
+    // the stats swap, and GCs the old generations
+    Retrieval.writeTextIndex(docs, "doc_id", "text", dir)
+    val full = s"${work()}/full"
+    Retrieval.writeTextIndex(docs, "doc_id", "text", full)
+    assert(Retrieval.probeIndexTopK(spark, dir, terms, 25)
+      .collect().map(_.toString).toSeq ==
+      Retrieval.probeIndexTopK(spark, full, terms, 25)
+        .collect().map(_.toString).toSeq,
+      "rebuild-in-place diverged from a fresh build")
+    val gens = spark.read.parquet(s"$dir/stats")
+      .select(col("ingest_batch").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(gens == Set(1L), s"stats generations $gens")
+    val dirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      .map(_.getName).toSet
+    assert(dirs == Set("ingest_batch=1"), s"postings dirs not GC'd: $dirs")
+  }
+
+  test("a rebuild clears a stale stream-base marker") {
+    val dir = s"${work()}/idx"
+    val docs = Tables.load(spark, sf0001, "documents")
+    Retrieval.writeTextIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    graft.streaming.IndexStream.processBatch(
+      docs.filter(col("doc_id") % 2 === 1), 0L, dir)
+    assert(FsUtils.readString(spark, s"$dir/_stream_base").isDefined)
+    // the rebuild starts a new generation history — a re-attached
+    // stream must derive a fresh base, not reuse the old band
+    Retrieval.writeTextIndex(docs, "doc_id", "text", dir)
+    assert(FsUtils.readString(spark, s"$dir/_stream_base").isEmpty,
+      "stale stream base survived the rebuild")
+  }
+
+  test("orphan postings are swept by any compaction call, not only a fold") {
+    val dir = s"${work()}/idx"
+    val docs = Tables.load(spark, sf0001, "documents")
+    Retrieval.writeTextIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", dir)
+    // a crashed fold that swapped stats but died before its GC leaves
+    // unmarked source partitions; fake one
+    val (_, postings) = Retrieval.stagePostings(docs, "doc_id", "text")
+    postings.withColumn("ingest_batch", lit(7L))
+      .write.mode("append").partitionBy("ingest_batch", "bucket")
+      .parquet(s"$dir/postings")
+    // two live generations — far below maxPartials, so no fold runs,
+    // but the sweep must still reclaim the orphan
+    assert(!Retrieval.compactTextIndex(spark, dir))
+    val dirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      .map(_.getName).toSet
+    assert(!dirs.contains("ingest_batch=7"), s"orphan not swept: $dirs")
+    // and the index still probes exactly
+    val full = s"${work()}/full"
+    Retrieval.writeTextIndex(docs, "doc_id", "text", full)
+    val terms = Seq("order", "customer", "scan")
+    assert(Retrieval.probeIndexTopK(spark, dir, terms, 25)
+      .collect().map(_.toString).toSeq ==
+      Retrieval.probeIndexTopK(spark, full, terms, 25)
+        .collect().map(_.toString).toSeq)
+  }
+
   test("phrase search matches a direct token-stream recount") {
     val dir = s"${work()}/idx"
     val docs = Tables.load(spark, sf0001, "documents")

@@ -65,6 +65,24 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(gens.size <= 3, s"generations not bounded: $gens")
   }
 
+  test("a centroids-only index fails with the rebuild instruction, " +
+      "not a raw path error") {
+    val w = work()
+    val idx = s"$w/ivf"
+    Similarity.writeIvfIndex(spark, sf0001, idx)
+    // simulate a seed build that died before its generation marker
+    // (or a hand-copied centroid sidecar): centroids exist, gens don't
+    val gens = new org.apache.hadoop.fs.Path(Similarity.gensPathOf(idx))
+    gens.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(gens, true)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndexStream.processBatch(
+        emb.filter(col("vec_id") < 50), 0L, idx)
+    }
+    assert(e.getMessage.contains("rebuild with writeIvfIndex"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("file-stream end to end via run()") {
     val w = work()
     val idxA = s"$w/idxA"
