@@ -60,9 +60,14 @@ object Bench {
         .agg(sum(xxhash64(struct(col("*"))))).collect()
     }
     val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
-    // Local iteration: run each query N times, keep the fastest (strips
-    // JVM/codegen warmup noise). Driver runs use the default of 1.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // Run each query N times, keep the fastest. Default 2 (r11): the
+    // r9↔r10 same-code rounds proved a single pass swings write-heavy
+    // queries by ±3 s (star_fact_build 2.83→5.79 s, identical plan) —
+    // per-query codegen and one-off FS/GC hiccups land entirely on a
+    // lone run, so round-over-round deltas measured noise, not plans.
+    // keep-min of two strips exactly that (the second pass is warm);
+    // the extra pass costs far less than the first (codegen paid).
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     var sinceGc = 0
     val results = selected.map { case (name, fn) =>
       val refSec = referenceSec.getOrElse(name, defaultReferenceSec)
@@ -111,6 +116,43 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Same-code noise floor (r11): re-measure a fixed sample with the
+    // SAME statistic the record uses (keep-min of `repeat` warm runs,
+    // same pre-query GC hygiene) and compare to each recorded minimum,
+    // HERE — right after the main loop, under the same JVM state the
+    // records were taken in, not after the serving/slope blocks have
+    // piled another hundred jobs of pressure on. Same-statistic
+    // matters too: one raw rerun against a min-of-2 record is biased
+    // upward by construction and reported ~50% "noise" on sub-second
+    // queries. The MEDIAN relative delta calibrates run-to-run
+    // variance — the number the r10 verdict had to reverse-engineer
+    // from an entire same-code round; a future per-query delta under
+    // ~3x this floor is variance, not a regression.
+    val noiseFloor: Double = try {
+      val sample = Seq("a10_search_stats", "a7_market_profile",
+        "j12_upsert", "star_fact_build", "dedup_minhash_lsh",
+        "text_pmi_pairs", "search_index_topk", "s15_agg_market_rates")
+      import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+      val deltas = sample.flatMap { q =>
+        for {
+          fn <- SparkEntry.queries.get(q)
+          rec <- results.find(_._1 == q).map(_._2) if rec > 0
+        } yield {
+          spark.catalog.clearCache()
+          System.gc()
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).agg(sum(xxhash64(struct(col("*")))))
+              .collect()
+            catch { case _: Throwable => }
+            (System.nanoTime() - t0) / 1e9
+          }
+          val t = (1 to math.max(repeat, 2)).map(_ => once()).min
+          math.abs(t - rec) / rec
+        }
+      }.sorted
+      if (deltas.isEmpty) -1.0 else deltas(deltas.length / 2)
+    } catch { case _: Throwable => -1.0 }
     // Serving-path latency: the reference's optimized dashboard class
     // (50-200 ms, DASHBOARD_OPTIMIZATION_GUIDE.md:15-19) comes from
     // reading a materialized pre-agg, not scanning the fact. Measure
@@ -245,9 +287,10 @@ object Bench {
     // ratio is typically well under 10); a super-linear ratio is the
     // signal to flip ApproxTierRule on. Cheap: the sf0.01 runs are
     // sub-second. Skipped when the sibling dir is absent.
-    val slope: Map[String, Double] = {
+    val (slope, slopeBigSec): (Map[String, Double], Map[String, Double]) = {
       val smallDir = sfDir.replace("sf0.1", "sf0.01")
-      if (smallDir == sfDir || !new java.io.File(smallDir).exists()) Map.empty
+      if (smallDir == sfDir || !new java.io.File(smallDir).exists())
+        (Map.empty, Map.empty)
       else {
         import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
         // Fresh-JVM-state hygiene before timing: the probe runs after
@@ -261,7 +304,7 @@ object Bench {
         // operators whose 100 TB story most needs a measured envelope.
         // ...and (r8) the pair-stream PMI and the index build+probe —
         // the round's two heaviest new shapes
-        Seq("s15_agg_market_rates", "a7_market_profile",
+        val probed = Seq("s15_agg_market_rates", "a7_market_profile",
           "dedup_span_removal", "dedup_minhash_lsh",
           "text_pmi_pairs", "search_index_topk").flatMap { q =>
           SparkEntry.queries.get(q).flatMap { fn =>
@@ -271,35 +314,102 @@ object Bench {
                 fn(spark, dir).agg(sum(xxhash64(struct(col("*"))))).collect()
                 (System.nanoTime() - t0) / 1e9
               }
-              // Best-of-2 on BOTH dirs, measured back-to-back under the
-              // same JVM state. Reusing the suite's big-dir time here
-              // (as this probe originally did) divides a late-suite
-              // pressured numerator by a fresh denominator — observed
-              // slope 12.1 for a7 from suite position alone vs ~3 when
-              // both sides are fresh — manufacturing fake super-
-              // linearity in the permanent record. The suite time still
-              // caps the numerator (min) so the extra runs can only
-              // make the ratio more honest, never worse.
-              val small = math.min(timeOn(smallDir), timeOn(smallDir))
-              val bigFresh = math.min(timeOn(sfDir), timeOn(sfDir))
+              // Best-of-3 on BOTH dirs (r11 — was 2: the r9↔r10
+              // same-code comparison showed sf0.01 numerators still
+              // swung the recorded slope 4x, pmi 0.99→4.61), measured
+              // back-to-back under the same JVM state. Reusing the
+              // suite's big-dir time here (as this probe originally
+              // did) divides a late-suite pressured numerator by a
+              // fresh denominator — observed slope 12.1 for a7 from
+              // suite position alone vs ~3 when both sides are fresh —
+              // manufacturing fake super-linearity in the permanent
+              // record. The suite time still caps the numerator (min)
+              // so the extra runs can only make the ratio more honest,
+              // never worse.
+              def bestOf3(dir: String): Double =
+                (1 to 3).map(_ => timeOn(dir)).min
+              val small = bestOf3(smallDir)
+              val bigFresh = bestOf3(sfDir)
               val big = math.min(bigFresh,
                 results.find(_._1 == q).map(_._2).filter(_ > 0)
                   .getOrElse(Double.MaxValue))
-              if (small > 0) Some(q -> big / small) else None
+              if (small > 0) Some((q, big / small, big)) else None
             } catch { case _: Throwable => None }
           }
-        }.toMap
+        }
+        (probed.map(p => p._1 -> p._2).toMap,
+          probed.map(p => p._1 -> p._3).toMap)
       }
     }
-    val slopeJson = slope.map { case (k, v) =>
+    def slopeJsonOf(m: Map[String, Double]): String = m.map { case (k, v) =>
       "\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.US, v)
     }.mkString("{", ",", "}")
+    val slopeJson = slopeJsonOf(slope)
+    // 100x-readiness probe (r11): the steepest confirmed 10x slopes,
+    // re-run against a synthetic 10x of the big dir (rows replicated
+    // with shifted keys — same value distributions and grain, 10x the
+    // volume, built untimed). slope_100x = t(synth)/t(big-dir fresh
+    // min); ~10 is linear, materially above it is the scale-killer
+    // signal the small-sf slopes cannot confirm. Off with
+    // SPARK_GRAFT_SLOPE100=0.
+    val slope100: Map[String, Double] =
+      if (slopeBigSec.isEmpty ||
+          sys.env.get("SPARK_GRAFT_SLOPE100").contains("0")) Map.empty
+      else try {
+        val synthDir = java.nio.file.Files
+          .createTempDirectory("graft_synth10x").toString
+        synthScale(spark, sfDir, synthDir, 10)
+        spark.catalog.clearCache()
+        System.gc()
+        import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+        Seq("text_pmi_pairs", "dedup_span_removal", "a7_market_profile")
+          .flatMap { q =>
+            for {
+              fn <- SparkEntry.queries.get(q)
+              base <- slopeBigSec.get(q) if base > 0
+            } yield {
+              val t0 = System.nanoTime()
+              fn(spark, synthDir)
+                .agg(sum(xxhash64(struct(col("*"))))).collect()
+              q -> ((System.nanoTime() - t0) / 1e9 / base)
+            }
+          }.toMap
+      } catch { case _: Throwable => Map.empty }
+    val slope100Json = slopeJsonOf(slope100)
     // Full-precision line first (local inspection)…
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"serving_warm_ms_p50":$servingWarmMs,"routed_ms_p50":$routedMs,"sketch_rollup_ms_p50":$sketchMs,"slope_10x":$slopeJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"serving_ms_p50":$servingMs,"serving_warm_ms_p50":$servingWarmMs,"routed_ms_p50":$routedMs,"sketch_rollup_ms_p50":$sketchMs,"slope_10x":$slopeJson,"slope_100x":$slope100Json,"noise_floor":$noiseFloor,"sf":"$sfDir"}""")
     // …then the compact line LAST (see [[compactLine]]).
     println(compactLine(results.toSeq, total, servingMs, servingWarmMs,
-      routedMs, sfDir, slopeJson, sketchMs))
+      routedMs, sfDir, slopeJson, sketchMs, slope100Json, noiseFloor))
     spark.stop()
+  }
+
+  /** Build a `copies`-fold synthetic scale-up of the tables the
+    * slope_100x probes read (documents, lineitem): each copy shifts
+    * the row-identity keys (doc_id, l_orderkey, l_suppkey) by a
+    * copy-sized stride so per-key grains grow the way a genuinely
+    * bigger corpus would (more docs, more providers — not 10 clones
+    * of each key), while every value distribution (text, rates,
+    * dates) is preserved exactly. Untimed build; the probes then pay
+    * only their own plan against 10x the rows. */
+  private def synthScale(spark: SparkSession, srcDir: String,
+                         outDir: String, copies: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    def scaled(table: String, shifts: Seq[String]): Unit = {
+      val src = spark.read.parquet(s"$srcDir/$table.parquet")
+      val strides = shifts.map { c =>
+        c -> (src.agg(max(col(c).cast("long"))).head().getLong(0) + 1L)
+      }
+      (0 until copies).map { i =>
+        strides.foldLeft(src) { case (df, (c, stride)) =>
+          df.withColumn(c, (col(c).cast("long") + lit(i * stride))
+            .cast(src.schema(c).dataType))
+        }
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    scaled("documents", Seq("doc_id"))
+    scaled("lineitem", Seq("l_orderkey", "l_suppkey"))
   }
 
   /** Idle-machine per-query reference times (seconds) at sf0.1, measured
@@ -452,11 +562,13 @@ object Bench {
                   servingMs: Double, servingWarmMs: Double,
                   routedMs: Double, sfDir: String,
                   slopeJson: String = "{}",
-                  sketchMs: Double = -1.0): String = {
+                  sketchMs: Double = -1.0,
+                  slope100Json: String = "{}",
+                  noiseFloor: Double = -1.0): String = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val bySlowest = results.sortBy(-_._2)
     val budget = 1500 // line budget in chars, well under the 2000-char tail
-    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"serving_ms_p50":${r3(servingMs)},"serving_warm_ms_p50":${r3(servingWarmMs)},"routed_ms_p50":${r3(routedMs)},"sketch_rollup_ms_p50":${r3(sketchMs)},"slope_10x":$slopeJson,"sf":"$sfDir","queries":{"""
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"serving_ms_p50":${r3(servingMs)},"serving_warm_ms_p50":${r3(servingWarmMs)},"routed_ms_p50":${r3(routedMs)},"sketch_rollup_ms_p50":${r3(sketchMs)},"slope_10x":$slopeJson,"slope_100x":$slope100Json,"noise_floor":${r3(noiseFloor)},"sf":"$sfDir","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = header.length + 60 // reserve room for the omitted-queries tail
     var full = false

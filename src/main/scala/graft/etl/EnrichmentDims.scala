@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Categorizer, NormExprs}
 import graft.functions.NormExprs.{co, pround}
@@ -200,6 +200,69 @@ object EnrichmentDims {
     all.groupBy(keys.map(col): _*)
       .agg(max(struct(ordered.map(col): _*)).as("top"))
       .select(keys.map(col) ++ payload.map(c => col(s"top.$c").as(c)): _*)
+  }
+
+  /** Publish a rewritten dim atomically: write to the `.compacting`
+    * side dir, then two-rename swap. Readers never see a half-written
+    * dim; a crash between the renames is healed by
+    * [[graft.streaming.DedupStream.recoverCompaction]] (run at the top
+    * of every dim-maintenance entry point here). */
+  private def publishSwapped(spark: SparkSession, path: String,
+                             df: DataFrame): Unit = {
+    val (fs, root) = graft.streaming.DedupStream.fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + graft.streaming.DedupStream.CompactTmpSuffix)
+    fs.delete(tmp, true)
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(tmp.toString)
+    graft.streaming.DedupStream.swapDirs(fs, root, tmp)
+  }
+
+  /** Schema migration for a persisted dim — the reference's
+    * evolve-in-place (prod_etl/migrate_dim_npi.py:16-60): add each
+    * missing column with its backfill expression, leave columns
+    * already present untouched (rerunning a migration is a NO-OP —
+    * the reference's "already has nppes_fetched" early exit), and
+    * publish under the tmp+swap discipline so a crash at any point
+    * leaves either the old or the new dim serving, never a torn one.
+    * `backup` keeps a pre-migration copy at `<path>.backup`
+    * (reference parity); it is a full extra copy of the dim, so at
+    * warehouse scale turn it off and rely on the atomic swap.
+    * Returns true iff a migration ran. */
+  def evolveDim(spark: SparkSession, path: String,
+                newCols: Seq[(String, Column)],
+                backup: Boolean = true): Boolean = {
+    graft.streaming.DedupStream.recoverCompaction(spark, path)
+    val dim = spark.read.parquet(path)
+    val have = dim.columns.toSet
+    val missing = newCols.filterNot { case (n, _) => have(n) }
+    if (missing.isEmpty) return false
+    if (backup)
+      dim.write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(s"$path.backup")
+    publishSwapped(spark, path,
+      missing.foldLeft(dim) { case (df, (n, c)) => df.withColumn(n, c) })
+    true
+  }
+
+  /** Flag repair (prod_etl/fix_nppes_flags.py:15-50): `nppes_fetched`
+    * must mean "this NPI carries an actual NPPES payload", so
+    * recompute it from data presence — any PRESENT key field non-null
+    * (fields the dim lacks are skipped, as in the reference). Bulk
+    * migrations mark every pre-existing row fetched; this pass resets
+    * placeholder rows that never got a payload. Same tmp+swap
+    * publish as [[evolveDim]]. */
+  def repairFetchFlags(spark: SparkSession, path: String,
+                       flagCol: String = "nppes_fetched",
+                       keyFields: Seq[String] = Seq("status",
+                         "organization_name", "first_name", "last_name",
+                         "primary_taxonomy_code")): Unit = {
+    graft.streaming.DedupStream.recoverCompaction(spark, path)
+    val dim = spark.read.parquet(path)
+    val present = keyFields.filter(dim.columns.contains)
+    val hasData = present.map(col(_).isNotNull)
+      .foldLeft(lit(false))(_ || _)
+    publishSwapped(spark, path, dim.withColumn(flagCol, hasData))
   }
 }
 

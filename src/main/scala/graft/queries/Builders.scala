@@ -72,6 +72,64 @@ object Builders extends QueryPack {
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_fact_multiselect_oracle").getAbsolutePath
 
+  /** The gold sidecar's six-state slice. */
+  private val MsSliceStates = Seq("NATION_1", "NATION_3", "NATION_7",
+    "NATION_9", "NATION_12", "NATION_20")
+
+  /** Cache key for the sidecar: the source dir, the slice definition,
+    * and the source tables' top-level listing (name/size/mtime — the
+    * fact derives from these files, so regenerated testdata misses the
+    * cache). Materializing the slice is build work the QUERY semantics
+    * don't need repeated — a real deployment builds the gold fact once
+    * — so a repeat run against unchanged inputs must pay probe cost
+    * only. */
+  private def factSliceFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val listing = fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(";")
+    val key = s"$d|1995-09|${MsSliceStates.mkString(",")}|v1|$listing"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .map(b => "%02x".format(b & 0xff)).mkString
+  }
+
+  /** Materialize the sidecar slice unless an identical build is
+    * already present (fingerprint marker written LAST, so a crashed
+    * build is rebuilt, never trusted). */
+  private def ensureFactSidecar(s: SparkSession, d: String): Unit = {
+    val fpPath = s"$oracleFactDir/_fingerprint"
+    val fp = factSliceFingerprint(s, d)
+    if (graft.FsUtils.readString(s, fpPath).contains(fp)) return
+    // repartition by state: each writer task owns ONE state subtree
+    // (~20 leaves), so the 5-level dynamic write creates one file
+    // per leaf instead of fanning 32 shuffle partitions × ~500
+    // leaves into thousands of tiny files (the small-file problem
+    // compactPartitions exists to undo — don't create it here)
+    // slice BEFORE fact(): its fact_uid dedup is an aggregate whose
+    // non-key columns come back as first() outputs, so a filter
+    // placed above it cannot push through — filtering the base
+    // keeps the md5 minting and the dedup shuffle slice-sized. Six
+    // states (a superset of the two queried) keep the multi-state
+    // listing-prune demonstrable while bounding the per-run leaf
+    // fan-out of the 5-level write. STATIC overwrite on purpose —
+    // the production sink's dynamic-overwrite semantics
+    // (writePartitionedFact) would leave residue partitions behind
+    // when consecutive runs use different SF dirs, and a
+    // query-private sidecar must be exactly what this run wrote.
+    graft.etl.StarSchemaBuilder.fact(
+        graft.etl.StarSchemaBuilder.base(s, d)
+          .filter(col("year_month") === "1995-09" &&
+            col("state").isin(MsSliceStates.map(lit(_)): _*)))
+      .repartition(col("state"))
+      .write.mode("overwrite")
+      .partitionBy(graft.etl.StarSchemaBuilder.FactPartitionCols: _*)
+      .option("compression", "zstd")
+      .parquet(oracleFactDir)
+    graft.FsUtils.writeString(s, fpPath, fp)
+  }
+
   def queries: Map[String, QFn] = Map(
     // Consolidated-dashboard multi-select search: every fact-side
     // filter field carries a comma-separated value LIST that the
@@ -100,33 +158,10 @@ object Builders extends QueryPack {
       // materialize ONE month's slice — the query's grain; a real
       // deployment materializes the whole fact once, but a per-run
       // sidecar rebuild must not pay the full-fact small-file fan-out
-      // (5 hive levels × every month ≈ thousands of leaf writes)
-      // repartition by state: each writer task owns ONE state subtree
-      // (~20 leaves), so the 5-level dynamic write creates one file
-      // per leaf instead of fanning 32 shuffle partitions × ~500
-      // leaves into thousands of tiny files (the small-file problem
-      // compactPartitions exists to undo — don't create it here)
-      // slice BEFORE fact(): its fact_uid dedup is an aggregate whose
-      // non-key columns come back as first() outputs, so a filter
-      // placed above it cannot push through — filtering the base
-      // keeps the md5 minting and the dedup shuffle slice-sized. Six
-      // states (a superset of the two queried) keep the multi-state
-      // listing-prune demonstrable while bounding the per-run leaf
-      // fan-out of the 5-level write. STATIC overwrite on purpose —
-      // the production sink's dynamic-overwrite semantics
-      // (writePartitionedFact) would leave residue partitions behind
-      // when consecutive runs use different SF dirs, and a
-      // query-private sidecar must be exactly what this run wrote.
-      graft.etl.StarSchemaBuilder.fact(
-          graft.etl.StarSchemaBuilder.base(s, d)
-            .filter(col("year_month") === "1995-09" &&
-              col("state").isin("NATION_1", "NATION_3", "NATION_7",
-                "NATION_9", "NATION_12", "NATION_20")))
-        .repartition(col("state"))
-        .write.mode("overwrite")
-        .partitionBy(graft.etl.StarSchemaBuilder.FactPartitionCols: _*)
-        .option("compression", "zstd")
-        .parquet(oracleFactDir)
+      // (5 hive levels × every month ≈ thousands of leaf writes).
+      // Cached across runs on a (source dir, slice, input listing)
+      // fingerprint: unchanged inputs rerun at probe cost only.
+      ensureFactSidecar(s, d)
       val fact = s.read.parquet(oracleFactDir)
         .withColumnRenamed("code", "billing_code")
       QueryApi.filteredFact(fact, QueryApi.RateFilter(
@@ -268,6 +303,45 @@ object Builders extends QueryPack {
     // S8 dim shape: the 17-column dim_npi build (utils_nppes.py:127-157)
     "dim_npi_build" -> ((s, d) =>
       EnrichmentDims.dimNpi(Roles.providers(s, d))),
+
+    // Dim schema migration + flag repair (prod_etl/migrate_dim_npi.py:
+    // 16-60 + fix_nppes_flags.py:15-50): a LEGACY pre-flag dim — in
+    // which npi%7==0 rows are placeholder NPIs that never received an
+    // NPPES payload — is evolved in place (flag columns added with the
+    // bulk mark-everything-fetched backfill, atomically published), a
+    // rerun of the same migration is proven a no-op, and the flags are
+    // then repaired from actual data presence. Hash-green against a
+    // first-principles oracle proves migrate-then-repair ≡ building
+    // the flags fresh.
+    "dim_evolve_migrate" -> ((s, d) => {
+      val legacyDir = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_dim_migrate_oracle").getAbsolutePath
+      val dim = EnrichmentDims.dimNpi(Roles.providers(s, d))
+      val keyFields = Set("status", "organization_name", "first_name",
+        "last_name", "primary_taxonomy_code")
+      val k = col("npi").cast("bigint")
+      val legacy = dim.select(dim.columns
+        .filterNot(Set("nppes_fetched", "nppes_fetch_date")).map { c =>
+          if (keyFields(c))
+            when(k % 7 === 0, lit(null).cast("string"))
+              .otherwise(col(c)).as(c)
+          else col(c)
+        }: _*)
+      legacy.write.mode("overwrite").parquet(legacyDir)
+      EnrichmentDims.evolveDim(s, legacyDir, Seq(
+        "nppes_fetched" -> lit(true),
+        "nppes_fetch_date" -> lit(null).cast("string")), backup = false)
+      // rerunning the migration must be a no-op — a second evolve with
+      // a CONTRADICTORY backfill must not touch the present column
+      EnrichmentDims.evolveDim(s, legacyDir, Seq(
+        "nppes_fetched" -> lit(false)), backup = false)
+      EnrichmentDims.repairFetchFlags(s, legacyDir)
+      s.read.parquet(legacyDir).select(col("npi"),
+        col("enumeration_type"), col("status"), col("organization_name"),
+        col("nppes_fetched").cast("int").as("nppes_fetched"),
+        col("nppes_fetch_date"))
+    }),
 
     // J3 proper: fact ⋈ broadcast dim_npi (NPPES enrichment join)
     "j3_dim_npi_join" -> ((s, d) => {
@@ -565,6 +639,22 @@ object Builders extends QueryPack {
       "dim_npi_build" -> s"""
         WITH providers AS (${RolesSql.providers})
         ${EnrichmentDimsSql.dimNpi}""",
+
+      // migrate-then-repair from first principles: the legacy dim's
+      // placeholder rows (npi%7==0, key fields null) end unfetched;
+      // everything else keeps its payload and the bulk-backfill marks
+      "dim_evolve_migrate" -> s"""
+        WITH providers AS (${RolesSql.providers}),
+        dim AS (${EnrichmentDimsSql.dimNpi})
+        SELECT npi, enumeration_type,
+               CASE WHEN CAST(npi AS BIGINT) % 7 = 0 THEN NULL
+                    ELSE status END AS status,
+               CASE WHEN CAST(npi AS BIGINT) % 7 = 0 THEN NULL
+                    ELSE organization_name END AS organization_name,
+               CAST(CAST(npi AS BIGINT) % 7 <> 0 AS INTEGER)
+                 AS nppes_fetched,
+               CAST(NULL AS VARCHAR) AS nppes_fetch_date
+        FROM dim""",
 
       "j3_dim_npi_join" -> s"""$RP,
         dim AS (${EnrichmentDimsSql.dimNpi})
