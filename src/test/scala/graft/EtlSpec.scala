@@ -148,4 +148,64 @@ class EtlSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan.take(500))
     assert(pruned.count() > 0)
   }
+
+  test("evolveDim: backfill + backup, rerun no-op, crashed swap heals") {
+    import graft.etl.EnrichmentDims
+    val dim = s"${tmp()}/dim_npi"
+    EnrichmentDims.dimNpi(Roles.providers(spark, sf0001))
+      .drop("nppes_fetched", "nppes_fetch_date")
+      .write.parquet(dim)
+    val n = spark.read.parquet(dim).count()
+    // migrate: both columns added with the bulk backfill, backup kept
+    assert(EnrichmentDims.evolveDim(spark, dim, Seq(
+      "nppes_fetched" -> lit(true),
+      "nppes_fetch_date" -> lit(null).cast("string"))))
+    val migrated = spark.read.parquet(dim)
+    assert(migrated.count() == n)
+    assert(migrated.columns.contains("nppes_fetched") &&
+      migrated.columns.contains("nppes_fetch_date"))
+    assert(migrated.filter(col("nppes_fetched")).count() == n)
+    val backup = spark.read.parquet(s"$dim.backup")
+    assert(backup.count() == n &&
+      !backup.columns.contains("nppes_fetched"),
+      "backup must be the pre-migration dim")
+    // rerun — even with a contradictory backfill — is a no-op
+    assert(!EnrichmentDims.evolveDim(spark, dim, Seq(
+      "nppes_fetched" -> lit(false))))
+    assert(spark.read.parquet(dim).filter(col("nppes_fetched")).count() == n)
+    // crash between the swap's two renames: the dim dir is displaced
+    // and never promoted back — the next maintenance call heals it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dim),
+      new org.apache.hadoop.fs.Path(s"$dim.old")))
+    assert(EnrichmentDims.evolveDim(spark, dim,
+      Seq("schema_rev" -> lit(2)), backup = false))
+    val healed = spark.read.parquet(dim)
+    assert(healed.count() == n && healed.columns.contains("schema_rev"),
+      "recovery did not restore the displaced dim before migrating")
+  }
+
+  test("repairFetchFlags resets placeholder rows from data presence") {
+    import graft.etl.EnrichmentDims
+    val dim = s"${tmp()}/dim_npi"
+    val k = col("npi").cast("bigint")
+    val keyFields = Set("status", "organization_name", "first_name",
+      "last_name", "primary_taxonomy_code")
+    val full = EnrichmentDims.dimNpi(Roles.providers(spark, sf0001))
+    full.select(full.columns.map { c =>
+        if (keyFields(c))
+          when(k % 3 === 0, lit(null).cast("string")).otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+      .write.parquet(dim)
+    EnrichmentDims.repairFetchFlags(spark, dim)
+    val repaired = spark.read.parquet(dim)
+    assert(repaired.filter(col("nppes_fetched") &&
+      col("npi").cast("bigint") % 3 === 0).count() == 0,
+      "placeholder rows must be unfetched")
+    assert(repaired.filter(!col("nppes_fetched") &&
+      col("npi").cast("bigint") % 3 =!= 0).count() == 0,
+      "rows with a payload must stay fetched")
+  }
 }
