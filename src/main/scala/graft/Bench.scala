@@ -99,7 +99,16 @@ object Bench {
         } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      val first = (1 to repeat).map(_ => once()).min
+      val firstMin = (1 to repeat).map(_ => once()).min
+      // Sub-second queries are where RELATIVE noise lives — a 0.1 s
+      // scheduler/GC hiccup is 30% of a 0.3 s query, and the r11
+      // same-code rerun showed they account for nearly all >20%
+      // movers. One extra keep-min sample there costs ~a third of a
+      // second each and halves those movers; long queries keep the
+      // two-pass budget (their relative noise is already small).
+      val first =
+        if (repeat > 1 && firstMin < 1.0) math.min(firstMin, once())
+        else firstMin
       // Contention guard: a single timed pass on a shared machine can
       // catch an external load spike (r6's driver record: a10 51.8 s vs
       // 6.4 s idle, same commit, same plan). If the first run exceeds 3x
