@@ -195,6 +195,46 @@ object Export extends QueryPack {
           md5(concat_ws(",", transform(
             sort_array(collect_list(struct(col("shuffle_h"), col("doc_id")))),
             t => t.getField("doc_id").cast("string")))).as("order_fp"))
+    }),
+
+    // File-grain provenance / export audit: export the corpus to hive
+    // shards, read the PHYSICAL files back, re-derive each row's shard
+    // from `input_file_name()` (the path string, not the inferred hive
+    // column — the mechanism that traces a bad training doc back to
+    // its source shard file at 100 TB), and verify per-file contents
+    // against the deterministic membership function, which the oracle
+    // replays from the source table alone. Detects layout corruption
+    // the membership query can't see: a file moved into the wrong
+    // shard dir, a dropped/duplicated file, a partial write — any of
+    // them breaks n_docs / id_sum / content_fp for its shard.
+    // Scale: the audit is one scan of the export with a groupBy on the
+    // shard key (map-side combined); input_file_name is evaluated
+    // scan-side per row, no driver involvement.
+    "lineage_shard_audit" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("lang"),
+          col("n_chars"))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lineage_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      exportShards(docs, "doc_id", out)
+      s.read.parquet(out)
+        .withColumn("__file", input_file_name())
+        .withColumn("shard_from_path",
+          regexp_extract(col("__file"), "shard=([0-9]+)", 1).cast("long"))
+        .groupBy(col("shard_from_path").as("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          // fixed-point content fingerprint: md5-prefix of the text as
+          // a bigint, summed — order-free, overflow-free at this width
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("content_fp"),
+          // the inferred hive column must agree with the path-derived
+          // shard on every row (they come from the same dir, so this
+          // pins the regexp derivation, not the layout)
+          bool_and(col("shard_from_path") === col("shard"))
+            .as("path_matches_partition"),
+          countDistinct(col("__file")).cast("long").as("n_files"))
     })
   )
 
@@ -209,6 +249,26 @@ object Export extends QueryPack {
              CAST(SUM(n_chars) AS BIGINT) AS n_chars,
              md5(string_agg(CAST(doc_id AS VARCHAR), ','
                ORDER BY h, doc_id)) AS order_fp
+      FROM a GROUP BY 1""",
+
+    // Replays the membership function and the content fingerprint from
+    // the SOURCE table; the Spark side must recover identical per-shard
+    // stats from the physical files via input_file_name. The layout
+    // invariants (path agrees with the hive column; exactly one file
+    // per shard — each shard value hashes to one writer task) are
+    // constants of a healthy export, so the oracle states them.
+    "lineage_shard_audit" -> s"""
+      WITH a AS (
+        SELECT doc_id, text,
+               CAST(('0x' || substr(md5('$Seed:' || CAST(doc_id AS VARCHAR)),
+                 1, 8)) AS BIGINT) % $NShards AS shard
+        FROM documents)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+               AS BIGINT) AS content_fp,
+             TRUE AS path_matches_partition,
+             CAST(1 AS BIGINT) AS n_files
       FROM a GROUP BY 1"""
   )
 }

@@ -57,6 +57,54 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("lineage audit: path-derived shards match membership; tamper detected") {
+    // healthy export: audit recovers the membership function's stats
+    // from the physical files alone, path agrees with the hive column,
+    // one file per shard
+    val audit = Export.queries("lineage_shard_audit")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4), r.getLong(5))).toMap
+    val docs = Tables.load(spark, sf0001, "documents")
+    val expected = Export
+      .assignShards(docs.select("doc_id"), "doc_id", Export.NShards,
+        Export.Seed)
+      .groupBy("shard").agg(count(lit(1)).as("n"), sum("doc_id").as("ids"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.keySet == expected.keySet, "audit lost a shard")
+    expected.foreach { case (s, (n, ids)) =>
+      val (an, aids, pathOk, nFiles) = audit(s)
+      assert(an == n && aids == ids, s"shard $s stats drifted: $audit")
+      assert(pathOk, s"shard $s path/partition disagreement")
+      assert(nFiles == 1L, s"shard $s expected one file, saw $nFiles")
+    }
+
+    // tamper: duplicate shard 0's file into shard 1's dir — the moved
+    // rows keep their path-derived shard (1) but fail the membership
+    // stats; the audit's n_docs/id_sum for shard 1 must now disagree
+    // with the membership function (what the oracle gate would catch)
+    val tmpBase = System.getProperty("java.io.tmpdir") + "/graft_lineage_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sf0001.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(12)
+    val src = new java.io.File(s"$tmpBase/shard=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val dst = java.nio.file.Paths.get(s"$tmpBase/shard=1/smuggled.parquet")
+    java.nio.file.Files.copy(src, dst)
+    try {
+      val tampered = spark.read.parquet(tmpBase)
+        .withColumn("__file", input_file_name())
+        .withColumn("sp", regexp_extract(col("__file"),
+          "shard=([0-9]+)", 1).cast("long"))
+        .groupBy("sp").agg(count(lit(1)).as("n"),
+          countDistinct(col("__file")).as("nf"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(tampered(1L)._1 == expected(1L)._1 + expected(0L)._1,
+        "smuggled file invisible to the path-derived audit")
+      assert(tampered(1L)._2 == 2L, "file count must expose the extra file")
+    } finally java.nio.file.Files.delete(dst)
+  }
+
   test("incremental re-export rewrites only touched shards, equals full") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_export_inc")
