@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the initial heap to the max: an adaptively-grown heap gives
+  // each JVM run its own GC ergonomics (measured: multi-second bench
+  // queries sustaining 1.5-2x across otherwise identical runs because
+  // one run's heap stabilized smaller), which no per-query keep-min
+  // can strip. A fixed-size heap makes GC behavior a function of the
+  // workload, not of the growth history.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

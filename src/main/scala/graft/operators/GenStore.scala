@@ -52,6 +52,39 @@ object GenStore {
     if (!graft.FsUtils.committedExists(spark, statsPath)) 0L
     else committedIds(spark, statsPath).foldLeft(SentinelCeiling)(math.max) + 1
 
+  /** The generation ids visible "as of" append generation `asOf` of
+    * the CURRENT epoch: every sentinel (the folded base snapshot) plus
+    * the appends with id ≤ asOf. Time travel in an LSM store is exact
+    * only back to the last fold — compaction trades history for read
+    * cost, so pre-fold snapshots are gone (their partitions are GC'd)
+    * and asking for one throws rather than serving a silently wrong
+    * mixture. Pass `minAppend - 1` (or -1 when no appends are live)
+    * for the post-fold base snapshot itself.
+    *
+    * Sound because folds collapse the FULL append prefix (see
+    * [[compact]]: foldable = every non-protected append), so the
+    * sentinels together are exactly "everything before the current
+    * epoch's appends" and base + appends ≤ g reproduces the store as
+    * append g's marker landed. */
+  def committedIdsAsOf(spark: SparkSession, statsPath: String,
+                       asOf: Long): Array[Long] = {
+    val ids = committedIds(spark, statsPath)
+    val appends = ids.filter(_ >= 0)
+    val floor = if (appends.isEmpty) -1L else appends.min - 1
+    require(asOf >= floor,
+      s"generation $asOf predates the last fold (oldest addressable " +
+        s"snapshot is $floor); compaction reclaimed that history")
+    ids.filter(g => g < 0 || g <= asOf)
+  }
+
+  /** [[committedData]] restricted to the as-of-visible generations. */
+  def committedDataAsOf(spark: SparkSession, dataPath: String,
+                        statsPath: String, asOf: Long): DataFrame = {
+    val ids = committedIdsAsOf(spark, statsPath, asOf).map(lit(_))
+    spark.read.option("ignoreMissingFiles", "true").parquet(dataPath)
+      .filter(col("ingest_batch").isin(ids: _*))
+  }
+
   /** Marked-generations filter for a data read. ignoreMissingFiles:
     * the GC sweep deletes unmarked partitions a concurrent reader may
     * have already file-listed — those partitions are invisible to the

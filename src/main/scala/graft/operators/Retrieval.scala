@@ -389,6 +389,40 @@ object Retrieval extends QueryPack {
     scoreTopK(posts, tstats, corpusStats(spark, dir), terms, topK)
   }
 
+  /** [[probeIndexTopK]] against a PAST committed snapshot: the index
+    * exactly as it stood when append generation `asOf` of the current
+    * epoch committed (pass the pre-append head id to reproduce
+    * yesterday's serving answers after today's ingest — the
+    * audit/debug primitive a serving index needs at scale). Both the
+    * postings AND the corpus stats (n_docs/avgdl, hence idf) restrict
+    * to the as-of-visible generations, so the score is the one that
+    * snapshot served, not a hybrid. Exact back to the last fold;
+    * beyond it [[GenStore.committedIdsAsOf]] throws — compaction
+    * reclaims history by design (the LSM trade), it never serves an
+    * approximate past. */
+  def probeIndexTopKAsOf(spark: SparkSession, dir: String, asOf: Long,
+                         terms: Seq[String], topK: Int): DataFrame = {
+    if (!graft.FsUtils.committedExists(spark, s"$dir/stats"))
+      return emptyTopKFrame(spark)
+    val visible = GenStore.committedIdsAsOf(spark, s"$dir/stats", asOf)
+    val visLits = visible.map(lit(_))
+    val buckets = terms.map(bucketOf).distinct.map(lit(_))
+    val termLits = terms.map(lit(_))
+    val posts = spark.read.option("ignoreMissingFiles", "true")
+      .parquet(s"$dir/postings")
+      .filter(col("ingest_batch").isin(visLits: _*))
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(termLits: _*))
+      .select("doc_id", "dl", "token", "tf")
+    val tstats = posts.groupBy("token").agg(count(lit(1)).as("df"))
+    val statsRow = spark.read.parquet(s"$dir/stats")
+      .filter(col("ingest_batch").cast("long").isin(visLits: _*))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    scoreTopK(posts, tstats, statsRow, terms, topK)
+  }
+
   /** Exact phrase search from the positional index, any phrase
     * length ≥ 2: an occurrence of `w0 w1 … wk` is a position p of w0
     * such that wi's positions contain p+i for every i, all within one

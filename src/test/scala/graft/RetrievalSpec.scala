@@ -67,6 +67,49 @@ class RetrievalSpec extends SparkSpec {
     assert(pInc == pOne)
   }
 
+  test("as-of probe reproduces each committed snapshot; folds bound history") {
+    val dir = s"${work()}/asof"
+    val docs = Tables.load(spark, sf0001, "documents")
+    val terms = Seq("order", "customer", "scan")
+    def probe() = Retrieval.probeIndexTopK(spark, dir, terms, 25)
+      .collect().map(_.toString).toSeq
+    def probeAsOf(g: Long) =
+      Retrieval.probeIndexTopKAsOf(spark, dir, g, terms, 25)
+        .collect().map(_.toString).toSeq
+    Retrieval.writeTextIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", dir) // gen 0
+    val snap0 = probe()
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", dir) // gen 1
+    val snap1 = probe()
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", dir) // gen 2
+    val head = probe()
+    // every past head reproduces exactly — scores included, so the
+    // as-of idf/avgdl must come from the snapshot's stats, not today's
+    assert(probeAsOf(0) == snap0, "asOf(0) diverged from the gen-0 head")
+    assert(probeAsOf(1) == snap1, "asOf(1) diverged from the gen-1 head")
+    assert(probeAsOf(2) == head, "asOf(head) diverged from the live probe")
+    assert(snap0 != head, "fixture too weak: appends did not change top-k")
+    // fold the appends: the base snapshot absorbs gens 0..2, so the
+    // head still serves, but pre-fold snapshots are no longer
+    // addressable — asking for one throws instead of serving a mixture
+    assert(Retrieval.compactTextIndex(spark, dir, maxPartials = 2))
+    assert(probe() == head, "fold changed the served index")
+    assert(probeAsOf(-1L) == head,
+      "the post-fold base snapshot IS the folded head")
+    intercept[IllegalArgumentException](probeAsOf(-2L))
+    // new epoch on top of the fold: append ids restart above the
+    // committed set; as-of keeps addressing current-epoch snapshots
+    Retrieval.appendTextIndex(
+      docs.filter(col("doc_id") % 3 === 0).limit(10)
+        .withColumn("doc_id", col("doc_id") + 100000L),
+      "doc_id", "text", dir) // current-epoch gen 0
+    val head2 = probe()
+    assert(probeAsOf(-1L) == head, "base snapshot drifted after the append")
+    assert(probeAsOf(0L) == head2, "asOf(new head) diverged")
+  }
+
   test("crashed append is invisible; the retry reuses and clears its generation") {
     val base = s"${work()}/inc"
     val docs = Tables.load(spark, sf0001, "documents")
