@@ -504,7 +504,30 @@ object Similarity extends QueryPack {
     * [[writeIvfIndex]]; a missing sidecar fails loudly rather than
     * recomputing into possible version skew. */
   def probeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
-                    nprobe: Int = 2, topK: Int = 5): DataFrame = {
+                    nprobe: Int = 2, topK: Int = 5): DataFrame =
+    probeIvfFrom(spark, dir, indexPath,
+      GenStore.committedData(spark, indexPath, gensPathOf(indexPath)),
+      nprobe, topK)
+
+  /** [[probeIvfIndex]] against a PAST committed snapshot — the vector
+    * twin of `Retrieval.probeIndexTopKAsOf`, same visibility rule
+    * ([[GenStore.committedIdsAsOf]]: base sentinels + appends ≤ asOf,
+    * exact back to the last fold, throws past it). The centroid
+    * sidecar is valid for EVERY generation of the current build —
+    * appends assign into the persisted centroids and a rebuild clears
+    * the generation store — so no sidecar versioning is needed for
+    * time travel within an epoch. */
+  def probeIvfIndexAsOf(spark: SparkSession, dir: String,
+                        indexPath: String, asOf: Long,
+                        nprobe: Int = 2, topK: Int = 5): DataFrame =
+    probeIvfFrom(spark, dir, indexPath,
+      GenStore.committedDataAsOf(spark, indexPath, gensPathOf(indexPath),
+        asOf),
+      nprobe, topK)
+
+  private def probeIvfFrom(spark: SparkSession, dir: String,
+                           indexPath: String, committed: DataFrame,
+                           nprobe: Int, topK: Int): DataFrame = {
     val e = emb(spark, dir)
     val centsPath = centroidsPathOf(indexPath)
     require(graft.FsUtils.committedExists(spark, centsPath),
@@ -516,9 +539,7 @@ object Similarity extends QueryPack {
       spark.read.parquet(centsPath), nprobe)
     val probedBuckets = probes.select("probe").distinct()
       .collect().map(_.getLong(0))
-    val index = GenStore
-      .committedData(spark, indexPath, gensPathOf(indexPath))
-      .filter(col("bucket").isin(probedBuckets: _*))
+    val index = committed.filter(col("bucket").isin(probedBuckets: _*))
     val scored = probes.join(index,
         col("probe") === col("bucket") && col("cid") =!= col("vid"))
       .select(col("vid").as("qid"), col("cid"),

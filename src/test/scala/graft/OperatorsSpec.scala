@@ -650,6 +650,49 @@ class OperatorsSpec extends SparkSpec {
     assert(gens == Set(-1L), s"generations not folded: $gens")
   }
 
+  test("ivf as-of probe reproduces past snapshots; folds bound history") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_ivfasof")
+      .toString
+    val idx = s"$work/idx"
+    val tmp = s"$work/seed"
+    Similarity.writeIvfIndex(spark, sf0001, tmp) // borrow its centroids
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = spark.read.parquet(Similarity.centroidsPathOf(tmp))
+    cents.write.mode("overwrite")
+      .parquet(Similarity.centroidsPathOf(idx))
+    graft.operators.GenStore.ingest(spark, idx,
+      Similarity.gensPathOf(idx), 0L,
+      Similarity.assignBuckets(
+        e.filter(col("vec_id") < 300)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        "cid", "ce", cents),
+      Seq("bucket"), Seq((300L, 0L)).toDF("n_vecs", "ingest_batch"))
+    def probe() = Similarity.probeIvfIndex(spark, sf0001, idx)
+      .collect().map(_.toSeq).toSet
+    def probeAsOf(g: Long) =
+      Similarity.probeIvfIndexAsOf(spark, sf0001, idx, g)
+        .collect().map(_.toSeq).toSet
+    val snap0 = probe()
+    Similarity.appendIvfIndex(spark, idx,
+      e.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding")
+    val snap1 = probe()
+    Similarity.appendIvfIndex(spark, idx,
+      e.filter(col("vec_id") >= 400), "vec_id", "embedding")
+    val head = probe()
+    assert(probeAsOf(0) == snap0, "asOf(0) diverged from the gen-0 head")
+    assert(probeAsOf(1) == snap1, "asOf(1) diverged from the gen-1 head")
+    assert(probeAsOf(2) == head, "asOf(head) diverged from the live probe")
+    assert(snap0 != head, "fixture too weak: appends did not change top-k")
+    // fold: head survives, base snapshot == folded head, history gone
+    assert(Similarity.compactIvfIndex(spark, idx, maxPartials = 1))
+    assert(probe() == head, "fold changed the served index")
+    assert(probeAsOf(-1L) == head,
+      "the post-fold base snapshot IS the folded head")
+    intercept[IllegalArgumentException](probeAsOf(-2L))
+  }
+
   test("ivfpq materialized index: probe prunes partitions, matches inline") {
     val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
     Similarity.writeIvfPqIndex(spark, sf0001, s"$idx/pq")
