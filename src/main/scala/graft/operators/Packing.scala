@@ -89,14 +89,17 @@ object Packing extends QueryPack {
         .groupBy("source", "pack_group")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("grp_tokens"))
         .withColumn("grp_seqs", ceil(col("grp_tokens") / lit(Budget.toDouble)))
-      perGroup.groupBy("source")
+      val bySource = perGroup.groupBy("source")
         .agg(sum("n_docs").as("n_docs"),
           sum("grp_tokens").as("n_tokens"),
           sum("grp_seqs").as("n_sequences"),
           sum(col("grp_seqs") * Budget - col("grp_tokens"))
             .as("padding_waste"))
-        .withColumn("token_share",
-          pround(col("n_tokens") / sum(col("n_tokens")).over(Window.partitionBy()), 6))
+      // corpus share via the broadcast-scalar pattern (one-row grand
+      // total cross-joined), not an unpartitioned window — the window
+      // form funnels every row through ONE task at scale
+      bySource.crossJoin(bySource.agg(sum("n_tokens").as("__tot")))
+        .withColumn("token_share", pround(col("n_tokens") / col("__tot"), 6))
         .select("source", "n_docs", "n_tokens", "token_share",
           "n_sequences", "padding_waste")
     })

@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Static scale lint over a query's OPTIMIZED logical plan: flags the
+  * plan shapes that work at test scale and melt at 100 TB. This is a
+  * guardrail API (run it in CI over your query inventory, as
+  * PlanLintSpec does over this library's), not an optimizer — it
+  * reports, the author decides.
+  *
+  * Every rule is `maxRows`-aware: Catalyst propagates static row
+  * bounds (a grand aggregate is ≤ 1 row, a Limit k is ≤ k rows), and
+  * a pattern that is pathological over an unbounded input is exactly
+  * the right plan over a provably tiny one — a one-row stats frame
+  * cross-joined under every score fold, a row_number window over an
+  * already-LIMITed top-k. Flagging those would teach callers to
+  * ignore the lint; bounding by maxRows keeps every finding real.
+  *
+  * Rules:
+  *  - `cartesian-join`: a join with NO condition (Inner/Cross) where
+  *    both sides may exceed [[SmallBound]] rows — O(n·m) work and an
+  *    all-to-all exchange at scale. Exempt when either side carries
+  *    an explicit broadcast HINT: the hint is the author's recorded
+  *    assertion that the side is small (the deliberate
+  *    states×codes-grid / broadcast-benchmark pattern); the
+  *    anti-pattern is the ACCIDENTAL cartesian, which has no hint.
+  *  - `single-partition-window`: a window function with an EMPTY
+  *    partition spec over a possibly-unbounded child — every row
+  *    moves to ONE task (the WindowExec "No Partition Defined"
+  *    warning, promoted to a finding). Over a bounded child (post-
+  *    aggregate grand totals, top-k re-ranks) it is the cheapest
+  *    correct plan and passes.
+  *  - `global-sort-unbounded`: a global Sort that is neither (a)
+  *    under a Limit through order-preserving nodes — the planner
+  *    turns that into TakeOrdered, no full sort ever runs — nor (b)
+  *    the plan ROOT's presentation ordering (through Projects), whose
+  *    cost is the RESULT's size, nor (c) over a bounded input. What
+  *    remains is a mid-plan total order of an unbounded frame — a
+  *    full-corpus range exchange feeding more computation; use
+  *    repartition + sortWithinPartitions or a keyed window instead.
+  */
+object PlanLint {
+
+  /** A plan shape is exempt when its input is provably at most this
+    * many rows — small enough that "everything in one task / one
+    * pair-product" is the right plan, with headroom over the one-row
+    * and top-k frames that legitimately use these shapes. */
+  val SmallBound = 100000L
+
+  case class Finding(rule: String, node: String) {
+    override def toString = s"[$rule] $node"
+  }
+
+  private def bounded(p: LogicalPlan): Boolean =
+    p.maxRows.exists(_ <= SmallBound)
+
+  private def broadcastHinted(h: JoinHint): Boolean =
+    Seq(h.leftHint, h.rightHint).flatten
+      .exists(_.strategy.contains(BROADCAST))
+
+  /** Lint `df`'s optimized plan; empty result = no scale findings. */
+  def lint(df: DataFrame): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    // The walk carries whether a Limit bounds this subtree through
+    // order-preserving unary nodes (Limit(Project(Sort)) plans as
+    // TakeOrdered exactly like Limit(Sort)), and whether we are still
+    // on the root spine (root-side Projects only) where a global Sort
+    // is presentation ordering of the final result.
+    def walk(p: LogicalPlan, underLimit: Boolean, atRoot: Boolean): Unit = {
+      p match {
+        case j @ Join(left, right, Inner | Cross, None, hint)
+            if !bounded(left) && !bounded(right) &&
+              !broadcastHinted(hint) =>
+          out += Finding("cartesian-join", j.simpleString(80))
+        case w @ Window(_, partitionSpec, _, child, _)
+            if partitionSpec.isEmpty && !bounded(child) =>
+          out += Finding("single-partition-window", w.simpleString(80))
+        case s @ Sort(_, true, child, _)
+            if !underLimit && !atRoot && !bounded(child) =>
+          out += Finding("global-sort-unbounded", s.simpleString(80))
+        case _ =>
+      }
+      p match {
+        case GlobalLimit(_, child) => walk(child, underLimit = true, atRoot)
+        case LocalLimit(_, child) => walk(child, underLimit = true, atRoot)
+        case Project(_, child) => walk(child, underLimit, atRoot)
+        case s: Sort => walk(s.child, underLimit = false, atRoot = false)
+        case other =>
+          other.children.foreach(walk(_, underLimit = false, atRoot = false))
+      }
+    }
+    walk(df.queryExecution.optimizedPlan, underLimit = false, atRoot = true)
+    out.result()
+  }
+}
