@@ -15,7 +15,8 @@ class EntryContractSpec extends SparkSpec {
       graft.operators.Pipeline, graft.operators.Export,
       graft.operators.Linkage, graft.operators.Graph,
       graft.operators.Sketches, graft.operators.Training,
-      graft.operators.Retrieval, graft.operators.Evaluation)
+      graft.operators.Retrieval, graft.operators.Evaluation,
+      graft.operators.Ranking)
       .flatMap(_.queries.keys)
     val dups = names.groupBy(identity).collect {
       case (n, occ) if occ.size > 1 => n
