@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Builders, Inventory, QueryPack, Sources, SqlSurface}
-import graft.operators.{Curation, Decontaminate, Dedup, Evaluation, Export, Graph, Linkage, Multimodal, Packing, Pipeline, Ranking, Retrieval, Similarity, Sketches, TextAnalysis, Training}
+import graft.operators.{Curation, Decontaminate, Dedup, Evaluation, Export, Graph, Layout, Linkage, Multimodal, Packing, Pipeline, Ranking, Retrieval, Similarity, Sketches, TextAnalysis, Training}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
     Seq(Inventory, Analytics, Builders, Sources, SqlSurface, TextAnalysis,
       Dedup, Similarity, Multimodal, Curation, Decontaminate, Packing,
       Pipeline, Export, Linkage, Graph, Sketches, Training, Retrieval,
-      Evaluation, Ranking)
+      Evaluation, Ranking, Layout)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The star fact build is the engine's centerpiece: role

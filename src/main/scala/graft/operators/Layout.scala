@@ -1,0 +1,338 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{FsUtils, Tables}
+import graft.queries.QueryPack
+
+/** Data-layout operators for scan-side IO elimination — the knobs a
+  * 100 TB deployment turns before touching any query plan:
+  *
+  *  - **Z-order clustering** ([[zorderWrite]]): multi-column locality
+  *    via a Morton (bit-interleaved) sort key over quantile-bucketed
+  *    columns, so a file's min/max envelope is tight on EVERY layout
+  *    column at once — a predicate on any one of them (not just a
+  *    lexicographic sort's leading column) skips most files. The
+  *    technique lakehouse formats expose as `OPTIMIZE ... ZORDER BY`;
+  *    here it is a plain parquet write plus a zone-map manifest, no
+  *    table format required.
+  *  - **Zone-map manifest** (`_manifest_mm`): per-file min/max of the
+  *    layout columns, collected once at write time. Probes prune the
+  *    FILE LIST driver-side (the manifest is `nFiles` rows — bounded)
+  *    before Spark ever lists the data dir, so skipped files cost
+  *    zero footer reads — the same listing-time pruning contract as
+  *    the IVF/text index buckets in [[Similarity]]/[[Retrieval]].
+  *  - **Bloom manifest** ([[writeBloomManifest]]): per-file bloom
+  *    bitsets over a point-lookup key, built with Catalyst's own
+  *    runtime-filter aggregate (`bloom_build`, surfaced by
+  *    [[graft.GraftExtensions]]). No false negatives, so pruning is
+  *    semantics-preserving: bloom-negative files provably hold no
+  *    matching row; only bloom-positive files are read and the exact
+  *    predicate settles false positives. Needle-in-100TB lookups
+  *    become O(files-that-might-match) instead of O(corpus).
+  *  - **Salted skew join** ([[saltedJoin]]): the standard remedy when
+  *    a shuffled join key is hot AND the dim side is too big to
+  *    broadcast — fact rows salt deterministically into `nSalts`
+  *    sub-keys, the dim replicates once per salt, and the shuffle
+  *    spreads each hot key over `nSalts` tasks. Result is EXACTLY the
+  *    plain join's (every fact row meets precisely the one replica
+  *    carrying its salt), which is what lets a DuckDB oracle pin it
+  *    with an ordinary join.
+  *
+  * Reference anchors: the reference partitions its fact by 5 hive
+  * levels and leans on DuckDB zone maps for everything else
+  * (webapp/DASHBOARD_OPTIMIZATION_GUIDE.md's "row-group skipping"
+  * notes); these operators are the Spark-native generalization —
+  * multi-dimensional clustering and file-grain skipping for the
+  * predicates hive levels don't cover.
+  */
+object Layout extends QueryPack {
+
+  /** Per-column bucket bits: 2^5 = 32 quantile buckets per column —
+    * with 2 columns a 10-bit z-space, plenty of resolution for any
+    * realistic file count (files ≪ 1024 z-cells). */
+  val ZBits = 5
+
+  /** Morton interleave: bit `b` of bucketed column `i` lands at
+    * z-bit `b * n + i`. Pure integer Column math — codegen'd, no UDF.
+    * Inputs must already be 0-based bucket ids < 2^bits. */
+  def zValue(buckets: Seq[Column], bits: Int = ZBits): Column = {
+    val n = buckets.size
+    val terms = for {
+      b <- 0 until bits
+      (c, i) <- buckets.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Bucket ids (0-based longs) for `cols` of `df` by approximate
+    * quantile boundaries — ONE aggregate job for all columns, the
+    * boundaries collected as literals (bounded by 2^bits per column,
+    * never by data; the [[Ranking.globalRank]] convention). Equal
+    * values always share a bucket, nulls bucket to 0. */
+  def quantileBuckets(df: DataFrame, cols: Seq[String],
+                      bits: Int = ZBits): Seq[Column] = {
+    val nB = 1 << bits
+    val probs = (1 until nB).map(_.toDouble / nB).toArray
+    val aggs = cols.map(c =>
+      percentile_approx(col(c), lit(probs), lit(10000)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val bs: Seq[Any] =
+        if (row.isNullAt(i)) Seq.empty
+        else row.getSeq[Any](i).distinct
+      if (bs.isEmpty) lit(0L)
+      else size(filter(array(bs.map(lit(_)): _*), b => col(c) >= b))
+        .cast("long")
+    }
+  }
+
+  /** Write `df` to `outDir` clustered by the Morton order of `cols`,
+    * plus a `_manifest_mm` zone-map sidecar (per-file min/max of each
+    * layout column; `nFiles` rows — probes collect it driver-side).
+    * One range shuffle on the z-value, a task-local sort to tighten
+    * per-row-group stats, no other data movement. The z-column itself
+    * is dropped before the write: the CLUSTERING is the product; the
+    * manifest carries the skipping metadata. */
+  def zorderWrite(spark: SparkSession, df: DataFrame, cols: Seq[String],
+                  outDir: String, nFiles: Int = 16,
+                  bits: Int = ZBits): Unit = {
+    val z = zValue(quantileBuckets(df, cols, bits), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+    val written = spark.read.parquet(outDir)
+    val mmAggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    written.groupBy(input_file_name().as("file"))
+      .agg(mmAggs.head, mmAggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_manifest_mm")
+  }
+
+  /** Read `dir` under conjunctive closed-interval predicates
+    * `(col, lo, hi)`, pruning the file list through the zone-map
+    * manifest first: only files whose [min, max] envelope overlaps
+    * EVERY interval are handed to the reader. The exact predicates
+    * still apply on top (envelope overlap admits false positives,
+    * never false negatives), so the result is precisely the plain
+    * filter's. */
+  def zonePrunedRead(spark: SparkSession, dir: String,
+                     box: Seq[(String, Long, Long)]): DataFrame = {
+    val mm = spark.read.parquet(s"$dir/_manifest_mm")
+    val overlapping = box.foldLeft(mm) { case (m, (c, lo, hi)) =>
+      m.filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
+    }
+    val files = overlapping.select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    box.foldLeft(base) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** Build a `_manifest_bloom_<keyCol>` sidecar for `dir`: one bloom
+    * bitset per data file over `keyCol`, via Catalyst's own
+    * `bloom_build` aggregate (XxHash64 inserts — identical hashing to
+    * the probe side, so membership of every present key is
+    * guaranteed). Sized for ~100k keys/file at ~1% fp; the whole
+    * manifest is nFiles × numBits/8 bytes — driver-collectable by
+    * construction. */
+  def writeBloomManifest(spark: SparkSession, dir: String, keyCol: String,
+                         estItems: Long = 100000L,
+                         numBits: Long = 1L << 20): Unit = {
+    graft.GraftExtensions.registerAll(spark)
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(call_function("bloom_build", col(keyCol),
+        lit(estItems), lit(numBits)).as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_manifest_bloom_$keyCol")
+  }
+
+  /** Point-lookup read: keep only the files whose bloom might contain
+    * at least one of `keys` (tested driver-side against the bounded
+    * manifest — XxHash64 with Catalyst's default seed, the exact hash
+    * `bloom_build` inserted), then apply the exact IN filter. A
+    * bloom-negative file provably holds none of the keys, so pruning
+    * never drops a match; false positives are settled by the filter. */
+  def bloomPrunedRead(spark: SparkSession, dir: String, keyCol: String,
+                      keys: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val hashes = keys.map(k =>
+      new XxHash64(Seq(Literal(k))).eval(null).asInstanceOf[Long])
+    val files = spark.read.parquet(s"$dir/_manifest_bloom_$keyCol")
+      .collect()
+      .filter { r =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        hashes.exists(bf.mightContainLong)
+      }
+      .map(_.getAs[String]("file"))
+    val base =
+      if (files.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(keyCol).isin(keys.map(k => k: Any): _*))
+  }
+
+  /** Shuffled equi-join with deterministic salting: `big` rows salt
+    * by a content hash into `nSalts` sub-keys, `small` replicates once
+    * per salt, and the join runs on (keys..., salt) — each hot join
+    * key now spreads over `nSalts` shuffle partitions instead of
+    * pinning one task. Exactly the plain join (inner or left): every
+    * big row meets precisely the one replica carrying its salt, and
+    * an unmatched big row is unmatched for its salt iff it is
+    * unmatched outright. Use when the dim is too big to broadcast AND
+    * AQE's skew split can't engage (e.g. the skew is in a
+    *`groupBy`-feeding join stage); the SHUFFLE_HASH hint keeps the
+    * replicated dim as the build side so the salt spread is what the
+    * exchange actually partitions on. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 nSalts: Int = 8,
+                 joinType: String = "inner"): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)),
+        lit(nSalts.toLong)).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    bigS.join(smallS.hint("shuffle_hash"),
+        (keys :+ "__salt").toIndexedSeq, joinType)
+      .drop("__salt")
+  }
+
+  // ----------------------------------------------------------- fixtures
+
+  /** Query-private z-ordered lineitem layout (the [[Similarity]]
+    * fixed-sidecar convention: `oracleSql` is static, and verify is
+    * single-process last-write-wins). Cached across runs on a
+    * (source listing, params) fingerprint written LAST, so a crashed
+    * build is rebuilt, never trusted. */
+  val zorderSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_zorder_lineitem").getAbsolutePath
+
+  val ZCols = Seq("l_suppkey", "l_partkey")
+
+  private def layoutFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val listing = fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(";")
+    val key = s"$d|${ZCols.mkString(",")}|$ZBits|bloom:l_orderkey|v1|$listing"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .map(b => "%02x".format(b & 0xff)).mkString
+  }
+
+  /** Build the layout + both manifests unless an identical build is
+    * already present. */
+  private def ensureZorderSidecar(s: SparkSession, d: String): Unit =
+    this.synchronized {
+      val fpPath = s"$zorderSidecar/_fingerprint"
+      val fp = layoutFingerprint(s, d)
+      if (FsUtils.readString(s, fpPath).contains(fp)) return
+      zorderWrite(s, Tables.load(s, d, "lineitem"), ZCols, zorderSidecar)
+      writeBloomManifest(s, zorderSidecar, "l_orderkey")
+      FsUtils.writeString(s, fpPath, fp)
+    }
+
+  private val ProbeCols =
+    Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+      "l_extendedprice")
+
+  /** Bounds chosen non-empty at every SF dir (suppkey is dense from 0
+    * at all scales; partkey spans 0..199 even at sf0.001). */
+  private val BoxSupp = (2L, 4L)
+  private val BoxPart = (40L, 120L)
+  private val SecondaryPart = (40L, 80L)
+  private val LookupKeys = Seq(1L, 7L, 42L, 123L, 999L)
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, QFn] = Map(
+    // 2-D box probe through the zone-map manifest: both layout
+    // columns carry range predicates, the manifest prunes the file
+    // list driver-side, the exact filter settles envelope false
+    // positives. Values are the raw table's — the layout is a pure
+    // re-clustering — so the oracle filters lineitem directly.
+    "layout_zorder_box" -> ((s, d) => {
+      ensureZorderSidecar(s, d)
+      zonePrunedRead(s, zorderSidecar,
+          Seq(("l_suppkey", BoxSupp._1, BoxSupp._2),
+            ("l_partkey", BoxPart._1, BoxPart._2)))
+        .select(ProbeCols.map(col): _*)
+    }),
+
+    // Secondary-column probe — the case a lexicographic sort cannot
+    // skip for: no predicate on the leading dimension at all, yet the
+    // Morton envelopes stay tight on l_partkey, so most files still
+    // prune (LayoutSpec pins the file counts).
+    "layout_zorder_secondary" -> ((s, d) => {
+      ensureZorderSidecar(s, d)
+      zonePrunedRead(s, zorderSidecar,
+          Seq(("l_partkey", SecondaryPart._1, SecondaryPart._2)))
+        .select(ProbeCols.map(col): _*)
+    }),
+
+    // Needle-in-corpus point lookup through the per-file bloom
+    // manifest: only bloom-positive files are read (no false
+    // negatives ⇒ no lost matches), the IN filter settles the rest.
+    "layout_bloom_lookup" -> ((s, d) => {
+      ensureZorderSidecar(s, d)
+      bloomPrunedRead(s, zorderSidecar, "l_orderkey", LookupKeys)
+        .select(ProbeCols.map(col): _*)
+    }),
+
+    // J15 (beyond the reference's J1-J14): the salted fact ⋈ dim
+    // join, result ≡ the plain join — the oracle states it as one.
+    "j15_salted_skew" -> ((s, d) => {
+      val big = graft.Roles.rates(s, d)
+        .withColumnRenamed("provider_reference_id", "provider_group_id")
+        .select("l_orderkey", "l_linenumber", "provider_group_id",
+          "negotiated_rate")
+      val dim = graft.Roles.providers(s, d)
+        .select("provider_group_id", "provider_name", "state")
+      saltedJoin(big, dim, Seq("provider_group_id"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("provider_group_id"),
+          graft.functions.NormExprs.pround(col("negotiated_rate"), 2)
+            .as("negotiated_rate"),
+          col("provider_name"), col("state"))
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val probeSql = ProbeCols.mkString(", ")
+    Map(
+      "layout_zorder_box" -> s"""
+        SELECT $probeSql FROM lineitem
+        WHERE l_suppkey BETWEEN ${BoxSupp._1} AND ${BoxSupp._2}
+          AND l_partkey BETWEEN ${BoxPart._1} AND ${BoxPart._2}""",
+
+      "layout_zorder_secondary" -> s"""
+        SELECT $probeSql FROM lineitem
+        WHERE l_partkey BETWEEN ${SecondaryPart._1} AND ${SecondaryPart._2}""",
+
+      "layout_bloom_lookup" -> s"""
+        SELECT $probeSql FROM lineitem
+        WHERE l_orderkey IN (${LookupKeys.mkString(", ")})""",
+
+      "j15_salted_skew" -> s"""
+        WITH rates AS (${graft.RolesSql.rates}),
+             providers AS (${graft.RolesSql.providers})
+        SELECT l_orderkey, l_linenumber,
+               r.provider_reference_id AS provider_group_id,
+               floor(negotiated_rate * 100.0 + 0.5) / 100.0
+                 AS negotiated_rate,
+               provider_name, state
+        FROM rates r JOIN providers p
+          ON r.provider_reference_id = p.provider_group_id"""
+    )
+  }
+}

@@ -16,7 +16,7 @@ class EntryContractSpec extends SparkSpec {
       graft.operators.Linkage, graft.operators.Graph,
       graft.operators.Sketches, graft.operators.Training,
       graft.operators.Retrieval, graft.operators.Evaluation,
-      graft.operators.Ranking)
+      graft.operators.Ranking, graft.operators.Layout)
       .flatMap(_.queries.keys)
     val dups = names.groupBy(identity).collect {
       case (n, occ) if occ.size > 1 => n
