@@ -66,51 +66,132 @@ object Layout extends QueryPack {
     terms.reduce(_.bitwiseOR(_))
   }
 
-  /** Bucket ids (0-based longs) for `cols` of `df` by approximate
-    * quantile boundaries — ONE aggregate job for all columns, the
-    * boundaries collected as literals (bounded by 2^bits per column,
-    * never by data; the [[Ranking.globalRank]] convention). Equal
-    * values always share a bucket, nulls bucket to 0. */
-  def quantileBuckets(df: DataFrame, cols: Seq[String],
-                      bits: Int = ZBits): Seq[Column] = {
+  /** Approximate per-column quantile boundaries (as doubles — exact
+    * for integral keys below 2^53) — ONE aggregate job for all
+    * columns, collected as literals (bounded by 2^bits per column,
+    * never by data; the [[Ranking.globalRank]] convention). */
+  def quantileBoundaries(df: DataFrame, cols: Seq[String],
+                         bits: Int = ZBits): Seq[(String, Seq[Double])] = {
     val nB = 1 << bits
     val probs = (1 until nB).map(_.toDouble / nB).toArray
     val aggs = cols.map(c =>
-      percentile_approx(col(c), lit(probs), lit(10000)).as(c))
+      percentile_approx(col(c).cast("double"), lit(probs), lit(10000))
+        .as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>
-      val bs: Seq[Any] =
+      val bs: Seq[Double] =
         if (row.isNullAt(i)) Seq.empty
-        else row.getSeq[Any](i).distinct
-      if (bs.isEmpty) lit(0L)
-      else size(filter(array(bs.map(lit(_)): _*), b => col(c) >= b))
-        .cast("long")
+        else row.getSeq[Double](i).distinct
+      c -> bs
     }
   }
 
-  /** Write `df` to `outDir` clustered by the Morton order of `cols`,
-    * plus a `_manifest_mm` zone-map sidecar (per-file min/max of each
-    * layout column; `nFiles` rows — probes collect it driver-side).
-    * One range shuffle on the z-value, a task-local sort to tighten
-    * per-row-group stats, no other data movement. The z-column itself
-    * is dropped before the write: the CLUSTERING is the product; the
-    * manifest carries the skipping metadata. */
-  def zorderWrite(spark: SparkSession, df: DataFrame, cols: Seq[String],
-                  outDir: String, nFiles: Int = 16,
-                  bits: Int = ZBits): Unit = {
-    val z = zValue(quantileBuckets(df, cols, bits), bits)
-    df.withColumn("__z", z)
+  /** Bucket ids (0-based longs) from persisted boundaries. Equal
+    * values always share a bucket, nulls bucket to 0. The SAME
+    * function serves the initial build and every append — bucketing
+    * is a pure function of the persisted boundaries, so delta rows
+    * cluster consistently with the base layout. */
+  def bucketsFromBoundaries(bMap: Seq[(String, Seq[Double])]): Seq[Column] =
+    bMap.map { case (c, bs) =>
+      if (bs.isEmpty) lit(0L)
+      else size(filter(array(bs.map(lit(_)): _*),
+        b => col(c).cast("double") >= b)).cast("long")
+    }
+
+  /** Cluster `df` by the Morton order of the boundary map and write
+    * into `dir` (one range shuffle on the z-value, a task-local sort
+    * to tighten per-row-group stats, the z-column dropped before the
+    * write). Returns nothing; the caller owns manifest publication. */
+  private def writeClustered(df: DataFrame, bMap: Seq[(String, Seq[Double])],
+                             dir: String, nFiles: Int, bits: Int,
+                             mode: String): Unit =
+    df.withColumn("__z", zValue(bucketsFromBoundaries(bMap), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(outDir)
-    val written = spark.read.parquet(outDir)
+      .write.mode(mode).parquet(dir)
+
+  /** Zone-map rows (per-file min/max of each layout column) for the
+    * given data files. */
+  private def manifestRows(spark: SparkSession, cols: Seq[String],
+                           files: Seq[String]): DataFrame = {
     val mmAggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    written.groupBy(input_file_name().as("file"))
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
       .agg(mmAggs.head, mmAggs.tail: _*)
+  }
+
+  /** Top-level committed-or-not data files of a layout dir (the
+    * manifest and other `_`/`.`-prefixed sidecars excluded). */
+  private def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toUri.toString)
+  }
+
+  private def baseName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** Write `df` to `outDir` clustered by the Morton order of `cols`,
+    * plus two sidecars: `_boundaries` (the bucket function — appends
+    * MUST reuse it so delta rows cluster consistently) and
+    * `_manifest_mm` (the zone map; `nFiles` rows — probes collect it
+    * driver-side). The manifest is the COMMIT: [[zonePrunedRead]]
+    * serves only manifested files, so a crash between the data write
+    * and the manifest publish leaves invisible orphans (swept by the
+    * next [[appendZorder]]), never a partial read — the
+    * [[GenStore]] marker-last discipline. */
+  def zorderWrite(spark: SparkSession, df: DataFrame, cols: Seq[String],
+                  outDir: String, nFiles: Int = 16,
+                  bits: Int = ZBits): Unit = {
+    import spark.implicits._
+    val bMap = quantileBoundaries(df, cols, bits)
+    writeClustered(df, bMap, outDir, nFiles, bits, "overwrite")
+    bMap.toDF("col", "boundaries").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_boundaries")
+    manifestRows(spark, cols, dataFiles(spark, outDir))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/_manifest_mm")
+  }
+
+  /** Append `delta` into an existing z-ordered layout: sweep orphans
+    * from any crashed prior append (data files absent from the
+    * manifest are uncommitted by contract — delete, don't adopt:
+    * adopting would double rows on the retry that re-appends the same
+    * delta), cluster the delta under the layout's PERSISTED
+    * boundaries (drift in the delta's distribution degrades
+    * clustering tightness, never correctness — the [[Similarity]]
+    * appendIvfIndex contract), write its files, then publish their
+    * zone-map rows as a manifest APPEND — the commit point.
+    * Single-writer, like every generational store here. */
+  def appendZorder(spark: SparkSession, delta: DataFrame, dir: String,
+                   nFiles: Int = 4, bits: Int = ZBits): Unit = {
+    val mmPath = s"$dir/_manifest_mm"
+    require(FsUtils.committedExists(spark, mmPath),
+      s"no committed layout at $dir — build one with zorderWrite first")
+    val committed = spark.read.parquet(mmPath)
+      .select("file").collect().map(r => baseName(r.getString(0))).toSet
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    dataFiles(spark, dir).filterNot(f => committed(baseName(f)))
+      .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    val bMap = spark.read.parquet(s"$dir/_boundaries")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq)
+      .toSeq
+    val cols = bMap.map(_._1)
+    val before = dataFiles(spark, dir).map(baseName).toSet
+    writeClustered(delta, bMap, dir, nFiles, bits, "append")
+    val newFiles = dataFiles(spark, dir)
+      .filterNot(f => before(baseName(f)))
+    if (newFiles.nonEmpty)
+      manifestRows(spark, cols, newFiles)
+        .coalesce(1)
+        .write.mode("append").parquet(mmPath)
   }
 
   /** Read `dir` under conjunctive closed-interval predicates
@@ -242,6 +323,31 @@ object Layout extends QueryPack {
       FsUtils.writeString(s, fpPath, fp)
     }
 
+  /** Query-private layout for the APPEND path — base rows clustered
+    * first, the rest arriving as a delta under the persisted
+    * boundaries. Separate dir from [[zorderSidecar]] so neither
+    * query's cache schedule can disturb the other. */
+  val zorderAppendSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_zorder_append").getAbsolutePath
+
+  /** Base/delta split: l_orderkey is dense from 0 at every SF, so
+    * both sides are non-empty at sf0.001 and up. */
+  private val AppendSplit = 700L
+
+  private def ensureAppendSidecar(s: SparkSession, d: String): Unit =
+    this.synchronized {
+      val fpPath = s"$zorderAppendSidecar/_fingerprint"
+      val fp = layoutFingerprint(s, d) + "|append_v1"
+      if (FsUtils.readString(s, fpPath).contains(fp)) return
+      val li = Tables.load(s, d, "lineitem")
+      zorderWrite(s, li.filter(col("l_orderkey") < AppendSplit), ZCols,
+        zorderAppendSidecar)
+      appendZorder(s, li.filter(col("l_orderkey") >= AppendSplit),
+        zorderAppendSidecar)
+      FsUtils.writeString(s, fpPath, fp)
+    }
+
   private val ProbeCols =
     Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
       "l_extendedprice")
@@ -277,6 +383,20 @@ object Layout extends QueryPack {
       ensureZorderSidecar(s, d)
       zonePrunedRead(s, zorderSidecar,
           Seq(("l_partkey", SecondaryPart._1, SecondaryPart._2)))
+        .select(ProbeCols.map(col): _*)
+    }),
+
+    // The append path end-to-end: base build + delta append under the
+    // persisted boundaries, probed through the zone map exactly like
+    // the one-shot layout. The result is the full corpus's box — an
+    // append can neither lose rows (manifest-last commit) nor double
+    // them (orphan sweep before re-append) — so the oracle is the
+    // same plain filter over lineitem.
+    "layout_zorder_append" -> ((s, d) => {
+      ensureAppendSidecar(s, d)
+      zonePrunedRead(s, zorderAppendSidecar,
+          Seq(("l_suppkey", BoxSupp._1, BoxSupp._2),
+            ("l_partkey", BoxPart._1, BoxPart._2)))
         .select(ProbeCols.map(col): _*)
     }),
 
@@ -318,6 +438,11 @@ object Layout extends QueryPack {
       "layout_zorder_secondary" -> s"""
         SELECT $probeSql FROM lineitem
         WHERE l_partkey BETWEEN ${SecondaryPart._1} AND ${SecondaryPart._2}""",
+
+      "layout_zorder_append" -> s"""
+        SELECT $probeSql FROM lineitem
+        WHERE l_suppkey BETWEEN ${BoxSupp._1} AND ${BoxSupp._2}
+          AND l_partkey BETWEEN ${BoxPart._1} AND ${BoxPart._2}""",
 
       "layout_bloom_lookup" -> s"""
         SELECT $probeSql FROM lineitem

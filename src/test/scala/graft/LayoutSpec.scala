@@ -107,6 +107,51 @@ class LayoutSpec extends SparkSpec {
     assert(absent.count() == 0)
   }
 
+  test("append: delta clusters under persisted boundaries, probes exact") {
+    val d = java.nio.file.Files.createTempDirectory("graft_layout_app")
+      .toString + "/zl"
+    Layout.zorderWrite(spark, li.filter(col("l_orderkey") < 700),
+      Seq("l_suppkey", "l_partkey"), d)
+    Layout.appendZorder(spark, li.filter(col("l_orderkey") >= 700), d)
+    val box = Seq(("l_suppkey", 2L, 4L), ("l_partkey", 40L, 120L))
+    val got = Layout.zonePrunedRead(spark, d, box)
+    val want = li.filter(col("l_suppkey").between(2, 4) &&
+      col("l_partkey").between(40, 120))
+    assert(sortedRows(got).sameElements(sortedRows(want)))
+    // the delta bucketed under the BASE boundaries: its files still
+    // carry tight envelopes, so the box must not admit everything
+    val mm = spark.read.parquet(s"$d/_manifest_mm")
+    val admitted = mm.filter(col("min_l_suppkey") <= 4 &&
+      col("max_l_suppkey") >= 2 && col("min_l_partkey") <= 120 &&
+      col("max_l_partkey") >= 40).count()
+    assert(admitted < mm.count(),
+      s"append probe admitted all ${mm.count()} files")
+  }
+
+  test("append crash-safety: unmanifested files invisible, sweep heals") {
+    val d = java.nio.file.Files.createTempDirectory("graft_layout_crash")
+      .toString + "/zl"
+    val base = li.filter(col("l_orderkey") < 700)
+    val delta = li.filter(col("l_orderkey") >= 700)
+    Layout.zorderWrite(spark, base, Seq("l_suppkey", "l_partkey"), d)
+    val box = Seq(("l_partkey", 40L, 80L))
+    val preAppend = sortedRows(Layout.zonePrunedRead(spark, d, box))
+    // simulate a crash between the data write and the manifest
+    // publish: delta files land, manifest rows do not
+    delta.write.mode("append").parquet(d)
+    // probes serve exactly the committed (pre-append) layout — no
+    // partial read, no phantom rows
+    assert(sortedRows(Layout.zonePrunedRead(spark, d, box))
+      .sameElements(preAppend))
+    // the retry: appendZorder sweeps the orphans FIRST, so the
+    // re-appended delta lands exactly once
+    Layout.appendZorder(spark, delta, d)
+    val got = Layout.zonePrunedRead(spark, d, box)
+    val want = li.filter(col("l_partkey").between(40, 80))
+    assert(got.count() == want.count(), "orphan sweep failed: row drift")
+    assert(sortedRows(got).sameElements(sortedRows(want)))
+  }
+
   test("salted join ≡ plain join, and the shuffle spreads the salt") {
     val big = Roles.rates(spark, sf0001)
       .withColumnRenamed("provider_reference_id", "provider_group_id")
