@@ -233,6 +233,33 @@ object Curation extends QueryPack {
                        salt: String = "sample"): DataFrame =
     df.filter(hashUniform(key, salt) < rate)
 
+  /** Weighted sampling WITHOUT replacement via priority sampling
+    * (Duffield–Lund–Thorup, JACM 2007): each row gets priority
+    * w / u with u a content-hash uniform in (0, 1], and the k
+    * largest priorities are the sample — heavier rows enter with
+    * proportionally higher probability, no row twice, and the
+    * estimator max(w, τ) (τ = the (k+1)-th priority) is unbiased for
+    * subset sums. Two properties make it THE weighted subsetter for
+    * this engine: (a) it is one scan plus a top-k reduce
+    * (TakeOrdered — no global sort, no shuffle of the corpus), and
+    * (b) the arithmetic is hash + ONE IEEE division — no
+    * transcendentals, so priorities are bit-identical across engines
+    * and the DuckDB oracle can pin the selected SET, not just its
+    * size (the exponential-keys formulation u^(1/w) would rank by
+    * libm pow, whose last-ulp behavior no two engines share).
+    * `u = (hash32 + 1) / 2^32` is never zero, so the division is
+    * total. */
+  def samplePriorityWeighted(df: DataFrame, weight: Column, key: Column,
+                             k: Int,
+                             salt: String = "priority"): DataFrame = {
+    val u = (conv(substring(md5(concat_ws(":", lit(salt),
+        key.cast("string"))), 1, 8), 16, 10).cast("long") + lit(1L))
+      .cast("double") / 4294967296.0
+    df.withColumn("priority", weight.cast("double") / u)
+      .orderBy(col("priority").desc, key)
+      .limit(k)
+  }
+
   /** Mixture weighting: per-row weight `w` (possibly > 1 — up-sampling).
     * Each row appears in ceil(w) epochs; epoch e keeps the row iff
     * u(key, e) < w − e, so full epochs always keep and the last epoch
@@ -397,6 +424,17 @@ object Curation extends QueryPack {
     // suffix, matching the oracle's substr(source, 4); non-numeric
     // suffixes would yield a null rate here and a CAST error in
     // DuckDB, so the fixture assumption is explicit on both sides).
+    // Priority sampling: the 50 highest-priority docs under
+    // length-proportional weights — the quality-weighted subset
+    // selector of a mixture pipeline. Set-exact cross-engine (hash +
+    // one IEEE division, no libm).
+    "sample_priority_weighted" -> ((s, d) =>
+      samplePriorityWeighted(docs(s, d), col("n_chars"), col("doc_id"),
+          k = 50)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          graft.functions.NormExprs.pround(col("priority"), 4)
+            .as("priority"))),
+
     "sample_hash_stratified" -> ((s, d) => {
       val rate = (substring(col("source"), 4, Int.MaxValue).cast("int")
         % 4 + 1).cast("double") * 0.2
@@ -792,6 +830,20 @@ object Curation extends QueryPack {
             '$PhoneRe', '<PHONE>', 'g'),
             '$IpRe', '<IP>', 'g')) AS scrubbed_hash
         FROM p""",
+
+      "sample_priority_weighted" -> """
+        WITH p AS (
+          SELECT doc_id, source, n_chars,
+            CAST(n_chars AS DOUBLE) /
+              ((CAST(('0x' || substr(md5('priority:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                / 4294967296.0) AS priority
+          FROM documents),
+        r AS (SELECT *, row_number() OVER (
+                ORDER BY priority DESC, doc_id) AS rn FROM p)
+        SELECT doc_id, source, n_chars,
+               floor(priority * 10000.0 + 0.5) / 10000.0 AS priority
+        FROM r WHERE rn <= 50""",
 
       "sample_hash_stratified" -> """
         WITH s AS (

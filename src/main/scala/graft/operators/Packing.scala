@@ -73,7 +73,33 @@ object Packing extends QueryPack {
       (col("doc_id") / GroupDocs).cast("long").as("pack_group"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
 
+  /** Docs per curriculum shard (fixture-scale; a real run sizes this
+    * to the data-loader's shard granularity). */
+  val CurriculumShard = 64
+
+  /** Curriculum sharding: a global difficulty order (here n_chars asc
+    * — short-to-long, the classic length curriculum) mapped to
+    * (shard, pos) so a loader streams shards in order and gets the
+    * curriculum. The total order comes from [[Ranking.globalRank]] —
+    * driver-bounded quantile boundaries, never a single-partition
+    * window — so the op is exactly what the PlanLint bar demands of a
+    * corpus-scale sort. Rank values are boundary-invariant, which is
+    * what lets the oracle pin (shard, pos) with a plain window. */
+  def curriculumShards(df: DataFrame, difficulty: String, idCol: String,
+                       shardSize: Int): DataFrame =
+    Ranking.globalRank(df, difficulty, idCol)
+      .withColumn("shard", ((col("rank") - 1) / shardSize).cast("long"))
+      .withColumn("pos", ((col("rank") - 1) % shardSize).cast("long"))
+
   def queries: Map[String, QFn] = Map(
+    // Length-curriculum shard assignment over the corpus.
+    "pack_curriculum" -> ((s, d) =>
+      curriculumShards(
+          Tables.load(s, d, "documents")
+            .select("doc_id", "source", "n_chars"),
+          "n_chars", "doc_id", CurriculumShard)
+        .select("doc_id", "source", "n_chars", "rank", "shard", "pos")),
+
     "pack_sequences" -> ((s, d) =>
       packPrepared(prepared(s, d), Seq("source", "pack_group"),
         "doc_id", "n_tokens", Budget)
@@ -108,6 +134,16 @@ object Packing extends QueryPack {
   def oracles: Map[String, String] = {
     val tok = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
     Map(
+      "pack_curriculum" -> s"""
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                 AS BIGINT) AS rank,
+               CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+                 // $CurriculumShard AS BIGINT) AS shard,
+               CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+                 % $CurriculumShard AS BIGINT) AS pos
+        FROM documents""",
+
       "pack_sequences" -> s"""
         WITH prep AS (
           SELECT doc_id, source,

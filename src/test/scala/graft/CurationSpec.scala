@@ -328,4 +328,37 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(rates(l) - expect) < 1e-9, s"$l rate ${rates(l)} != $expect")
     }
   }
+
+  test("priority sampling: deterministic, size-k, weight-biased") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val k = 50
+    val got = Curation.samplePriorityWeighted(docs, col("n_chars"),
+      col("doc_id"), k)
+    assert(got.count() == k)
+    // deterministic: a second evaluation selects the identical set
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.samplePriorityWeighted(docs, col("n_chars"),
+      col("doc_id"), k).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+    // weight bias: the sampled docs' mean length exceeds the corpus's
+    // (length-proportional inclusion; on this fixed corpus the gap is
+    // far above noise)
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = got.agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+    // priorities are the claimed closed form for a spot row: w / u
+    // with u = (hash32+1)/2^32 -- recompute one driver-side
+    val row = got.orderBy(col("doc_id")).limit(1)
+      .select("doc_id", "priority").head()
+    val (id, pri) = (row.getLong(0), row.getDouble(1))
+    val w = docs.filter(col("doc_id") === id).head().getLong(1).toDouble
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"priority:$id".getBytes("UTF-8"))
+      .map(b => "%02x".format(b & 0xff)).mkString.substring(0, 8)
+    val u = (java.lang.Long.parseLong(md, 16) + 1L).toDouble / 4294967296.0
+    assert(math.abs(pri - w / u) < 1e-9 * (w / u))
+  }
 }

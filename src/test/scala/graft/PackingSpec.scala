@@ -51,4 +51,33 @@ class PackingSpec extends SparkSpec {
     val share = stats.agg(sum("token_share")).collect()(0).getDouble(0)
     assert(math.abs(share - 1.0) < 1e-3)
   }
+
+  test("curriculum shards: rank is a permutation, shards fill in order") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val n = docs.count()
+    val got = Packing.curriculumShards(docs, "n_chars", "doc_id",
+      shardSize = 64)
+    // ranks are exactly 1..n
+    assert(got.agg(countDistinct("rank")).head().getLong(0) == n)
+    assert(got.agg(min("rank")).head().getLong(0) == 1L)
+    assert(got.agg(max("rank")).head().getLong(0) == n)
+    // every shard is full except possibly the last
+    val sizes = got.groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    sizes.dropRight(1).foreach { case (s, c) =>
+      assert(c == 64L, s"shard $s has $c docs") }
+    // curriculum property: difficulty never decreases across shard
+    // boundaries (max of shard i <= min of shard i+1)
+    val bounds = got.groupBy("shard")
+      .agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Array((_, _, mxA), (sb, mnB, _)) =>
+        assert(mxA <= mnB, s"shard $sb breaks the curriculum order")
+      case _ =>
+    }
+  }
 }
