@@ -140,12 +140,15 @@ object Layout extends QueryPack {
   /** Write `df` to `outDir` clustered by the Morton order of `cols`,
     * plus two sidecars: `_boundaries` (the bucket function — appends
     * MUST reuse it so delta rows cluster consistently) and
-    * `_manifest_mm` (the zone map; `nFiles` rows — probes collect it
-    * driver-side). The manifest is the COMMIT: [[zonePrunedRead]]
-    * serves only manifested files, so a crash between the data write
-    * and the manifest publish leaves invisible orphans (swept by the
-    * next [[appendZorder]]), never a partial read — the
-    * [[GenStore]] marker-last discipline. */
+    * `_manifest_mm` (the zone map; `nFiles` rows per generation —
+    * probes collect it driver-side). The manifest is GENERATIONAL:
+    * each build/append commits its zone-map rows as one
+    * `gen=<g>` partition, and the partition is the COMMIT —
+    * [[zonePrunedRead]] serves only manifested files, so a crash
+    * between the data write and the manifest publish leaves invisible
+    * orphans (swept by the next [[appendZorder]]), never a partial
+    * read, and a replayed generation overwrites exactly its own
+    * partition — the [[GenStore]] discipline. */
   def zorderWrite(spark: SparkSession, df: DataFrame, cols: Seq[String],
                   outDir: String, nFiles: Int = 16,
                   bits: Int = ZBits): Unit = {
@@ -156,28 +159,61 @@ object Layout extends QueryPack {
       .write.mode("overwrite").parquet(s"$outDir/_boundaries")
     manifestRows(spark, cols, dataFiles(spark, outDir))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/_manifest_mm")
+      .write.mode("overwrite").parquet(s"$outDir/_manifest_mm/gen=0")
   }
 
-  /** Append `delta` into an existing z-ordered layout: sweep orphans
-    * from any crashed prior append (data files absent from the
-    * manifest are uncommitted by contract — delete, don't adopt:
-    * adopting would double rows on the retry that re-appends the same
-    * delta), cluster the delta under the layout's PERSISTED
-    * boundaries (drift in the delta's distribution degrades
-    * clustering tightness, never correctness — the [[Similarity]]
-    * appendIvfIndex contract), write its files, then publish their
-    * zone-map rows as a manifest APPEND — the commit point.
-    * Single-writer, like every generational store here. */
-  def appendZorder(spark: SparkSession, delta: DataFrame, dir: String,
-                   nFiles: Int = 4, bits: Int = ZBits): Unit = {
-    val mmPath = s"$dir/_manifest_mm"
-    require(FsUtils.committedExists(spark, mmPath),
-      s"no committed layout at $dir — build one with zorderWrite first")
-    val committed = spark.read.parquet(mmPath)
-      .select("file").collect().map(r => baseName(r.getString(0))).toSet
-    val p = new org.apache.hadoop.fs.Path(dir)
+  /** Committed generation ids of a layout's manifest (bounded: one
+    * per build/append/batch, and compaction is a rebuild). */
+  def committedGens(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_manifest_mm")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+      .filter(g =>
+        FsUtils.committedExists(spark, s"$dir/_manifest_mm/gen=$g"))
+      .sorted
+  }
+
+  /** Append `delta` into an existing z-ordered layout as generation
+    * `gen` (default: one past the highest committed generation):
+    *
+    *  1. drop generation `gen`'s manifest partition if present — a
+    *     REPLAY first uncommits its previous attempt, orphaning that
+    *     attempt's data files;
+    *  2. sweep data files no committed generation references
+    *     (uncommitted by contract — delete, don't adopt: adopting
+    *     would double rows on the retry that re-appends the same
+    *     delta);
+    *  3. cluster the delta under the layout's PERSISTED boundaries
+    *     (drift in the delta's distribution degrades clustering
+    *     tightness, never correctness — the [[Similarity]]
+    *     appendIvfIndex contract) and write its files;
+    *  4. publish their zone-map rows as the `gen=<g>` manifest
+    *     partition — the commit point.
+    *
+    * A crash at any step leaves every committed generation intact and
+    * at worst invisible orphans for the next call's sweep; re-running
+    * the same (delta, gen) lands the delta exactly once. Single-writer
+    * per layout, like every generational store here. */
+  def appendZorder(spark: SparkSession, delta: DataFrame, dir: String,
+                   nFiles: Int = 4, bits: Int = ZBits,
+                   gen: Option[Long] = None): Long = {
+    val mmPath = s"$dir/_manifest_mm"
+    val gens = committedGens(spark, dir)
+    require(gens.nonEmpty,
+      s"no committed layout at $dir — build one with zorderWrite first")
+    val g = gen.getOrElse(gens.max + 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // survivors read BEFORE the partition delete (an all-deleted
+    // manifest dir would fail schema inference)
+    val committed = spark.read.parquet(mmPath)
+      .filter(col("gen") =!= g)
+      .select("file").collect().map(r => baseName(r.getString(0))).toSet
+    val genPath = new org.apache.hadoop.fs.Path(s"$mmPath/gen=$g")
+    if (fs.exists(genPath)) fs.delete(genPath, true)
     dataFiles(spark, dir).filterNot(f => committed(baseName(f)))
       .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     val bMap = spark.read.parquet(s"$dir/_boundaries")
@@ -191,7 +227,8 @@ object Layout extends QueryPack {
     if (newFiles.nonEmpty)
       manifestRows(spark, cols, newFiles)
         .coalesce(1)
-        .write.mode("append").parquet(mmPath)
+        .write.mode("overwrite").parquet(s"$mmPath/gen=$g")
+    g
   }
 
   /** Read `dir` under conjunctive closed-interval predicates
@@ -305,7 +342,7 @@ object Layout extends QueryPack {
     val listing = fs.listStatus(p).map(st =>
         s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString(";")
-    val key = s"$d|${ZCols.mkString(",")}|$ZBits|bloom:l_orderkey|v1|$listing"
+    val key = s"$d|${ZCols.mkString(",")}|$ZBits|bloom:l_orderkey|v2|$listing"
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
       .map(b => "%02x".format(b & 0xff)).mkString

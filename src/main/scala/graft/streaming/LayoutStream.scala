@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Layout
+
+/** Streaming maintenance of a z-ordered layout — continuous ingestion
+  * into a file-skippable table, the [[IndexStream]] discipline applied
+  * to [[Layout]]'s generational zone-map manifest: each micro-batch is
+  * one [[Layout.appendZorder]] at generation `streamBase + batchId`,
+  * clustered under the layout's persisted boundaries, with the
+  * `gen=<g>` manifest partition as the commit marker. An
+  * at-least-once replay first uncommits and sweeps its own previous
+  * attempt, so a batch lands exactly once; a crash mid-batch leaves
+  * every committed generation intact and probes never see a partial
+  * batch.
+  *
+  * Contract: batches carry NEW rows only (the snapshot-diff `added`
+  * stream — upstream dedup owns identity); one logical stream per
+  * layout (same checkpoint across restarts), the single-writer
+  * contract every maintenance path here assumes.
+  *
+  * Scale: per batch, cost is one clustering shuffle of the BATCH and
+  * one manifest partition write — independent of layout size. The
+  * manifest grows one bounded partition per batch; when probe-planning
+  * cost matters, a periodic [[Layout.zorderWrite]] rebuild is the
+  * compaction (it re-derives boundaries against the accumulated
+  * distribution and folds every generation back to gen 0).
+  */
+object LayoutStream {
+
+  /** The stream's generation band starts above every generation
+    * committed when the stream FIRST touched the layout (the build's
+    * 0, any batch appends since). Derived once, persisted beside the
+    * layout, re-read forever after — replays map to the SAME
+    * generation while never colliding with pre-stream ones (the
+    * [[IndexStream.streamBase]] discipline). */
+  private def streamBase(spark: SparkSession, dir: String): Long = {
+    val marker = s"$dir/_stream_base"
+    graft.FsUtils.readString(spark, marker) match {
+      case Some(v) => v.trim.toLong
+      case None =>
+        val base = Layout.committedGens(spark, dir)
+          .lastOption.getOrElse(-1L) + 1L
+        graft.FsUtils.writeString(spark, marker, base.toString)
+        base
+    }
+  }
+
+  /** One micro-batch: append under the generational manifest
+    * protocol. */
+  def processBatch(batch: DataFrame, batchId: Long, dir: String,
+                   nFiles: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    Layout.appendZorder(spark, batch, dir, nFiles = nFiles,
+      gen = Some(streamBase(spark, dir) + batchId))
+  }
+
+  /** Attach the layout maintenance to a stream of table rows. The
+    * layout must exist ([[Layout.zorderWrite]]) — boundaries are the
+    * build's, by contract. */
+  def run(rowsStream: DataFrame, dir: String,
+          checkpoint: String, nFiles: Int = 4): StreamingQuery =
+    rowsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, dir, nFiles)
+      }
+      .start()
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+import graft.streaming.LayoutStream
+
+/** Streaming z-order maintenance: probes over a stream-grown layout
+  * equal the plain filter over the union corpus, replays land exactly
+  * once, the stream's generation band never collides with pre-stream
+  * appends, and every batch stays file-skippable. */
+class LayoutStreamSpec extends SparkSpec {
+
+  private def work() = {
+    val d = java.nio.file.Files.createTempDirectory("graft_layoutstream")
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private lazy val li = Tables.load(spark, sf0001, "lineitem")
+  private def slice(i: Int) = li.filter(col("l_orderkey") % 3 === i)
+  private val box = Seq(("l_partkey", 40L, 80L))
+
+  private def probe(dir: String) =
+    Layout.zonePrunedRead(spark, dir, box)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  test("stream-grown layout ≡ plain filter over the union corpus") {
+    val w = work()
+    Layout.zorderWrite(spark, slice(0), Seq("l_suppkey", "l_partkey"),
+      s"$w/zl")
+    // a pre-stream batch append, so the stream base must start at 2
+    Layout.appendZorder(spark, slice(1), s"$w/zl")
+    LayoutStream.processBatch(slice(2), 0L, s"$w/zl")
+    val want = li.filter(col("l_partkey").between(40, 80))
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(probe(s"$w/zl") == want)
+    // generation band: build=0, append=1, stream batch 0 → 2
+    assert(Layout.committedGens(spark, s"$w/zl") == Seq(0L, 1L, 2L))
+  }
+
+  test("replayed batch lands exactly once; empty batch is a no-op") {
+    val w = work()
+    Layout.zorderWrite(spark, slice(0), Seq("l_suppkey", "l_partkey"),
+      s"$w/zl")
+    LayoutStream.processBatch(slice(1), 0L, s"$w/zl")
+    val before = probe(s"$w/zl")
+    val rowsBefore = Layout.zonePrunedRead(spark, s"$w/zl",
+      Seq(("l_partkey", 0L, Long.MaxValue))).count()
+    LayoutStream.processBatch(slice(1), 0L, s"$w/zl") // replay
+    assert(probe(s"$w/zl") == before)
+    assert(Layout.zonePrunedRead(spark, s"$w/zl",
+      Seq(("l_partkey", 0L, Long.MaxValue))).count() == rowsBefore,
+      "replay doubled rows")
+    LayoutStream.processBatch(li.filter(col("l_orderkey") < 0), 1L,
+      s"$w/zl")
+    assert(probe(s"$w/zl") == before)
+  }
+
+  test("streamed generations keep tight envelopes (still skippable)") {
+    val w = work()
+    Layout.zorderWrite(spark, slice(0), Seq("l_suppkey", "l_partkey"),
+      s"$w/zl")
+    LayoutStream.processBatch(slice(1), 0L, s"$w/zl")
+    LayoutStream.processBatch(slice(2), 1L, s"$w/zl")
+    val mm = spark.read.parquet(s"$w/zl/_manifest_mm")
+    val admitted = mm.filter(col("min_l_partkey") <= 80 &&
+      col("max_l_partkey") >= 40).count()
+    assert(admitted < mm.count(),
+      s"20%-selective probe admitted all ${mm.count()} files")
+  }
+}
