@@ -244,7 +244,11 @@ object Layout extends QueryPack {
     val overlapping = box.foldLeft(mm) { case (m, (c, lo, hi)) =>
       m.filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
     }
-    val files = overlapping.select("file").collect().map(_.getString(0))
+    // resolve against the CURRENT dir, not the recorded URI — file
+    // names are write-unique, and re-anchoring keeps the manifest
+    // valid across dir swaps ([[compactLayout]]) and relocations
+    val files = overlapping.select("file").collect()
+      .map(r => s"$dir/${baseName(r.getString(0))}")
     val base =
       if (files.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
@@ -290,11 +294,46 @@ object Layout extends QueryPack {
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
         hashes.exists(bf.mightContainLong)
       }
-      .map(_.getAs[String]("file"))
+      .map(r => s"$dir/${baseName(r.getAs[String]("file"))}")
     val base =
       if (files.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
     base.filter(col(keyCol).isin(keys.map(k => k: Any): _*))
+  }
+
+  /** Compaction: fold every committed generation back into a single
+    * freshly-clustered gen-0 build. Rebuilds via a STAGING dir + an
+    * atomic-ish publish (copy-free dir swap), so probes against the
+    * old layout stay valid until the swap and a crash mid-compaction
+    * leaves the old layout untouched. Re-derives boundaries against
+    * the accumulated distribution — the cure for append-era drift.
+    * Returns the folded row count. Single-writer, and (as with
+    * [[GenStore]] folds) concurrent probes should tolerate listed-
+    * then-deleted files via `spark.sql.files.ignoreMissingFiles` or
+    * the single-reader contract. */
+  def compactLayout(spark: SparkSession, dir: String,
+                    nFiles: Int = 16, bits: Int = ZBits): Long = {
+    graft.streaming.DedupStream.recoverCompaction(spark, dir)
+    val mmPath = s"$dir/_manifest_mm"
+    require(FsUtils.committedExists(spark, mmPath),
+      s"no committed layout at $dir — nothing to compact")
+    val committed = spark.read.parquet(mmPath)
+      .select("file").collect()
+      .map(r => s"$dir/${baseName(r.getString(0))}")
+    val cols = spark.read.parquet(s"$dir/_boundaries")
+      .collect().map(_.getString(0)).toSeq
+    val rows = spark.read.parquet(committed.toIndexedSeq: _*)
+    val n = rows.count()
+    // the DedupStream compaction suffix conventions, so
+    // recoverCompaction heals a crash at any point of the swap
+    val tmp = dir + graft.streaming.DedupStream.CompactTmpSuffix
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    zorderWrite(spark, rows, cols, tmp, nFiles, bits)
+    graft.streaming.DedupStream.swapDirs(fs, p,
+      new org.apache.hadoop.fs.Path(tmp))
+    n
   }
 
   /** Shuffled equi-join with deterministic salting: `big` rows salt

@@ -23,9 +23,12 @@ import graft.operators.Layout
   * Scale: per batch, cost is one clustering shuffle of the BATCH and
   * one manifest partition write — independent of layout size. The
   * manifest grows one bounded partition per batch; when probe-planning
-  * cost matters, a periodic [[Layout.zorderWrite]] rebuild is the
-  * compaction (it re-derives boundaries against the accumulated
-  * distribution and folds every generation back to gen 0).
+  * cost matters, [[Layout.compactLayout]] folds every generation back
+  * to a freshly-clustered gen 0 (re-derived boundaries — the cure for
+  * append-era drift) under the DedupStream swap protocol. Compact
+  * only while the stream is STOPPED with its checkpoint durable: a
+  * replay arriving after its generation was folded would re-append
+  * rows the fold already carries.
   */
 object LayoutStream {
 

@@ -57,6 +57,33 @@ class LayoutStreamSpec extends SparkSpec {
     assert(probe(s"$w/zl") == before)
   }
 
+  test("compaction folds every generation to a fresh gen 0, probes unchanged") {
+    val w = work()
+    Layout.zorderWrite(spark, slice(0), Seq("l_suppkey", "l_partkey"),
+      s"$w/zl")
+    LayoutStream.processBatch(slice(1), 0L, s"$w/zl")
+    LayoutStream.processBatch(slice(2), 1L, s"$w/zl")
+    val before = probe(s"$w/zl")
+    val total = Layout.zonePrunedRead(spark, s"$w/zl",
+      Seq(("l_partkey", 0L, Long.MaxValue))).count()
+    val folded = Layout.compactLayout(spark, s"$w/zl", nFiles = 8)
+    assert(folded == total, "compaction changed the row count")
+    assert(Layout.committedGens(spark, s"$w/zl") == Seq(0L))
+    assert(probe(s"$w/zl") == before)
+    // the rebuild re-clusters: the 20% partkey probe still skips
+    val mm = spark.read.parquet(s"$w/zl/_manifest_mm")
+    val admitted = mm.filter(col("min_l_partkey") <= 80 &&
+      col("max_l_partkey") >= 40).count()
+    assert(admitted < mm.count())
+    // crash residue heals: a stale .compacting dir is swept, layout
+    // intact
+    val tmp = s"$w/zl" + graft.streaming.DedupStream.CompactTmpSuffix
+    new java.io.File(tmp).mkdirs()
+    Layout.compactLayout(spark, s"$w/zl", nFiles = 8)
+    assert(!new java.io.File(tmp).exists())
+    assert(probe(s"$w/zl") == before)
+  }
+
   test("streamed generations keep tight envelopes (still skippable)") {
     val w = work()
     Layout.zorderWrite(spark, slice(0), Seq("l_suppkey", "l_partkey"),
