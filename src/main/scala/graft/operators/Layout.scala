@@ -30,14 +30,12 @@ import graft.queries.QueryPack
   *    matching row; only bloom-positive files are read and the exact
   *    predicate settles false positives. Needle-in-100TB lookups
   *    become O(files-that-might-match) instead of O(corpus).
-  *  - **Salted skew join** ([[saltedJoin]]): the standard remedy when
-  *    a shuffled join key is hot AND the dim side is too big to
-  *    broadcast — fact rows salt deterministically into `nSalts`
-  *    sub-keys, the dim replicates once per salt, and the shuffle
-  *    spreads each hot key over `nSalts` tasks. Result is EXACTLY the
-  *    plain join's (every fact row meets precisely the one replica
-  *    carrying its salt), which is what lets a DuckDB oracle pin it
-  *    with an ordinary join.
+  *  - **Salted skew join** (`j15_salted_skew`, via
+  *    [[graft.sources.SkewTools.saltedJoin]]): the standard remedy
+  *    when a shuffled join key is hot AND the dim side is too big to
+  *    broadcast. Result is EXACTLY the plain join's (every fact row
+  *    meets precisely the one replica carrying its salt), which is
+  *    what lets a DuckDB oracle pin it with an ordinary join.
   *
   * Reference anchors: the reference partitions its fact by 5 hive
   * levels and leans on DuckDB zone maps for everything else
@@ -53,18 +51,14 @@ object Layout extends QueryPack {
     * realistic file count (files ≪ 1024 z-cells). */
   val ZBits = 5
 
-  /** Morton interleave: bit `b` of bucketed column `i` lands at
-    * z-bit `b * n + i`. Pure integer Column math — codegen'd, no UDF.
-    * Inputs must already be 0-based bucket ids < 2^bits. */
-  def zValue(buckets: Seq[Column], bits: Int = ZBits): Column = {
-    val n = buckets.size
-    val terms = for {
-      b <- 0 until bits
-      (c, i) <- buckets.zipWithIndex
-    } yield shiftleft(
-      shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * n + i)
-    terms.reduce(_.bitwiseOR(_))
-  }
+  /** Morton interleave — [[graft.sources.ZOrder.interleave]], the one
+    * shared bit cascade (ZOrder ranks by linear scaling against fixed
+    * bounds; this module ranks by EQUI-DEPTH quantile buckets, the
+    * skew-robust choice for a maintained layout: a heavy-tailed column
+    * still spreads rows evenly across cells instead of cramming the
+    * head into one). Inputs are 0-based bucket ids < 2^bits. */
+  def zValue(buckets: Seq[Column], bits: Int = ZBits): Column =
+    graft.sources.ZOrder.interleave(buckets, bits)
 
   /** Approximate per-column quantile boundaries (as doubles — exact
     * for integral keys below 2^53) — ONE aggregate job for all
@@ -336,32 +330,6 @@ object Layout extends QueryPack {
     n
   }
 
-  /** Shuffled equi-join with deterministic salting: `big` rows salt
-    * by a content hash into `nSalts` sub-keys, `small` replicates once
-    * per salt, and the join runs on (keys..., salt) — each hot join
-    * key now spreads over `nSalts` shuffle partitions instead of
-    * pinning one task. Exactly the plain join (inner or left): every
-    * big row meets precisely the one replica carrying its salt, and
-    * an unmatched big row is unmatched for its salt iff it is
-    * unmatched outright. Use when the dim is too big to broadcast AND
-    * AQE's skew split can't engage (e.g. the skew is in a
-    *`groupBy`-feeding join stage); the SHUFFLE_HASH hint keeps the
-    * replicated dim as the build side so the salt spread is what the
-    * exchange actually partitions on. */
-  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                 nSalts: Int = 8,
-                 joinType: String = "inner"): DataFrame = {
-    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
-    val bigS = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)),
-        lit(nSalts.toLong)).cast("int"))
-    val smallS = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(nSalts - 1))))
-    bigS.join(smallS.hint("shuffle_hash"),
-        (keys :+ "__salt").toIndexedSeq, joinType)
-      .drop("__salt")
-  }
-
   // ----------------------------------------------------------- fixtures
 
   /** Query-private z-ordered lineitem layout (the [[Similarity]]
@@ -486,7 +454,10 @@ object Layout extends QueryPack {
     }),
 
     // J15 (beyond the reference's J1-J14): the salted fact ⋈ dim
-    // join, result ≡ the plain join — the oracle states it as one.
+    // join ([[graft.sources.SkewTools.saltedJoin]] — the manual
+    // remedy when the dim outgrows broadcast and AQE's skew split
+    // can't engage), result ≡ the plain join — the oracle states it
+    // as one.
     "j15_salted_skew" -> ((s, d) => {
       val big = graft.Roles.rates(s, d)
         .withColumnRenamed("provider_reference_id", "provider_group_id")
@@ -494,7 +465,8 @@ object Layout extends QueryPack {
           "negotiated_rate")
       val dim = graft.Roles.providers(s, d)
         .select("provider_group_id", "provider_name", "state")
-      saltedJoin(big, dim, Seq("provider_group_id"))
+      graft.sources.SkewTools.saltedJoin(big, dim, "provider_group_id",
+          nSalts = 8, joinType = "inner")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("provider_group_id"),
           graft.functions.NormExprs.pround(col("negotiated_rate"), 2)

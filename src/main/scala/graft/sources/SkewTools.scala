@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
-  /** Left-equi-join `fact ⋈ dim` on `key`, salted n ways. `dim` must
-    * be unique per key (a dim/LUT), otherwise replication would
-    * duplicate matches. */
+  /** Equi-join `fact ⋈ dim` on `key`, salted n ways (left by default —
+    * an unmatched fact row is unmatched for its one salt iff it is
+    * unmatched outright, so left semantics survive exactly). `dim`
+    * must be unique per key (a dim/LUT), otherwise replication would
+    * duplicate matches. The SHUFFLE_HASH hint keeps the replicated dim
+    * as the BUILD side of a shuffled join: without it a test-scale dim
+    * broadcasts and the salt spread never reaches an exchange — the
+    * exact regime this operator exists for is "dim too big to
+    * broadcast", so the plan must shuffle on (key, salt). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  nSalts: Int, joinType: String = "left"): DataFrame = {
     val salted = fact.withColumn("__salt",
@@ -33,6 +39,7 @@ object SkewTools {
         .cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"),
+      joinType).drop("__salt")
   }
 }

@@ -50,25 +50,35 @@ object ZOrder {
     spread16(rank16(a, aMin, aMax))
       .bitwiseOR(shiftleft(spread16(rank16(b, bMin, bMax)), 1))
 
+  /** THE Morton interleave, shared by every z-ordering in the repo:
+    * rank j's bit i lands at z-bit i·k + j. Inputs are 0-based cell
+    * ids < 2^bits (however derived — [[zkeyN]] scales against fixed
+    * bounds, [[graft.operators.Layout]] buckets by quantiles). Plain
+    * column arithmetic, fully codegen'd. */
+  def interleave(ranks: Seq[Column], bits: Int): Column = {
+    val k = ranks.size
+    (for {
+      i <- 0 until bits
+      (r, j) <- ranks.zipWithIndex
+    } yield shiftleft(
+      shiftright(r.cast("long"), i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_.bitwiseOR(_))
+  }
+
   /** N-column Morton key: column j's rank bit i lands at position
     * i·k + j, so for k = 2 this is bit-identical to [[zkey]] (pinned
     * by ZOrderSpec). Rank width shrinks to ⌊63 / k⌋ bits (≤ 16) so the
-    * key stays in a positive long; the per-bit shift cascade is plain
-    * column arithmetic, fully codegen'd. */
+    * key stays in a positive long. */
   def zkeyN(cols: Seq[(Column, Double, Double)]): Column = {
     require(cols.size >= 2, "zkeyN needs at least 2 columns")
-    val k = cols.size
-    val bits = math.min(16, 63 / k)
-    cols.zipWithIndex.map { case ((c, mn, mx), j) =>
+    val bits = math.min(16, 63 / cols.size)
+    interleave(cols.map { case (c, mn, mx) =>
       val span = if (mx > mn) mx - mn else 1.0
       val maxCell = (1L << bits) - 1
-      val r = least(greatest(
+      least(greatest(
         ((c.cast("double") - mn) / span * maxCell).cast("long"), lit(0L)),
         lit(maxCell))
-      (0 until bits).map { i =>
-        shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * k + j)
-      }.reduce(_.bitwiseOR(_))
-    }.reduce(_.bitwiseOR(_))
+    }, bits)
   }
 
   /** Cluster `df` on the Morton key of (`colA`, `colB`) into

@@ -159,8 +159,8 @@ class LayoutSpec extends SparkSpec {
         "negotiated_rate")
     val dim = Roles.providers(spark, sf0001)
       .select("provider_group_id", "provider_name", "state")
-    val salted = Layout.saltedJoin(big, dim, Seq("provider_group_id"),
-      nSalts = 4)
+    val salted = graft.sources.SkewTools.saltedJoin(big, dim,
+      "provider_group_id", nSalts = 4, joinType = "inner")
     val plain = big.join(dim, Seq("provider_group_id"))
     assert(salted.count() == plain.count())
     assert(salted.columns.sorted.sameElements(plain.columns.sorted))
@@ -176,8 +176,8 @@ class LayoutSpec extends SparkSpec {
       s"expected the salt in the physical plan:\n${plan.take(2000)}")
     // left join: unmatched big rows survive exactly once
     val dimHalf = dim.filter(col("provider_group_id").cast("long") < 5)
-    val leftSalted = Layout.saltedJoin(big, dimHalf,
-      Seq("provider_group_id"), nSalts = 4, joinType = "left")
+    val leftSalted = graft.sources.SkewTools.saltedJoin(big, dimHalf,
+      "provider_group_id", nSalts = 4)
     val leftPlain = big.join(dimHalf, Seq("provider_group_id"), "left")
     assert(leftSalted.count() == leftPlain.count())
     assert(leftSalted.filter(col("provider_name").isNull).count() ==
