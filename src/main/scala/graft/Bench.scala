@@ -68,6 +68,21 @@ object Bench {
     // keep-min of two strips exactly that (the second pass is warm);
     // the extra pass costs far less than the first (codegen paid).
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // Same-code noise floor, measured IN PLACE (r11b): for a fixed
+    // sample, take a SECOND min-of-`repeat` immediately after the
+    // first and record the relative gap between the two minima — the
+    // same statistic, same JVM state, same suite position. The first
+    // r11 cut re-ran the sample AFTER the whole loop and reported a
+    // 67% "floor" that was really 178 queries of accumulated JVM
+    // pressure vs each query's suite-position record (the identical
+    // sample benched alone floors at 9%); a noise metric that mostly
+    // measures position is worse than none. The sample queries record
+    // the min of both passes (a min-of-4 vs the suite's min-of-2 —
+    // strictly tighter, never unfair to them).
+    val noiseSample = Set("a10_search_stats", "a7_market_profile",
+      "j12_upsert", "star_fact_build", "dedup_minhash_lsh",
+      "text_pmi_pairs", "search_index_topk", "s15_agg_market_rates")
+    val noiseDeltas = scala.collection.mutable.ArrayBuffer.empty[Double]
     var sinceGc = 0
     val results = selected.map { case (name, fn) =>
       val refSec = referenceSec.getOrElse(name, defaultReferenceSec)
@@ -120,48 +135,26 @@ object Bench {
           System.gc()
           math.min(first, once())
         } else first
-      name -> t
+      val tFinal =
+        if (noiseSample(name) && t > 0) {
+          val second = (1 to math.max(repeat, 2)).map(_ => once()).min
+          noiseDeltas += math.abs(second - t) / math.max(t, 1e-9)
+          math.min(t, second)
+        } else t
+      name -> tFinal
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Same-code noise floor (r11): re-measure a fixed sample with the
-    // SAME statistic the record uses (keep-min of `repeat` warm runs,
-    // same pre-query GC hygiene) and compare to each recorded minimum,
-    // HERE — right after the main loop, under the same JVM state the
-    // records were taken in, not after the serving/slope blocks have
-    // piled another hundred jobs of pressure on. Same-statistic
-    // matters too: one raw rerun against a min-of-2 record is biased
-    // upward by construction and reported ~50% "noise" on sub-second
-    // queries. The MEDIAN relative delta calibrates run-to-run
-    // variance — the number the r10 verdict had to reverse-engineer
-    // from an entire same-code round; a future per-query delta under
-    // ~3x this floor is variance, not a regression.
-    val noiseFloor: Double = try {
-      val sample = Seq("a10_search_stats", "a7_market_profile",
-        "j12_upsert", "star_fact_build", "dedup_minhash_lsh",
-        "text_pmi_pairs", "search_index_topk", "s15_agg_market_rates")
-      import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
-      val deltas = sample.flatMap { q =>
-        for {
-          fn <- SparkEntry.queries.get(q)
-          rec <- results.find(_._1 == q).map(_._2) if rec > 0
-        } yield {
-          spark.catalog.clearCache()
-          System.gc()
-          def once(): Double = {
-            val t0 = System.nanoTime()
-            try fn(spark, sfDir).agg(sum(xxhash64(struct(col("*")))))
-              .collect()
-            catch { case _: Throwable => }
-            (System.nanoTime() - t0) / 1e9
-          }
-          val t = (1 to math.max(repeat, 2)).map(_ => once()).min
-          math.abs(t - rec) / rec
-        }
-      }.sorted
-      if (deltas.isEmpty) -1.0 else deltas(deltas.length / 2)
-    } catch { case _: Throwable => -1.0 }
+    // The reported floor: the MEDIAN relative gap between two
+    // back-to-back min-of-`repeat` measurements of the sample queries
+    // (collected in place during the loop above). A future per-query
+    // round-over-round delta under ~3x this floor is variance, not a
+    // regression.
+    val noiseFloor: Double = {
+      val d = noiseDeltas.sorted
+      if (d.isEmpty) -1.0 else d(d.length / 2)
+    }
     // Serving-path latency: the reference's optimized dashboard class
     // (50-200 ms, DASHBOARD_OPTIMIZATION_GUIDE.md:15-19) comes from
     // reading a materialized pre-agg, not scanning the fact. Measure

@@ -166,6 +166,18 @@ object Similarity extends QueryPack {
       ivfTopK(e, cents, nprobe = 2, topK = 5)
     }),
 
+    // Filtered vector search: the same IVF probe with a metadata
+    // predicate (label = 1) PRE-applied to candidates — exact top-k
+    // over the filtered subset, never a post-filtered short list.
+    // Query-private centroid sidecar, the IVF oracle pattern.
+    "sim_ivf_filtered" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroids(e)
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(oracleFilteredCentroidSidecar)
+      ivfTopKWhere(e, cents, col("label") === 1, nprobe = 2, topK = 5)
+    }),
+
     // Embedding outlier detection — the anomaly-surfacing pass of
     // embedding-space curation (mislabeled, corrupt, or off-domain
     // vectors sit far from every cluster): each vector's cosine to its
@@ -245,9 +257,28 @@ object Similarity extends QueryPack {
     * global members can outrank it. At nprobe=K the probe set is the
     * corpus and the result must EQUAL the exact baseline. */
   def ivfTopK(e: DataFrame, cents: DataFrame,
-              nprobe: Int, topK: Int): DataFrame = {
+              nprobe: Int, topK: Int): DataFrame =
+    ivfTopKWhere(e, cents, lit(true), nprobe, topK)
+
+  /** FILTERED vector search — the metadata predicate applied to
+    * CANDIDATES before any distance is scored (pre-filtering), so the
+    * top-k is the exact top-k over the predicate-satisfying subset of
+    * the probed buckets. Post-filtering (top-k first, predicate after)
+    * silently returns < k rows whenever the unfiltered neighborhood is
+    * predicate-sparse — the classic filtered-ANN correctness trap this
+    * entry point exists to avoid. Scale shape: the predicate rides the
+    * candidate SCAN (with a materialized index it composes with bucket
+    * pruning at the same read), so selective filters SHRINK the
+    * scoring join instead of post-hoc discarding it. Queries are
+    * unaffected — only the candidate universe is filtered. The
+    * trivially-true default makes [[ivfTopK]] a special case (Catalyst
+    * folds the `lit(true)` filter away, so the unfiltered plan is
+    * unchanged). */
+  def ivfTopKWhere(e: DataFrame, cents: DataFrame, candPred: Column,
+                   nprobe: Int, topK: Int): DataFrame = {
     val assigned = assignBuckets(
-      e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      e.filter(candPred)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")),
       "cid", "ce", cents)
     // Probe selection is over |queries|×K rows (tiny) — a window is fine.
     val probes = probeBuckets(e.filter(col("vec_id") < 10)
@@ -890,6 +921,11 @@ object Similarity extends QueryPack {
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_ivf_oracle_centroids").getAbsolutePath
 
+  /** Query-private sidecar for `sim_ivf_filtered` (same contract). */
+  val oracleFilteredCentroidSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_ivf_filtered_oracle_centroids").getAbsolutePath
+
   /** Bottom-K size and query-private sidecar for `embedding_outliers`
     * (no declared query's oracle may depend on another query's
     * overwrite schedule). */
@@ -910,6 +946,78 @@ object Similarity extends QueryPack {
     FROM (SELECT q.qid, c.cid, q.qe, c.ce FROM $qTbl q JOIN $cTbl c ON $joinCond),
          range(1, 65) r(i)
     GROUP BY qid, cid"""
+
+    /** The IVF probe replay shared by `sim_ivf_topk` (no candidate
+    * predicate) and `sim_ivf_filtered` (pre-filtered candidates):
+    * assignment, nprobe=2 probing, and scoring over whatever
+    * candidate universe `candWhere` leaves — the same stages the
+    * Spark plan runs, against the query's own centroid sidecar. */
+  private def ivfOracleSql(sidecar: String, candWhere: String): String =
+    s"""WITH
+      cents AS (SELECT centroid_id, cent
+                FROM read_parquet('$sidecar/*.parquet')),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings$candWhere),
+      q AS (SELECT vec_id AS vid, embedding AS qe FROM embeddings
+            WHERE vec_id < 10),
+      adots AS (
+        SELECT cid, centroid_id,
+               SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(ce[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM c, cents, range(1, 65) r(i)
+        GROUP BY cid, centroid_id),
+      assigned AS (
+        SELECT cid, bucket FROM (
+          SELECT cid, centroid_id AS bucket,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
+                   AS rn
+          FROM adots) WHERE rn = 1),
+      pdots AS (
+        SELECT vid, centroid_id,
+               SUM(CAST(qe[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(qe[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(qe[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM q, cents, range(1, 65) r(i)
+        GROUP BY vid, centroid_id),
+      probes AS (
+        SELECT vid, probe FROM (
+          SELECT vid, centroid_id AS probe,
+                 row_number() OVER (PARTITION BY vid
+                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
+                   AS rn
+          FROM pdots) WHERE rn <= 2),
+      cand AS (
+        SELECT p.vid AS qid, a.cid
+        FROM probes p JOIN assigned a
+          ON a.bucket = p.probe AND a.cid <> p.vid),
+      sdots AS (
+        SELECT cand.qid, cand.cid,
+               SUM(CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM cand
+        JOIN q qq ON qq.vid = cand.qid
+        JOIN c cc ON cc.cid = cand.cid,
+             range(1, 65) r(i)
+        GROUP BY cand.qid, cand.cid),
+      ranked AS (
+        SELECT qid, cid, dp / (sqrt(na) * sqrt(nb)) AS sim,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, cid) AS rank
+        FROM sdots)
+      SELECT qid, cid, CAST(rank AS INTEGER) AS rank,
+             floor(sim * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM ranked WHERE rank <= 5"""
 
   def oracles: Map[String, String] = Map(
     // same affine map, same residual fold in array order, same
@@ -1165,70 +1273,9 @@ object Similarity extends QueryPack {
              floor(cs * 10000.0 + 0.5) / 10000.0 AS cosine
       FROM bot WHERE rank <= $OutlierK""",
 
-    "sim_ivf_topk" -> s"""WITH
-      cents AS (SELECT centroid_id, cent
-                FROM read_parquet('$oracleCentroidSidecar/*.parquet')),
-      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-      q AS (SELECT vec_id AS vid, embedding AS qe FROM embeddings
-            WHERE vec_id < 10),
-      adots AS (
-        SELECT cid, centroid_id,
-               SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
-               SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(ce[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
-               SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
-        FROM c, cents, range(1, 65) r(i)
-        GROUP BY cid, centroid_id),
-      assigned AS (
-        SELECT cid, bucket FROM (
-          SELECT cid, centroid_id AS bucket,
-                 row_number() OVER (PARTITION BY cid
-                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
-                   AS rn
-          FROM adots) WHERE rn = 1),
-      pdots AS (
-        SELECT vid, centroid_id,
-               SUM(CAST(qe[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
-               SUM(CAST(qe[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(qe[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
-               SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
-        FROM q, cents, range(1, 65) r(i)
-        GROUP BY vid, centroid_id),
-      probes AS (
-        SELECT vid, probe FROM (
-          SELECT vid, centroid_id AS probe,
-                 row_number() OVER (PARTITION BY vid
-                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
-                   AS rn
-          FROM pdots) WHERE rn <= 2),
-      cand AS (
-        SELECT p.vid AS qid, a.cid
-        FROM probes p JOIN assigned a
-          ON a.bucket = p.probe AND a.cid <> p.vid),
-      sdots AS (
-        SELECT cand.qid, cand.cid,
-               SUM(CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
-               SUM(CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
-               SUM(CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE) *
-                   CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
-        FROM cand
-        JOIN q qq ON qq.vid = cand.qid
-        JOIN c cc ON cc.cid = cand.cid,
-             range(1, 65) r(i)
-        GROUP BY cand.qid, cand.cid),
-      ranked AS (
-        SELECT qid, cid, dp / (sqrt(na) * sqrt(nb)) AS sim,
-               row_number() OVER (PARTITION BY qid
-                 ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, cid) AS rank
-        FROM sdots)
-      SELECT qid, cid, CAST(rank AS INTEGER) AS rank,
-             floor(sim * 10000.0 + 0.5) / 10000.0 AS cosine
-      FROM ranked WHERE rank <= 5"""
+    "sim_ivf_topk" -> ivfOracleSql(oracleCentroidSidecar, ""),
+
+    "sim_ivf_filtered" -> ivfOracleSql(oracleFilteredCentroidSidecar,
+      " WHERE label = 1")
   )
 }

@@ -921,4 +921,52 @@ class OperatorsSpec extends SparkSpec {
     assert(once.select("fact_uid").distinct().count() == once.count(),
       "fact_uid unique after upsert")
   }
+
+  test("filtered ANN: exact top-k over the predicate subset at nprobe=K") {
+    graft.GraftExtensions.registerAll(spark) // cosine_f32 kernel
+    val e = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val cents = Similarity.centroids(
+      e.select(col("vec_id"), col("embedding"))).persist()
+    try {
+      // nprobe = K probes every bucket, so the filtered IVF result
+      // must EQUAL brute-force top-5 over the label=1 subset
+      val got = Similarity.ivfTopKWhere(e, cents, col("label") === 1,
+          nprobe = 8, topK = 5)
+        .select("qid", "cid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val labelSet = e.filter(col("label") === 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got.forall { case (_, cid, _) => labelSet(cid) },
+        "a candidate escaped the predicate")
+      // the strong property, directly: for each query, the returned
+      // candidates are exactly the top-5 highest-cosine label-1
+      // vectors (ground truth computed driver-side on this bounded
+      // fixture — a post-filtering implementation would return the
+      // label-1 SUBSET of the unfiltered top-5 instead and fail here)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.filter(col("label") === 1)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val qv = q.collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+      val cv = c.collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        dp / (math.sqrt(na) * math.sqrt(nb))
+      }
+      qv.foreach { case (qid, qe) =>
+        val want = cv.toSeq.filter(_._1 != qid)
+          .map { case (cid, ce) => (cid, cos(qe, ce)) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(5).map(_._1).toSet
+        val gotQ = got.filter(_._1 == qid).map(_._2)
+        assert(gotQ == want, s"query $qid: $gotQ != $want")
+      }
+    } finally cents.unpersist()
+  }
 }
