@@ -556,6 +556,28 @@ object Similarity extends QueryPack {
         asOf),
       nprobe, topK)
 
+  /** [[probeIvfIndex]] with a metadata predicate — the materialized
+    * twin of [[ivfTopKWhere]]. The index stores only (cid, ce,
+    * bucket), so the predicate evaluates on the metadata table and
+    * reaches the index as a LEFT SEMI join on id: bucket pruning
+    * still cuts the file listing first, the semi join then drops
+    * non-qualifying candidates BEFORE any distance is scored — exact
+    * top-k over the filtered subset, the same pre-filtering contract
+    * as the inline path (and the same semantics; OperatorsSpec pins
+    * the two equal on a same-corpus index). Only ids shuffle for the
+    * semi join, never vectors. */
+  def probeIvfIndexWhere(spark: SparkSession, dir: String,
+                         indexPath: String,
+                         candPred: org.apache.spark.sql.Column,
+                         nprobe: Int = 2, topK: Int = 5): DataFrame = {
+    val allowed = emb(spark, dir).filter(candPred)
+      .select(col("vec_id").as("cid"))
+    probeIvfFrom(spark, dir, indexPath,
+      GenStore.committedData(spark, indexPath, gensPathOf(indexPath))
+        .join(allowed, Seq("cid"), "left_semi"),
+      nprobe, topK)
+  }
+
   private def probeIvfFrom(spark: SparkSession, dir: String,
                            indexPath: String, committed: DataFrame,
                            nprobe: Int, topK: Int): DataFrame = {

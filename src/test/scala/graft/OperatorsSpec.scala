@@ -599,6 +599,25 @@ class OperatorsSpec extends SparkSpec {
     assert(probed.collect().map(_.toSeq).toSet == inline)
   }
 
+  test("filtered probe on the materialized index equals the inline filtered path") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_fidx").toString
+    Similarity.writeIvfIndex(spark, sf0001, idx)
+    val probed = Similarity.probeIvfIndexWhere(spark, sf0001, idx,
+      col("label") === 1)
+    // bucket pruning still engages under the semi join
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined,
+      s"no partition filter on bucket in:\n$plan")
+    // same answer as the inline filtered path under the index's own
+    // sidecar centroids
+    val cents = spark.read.parquet(Similarity.centroidsPathOf(idx))
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val inline = Similarity.ivfTopKWhere(e, cents, col("label") === 1,
+      nprobe = 2, topK = 5).collect().map(_.toSeq).toSet
+    assert(probed.collect().map(_.toSeq).toSet == inline)
+  }
+
   test("ivf append: delta under sidecar centroids, probe equals one-shot; crash + fold safe") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_ivfapp")
