@@ -182,6 +182,23 @@ object Sources extends QueryPack {
         .option("nullValue", "\\N")
         .option("multiLine", "true") // quoted newlines are one record
         .csv(oracleCsvSidecar)
+    }),
+
+    // ORC interchange roundtrip — the other columnar format a Spark
+    // shop ingests from (Hive-era warehouses). DuckDB cannot parse
+    // ORC, so the oracle states the LOSSLESSNESS contract instead of
+    // re-reading the files: the write→read roundtrip must reproduce
+    // the source projection exactly (values, types, nulls), which the
+    // twin computes from the original parquet table. A lossy or
+    // type-coercing ORC path hash-mismatches.
+    "source_orc_roundtrip" -> ((s, d) => {
+      val fix = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("payload"), col("n_chars"))
+      fix.coalesce(1).write.mode("overwrite")
+        .option("compression", "zlib")
+        .orc(oracleOrcSidecar)
+      s.read.orc(oracleOrcSidecar)
     })
   )
 
@@ -190,6 +207,11 @@ object Sources extends QueryPack {
   val oracleCsvSidecar: String =
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_csv_oracle").getAbsolutePath
+
+  /** Sidecar dir for the ORC roundtrip. */
+  val oracleOrcSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_orc_oracle").getAbsolutePath
 
   /** Sidecar dir for the JSONL roundtrip (the fixed-path-by-necessity
     * contract documented at [[graft.operators.Similarity
@@ -300,6 +322,10 @@ object Sources extends QueryPack {
         format = 'newline_delimited',
         columns = {doc_id: 'BIGINT', lang: 'VARCHAR',
                    n_chars: 'BIGINT', prefix: 'VARCHAR'},
-        ignore_errors = true)"""
+        ignore_errors = true)""",
+
+    "source_orc_roundtrip" -> """
+      SELECT doc_id, lang, substr(text, 1, 40) AS payload, n_chars
+      FROM documents"""
   )
 }
