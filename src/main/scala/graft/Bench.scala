@@ -448,6 +448,8 @@ object Bench {
     "layout_zorder_append" -> 2.4,
     "j15_salted_skew" -> 2.1, // shuffle-hash join by design (no broadcast)
     "pack_curriculum" -> 2.4, // quantile agg + offset collect + bucket window
+    "sim_ivf_filtered" -> 2.8, // the sim_ivf_topk pipeline + label filter
+    "source_orc_roundtrip" -> 1.4, // sidecar write + orc read (csv class)
     // (r7, full 129-query suite record, idle machine) — suite-position
     // numbers, i.e. they include per-query codegen; steer-only
     "sketch_kmv_slices" -> 2.9, // (r7, full-suite record)

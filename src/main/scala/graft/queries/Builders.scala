@@ -448,6 +448,24 @@ object Builders extends QueryPack {
           col("dup_grain").cast("long").as("n_violations")))
         .unionByName(base.select(lit("rate_out_of_range").as("rule"),
           col("oor").cast("long").as("n_violations")))
+    }),
+
+    // Hot-key skew report — the diagnostic a pipeline owner reads
+    // BEFORE choosing between broadcast, AQE's skew split, and the
+    // salted join (j15): the 10 heaviest join keys with exact counts
+    // and their corpus share in basis points. One map-side-combined
+    // groupBy, the grand total as a broadcast scalar, top-10 as a
+    // TakeOrdered — key-cardinality cost, never corpus cost.
+    "dq_key_skew" -> ((s, d) => {
+      val counts = Roles.rates(s, d)
+        .groupBy(col("provider_reference_id").as("key"))
+        .agg(count(lit(1)).as("n_rows"))
+      val total = counts.agg(sum("n_rows").as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("key"), col("n_rows"),
+          pround(col("n_rows") * 10000.0 / col("total"), 2).as("share_bp"))
+        .orderBy(col("n_rows").desc, col("key"))
+        .limit(10)
     })
   )
 
@@ -747,6 +765,19 @@ object Builders extends QueryPack {
           FROM base
         UNION ALL SELECT 'rate_out_of_range', CAST(oor AS BIGINT)
           FROM base""",
+
+      "dq_key_skew" -> s"""$R,
+        counts AS (
+          SELECT provider_reference_id AS key, COUNT(*) AS n_rows
+          FROM rates GROUP BY 1),
+        t AS (SELECT SUM(n_rows) AS total FROM counts),
+        ranked AS (
+          SELECT key, n_rows,
+                 floor((n_rows * 10000.0 / total) * 100.0 + 0.5) / 100.0
+                   AS share_bp,
+                 row_number() OVER (ORDER BY n_rows DESC, key) AS rn
+          FROM counts, t)
+        SELECT key, n_rows, share_bp FROM ranked WHERE rn <= 10""",
 
       "wide_table_build" -> s"""$RP,
         base AS (
