@@ -251,13 +251,36 @@ object Curation extends QueryPack {
     * total. */
   def samplePriorityWeighted(df: DataFrame, weight: Column, key: Column,
                              k: Int,
-                             salt: String = "priority"): DataFrame = {
+                             salt: String = "priority"): DataFrame =
+    df.withColumn("priority", priorityOf(weight, key, salt))
+      .orderBy(col("priority").desc, key)
+      .limit(k)
+
+  /** The DLT priority: w / u with u = (hash32 + 1) / 2^32 ∈ (0, 1] —
+    * never zero, so the division is total. */
+  def priorityOf(weight: Column, key: Column,
+                 salt: String = "priority"): Column = {
     val u = (conv(substring(md5(concat_ws(":", lit(salt),
         key.cast("string"))), 1, 8), 16, 10).cast("long") + lit(1L))
       .cast("double") / 4294967296.0
-    df.withColumn("priority", weight.cast("double") / u)
-      .orderBy(col("priority").desc, key)
-      .limit(k)
+    weight.cast("double") / u
+  }
+
+  /** Per-stratum priority sampling: the k highest-priority rows WITHIN
+    * each group — the quota-per-source picker of a mixture pipeline
+    * (global top-k lets one heavy source crowd out the rest; this
+    * variant guarantees every stratum its k). A keyed window over
+    * per-group rows, so no single task ever holds more than one
+    * stratum — the [[samplePriorityWeighted]] scale contract, grouped. */
+  def samplePriorityPerGroup(df: DataFrame, group: Column, weight: Column,
+                             key: Column, k: Int,
+                             salt: String = "priority"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("priority", priorityOf(weight, key, salt))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(group).orderBy(col("priority").desc, key)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 
   /** Mixture weighting: per-row weight `w` (possibly > 1 — up-sampling).
@@ -431,6 +454,15 @@ object Curation extends QueryPack {
     "sample_priority_weighted" -> ((s, d) =>
       samplePriorityWeighted(docs(s, d), col("n_chars"), col("doc_id"),
           k = 50)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          graft.functions.NormExprs.pround(col("priority"), 4)
+            .as("priority"))),
+
+    // Per-source quota: the 5 highest-priority docs WITHIN each
+    // source — no source crowds out another.
+    "sample_priority_per_source" -> ((s, d) =>
+      samplePriorityPerGroup(docs(s, d), col("source"), col("n_chars"),
+          col("doc_id"), k = 5)
         .select(col("doc_id"), col("source"), col("n_chars"),
           graft.functions.NormExprs.pround(col("priority"), 4)
             .as("priority"))),
@@ -844,6 +876,20 @@ object Curation extends QueryPack {
         SELECT doc_id, source, n_chars,
                floor(priority * 10000.0 + 0.5) / 10000.0 AS priority
         FROM r WHERE rn <= 50""",
+
+      "sample_priority_per_source" -> """
+        WITH p AS (
+          SELECT doc_id, source, n_chars,
+            CAST(n_chars AS DOUBLE) /
+              ((CAST(('0x' || substr(md5('priority:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                / 4294967296.0) AS priority
+          FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY priority DESC, doc_id) AS rn FROM p)
+        SELECT doc_id, source, n_chars,
+               floor(priority * 10000.0 + 0.5) / 10000.0 AS priority
+        FROM r WHERE rn <= 5""",
 
       "sample_hash_stratified" -> """
         WITH s AS (
