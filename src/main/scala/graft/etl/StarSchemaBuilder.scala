@@ -142,6 +142,23 @@ object StarSchemaBuilder {
       .option("parquet.block.size", (256L << 20).toString)
       .parquet(path)
 
+  /** Optional post-build layout step: z-order WITHIN each hive leaf by
+    * the probe columns the partition scheme cannot skip for. The 5
+    * partition levels prune the webapp's mandatory filters
+    * (state/year_month/payer/class/code_type) at the directory
+    * listing, but its code/rate drill-downs
+    * (webapp/staged_dashboard.py:95-310) still scan every file inside
+    * the matched leaves — this step clusters each leaf by Morton order
+    * over `cols` and publishes a per-leaf zone-map manifest
+    * ([[graft.operators.Layout.zorderLeaves]]), so range probes skip
+    * at FILE grain inside the leaf too. Leaves are rebuilt
+    * independently (staging + swap per leaf); run after
+    * [[writePartitionedFact]] / [[compactPartitions]], re-run after
+    * heavy append eras. Returns the number of leaves rebuilt. */
+  def zorderFactPartitions(spark: SparkSession, path: String,
+                           cols: Seq[String], nFiles: Int = 8): Int =
+    graft.operators.Layout.zorderLeaves(spark, path, cols, nFiles)
+
   /** Partition-lifecycle retention for the hive fact: drop every
     * `year_month=<v>` leaf strictly OLDER than the cutoff (YYYY-MM
     * compares lexicographically), across all states. Pure directory

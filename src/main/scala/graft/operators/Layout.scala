@@ -170,12 +170,21 @@ object Layout extends QueryPack {
       .sorted
   }
 
+  /** Highest generation ever folded into the base by [[compactLayout]]
+    * (-1 when the layout has never been folded). Cumulative across
+    * folds; generations at or below it no longer exist as appendable
+    * ids — their rows live in the folded gen 0. */
+  def foldHigh(spark: SparkSession, dir: String): Long =
+    FsUtils.readString(spark, s"$dir/_fold_high")
+      .map(_.trim.toLong).getOrElse(-1L)
+
   /** Append `delta` into an existing z-ordered layout as generation
-    * `gen` (default: one past the highest committed generation):
+    * `gen` (default: one past the highest committed generation AND
+    * past any fold — see below):
     *
-    *  1. drop generation `gen`'s manifest partition if present — a
-    *     REPLAY first uncommits its previous attempt, orphaning that
-    *     attempt's data files;
+    *  1. drop generation `gen`'s manifest partition — zone map AND
+    *     bloom sidecars — if present: a REPLAY first uncommits its
+    *     previous attempt, orphaning that attempt's data files;
     *  2. sweep data files no committed generation references
     *     (uncommitted by contract — delete, don't adopt: adopting
     *     would double rows on the retry that re-appends the same
@@ -185,20 +194,50 @@ object Layout extends QueryPack {
     *     tightness, never correctness — the [[Similarity]]
     *     appendIvfIndex contract) and write its files;
     *  4. publish their zone-map rows as the `gen=<g>` manifest
-    *     partition — the commit point.
+    *     partition — the commit point;
+    *  5. publish the delta's bloom rows to every existing bloom
+    *     sidecar as the same `gen=<g>` partition (post-commit: a
+    *     crash here leaves a committed-but-unbloomed generation,
+    *     which [[bloomPrunedRead]] admits unconditionally — cost,
+    *     never loss).
     *
     * A crash at any step leaves every committed generation intact and
     * at worst invisible orphans for the next call's sweep; re-running
     * the same (delta, gen) lands the delta exactly once. Single-writer
-    * per layout, like every generational store here. */
+    * per layout, like every generational store here — and two guards
+    * make the single-writer contract LOUD instead of trusting it:
+    *
+    *  - a layout with a persisted `_stream_base` is stream-managed
+    *    ([[graft.streaming.LayoutStream]]); a manual append would land
+    *    inside the stream's generation band and the next batch's
+    *    replay-uncommit would silently DELETE it, so manual calls are
+    *    refused (write via the stream, or stop it, fold, and remove
+    *    the marker to hand the layout back to batch writers);
+    *  - a generation at or below [[foldHigh]] was already folded into
+    *    the base — re-appending it would duplicate its rows — so it is
+    *    refused as well. */
   def appendZorder(spark: SparkSession, delta: DataFrame, dir: String,
                    nFiles: Int = 4, bits: Int = ZBits,
-                   gen: Option[Long] = None): Long = {
+                   gen: Option[Long] = None,
+                   viaStream: Boolean = false): Long = {
     val mmPath = s"$dir/_manifest_mm"
     val gens = committedGens(spark, dir)
     require(gens.nonEmpty,
       s"no committed layout at $dir — build one with zorderWrite first")
-    val g = gen.getOrElse(gens.max + 1)
+    if (!viaStream)
+      require(FsUtils.readString(spark, s"$dir/_stream_base").isEmpty,
+        s"layout $dir is stream-managed (_stream_base present): a " +
+          "manual appendZorder would land inside the stream's " +
+          "generation band and be destroyed by the next batch's " +
+          "replay-uncommit. Write via LayoutStream, or stop the " +
+          "stream and delete _stream_base to hand the layout back " +
+          "to batch writers")
+    val fh = foldHigh(spark, dir)
+    val g = gen.getOrElse(math.max(gens.max, fh) + 1)
+    require(g > fh,
+      s"generation $g was folded into the base by compactLayout " +
+        s"(folded through $fh) — its rows are already in the layout; " +
+        "appending it again would duplicate them")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // survivors read BEFORE the partition delete (an all-deleted
@@ -208,6 +247,10 @@ object Layout extends QueryPack {
       .select("file").collect().map(r => baseName(r.getString(0))).toSet
     val genPath = new org.apache.hadoop.fs.Path(s"$mmPath/gen=$g")
     if (fs.exists(genPath)) fs.delete(genPath, true)
+    bloomSidecars(spark, dir).foreach { case (_, bdir) =>
+      val bp = new org.apache.hadoop.fs.Path(s"$bdir/gen=$g")
+      if (fs.exists(bp)) fs.delete(bp, true)
+    }
     dataFiles(spark, dir).filterNot(f => committed(baseName(f)))
       .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     val bMap = spark.read.parquet(s"$dir/_boundaries")
@@ -218,10 +261,18 @@ object Layout extends QueryPack {
     writeClustered(delta, bMap, dir, nFiles, bits, "append")
     val newFiles = dataFiles(spark, dir)
       .filterNot(f => before(baseName(f)))
-    if (newFiles.nonEmpty)
+    if (newFiles.nonEmpty) {
       manifestRows(spark, cols, newFiles)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$mmPath/gen=$g")
+      val newGens = newFiles.map(f => baseName(f) -> g)
+      bloomSidecars(spark, dir).foreach { case (key, bdir) =>
+        val (est, bits2) = bloomParams(spark, bdir)
+        bloomRows(spark, key, newGens, dir, est, bits2)
+          .drop("gen").coalesce(1)
+          .write.mode("overwrite").parquet(s"$bdir/gen=$g")
+      }
+    }
     g
   }
 
@@ -233,8 +284,32 @@ object Layout extends QueryPack {
     * never false negatives), so the result is precisely the plain
     * filter's. */
   def zonePrunedRead(spark: SparkSession, dir: String,
-                     box: Seq[(String, Long, Long)]): DataFrame = {
-    val mm = spark.read.parquet(s"$dir/_manifest_mm")
+                     box: Seq[(String, Long, Long)]): DataFrame =
+    zonePruned(spark, dir, box, asOf = None)
+
+  /** [[zonePrunedRead]] against a historical snapshot: serves exactly
+    * the files committed by generations ≤ `asOf`. Addressable
+    * snapshots are the committed generation ids — time travel is exact
+    * back to the last [[compactLayout]] (a fold collapses history into
+    * gen 0 and reclaims the old partitions), and asking for a reclaimed
+    * snapshot throws rather than serving a silently wrong mixture —
+    * the [[GenStore.committedIdsAsOf]] contract. */
+  def zonePrunedReadAsOf(spark: SparkSession, dir: String,
+                         box: Seq[(String, Long, Long)],
+                         asOf: Long): DataFrame = {
+    val gens = committedGens(spark, dir)
+    require(gens.contains(asOf),
+      s"generation $asOf is not an addressable snapshot of $dir " +
+        s"(committed: ${gens.mkString(", ")}); compactLayout folds " +
+        "history, so snapshots are exact only back to the last fold")
+    zonePruned(spark, dir, box, asOf = Some(asOf))
+  }
+
+  private def zonePruned(spark: SparkSession, dir: String,
+                         box: Seq[(String, Long, Long)],
+                         asOf: Option[Long]): DataFrame = {
+    val mmAll = spark.read.parquet(s"$dir/_manifest_mm")
+    val mm = asOf.fold(mmAll)(g => mmAll.filter(col("gen") <= g))
     val overlapping = box.foldLeft(mm) { case (m, (c, lo, hi)) =>
       m.filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
     }
@@ -251,44 +326,136 @@ object Layout extends QueryPack {
     }
   }
 
-  /** Build a `_manifest_bloom_<keyCol>` sidecar for `dir`: one bloom
-    * bitset per data file over `keyCol`, via Catalyst's own
-    * `bloom_build` aggregate (XxHash64 inserts — identical hashing to
-    * the probe side, so membership of every present key is
-    * guaranteed). Sized for ~100k keys/file at ~1% fp; the whole
-    * manifest is nFiles × numBits/8 bytes — driver-collectable by
-    * construction. */
+  /** Integral-key check shared by the bloom build and probe: the probe
+    * hashes keys as LONGS (`XxHash64(Literal(k: Long))`), and Spark's
+    * XxHash64 hashes IntegerType and LongType DIFFERENTLY — so the
+    * build side must cast the column to long, and a non-integral key
+    * column must fail loudly rather than bloom-negative every file
+    * (which would silently drop every matching row). */
+  private def requireIntegralKey(spark: SparkSession, dir: String,
+                                 keyCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = spark.read.parquet(dir).schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"bloom manifest key '$keyCol' must be an integral column " +
+        s"(probe keys hash as longs); found $dt")
+  }
+
+  /** Committed (file base name → generation) pairs from the zone-map
+    * manifest — THE file-set of record. Bounded: nFiles rows. */
+  private def committedFileGens(spark: SparkSession,
+                                dir: String): Seq[(String, Long)] =
+    spark.read.parquet(s"$dir/_manifest_mm")
+      .select(col("file"), col("gen").cast("long").as("gen"))
+      .collect()
+      .map(r => baseName(r.getString(0)) -> r.getLong(1)).toIndexedSeq
+
+  /** Bloom sidecar dirs of a layout, as (keyCol, path). */
+  private def bloomSidecars(spark: SparkSession,
+                            dir: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_manifest_bloom_"))
+      .map(st => st.getPath.getName.stripPrefix("_manifest_bloom_") ->
+        st.getPath.toUri.toString)
+  }
+
+  /** Persisted (estItems, numBits) of a bloom sidecar, so appends size
+    * their delta partitions like the original build. Sizing only —
+    * each file's bitset is self-describing on read, so a lost params
+    * file (crash window) degrades fp rate, never correctness. */
+  private def bloomParams(spark: SparkSession,
+                          bloomDir: String): (Long, Long) =
+    FsUtils.readString(spark, s"$bloomDir/_params")
+      .map(_.trim.split(",") match {
+        case Array(a, b) => (a.toLong, b.toLong)
+      })
+      .getOrElse((100000L, 1L << 20))
+
+  /** Bloom rows (file, bloom, gen) for the given committed files. */
+  private def bloomRows(spark: SparkSession, keyCol: String,
+                        fileGens: Seq[(String, Long)], dir: String,
+                        estItems: Long, numBits: Long): DataFrame = {
+    graft.GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    val paths = fileGens.map { case (b, _) => s"$dir/$b" }
+    val genDf = fileGens.toDF("base", "gen")
+    spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("file"))
+      // cast to long: the probe hashes Literal(k: Long) — see
+      // [[requireIntegralKey]]
+      .agg(call_function("bloom_build", col(keyCol).cast("long"),
+        lit(estItems), lit(numBits)).as("bloom"))
+      .withColumn("base", substring_index(col("file"), "/", -1))
+      .join(broadcast(genDf), Seq("base"))
+      .select("file", "bloom", "gen")
+  }
+
+  /** Build (or fully rebuild) the `_manifest_bloom_<keyCol>` sidecar:
+    * one bloom bitset per COMMITTED data file over `keyCol`, stored as
+    * one `gen=<g>` partition per committed generation so the sidecar
+    * shares the zone map's commit granularity — [[appendZorder]]
+    * publishes each delta's bloom partition alongside its zone-map
+    * partition, and [[bloomPrunedRead]] unions committed generations.
+    * Files are sourced from `_manifest_mm`'s committed set, never the
+    * raw dir listing, so a crashed append's orphans can never become
+    * servable through the bloom path. Sized for ~100k keys/file at
+    * ~1% fp by default; the whole manifest is nFiles × numBits/8
+    * bytes — driver-collectable by construction. Long-key contract:
+    * `keyCol` must be integral (see [[requireIntegralKey]]). */
   def writeBloomManifest(spark: SparkSession, dir: String, keyCol: String,
                          estItems: Long = 100000L,
                          numBits: Long = 1L << 20): Unit = {
-    graft.GraftExtensions.registerAll(spark)
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(call_function("bloom_build", col(keyCol),
-        lit(estItems), lit(numBits)).as("bloom"))
+    require(FsUtils.committedExists(spark, s"$dir/_manifest_mm"),
+      s"no committed layout at $dir — build one with zorderWrite first")
+    requireIntegralKey(spark, dir, keyCol)
+    val out = s"$dir/_manifest_bloom_$keyCol"
+    bloomRows(spark, keyCol, committedFileGens(spark, dir), dir,
+        estItems, numBits)
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/_manifest_bloom_$keyCol")
+      .write.mode("overwrite").partitionBy("gen").parquet(out)
+    FsUtils.writeString(spark, s"$out/_params", s"$estItems,$numBits")
   }
 
-  /** Point-lookup read: keep only the files whose bloom might contain
-    * at least one of `keys` (tested driver-side against the bounded
-    * manifest — XxHash64 with Catalyst's default seed, the exact hash
-    * `bloom_build` inserted), then apply the exact IN filter. A
-    * bloom-negative file provably holds none of the keys, so pruning
-    * never drops a match; false positives are settled by the filter. */
+  /** Point-lookup read: keep only the COMMITTED files whose bloom
+    * might contain at least one of `keys` (tested driver-side against
+    * the bounded manifest — XxHash64 over the long key, the exact hash
+    * `bloom_build` inserted), then apply the exact IN filter. The
+    * committed file set comes from `_manifest_mm` — the same commit
+    * point every other probe honors — and staleness degrades to cost,
+    * never to loss: a committed file WITHOUT a bloom row (a generation
+    * appended after the manifest was built, or the crash window
+    * between an append's zone-map commit and its bloom publish) is
+    * admitted unconditionally, and a bloom row for a non-committed
+    * file (a swept orphan) is ignored. So a bloom-negative file
+    * provably holds none of the keys — no false negatives ever — and
+    * false positives are settled by the filter. */
   def bloomPrunedRead(spark: SparkSession, dir: String, keyCol: String,
                       keys: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    requireIntegralKey(spark, dir, keyCol)
     val hashes = keys.map(k =>
       new XxHash64(Seq(Literal(k))).eval(null).asInstanceOf[Long])
-    val files = spark.read.parquet(s"$dir/_manifest_bloom_$keyCol")
-      .collect()
-      .filter { r =>
-        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-        hashes.exists(bf.mightContainLong)
+    val committed = committedFileGens(spark, dir).map(_._1)
+    val bloomDir = s"$dir/_manifest_bloom_$keyCol"
+    val bloomByBase: Map[String, Array[Byte]] =
+      if (!FsUtils.committedExists(spark, bloomDir)) Map.empty
+      else spark.read.parquet(bloomDir).select("file", "bloom")
+        .collect()
+        .map(r => baseName(r.getString(0)) ->
+          r.getAs[Array[Byte]]("bloom")).toMap
+    val files = committed.filter { b =>
+      bloomByBase.get(b) match {
+        case Some(bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          hashes.exists(bf.mightContainLong)
+        case None => true // committed but unbloomed: must admit
       }
-      .map(r => s"$dir/${baseName(r.getAs[String]("file"))}")
+    }.map(b => s"$dir/$b")
     val base =
       if (files.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
@@ -304,7 +471,21 @@ object Layout extends QueryPack {
     * Returns the folded row count. Single-writer, and (as with
     * [[GenStore]] folds) concurrent probes should tolerate listed-
     * then-deleted files via `spark.sql.files.ignoreMissingFiles` or
-    * the single-reader contract. */
+    * the single-reader contract.
+    *
+    * Fold bookkeeping, all staged in the tmp dir BEFORE the swap so
+    * the publish stays one atomic-ish step:
+    *  - `_fold_high` records the highest generation the fold absorbed
+    *    (cumulative across folds) — [[appendZorder]] and
+    *    [[graft.streaming.LayoutStream]] refuse to re-append a folded
+    *    generation, turning the replay-after-fold duplicate hazard
+    *    into a loud error;
+    *  - a persisted `_stream_base` is carried through the swap (the
+    *    layout stays stream-managed across folds — r11 ADVICE: the
+    *    old swap silently dropped the marker);
+    *  - every bloom sidecar is REBUILT against the folded files with
+    *    its persisted sizing params (the old files the blooms
+    *    described no longer exist after the fold). */
   def compactLayout(spark: SparkSession, dir: String,
                     nFiles: Int = 16, bits: Int = ZBits): Long = {
     graft.streaming.DedupStream.recoverCompaction(spark, dir)
@@ -316,6 +497,11 @@ object Layout extends QueryPack {
       .map(r => s"$dir/${baseName(r.getString(0))}")
     val cols = spark.read.parquet(s"$dir/_boundaries")
       .collect().map(_.getString(0)).toSeq
+    val newFoldHigh = math.max(foldHigh(spark, dir),
+      committedGens(spark, dir).max)
+    val streamBase = FsUtils.readString(spark, s"$dir/_stream_base")
+    val blooms = bloomSidecars(spark, dir)
+      .map { case (key, bdir) => (key, bloomParams(spark, bdir)) }
     val rows = spark.read.parquet(committed.toIndexedSeq: _*)
     val n = rows.count()
     // the DedupStream compaction suffix conventions, so
@@ -325,9 +511,52 @@ object Layout extends QueryPack {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     zorderWrite(spark, rows, cols, tmp, nFiles, bits)
+    blooms.foreach { case (key, (est, nb)) =>
+      writeBloomManifest(spark, tmp, key, est, nb)
+    }
+    FsUtils.writeString(spark, s"$tmp/_fold_high", newFoldHigh.toString)
+    streamBase.foreach(b =>
+      FsUtils.writeString(spark, s"$tmp/_stream_base", b))
     graft.streaming.DedupStream.swapDirs(fs, p,
       new org.apache.hadoop.fs.Path(tmp))
     n
+  }
+
+  /** Z-order every LEAF of a hive-partitioned dataset in place — the
+    * composition a production star fact wants: the partition scheme
+    * prunes the mandatory filter columns at the directory level, and
+    * within each leaf a Morton clustering + zone-map manifest skips
+    * files for the range probes the hive levels CANNOT cover (the
+    * reference dashboard's code/rate drill-downs,
+    * webapp/staged_dashboard.py:95-310). Each leaf is rebuilt through
+    * its own staging dir + swap ([[compactLayout]]'s publish), so a
+    * crash leaves every other leaf untouched and the crashed leaf
+    * recoverable. The driver loop is over the BOUNDED leaf-dir count
+    * (never rows); each leaf rewrite is one range shuffle of that
+    * leaf's rows, and leaves are independent — a deployment fans them
+    * out as concurrent jobs. Returns the number of leaves rebuilt. */
+  def zorderLeaves(spark: SparkSession, root: String, cols: Seq[String],
+                   nFiles: Int = 8, bits: Int = ZBits): Int = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(p).toIndexedSeq
+        .filter(st => !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      if (entries.exists(_.isFile)) Seq(p)
+      else entries.filter(_.isDirectory).flatMap(st => leaves(st.getPath))
+    }
+    val leafDirs = if (fs.exists(rp)) leaves(rp) else Seq.empty
+    leafDirs.foreach { leaf =>
+      graft.streaming.DedupStream.recoverCompaction(spark, leaf.toString)
+      val rows = spark.read.parquet(leaf.toString)
+      val tmp = leaf.toString + graft.streaming.DedupStream.CompactTmpSuffix
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      zorderWrite(spark, rows, cols, tmp, nFiles, bits)
+      graft.streaming.DedupStream.swapDirs(fs, leaf,
+        new org.apache.hadoop.fs.Path(tmp))
+    }
+    leafDirs.size
   }
 
   // ----------------------------------------------------------- fixtures
@@ -349,7 +578,9 @@ object Layout extends QueryPack {
     val listing = fs.listStatus(p).map(st =>
         s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString(";")
-    val key = s"$d|${ZCols.mkString(",")}|$ZBits|bloom:l_orderkey|v2|$listing"
+    // v3: the bloom manifest went generational in r12 — a v2-era
+    // cached sidecar carries the old single-shot bloom layout
+    val key = s"$d|${ZCols.mkString(",")}|$ZBits|bloom:l_orderkey|v3|$listing"
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
       .map(b => "%02x".format(b & 0xff)).mkString
@@ -445,11 +676,25 @@ object Layout extends QueryPack {
     }),
 
     // Needle-in-corpus point lookup through the per-file bloom
-    // manifest: only bloom-positive files are read (no false
-    // negatives ⇒ no lost matches), the IN filter settles the rest.
+    // manifest: only bloom-positive COMMITTED files are read (no
+    // false negatives ⇒ no lost matches), the IN filter settles the
+    // rest.
     "layout_bloom_lookup" -> ((s, d) => {
       ensureZorderSidecar(s, d)
       bloomPrunedRead(s, zorderSidecar, "l_orderkey", LookupKeys)
+        .select(ProbeCols.map(col): _*)
+    }),
+
+    // As-of snapshot probe: generation 0 of the append layout is the
+    // base build (l_orderkey < AppendSplit), so the as-of read must
+    // serve exactly the base's box — the delta's rows, committed as
+    // generation 1, stay invisible. Exact back to the last fold, the
+    // GenStore time-travel contract carried to the layout family.
+    "layout_zorder_asof" -> ((s, d) => {
+      ensureAppendSidecar(s, d)
+      zonePrunedReadAsOf(s, zorderAppendSidecar,
+          Seq(("l_partkey", SecondaryPart._1, SecondaryPart._2)),
+          asOf = 0L)
         .select(ProbeCols.map(col): _*)
     }),
 
@@ -491,6 +736,13 @@ object Layout extends QueryPack {
         SELECT $probeSql FROM lineitem
         WHERE l_suppkey BETWEEN ${BoxSupp._1} AND ${BoxSupp._2}
           AND l_partkey BETWEEN ${BoxPart._1} AND ${BoxPart._2}""",
+
+      // as-of gen 0 = the base build's slice of the corpus
+      "layout_zorder_asof" -> s"""
+        SELECT $probeSql FROM lineitem
+        WHERE l_orderkey < $AppendSplit
+          AND l_partkey BETWEEN ${SecondaryPart._1}
+                            AND ${SecondaryPart._2}""",
 
       "layout_bloom_lookup" -> s"""
         SELECT $probeSql FROM lineitem

@@ -130,7 +130,75 @@ object Builders extends QueryPack {
     graft.FsUtils.writeString(s, fpPath, fp)
   }
 
+  /** Query-private z-ordered hive-fact sidecar for `star_fact_zorder`:
+    * the production composition — hive levels prune the mandatory
+    * filters, a per-leaf Morton clustering + zone-map manifest skips
+    * files for the code/rate drill-downs the levels can't cover
+    * (webapp/staged_dashboard.py:95-310). Two states keep the leaf
+    * walk non-trivial while bounding the build. */
+  private val zfactDir: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fact_zorder").getAbsolutePath
+  /** Both states carry suppliers at EVERY SF dir (sf0.001's supplier
+    * table covers only 10 nations) — the probe reads a leaf PATH, so
+    * an absent state would be PATH_NOT_FOUND, not an empty result. */
+  private val ZfStates = Seq("NATION_3", "NATION_15")
+  private val ZfProbeState = "NATION_15"
+  private val ZfCodeBox = (40L, 120L)
+  private val ZfRateBox = (10000L, 40000L)
+
+  private def zfactFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val listing = fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(";")
+    val key = s"$d|${ZfStates.mkString(",")}|zfact_v1|$listing"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .map(b => "%02x".format(b & 0xff)).mkString
+  }
+
+  private def ensureZfactSidecar(s: SparkSession, d: String): Unit =
+    this.synchronized {
+      val fpPath = s"$zfactDir/_fingerprint"
+      val fp = zfactFingerprint(s, d)
+      if (graft.FsUtils.readString(s, fpPath).contains(fp)) return
+      // code_num: the probe needs a NUMERIC envelope — min/max of the
+      // string `code` would be lexicographic and range-probing it
+      // would lose rows
+      graft.etl.StarSchemaBuilder.fact(
+          graft.etl.StarSchemaBuilder.base(s, d)
+            .filter(col("state").isin(ZfStates.map(lit(_)): _*)))
+        .withColumn("code_num", col("code").cast("bigint"))
+        .repartition(col("state"))
+        .write.mode("overwrite").partitionBy("state")
+        .option("compression", "zstd")
+        .parquet(zfactDir)
+      graft.etl.StarSchemaBuilder.zorderFactPartitions(s, zfactDir,
+        Seq("code_num", "negotiated_rate"), nFiles = 8)
+      graft.FsUtils.writeString(s, fpPath, fp)
+    }
+
   def queries: Map[String, QFn] = Map(
+    // The hive fact with z-ordered leaves, probed the way the staged
+    // dashboard drills down: the partition level answers the state
+    // filter at directory listing, the leaf's zone-map manifest then
+    // skips files for the (code, rate) box — the range predicates the
+    // 5-level scheme cannot prune for. The layout is a pure
+    // re-clustering, so the oracle reads the same files back and
+    // filters them plainly.
+    "star_fact_zorder" -> ((s, d) => {
+      ensureZfactSidecar(s, d)
+      graft.operators.Layout.zonePrunedRead(s,
+          s"$zfactDir/state=$ZfProbeState",
+          Seq(("code_num", ZfCodeBox._1, ZfCodeBox._2),
+            ("negotiated_rate", ZfRateBox._1, ZfRateBox._2)))
+        .select(col("fact_uid"), col("code_num"),
+          pround(col("negotiated_rate"), 2).as("negotiated_rate"),
+          col("payer_slug"), col("billing_class"), col("negotiated_type"))
+    }),
+
     // Consolidated-dashboard multi-select search: every fact-side
     // filter field carries a comma-separated value LIST that the
     // grammar decodes into IN predicates (consolidated_dashboard.py:
@@ -478,6 +546,22 @@ object Builders extends QueryPack {
             FROM rates))"""
     val (wSet, wCls, wGrp) = Categorizer.sqlCase("billing_code")
     Map(
+      // the SAME leaf files the query's probe served, read back with
+      // hive_partitioning (the fixed-depth glob keeps the per-leaf
+      // `_boundaries`/`_manifest_mm` sidecars, which live one level
+      // deeper, out of the oracle's scan)
+      "star_fact_zorder" -> s"""
+        WITH fact AS (
+          SELECT * FROM read_parquet('$zfactDir/*/*.parquet',
+            hive_partitioning = true))
+        SELECT fact_uid, code_num,
+               ${prS("negotiated_rate")} AS negotiated_rate,
+               payer_slug, billing_class, negotiated_type
+        FROM fact
+        WHERE state = '$ZfProbeState'
+          AND code_num BETWEEN ${ZfCodeBox._1} AND ${ZfCodeBox._2}
+          AND negotiated_rate BETWEEN ${ZfRateBox._1} AND ${ZfRateBox._2}""",
+
       // same IN lists (one shared fixture), same rounded-rate rank
       // with the same (l_orderkey, l_linenumber) tie-break
       "api_multi_select" -> s"""$R

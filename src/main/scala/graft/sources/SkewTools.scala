@@ -42,4 +42,55 @@ object SkewTools {
     salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"),
       joinType).drop("__salt")
   }
+
+  /** The remedy chosen for a skewed join. `strategy` is one of
+    * `broadcast` / `aqe` / `salt`; `saltN` is the [[saltedJoin]] fan
+    * (0 unless `strategy == "salt"`). */
+  final case class SkewAdvice(strategy: String, saltN: Int, reason: String)
+
+  /** Turn the `dq_key_skew` report into a remediation decision — the
+    * judgment call a pipeline owner otherwise makes by eye, as a pure
+    * (hence unit-testable) function. Inputs: the report's hottest-key
+    * share in basis points (`share_bp` of its top row) and a dim size
+    * estimate in bytes (rows × avg row width — the report's key count
+    * times the dim's payload width is a fine estimate).
+    *
+    * Decision ladder, cheapest remedy first:
+    *  1. dim fits the broadcast threshold → `broadcast`: no shuffle at
+    *     all, so fact-side skew is irrelevant.
+    *  2. hottest key's share ≤ `skewFactor` × an even reducer's share
+    *     (10000/shufflePartitions bp) → `aqe`: plain hash partitioning
+    *     is near-balanced and AQE's skew-join split absorbs the rest —
+    *     salting would replicate the dim for nothing.
+    *  3. otherwise → `salt`, with n sized so the hot key's
+    *     per-partition share drops to ~an even reducer's share
+    *     (`ceil(share / evenShare)`), clamped to [[saltedJoin]]'s
+    *     economic band [8, 64] (below 8 the replication overhead isn't
+    *     worth engaging; above 64 the dim blow-up dominates — pre-split
+    *     the hot keys out instead). */
+  def advise(hotShareBp: Double, dimBytes: Long,
+             broadcastThresholdBytes: Long = 10L << 20,
+             shufflePartitions: Int = 200,
+             skewFactor: Double = 4.0): SkewAdvice = {
+    require(hotShareBp >= 0 && hotShareBp <= 10000,
+      s"hotShareBp must be in [0, 10000]: $hotShareBp")
+    val evenBp = 10000.0 / shufflePartitions
+    if (dimBytes <= broadcastThresholdBytes)
+      SkewAdvice("broadcast", 0,
+        s"dim ~$dimBytes B fits the $broadcastThresholdBytes B " +
+          "broadcast threshold: no shuffle, skew irrelevant")
+    else if (hotShareBp <= skewFactor * evenBp)
+      SkewAdvice("aqe", 0,
+        f"hottest key holds $hotShareBp%.1f bp ≤ $skewFactor%.0fx the " +
+          f"even reducer share ($evenBp%.1f bp): plain shuffle + AQE " +
+          "skew split suffices")
+    else {
+      val n = math.min(64L, math.max(8L,
+        math.ceil(hotShareBp / evenBp).toLong)).toInt
+      SkewAdvice("salt", n,
+        f"hottest key holds $hotShareBp%.1f bp vs an even reducer " +
+          f"share of $evenBp%.1f bp: salt $n ways to spread it back " +
+          "to ~even")
+    }
+  }
 }

@@ -18,45 +18,72 @@ import graft.operators.Layout
   * Contract: batches carry NEW rows only (the snapshot-diff `added`
   * stream — upstream dedup owns identity); one logical stream per
   * layout (same checkpoint across restarts), the single-writer
-  * contract every maintenance path here assumes.
+  * contract every maintenance path here assumes — and since r12 the
+  * contract is ENFORCED, not trusted: a persisted `_stream_base` makes
+  * [[Layout.appendZorder]] refuse manual appends (whose generations
+  * would land inside the stream's band and be destroyed by the next
+  * batch's replay-uncommit).
   *
   * Scale: per batch, cost is one clustering shuffle of the BATCH and
   * one manifest partition write — independent of layout size. The
   * manifest grows one bounded partition per batch; when probe-planning
   * cost matters, [[Layout.compactLayout]] folds every generation back
   * to a freshly-clustered gen 0 (re-derived boundaries — the cure for
-  * append-era drift) under the DedupStream swap protocol. Compact
-  * only while the stream is STOPPED with its checkpoint durable: a
-  * replay arriving after its generation was folded would re-append
-  * rows the fold already carries.
+  * append-era drift) under the DedupStream swap protocol. Compact only
+  * while the stream is STOPPED with its checkpoint durable — and if
+  * that rule is violated, the fold guard below fails the replay loudly
+  * instead of duplicating rows.
   */
 object LayoutStream {
 
   /** The stream's generation band starts above every generation
     * committed when the stream FIRST touched the layout (the build's
-    * 0, any batch appends since). Derived once, persisted beside the
-    * layout, re-read forever after — replays map to the SAME
-    * generation while never colliding with pre-stream ones (the
+    * 0, any batch appends since) AND above any fold — so a stream
+    * rebased after a compaction (marker deleted, fresh checkpoint)
+    * can never re-enter the folded id range. Derived once, persisted
+    * beside the layout, re-read forever after — replays map to the
+    * SAME generation while never colliding with pre-stream ones (the
     * [[IndexStream.streamBase]] discipline). */
   private def streamBase(spark: SparkSession, dir: String): Long = {
     val marker = s"$dir/_stream_base"
     graft.FsUtils.readString(spark, marker) match {
       case Some(v) => v.trim.toLong
       case None =>
-        val base = Layout.committedGens(spark, dir)
-          .lastOption.getOrElse(-1L) + 1L
+        val base = math.max(
+          Layout.committedGens(spark, dir).lastOption.getOrElse(-1L),
+          Layout.foldHigh(spark, dir)) + 1L
         graft.FsUtils.writeString(spark, marker, base.toString)
         base
     }
   }
 
-  /** One micro-batch: append under the generational manifest
-    * protocol. */
+  /** One micro-batch: append under the generational manifest protocol.
+    *
+    * Fold guard: a generation at or below [[Layout.foldHigh]] was
+    * already absorbed into the base by [[Layout.compactLayout]] — the
+    * only way a batch maps there is a REPLAY from a pre-fold
+    * checkpoint (batch ids are monotone per checkpoint and
+    * `_stream_base` is carried through folds, so genuinely new batches
+    * always map above the fold). Re-appending would duplicate rows the
+    * fold already carries, so the batch fails LOUDLY with the rebase
+    * recipe instead (the r11 ADVICE: crash-proof protocol over
+    * contractual trust). */
   def processBatch(batch: DataFrame, batchId: Long, dir: String,
                    nFiles: Int = 4): Unit = {
     val spark = batch.sparkSession
+    val gen = streamBase(spark, dir) + batchId
+    val fh = Layout.foldHigh(spark, dir)
+    if (gen <= fh)
+      throw new IllegalStateException(
+        s"layout stream batch $batchId maps to generation $gen, which " +
+          s"compactLayout already folded into the base (folded through " +
+          s"$fh); its rows are already in the layout and re-appending " +
+          "would duplicate them. This is a replay from a pre-fold " +
+          s"checkpoint — rebase the stream: delete $dir/_stream_base " +
+          "and restart from a FRESH checkpoint (the new base is derived " +
+          "above the fold)")
     Layout.appendZorder(spark, batch, dir, nFiles = nFiles,
-      gen = Some(streamBase(spark, dir) + batchId))
+      gen = Some(gen), viaStream = true)
   }
 
   /** Attach the layout maintenance to a stream of table rows. The

@@ -38,6 +38,13 @@ object SampleStream {
     DedupStream.recoverCompaction(spark, storePath)
     val scored = Curation.samplePriorityWeighted(
       batch, col(weightCol), col(keyCol), k, salt)
+    // schema sidecar (sibling path — the store dir itself is replaced
+    // by the swap): written BEFORE the first store commit so
+    // [[snapshot]] can return a TYPED empty frame even in the window
+    // where this batch's fold crashed before publishing
+    val sp = schemaPath(storePath)
+    if (graft.FsUtils.readString(spark, sp).isEmpty)
+      graft.FsUtils.writeString(spark, sp, scored.schema.json)
     val unioned =
       if (graft.FsUtils.committedExists(spark, storePath))
         spark.read.parquet(storePath).unionByName(scored)
@@ -61,12 +68,26 @@ object SampleStream {
     else DedupStream.swapDirs(fs, p, new org.apache.hadoop.fs.Path(tmp))
   }
 
-  /** The current reservoir (empty frame with the right shape before
-    * the first commit — the CdcStream.snapshot convention). */
+  private def schemaPath(storePath: String): String =
+    storePath.stripSuffix("/") + "_schema"
+
+  /** The current reservoir. Before the first commit: a TYPED empty
+    * frame from the schema sidecar [[processBatch]] persists (the
+    * CdcStream.snapshot convention — callers can select reservoir
+    * columns on the pre-commit snapshot); before the first BATCH has
+    * even run, no schema exists anywhere, so the zero-column
+    * `spark.emptyDataFrame` is returned. */
   def snapshot(spark: SparkSession, storePath: String): DataFrame =
     if (graft.FsUtils.committedExists(spark, storePath))
       spark.read.parquet(storePath)
-    else spark.emptyDataFrame
+    else graft.FsUtils.readString(spark, schemaPath(storePath)) match {
+      case Some(js) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.DataType.fromJson(js)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.emptyDataFrame
+    }
 
   /** Attach the reservoir maintenance to a stream of rows. */
   def run(rowsStream: DataFrame, storePath: String, weightCol: String,

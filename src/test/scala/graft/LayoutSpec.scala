@@ -152,6 +152,180 @@ class LayoutSpec extends SparkSpec {
     assert(sortedRows(got).sameElements(sortedRows(want)))
   }
 
+  test("bloom survives appends: delta-resident keys are served (r11 #1)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_bloom_app")
+      .toString + "/zl"
+    val base = li.filter(col("l_orderkey") < 700)
+    val delta = li.filter(col("l_orderkey") >= 700)
+    Layout.zorderWrite(spark, base, Seq("l_suppkey", "l_partkey"), d)
+    Layout.writeBloomManifest(spark, d, "l_orderkey",
+      estItems = 1000L, numBits = 1L << 16)
+    Layout.appendZorder(spark, delta, d)
+    // a key that lives ONLY in the appended generation: the old
+    // one-shot manifest silently returned nothing here
+    val deltaKey = delta.select("l_orderkey").head().getLong(0)
+    val got = Layout.bloomPrunedRead(spark, d, "l_orderkey", Seq(deltaKey))
+    val want = li.filter(col("l_orderkey") === deltaKey)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(sortedRows(got).sameElements(sortedRows(want)))
+    // the append published its own bloom partition (gen=1), so the
+    // delta files are TESTED, not blanket-admitted: an absent key
+    // still reads zero files
+    assert(spark.read.parquet(s"$d/_manifest_bloom_l_orderkey")
+      .select("gen").distinct().count() == 2)
+    assert(Layout.bloomPrunedRead(spark, d, "l_orderkey",
+      Seq(987654321L)).count() == 0)
+  }
+
+  test("bloom build excludes uncommitted orphans; unbloomed gens admit") {
+    val d = java.nio.file.Files.createTempDirectory("graft_bloom_orph")
+      .toString + "/zl"
+    val base = li.filter(col("l_orderkey") < 700)
+    Layout.zorderWrite(spark, base, Seq("l_suppkey", "l_partkey"), d)
+    // crashed append: data files land, no manifest partition — their
+    // rows are uncommitted and must NOT become servable via the bloom
+    val orphan = li.filter(col("l_orderkey") >= 700)
+    orphan.write.mode("append").parquet(d)
+    Layout.writeBloomManifest(spark, d, "l_orderkey",
+      estItems = 1000L, numBits = 1L << 16)
+    val orphanKey = orphan.select("l_orderkey").head().getLong(0)
+    assert(Layout.bloomPrunedRead(spark, d, "l_orderkey",
+      Seq(orphanKey)).count() == 0,
+      "uncommitted orphan rows served through the bloom path")
+    // committed-but-unbloomed generation: append AFTER the manifest
+    // build with the bloom partition removed (the crash window between
+    // zone-map commit and bloom publish) — admitted unconditionally
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val g = Layout.appendZorder(spark, orphan, d)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$d/_manifest_bloom_l_orderkey/gen=$g"), true)
+    val got = Layout.bloomPrunedRead(spark, d, "l_orderkey", Seq(orphanKey))
+    assert(got.count() == li.filter(col("l_orderkey") === orphanKey).count(),
+      "committed generation without bloom rows must be admitted")
+  }
+
+  test("bloom key must be integral — non-long hashing fails loudly") {
+    // ADVICE r11: XxHash64 hashes IntegerType and LongType differently;
+    // a string key would bloom-negative every file. The guard throws
+    // instead.
+    val d = java.nio.file.Files.createTempDirectory("graft_bloom_str")
+      .toString + "/zl"
+    Layout.zorderWrite(spark,
+      li.withColumn("skey", col("l_orderkey").cast("string")),
+      Seq("l_suppkey", "l_partkey"), d)
+    intercept[IllegalArgumentException] {
+      Layout.writeBloomManifest(spark, d, "skey")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.bloomPrunedRead(spark, d, "skey", Seq(1L))
+    }
+  }
+
+  test("as-of probes reproduce each recorded head; folds reclaim history") {
+    val d = java.nio.file.Files.createTempDirectory("graft_layout_asof")
+      .toString + "/zl"
+    val box = Seq(("l_partkey", 40L, 80L))
+    val s0 = li.filter(col("l_orderkey") % 3 === 0)
+    val s1 = li.filter(col("l_orderkey") % 3 === 1)
+    val s2 = li.filter(col("l_orderkey") % 3 === 2)
+    Layout.zorderWrite(spark, s0, Seq("l_suppkey", "l_partkey"), d)
+    val h0 = sortedRows(Layout.zonePrunedRead(spark, d, box))
+    Layout.appendZorder(spark, s1, d)
+    val h1 = sortedRows(Layout.zonePrunedRead(spark, d, box))
+    Layout.appendZorder(spark, s2, d)
+    val h2 = sortedRows(Layout.zonePrunedRead(spark, d, box))
+    assert(sortedRows(Layout.zonePrunedReadAsOf(spark, d, box, 0L))
+      .sameElements(h0))
+    assert(sortedRows(Layout.zonePrunedReadAsOf(spark, d, box, 1L))
+      .sameElements(h1))
+    assert(sortedRows(Layout.zonePrunedReadAsOf(spark, d, box, 2L))
+      .sameElements(h2))
+    intercept[IllegalArgumentException] { // never-committed snapshot
+      Layout.zonePrunedReadAsOf(spark, d, box, 7L)
+    }
+    Layout.compactLayout(spark, d, nFiles = 8)
+    // post-fold: gen 0 is the fold (== the old head), older ids gone
+    assert(sortedRows(Layout.zonePrunedReadAsOf(spark, d, box, 0L))
+      .sameElements(h2))
+    intercept[IllegalArgumentException] {
+      Layout.zonePrunedReadAsOf(spark, d, box, 1L)
+    }
+  }
+
+  test("append guards: folded generations and stream-managed layouts refuse") {
+    val d = java.nio.file.Files.createTempDirectory("graft_layout_guard")
+      .toString + "/zl"
+    val base = li.filter(col("l_orderkey") < 700)
+    val delta = li.filter(col("l_orderkey") >= 700)
+    Layout.zorderWrite(spark, base, Seq("l_suppkey", "l_partkey"), d)
+    Layout.appendZorder(spark, delta, d) // gen 1
+    Layout.compactLayout(spark, d, nFiles = 8) // folds through gen 1
+    assert(Layout.foldHigh(spark, d) == 1L)
+    val n = Layout.zonePrunedRead(spark, d,
+      Seq(("l_partkey", 0L, Long.MaxValue))).count()
+    // replaying a folded generation would double its rows — refused
+    intercept[IllegalArgumentException] {
+      Layout.appendZorder(spark, delta, d, gen = Some(1L))
+    }
+    assert(Layout.zonePrunedRead(spark, d,
+      Seq(("l_partkey", 0L, Long.MaxValue))).count() == n)
+    // the DEFAULT generation skips past the fold and proceeds
+    val g = Layout.appendZorder(spark, delta.limit(0), d)
+    assert(g == 2L)
+    // a stream-managed layout refuses manual appends outright
+    FsUtils.writeString(spark, s"$d/_stream_base", "3")
+    intercept[IllegalArgumentException] {
+      Layout.appendZorder(spark, delta, d)
+    }
+  }
+
+  test("hive-leaf z-order: per-leaf manifests skip files, probes exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_leaves")
+      .toString + "/fact"
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(root)
+    val nLeaves = Layout.zorderLeaves(spark, root,
+      Seq("l_suppkey", "l_partkey"), nFiles = 8)
+    assert(nLeaves == li.select("l_returnflag").distinct().count())
+    val leaf = s"$root/l_returnflag=R"
+    val box = Seq(("l_partkey", 40L, 80L))
+    val got = Layout.zonePrunedRead(spark, leaf, box)
+    val want = li.filter(col("l_returnflag") === "R" &&
+      col("l_partkey").between(40, 80))
+    assert(got.count() > 0)
+    assert(sortedRows(got).sameElements(sortedRows(want)))
+    // the point: INSIDE the hive leaf, the box admits a strict subset
+    // of the leaf's files — skipping the partition scheme can't give
+    val mm = spark.read.parquet(s"$leaf/_manifest_mm")
+    val admitted = mm.filter(col("min_l_partkey") <= 80 &&
+      col("max_l_partkey") >= 40).count()
+    assert(admitted < mm.count(),
+      s"leaf probe admitted all ${mm.count()} files")
+    // the hive root still reads whole (sidecars invisible to Spark)
+    assert(spark.read.parquet(root).count() == li.count())
+  }
+
+  test("skew advisor: broadcast < aqe < salt ladder, salt n clamped") {
+    import graft.sources.SkewTools
+    // small dim: broadcast regardless of skew
+    assert(SkewTools.advise(hotShareBp = 5000, dimBytes = 1L << 20)
+      .strategy == "broadcast")
+    // big dim, mild skew (≤ 4x the even 50bp share at 200 partitions)
+    val mild = SkewTools.advise(hotShareBp = 150, dimBytes = 1L << 30)
+    assert(mild.strategy == "aqe" && mild.saltN == 0)
+    // big dim, hot key at 10% of the corpus = 20x even → salt 20 ways
+    val hot = SkewTools.advise(hotShareBp = 1000, dimBytes = 1L << 30)
+    assert(hot.strategy == "salt" && hot.saltN == 20)
+    // clamps: just-over-threshold skew floors at 8; extreme caps at 64
+    assert(SkewTools.advise(hotShareBp = 251, dimBytes = 1L << 30)
+      .saltN == 8)
+    assert(SkewTools.advise(hotShareBp = 9000, dimBytes = 1L << 30)
+      .saltN == 64)
+    intercept[IllegalArgumentException] {
+      SkewTools.advise(hotShareBp = 10001, dimBytes = 1L)
+    }
+  }
+
   test("salted join ≡ plain join, and the shuffle spreads the salt") {
     val big = Roles.rates(spark, sf0001)
       .withColumnRenamed("provider_reference_id", "provider_group_id")

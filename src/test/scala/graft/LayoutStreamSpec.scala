@@ -84,6 +84,40 @@ class LayoutStreamSpec extends SparkSpec {
     assert(probe(s"$w/zl") == before)
   }
 
+  test("fold guard: replayed pre-fold batch fails loudly, new batches proceed") {
+    val w = work()
+    Layout.zorderWrite(spark, slice(0), Seq("l_suppkey", "l_partkey"),
+      s"$w/zl")
+    LayoutStream.processBatch(slice(1), 0L, s"$w/zl") // gen 1
+    LayoutStream.processBatch(slice(2), 1L, s"$w/zl") // gen 2
+    val before = probe(s"$w/zl")
+    val total = Layout.zonePrunedRead(spark, s"$w/zl",
+      Seq(("l_partkey", 0L, Long.MaxValue))).count()
+    Layout.compactLayout(spark, s"$w/zl", nFiles = 8) // folds through 2
+    // _stream_base survives the fold's dir swap (r11 ADVICE): the
+    // layout stays stream-managed, manual appends still refuse
+    assert(FsUtils.readString(spark, s"$w/zl/_stream_base")
+      .map(_.trim) == Some("1"))
+    intercept[IllegalArgumentException] {
+      Layout.appendZorder(spark, slice(1), s"$w/zl")
+    }
+    // a replay of batch 1 (gen 2 ≤ foldHigh 2): its rows are already
+    // in the folded base — loud failure, zero duplicates
+    val ex = intercept[IllegalStateException] {
+      LayoutStream.processBatch(slice(2), 1L, s"$w/zl")
+    }
+    assert(ex.getMessage.contains("folded"))
+    assert(probe(s"$w/zl") == before)
+    assert(Layout.zonePrunedRead(spark, s"$w/zl",
+      Seq(("l_partkey", 0L, Long.MaxValue))).count() == total,
+      "replay-after-fold duplicated rows")
+    // a genuinely NEW batch (same checkpoint, next id) maps above the
+    // fold and proceeds — the stream continues without a rebase
+    LayoutStream.processBatch(li.filter(col("l_orderkey") % 7 === 3)
+      .limit(0), 2L, s"$w/zl")
+    assert(probe(s"$w/zl") == before)
+  }
+
   test("streamed generations keep tight envelopes (still skippable)") {
     val w = work()
     Layout.zorderWrite(spark, slice(0), Seq("l_suppkey", "l_partkey"),

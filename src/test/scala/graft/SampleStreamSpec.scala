@@ -61,4 +61,18 @@ class SampleStreamSpec extends SparkSpec {
   test("pre-first-commit snapshot is empty, not PATH_NOT_FOUND") {
     assert(SampleStream.snapshot(spark, work()).count() == 0)
   }
+
+  test("pre-commit snapshot is TYPED once a batch ran (r11 ADVICE)") {
+    val store = work()
+    SampleStream.processBatch(slice(0), store, "n_chars", "doc_id", 25)
+    // simulate the crash window: schema sidecar written, store commit
+    // lost — callers selecting reservoir columns must still succeed
+    val p = new org.apache.hadoop.fs.Path(store)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val snap = SampleStream.snapshot(spark, store)
+    assert(snap.count() == 0)
+    assert(snap.columns.contains("doc_id") &&
+      snap.columns.contains("priority"))
+    assert(snap.select("doc_id", "n_chars").count() == 0) // no AnalysisException
+  }
 }
