@@ -476,6 +476,7 @@ object Bench {
     "layout_zorder_append" -> 2.4,
     "layout_zorder_asof" -> 2.4, // shares the append sidecar's one-time build
     "star_fact_zorder" -> 3.0, // (r12) one-time z-fact sidecar build; probe alone sub-second
+    "star_fact_zorder_multi" -> 2.0, // (r12) shares the z-fact sidecar; two-leaf probe
     "j15_salted_skew" -> 2.1, // shuffle-hash join by design (no broadcast)
     "pack_curriculum" -> 2.4, // quantile agg + offset collect + bucket window
     "sim_ivf_filtered" -> 2.8, // the sim_ivf_topk pipeline + label filter

@@ -559,6 +559,46 @@ object Layout extends QueryPack {
     leafDirs.size
   }
 
+  /** Probe a hive-partitioned dataset whose leaves were z-ordered by
+    * [[zorderLeaves]]: union the zone-pruned reads of the leaves
+    * `leafPred` selects (a predicate over the leaf's hive key→value
+    * map — the directory-listing prune, exactly what the partition
+    * scheme is for), re-attaching each leaf's partition values as
+    * literal columns so the result carries the same schema a plain
+    * partition-aware read would. The driver loop is over the BOUNDED
+    * selected-leaf count; per leaf, the zone map then prunes at file
+    * grain — the two-level skipping a multi-select dashboard query
+    * (state IN (...) + a code/rate box) wants. */
+  def zonePrunedReadLeaves(spark: SparkSession, root: String,
+                           box: Seq[(String, Long, Long)],
+                           leafPred: Map[String, String] => Boolean)
+      : DataFrame = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(p: org.apache.hadoop.fs.Path, kv: Seq[(String, String)])
+        : Seq[(String, Seq[(String, String)])] = {
+      val entries = fs.listStatus(p).toIndexedSeq
+        .filter(st => !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      if (entries.exists(_.isFile)) Seq((p.toUri.toString, kv))
+      else entries.filter(_.isDirectory).flatMap { st =>
+        val n = st.getPath.getName
+        val i = n.indexOf('=')
+        val pair = if (i > 0) Seq(n.take(i) -> n.drop(i + 1)) else Nil
+        walk(st.getPath, kv ++ pair)
+      }
+    }
+    val selected = (if (fs.exists(rp)) walk(rp, Nil) else Nil)
+      .filter { case (_, kv) => leafPred(kv.toMap) }
+    require(selected.nonEmpty,
+      s"no hive leaf of $root matches the partition predicate")
+    selected.map { case (leaf, kv) =>
+      kv.foldLeft(zonePrunedRead(spark, leaf, box)) {
+        case (df, (k, v)) => df.withColumn(k, lit(v))
+      }
+    }.reduce(_.unionByName(_))
+  }
+
   // ----------------------------------------------------------- fixtures
 
   /** Query-private z-ordered lineitem layout (the [[Similarity]]

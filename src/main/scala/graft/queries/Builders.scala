@@ -199,6 +199,22 @@ object Builders extends QueryPack {
           col("payer_slug"), col("billing_class"), col("negotiated_type"))
     }),
 
+    // The multi-select form: state IN (...) prunes at DIRECTORY
+    // listing (the hive level), then each selected leaf's zone map
+    // prunes at FILE grain for the same (code, rate) box — two-level
+    // skipping in one probe, partition values re-attached so the
+    // result reads like a plain partition-aware scan.
+    "star_fact_zorder_multi" -> ((s, d) => {
+      ensureZfactSidecar(s, d)
+      graft.operators.Layout.zonePrunedReadLeaves(s, zfactDir,
+          Seq(("code_num", ZfCodeBox._1, ZfCodeBox._2),
+            ("negotiated_rate", ZfRateBox._1, ZfRateBox._2)),
+          kv => ZfStates.contains(kv.getOrElse("state", "")))
+        .select(col("fact_uid"), col("state"), col("code_num"),
+          pround(col("negotiated_rate"), 2).as("negotiated_rate"),
+          col("payer_slug"), col("billing_class"))
+    }),
+
     // Consolidated-dashboard multi-select search: every fact-side
     // filter field carries a comma-separated value LIST that the
     // grammar decodes into IN predicates (consolidated_dashboard.py:
@@ -534,6 +550,35 @@ object Builders extends QueryPack {
           pround(col("n_rows") * 10000.0 / col("total"), 2).as("share_bp"))
         .orderBy(col("n_rows").desc, col("key"))
         .limit(10)
+    }),
+
+    // The skew report CARRYING its remediation: every key annotated
+    // with the broadcast/AQE/salt decision via
+    // [[graft.sources.SkewTools.adviseColumns]] (the codegen'd twin of
+    // the scalar advisor) in the same single pass — key-cardinality
+    // cost, the grand total and the dim-size estimate as broadcast
+    // scalars. A synthetic hot key (30% of the corpus) exercises the
+    // salt branch next to ordinary aqe keys; the broadcast threshold
+    // is lowered to put the provider dim's size estimate above it (the
+    // regime the advisor exists for).
+    "dq_skew_advice" -> ((s, d) => {
+      val keyed = Roles.rates(s, d)
+        .withColumn("key",
+          when(col("l_orderkey") % 10 < 3, lit("HOT_KEY"))
+            .otherwise(col("provider_reference_id")))
+      val counts = keyed.groupBy("key").agg(count(lit(1)).as("n_rows"))
+      val total = counts.agg(sum("n_rows").as("total"))
+      val dimBytes = Roles.providers(s, d)
+        .agg((count(lit(1)) * 64L).as("dim_bytes"))
+      val share = col("n_rows") * 10000.0 / col("total")
+      val (strategy, saltN) = graft.sources.SkewTools.adviseColumns(
+        share, col("dim_bytes"), broadcastThresholdBytes = 1024L)
+      counts.crossJoin(broadcast(total)).crossJoin(broadcast(dimBytes))
+        .select(col("key"), col("n_rows"),
+          pround(share, 2).as("share_bp"),
+          strategy.as("strategy"), saltN.as("salt_n"))
+        .orderBy(col("n_rows").desc, col("key"))
+        .limit(10)
     })
   )
 
@@ -559,6 +604,18 @@ object Builders extends QueryPack {
                payer_slug, billing_class, negotiated_type
         FROM fact
         WHERE state = '$ZfProbeState'
+          AND code_num BETWEEN ${ZfCodeBox._1} AND ${ZfCodeBox._2}
+          AND negotiated_rate BETWEEN ${ZfRateBox._1} AND ${ZfRateBox._2}""",
+
+      "star_fact_zorder_multi" -> s"""
+        WITH fact AS (
+          SELECT * FROM read_parquet('$zfactDir/*/*.parquet',
+            hive_partitioning = true))
+        SELECT fact_uid, state, code_num,
+               ${prS("negotiated_rate")} AS negotiated_rate,
+               payer_slug, billing_class
+        FROM fact
+        WHERE state IN ${inList(ZfStates)}
           AND code_num BETWEEN ${ZfCodeBox._1} AND ${ZfCodeBox._2}
           AND negotiated_rate BETWEEN ${ZfRateBox._1} AND ${ZfRateBox._2}""",
 
@@ -862,6 +919,33 @@ object Builders extends QueryPack {
                  row_number() OVER (ORDER BY n_rows DESC, key) AS rn
           FROM counts, t)
         SELECT key, n_rows, share_bp FROM ranked WHERE rn <= 10""",
+
+      // the same ladder as the Spark Columns: broadcast if the dim
+      // estimate fits 1024 B, aqe while the share is within 4x the
+      // even reducer share (10000/200 = 50 bp), else salt with
+      // n = clamp(ceil(share/even), 8, 64)
+      "dq_skew_advice" -> s"""$RP,
+        keyed AS (
+          SELECT CASE WHEN l_orderkey % 10 < 3 THEN 'HOT_KEY'
+                      ELSE provider_reference_id END AS key
+          FROM rates),
+        counts AS (SELECT key, COUNT(*) AS n_rows FROM keyed GROUP BY 1),
+        t AS (SELECT SUM(n_rows) AS total FROM counts),
+        dimb AS (SELECT COUNT(*) * 64 AS dim_bytes FROM providers),
+        ranked AS (
+          SELECT key, n_rows, dim_bytes,
+                 n_rows * 10000.0 / total AS share,
+                 row_number() OVER (ORDER BY n_rows DESC, key) AS rn
+          FROM counts, t, dimb)
+        SELECT key, n_rows,
+               ${prS("share")} AS share_bp,
+               CASE WHEN dim_bytes <= 1024 THEN 'broadcast'
+                    WHEN share <= 200.0 THEN 'aqe'
+                    ELSE 'salt' END AS strategy,
+               CASE WHEN dim_bytes <= 1024 OR share <= 200.0 THEN 0
+                    ELSE CAST(least(64, greatest(8, ceil(share / 50.0)))
+                              AS INTEGER) END AS salt_n
+        FROM ranked WHERE rn <= 10""",
 
       "wide_table_build" -> s"""$RP,
         base AS (

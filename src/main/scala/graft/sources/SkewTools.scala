@@ -93,4 +93,24 @@ object SkewTools {
           "to ~even")
     }
   }
+
+  /** [[advise]]'s ladder as codegen'd Column expressions — (strategy,
+    * salt_n) — so a per-key skew report can carry its remediation at
+    * KEY grain inside one distributed pass (the scalar form decides
+    * for the report's hottest key driver-side; this form annotates
+    * every key). SkewSpec pins scalar ≡ column over the threshold
+    * lattice. */
+  def adviseColumns(shareBp: Column, dimBytes: Column,
+                    broadcastThresholdBytes: Long = 10L << 20,
+                    shufflePartitions: Int = 200,
+                    skewFactor: Double = 4.0): (Column, Column) = {
+    val evenBp = 10000.0 / shufflePartitions
+    val strategy =
+      when(dimBytes <= broadcastThresholdBytes, "broadcast")
+        .when(shareBp <= skewFactor * evenBp, "aqe")
+        .otherwise("salt")
+    val n = least(lit(64L), greatest(lit(8L), ceil(shareBp / evenBp)))
+      .cast("int")
+    (strategy, when(strategy === "salt", n).otherwise(0).as("salt_n"))
+  }
 }

@@ -303,6 +303,21 @@ class LayoutSpec extends SparkSpec {
       s"leaf probe admitted all ${mm.count()} files")
     // the hive root still reads whole (sidecars invisible to Spark)
     assert(spark.read.parquet(root).count() == li.count())
+    // multi-leaf probe: directory-level prune (leaf predicate) + the
+    // per-leaf zone maps, partition values re-attached
+    val multi = Layout.zonePrunedReadLeaves(spark, root, box,
+      kv => Set("R", "A")(kv.getOrElse("l_returnflag", "")))
+    val wantMulti = li.filter(col("l_returnflag").isin("R", "A") &&
+      col("l_partkey").between(40, 80))
+    assert(multi.columns.contains("l_returnflag"))
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.mkString("|")
+    val cols = wantMulti.columns.sorted.map(col).toIndexedSeq
+    assert(multi.select(cols: _*).collect().map(key).sorted.toSeq ==
+      wantMulti.select(cols: _*).collect().map(key).sorted.toSeq)
+    intercept[IllegalArgumentException] { // no leaf matches → loud
+      Layout.zonePrunedReadLeaves(spark, root, box,
+        kv => kv.get("l_returnflag").contains("Z"))
+    }
   }
 
   test("skew advisor: broadcast < aqe < salt ladder, salt n clamped") {
@@ -324,6 +339,20 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SkewTools.advise(hotShareBp = 10001, dimBytes = 1L)
     }
+    // the codegen'd Column form decides identically across the lattice
+    // (branch boundaries included on both sides of each threshold)
+    import spark.implicits._
+    val cases = Seq((5000.0, 1L << 20), (150.0, 1L << 30),
+      (1000.0, 1L << 30), (251.0, 1L << 30), (9000.0, 1L << 30),
+      (200.0, 1L << 30), (201.0, 1L << 30), (0.0, 1L << 30))
+    val (st, sn) = SkewTools.adviseColumns(col("share"), col("bytes"))
+    val got = cases.toDF("share", "bytes")
+      .select(st.as("s"), sn).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    val want = cases.map { case (s, b) =>
+      val a = SkewTools.advise(s, b); (a.strategy, a.saltN)
+    }
+    assert(got == want)
   }
 
   test("salted join ≡ plain join, and the shuffle spreads the salt") {
