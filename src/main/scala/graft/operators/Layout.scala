@@ -738,6 +738,23 @@ object Layout extends QueryPack {
         .select(ProbeCols.map(col): _*)
     }),
 
+    // Layout observability — the numbers an operator reads before
+    // deciding to compact: per-generation file counts and envelope
+    // spans straight off the bounded zone-map manifest (nFiles rows;
+    // the data files are never touched). Growing per-gen span sums =
+    // append-era drift accumulating = time to fold.
+    "layout_manifest_stats" -> ((s, d) => {
+      ensureAppendSidecar(s, d)
+      s.read.parquet(s"$zorderAppendSidecar/_manifest_mm")
+        .groupBy(col("gen").cast("long").as("gen"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("max_l_suppkey") - col("min_l_suppkey"))
+            .as("supp_span_sum"),
+          sum(col("max_l_partkey") - col("min_l_partkey"))
+            .as("part_span_sum"))
+        .orderBy("gen")
+    }),
+
     // J15 (beyond the reference's J1-J14): the salted fact ⋈ dim
     // join ([[graft.sources.SkewTools.saltedJoin]] — the manual
     // remedy when the dim outgrows broadcast and AQE's skew split
@@ -776,6 +793,20 @@ object Layout extends QueryPack {
         SELECT $probeSql FROM lineitem
         WHERE l_suppkey BETWEEN ${BoxSupp._1} AND ${BoxSupp._2}
           AND l_partkey BETWEEN ${BoxPart._1} AND ${BoxPart._2}""",
+
+      // the manifest IS parquet — the oracle reads the same sidecar
+      // files back (hive gen partition cast to BIGINT on both sides)
+      "layout_manifest_stats" -> s"""
+        WITH mm AS (
+          SELECT * FROM read_parquet(
+            '$zorderAppendSidecar/_manifest_mm/*/*.parquet',
+            hive_partitioning = true))
+        SELECT CAST(gen AS BIGINT) AS gen, COUNT(*) AS n_files,
+               CAST(SUM(max_l_suppkey - min_l_suppkey) AS BIGINT)
+                 AS supp_span_sum,
+               CAST(SUM(max_l_partkey - min_l_partkey) AS BIGINT)
+                 AS part_span_sum
+        FROM mm GROUP BY 1 ORDER BY 1""",
 
       // as-of gen 0 = the base build's slice of the corpus
       "layout_zorder_asof" -> s"""
