@@ -477,6 +477,9 @@ object Bench {
     "layout_zorder_asof" -> 2.4, // shares the append sidecar's one-time build
     "star_fact_zorder" -> 3.0, // (r12) one-time z-fact sidecar build; probe alone sub-second
     "star_fact_zorder_multi" -> 2.0, // (r12) shares the z-fact sidecar; two-leaf probe
+    // (r12) alphabetically first of the z-fact family, so it pays the
+    // one-time sidecar build in a fresh /tmp; probe alone ~0.5 s
+    "star_fact_uid_lookup" -> 3.0,
     "j15_salted_skew" -> 2.1, // shuffle-hash join by design (no broadcast)
     "pack_curriculum" -> 2.4, // quantile agg + offset collect + bucket window
     "sim_ivf_filtered" -> 2.8, // the sim_ivf_topk pipeline + label filter

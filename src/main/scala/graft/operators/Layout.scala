@@ -326,19 +326,33 @@ object Layout extends QueryPack {
     }
   }
 
-  /** Integral-key check shared by the bloom build and probe: the probe
-    * hashes keys as LONGS (`XxHash64(Literal(k: Long))`), and Spark's
-    * XxHash64 hashes IntegerType and LongType DIFFERENTLY — so the
-    * build side must cast the column to long, and a non-integral key
-    * column must fail loudly rather than bloom-negative every file
-    * (which would silently drop every matching row). */
-  private def requireIntegralKey(spark: SparkSession, dir: String,
-                                 keyCol: String): Unit = {
+  /** Key-type discipline shared by the bloom build and probe: Spark's
+    * XxHash64 hashes each TYPE differently (IntegerType ≠ LongType ≠
+    * StringType for the "same" value), so the build canonicalizes —
+    * integral columns cast to long, string columns hash as-is — and
+    * each probe variant checks the column class it hashes literals
+    * for. A silent mismatch would bloom-negative every file and drop
+    * every matching row; the guard throws instead. */
+  private def bloomKeyClass(spark: SparkSession, dir: String,
+                            keyCol: String): String = {
     import org.apache.spark.sql.types._
-    val dt = spark.read.parquet(dir).schema(keyCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"bloom manifest key '$keyCol' must be an integral column " +
-        s"(probe keys hash as longs); found $dt")
+    spark.read.parquet(dir).schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"bloom manifest key '$keyCol' must be an integral or string " +
+          s"column; found $other")
+    }
+  }
+
+  private def requireKeyClass(spark: SparkSession, dir: String,
+                              keyCol: String, want: String): Unit = {
+    val got = bloomKeyClass(spark, dir, keyCol)
+    require(got == want,
+      s"bloom probe hashes $want keys but '$keyCol' is a $got column " +
+        "— XxHash64 would disagree with the build and every file " +
+        "would test bloom-negative (silent row loss); use the " +
+        s"matching probe variant")
   }
 
   /** Committed (file base name → generation) pairs from the zone-map
@@ -383,11 +397,15 @@ object Layout extends QueryPack {
     import spark.implicits._
     val paths = fileGens.map { case (b, _) => s"$dir/$b" }
     val genDf = fileGens.toDF("base", "gen")
+    // canonical key: integral → long (probe hashes Literal(k: Long)),
+    // string as-is (probe hashes a string literal) — [[bloomKeyClass]]
+    val keyExpr =
+      if (bloomKeyClass(spark, dir, keyCol) == "long")
+        col(keyCol).cast("long")
+      else col(keyCol)
     spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("file"))
-      // cast to long: the probe hashes Literal(k: Long) — see
-      // [[requireIntegralKey]]
-      .agg(call_function("bloom_build", col(keyCol).cast("long"),
+      .agg(call_function("bloom_build", keyExpr,
         lit(estItems), lit(numBits)).as("bloom"))
       .withColumn("base", substring_index(col("file"), "/", -1))
       .join(broadcast(genDf), Seq("base"))
@@ -404,14 +422,16 @@ object Layout extends QueryPack {
     * raw dir listing, so a crashed append's orphans can never become
     * servable through the bloom path. Sized for ~100k keys/file at
     * ~1% fp by default; the whole manifest is nFiles × numBits/8
-    * bytes — driver-collectable by construction. Long-key contract:
-    * `keyCol` must be integral (see [[requireIntegralKey]]). */
+    * bytes — driver-collectable by construction. Key contract:
+    * `keyCol` must be integral (probe with [[bloomPrunedRead]]) or
+    * string (probe with [[bloomPrunedReadString]] — the fact_uid
+    * point-lookup case); see [[bloomKeyClass]]. */
   def writeBloomManifest(spark: SparkSession, dir: String, keyCol: String,
                          estItems: Long = 100000L,
                          numBits: Long = 1L << 20): Unit = {
     require(FsUtils.committedExists(spark, s"$dir/_manifest_mm"),
       s"no committed layout at $dir — build one with zorderWrite first")
-    requireIntegralKey(spark, dir, keyCol)
+    bloomKeyClass(spark, dir, keyCol) // validates the column class
     val out = s"$dir/_manifest_bloom_$keyCol"
     bloomRows(spark, keyCol, committedFileGens(spark, dir), dir,
         estItems, numBits)
@@ -436,9 +456,29 @@ object Layout extends QueryPack {
   def bloomPrunedRead(spark: SparkSession, dir: String, keyCol: String,
                       keys: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    requireIntegralKey(spark, dir, keyCol)
+    requireKeyClass(spark, dir, keyCol, "long")
     val hashes = keys.map(k =>
       new XxHash64(Seq(Literal(k))).eval(null).asInstanceOf[Long])
+    bloomPruned(spark, dir, keyCol, hashes, keys.map(k => k: Any))
+  }
+
+  /** [[bloomPrunedRead]] for STRING keys — the fact_uid / digest
+    * point-lookup case. Same committed-set discipline; literals hash
+    * as strings, matching the build's as-is string inserts. */
+  def bloomPrunedReadString(spark: SparkSession, dir: String,
+                            keyCol: String,
+                            keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    requireKeyClass(spark, dir, keyCol, "string")
+    val hashes = keys.map(k =>
+      new XxHash64(Seq(Literal.create(k,
+        org.apache.spark.sql.types.StringType)))
+        .eval(null).asInstanceOf[Long])
+    bloomPruned(spark, dir, keyCol, hashes, keys.map(k => k: Any))
+  }
+
+  private def bloomPruned(spark: SparkSession, dir: String, keyCol: String,
+                          hashes: Seq[Long], keys: Seq[Any]): DataFrame = {
     val committed = committedFileGens(spark, dir).map(_._1)
     val bloomDir = s"$dir/_manifest_bloom_$keyCol"
     val bloomByBase: Map[String, Array[Byte]] =
@@ -459,7 +499,7 @@ object Layout extends QueryPack {
     val base =
       if (files.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
-    base.filter(col(keyCol).isin(keys.map(k => k: Any): _*))
+    base.filter(col(keyCol).isin(keys: _*))
   }
 
   /** Compaction: fold every committed generation back into a single

@@ -153,7 +153,8 @@ object Builders extends QueryPack {
     val listing = fs.listStatus(p).map(st =>
         s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString(";")
-    val key = s"$d|${ZfStates.mkString(",")}|zfact_v1|$listing"
+    // v2: + per-leaf fact_uid bloom manifest (string keys)
+    val key = s"$d|${ZfStates.mkString(",")}|zfact_v2|$listing"
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
       .map(b => "%02x".format(b & 0xff)).mkString
@@ -177,6 +178,11 @@ object Builders extends QueryPack {
         .parquet(zfactDir)
       graft.etl.StarSchemaBuilder.zorderFactPartitions(s, zfactDir,
         Seq("code_num", "negotiated_rate"), nFiles = 8)
+      // point-lookup sidecar on the probe leaf: fact_uid is the star
+      // fact's primary key, a string digest — the string-key bloom
+      graft.operators.Layout.writeBloomManifest(s,
+        s"$zfactDir/state=$ZfProbeState", "fact_uid",
+        estItems = 100000L, numBits = 1L << 20)
       graft.FsUtils.writeString(s, fpPath, fp)
     }
 
@@ -197,6 +203,26 @@ object Builders extends QueryPack {
         .select(col("fact_uid"), col("code_num"),
           pround(col("negotiated_rate"), 2).as("negotiated_rate"),
           col("payer_slug"), col("billing_class"), col("negotiated_type"))
+    }),
+
+    // Primary-key point lookup through the leaf's string-key bloom
+    // manifest: given a bounded set of fact_uids (here the uids of one
+    // code cell, collected driver-side the way a serving layer holds
+    // the ids a user clicked), only bloom-positive files are read —
+    // the needle-in-100TB "fetch these exact fact rows" path. No
+    // false negatives: every requested committed row comes back.
+    "star_fact_uid_lookup" -> ((s, d) => {
+      ensureZfactSidecar(s, d)
+      val leaf = s"$zfactDir/state=$ZfProbeState"
+      val uids = s.read.parquet(leaf)
+        .filter(col("code_num").between(40, 60))
+        .select("fact_uid").orderBy("fact_uid").limit(50)
+        .collect().map(_.getString(0)).toSeq
+      graft.operators.Layout.bloomPrunedReadString(s, leaf, "fact_uid",
+          if (uids.isEmpty) Seq("__none__") else uids)
+        .select(col("fact_uid"), col("code_num"),
+          pround(col("negotiated_rate"), 2).as("negotiated_rate"),
+          col("payer_slug"))
     }),
 
     // The multi-select form: state IN (...) prunes at DIRECTORY
@@ -606,6 +632,22 @@ object Builders extends QueryPack {
         WHERE state = '$ZfProbeState'
           AND code_num BETWEEN ${ZfCodeBox._1} AND ${ZfCodeBox._2}
           AND negotiated_rate BETWEEN ${ZfRateBox._1} AND ${ZfRateBox._2}""",
+
+      // the oracle derives the SAME uid set (same cell, same sorted
+      // 50-cap) from the same leaf files, then fetches those rows
+      "star_fact_uid_lookup" -> s"""
+        WITH fact AS (
+          SELECT * FROM read_parquet('$zfactDir/*/*.parquet',
+            hive_partitioning = true)),
+        uids AS (
+          SELECT fact_uid FROM fact
+          WHERE state = '$ZfProbeState' AND code_num BETWEEN 40 AND 60
+          ORDER BY fact_uid LIMIT 50)
+        SELECT fact_uid, code_num,
+               ${prS("negotiated_rate")} AS negotiated_rate, payer_slug
+        FROM fact
+        WHERE state = '$ZfProbeState'
+          AND fact_uid IN (SELECT fact_uid FROM uids)""",
 
       "star_fact_zorder_multi" -> s"""
         WITH fact AS (

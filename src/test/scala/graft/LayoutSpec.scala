@@ -205,20 +205,34 @@ class LayoutSpec extends SparkSpec {
       "committed generation without bloom rows must be admitted")
   }
 
-  test("bloom key must be integral — non-long hashing fails loudly") {
-    // ADVICE r11: XxHash64 hashes IntegerType and LongType differently;
-    // a string key would bloom-negative every file. The guard throws
-    // instead.
+  test("bloom key-type discipline: string keys work, cross-type probes throw") {
+    // ADVICE r11: XxHash64 hashes each type differently — a type
+    // mismatch between build and probe would bloom-negative every
+    // file. String keys (the fact_uid case) get their own probe; any
+    // cross-type probe fails loudly.
     val d = java.nio.file.Files.createTempDirectory("graft_bloom_str")
       .toString + "/zl"
-    Layout.zorderWrite(spark,
-      li.withColumn("skey", col("l_orderkey").cast("string")),
-      Seq("l_suppkey", "l_partkey"), d)
-    intercept[IllegalArgumentException] {
-      Layout.writeBloomManifest(spark, d, "skey")
-    }
+    val rows = li.withColumn("skey",
+      concat(lit("uid_"), col("l_orderkey").cast("string")))
+    Layout.zorderWrite(spark, rows, Seq("l_suppkey", "l_partkey"), d)
+    Layout.writeBloomManifest(spark, d, "skey",
+      estItems = 1000L, numBits = 1L << 16)
+    val k = rows.select("skey").head().getString(0)
+    val got = Layout.bloomPrunedReadString(spark, d, "skey", Seq(k))
+    val want = rows.filter(col("skey") === k)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(Layout.bloomPrunedReadString(spark, d, "skey",
+      Seq("uid_nope")).count() == 0, "absent string key read rows")
+    // cross-type probes refuse (string column / long probe and back)
     intercept[IllegalArgumentException] {
       Layout.bloomPrunedRead(spark, d, "skey", Seq(1L))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.bloomPrunedReadString(spark, d, "l_orderkey", Seq("1"))
+    }
+    // a non-integral, non-string key column refuses at build time
+    intercept[IllegalArgumentException] {
+      Layout.writeBloomManifest(spark, d, "l_extendedprice")
     }
   }
 
