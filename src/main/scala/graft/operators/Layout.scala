@@ -143,9 +143,13 @@ object Layout extends QueryPack {
     * orphans (swept by the next [[appendZorder]]), never a partial
     * read, and a replayed generation overwrites exactly its own
     * partition — the [[GenStore]] discipline. */
+  /** `gen` is the generation the build commits as (0 for ordinary
+    * builds; the hive-routed stream creates leaves at its batch
+    * generation so a creating batch is recognizable — and replayable —
+    * from the manifest alone). */
   def zorderWrite(spark: SparkSession, df: DataFrame, cols: Seq[String],
                   outDir: String, nFiles: Int = 16,
-                  bits: Int = ZBits): Unit = {
+                  bits: Int = ZBits, gen: Long = 0L): Unit = {
     import spark.implicits._
     val bMap = quantileBoundaries(df, cols, bits)
     writeClustered(df, bMap, outDir, nFiles, bits, "overwrite")
@@ -153,7 +157,7 @@ object Layout extends QueryPack {
       .write.mode("overwrite").parquet(s"$outDir/_boundaries")
     manifestRows(spark, cols, dataFiles(spark, outDir))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/_manifest_mm/gen=0")
+      .write.mode("overwrite").parquet(s"$outDir/_manifest_mm/gen=$gen")
   }
 
   /** Committed generation ids of a layout's manifest (bounded: one
@@ -575,8 +579,11 @@ object Layout extends QueryPack {
     * (never rows); each leaf rewrite is one range shuffle of that
     * leaf's rows, and leaves are independent — a deployment fans them
     * out as concurrent jobs. Returns the number of leaves rebuilt. */
-  def zorderLeaves(spark: SparkSession, root: String, cols: Seq[String],
-                   nFiles: Int = 8, bits: Int = ZBits): Int = {
+  /** Leaf dirs of a hive tree: the dirs holding data files directly
+    * (hidden/`_` entries skipped at every level). Bounded by the
+    * partition scheme's cardinality. */
+  private[graft] def hiveLeaves(spark: SparkSession,
+                                root: String): Seq[String] = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
@@ -586,7 +593,15 @@ object Layout extends QueryPack {
       if (entries.exists(_.isFile)) Seq(p)
       else entries.filter(_.isDirectory).flatMap(st => leaves(st.getPath))
     }
-    val leafDirs = if (fs.exists(rp)) leaves(rp) else Seq.empty
+    if (fs.exists(rp)) leaves(rp).map(_.toUri.toString) else Seq.empty
+  }
+
+  def zorderLeaves(spark: SparkSession, root: String, cols: Seq[String],
+                   nFiles: Int = 8, bits: Int = ZBits): Int = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    val leafDirs = hiveLeaves(spark, root)
+      .map(new org.apache.hadoop.fs.Path(_))
     leafDirs.foreach { leaf =>
       graft.streaming.DedupStream.recoverCompaction(spark, leaf.toString)
       val rows = spark.read.parquet(leaf.toString)

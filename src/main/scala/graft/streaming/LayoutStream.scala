@@ -97,4 +97,103 @@ object LayoutStream {
         processBatch(batch, batchId, dir, nFiles)
       }
       .start()
+
+  // ------------------------------------------------- hive-routed stream
+
+  /** The stream base for a hive TREE: above every generation and fold
+    * of every existing leaf, persisted once at the root — so one
+    * monotone generation id per batch serves all leaves, whatever mix
+    * of builds/appends/folds each leaf saw before the stream. */
+  private def treeStreamBase(spark: SparkSession, root: String): Long = {
+    val marker = s"$root/_stream_base"
+    graft.FsUtils.readString(spark, marker) match {
+      case Some(v) => v.trim.toLong
+      case None =>
+        val high = Layout.hiveLeaves(spark, root).flatMap { leaf =>
+          Layout.committedGens(spark, leaf).lastOption.toSeq :+
+            Layout.foldHigh(spark, leaf)
+        }
+        val base = (high :+ -1L).max + 1L
+        graft.FsUtils.writeString(spark, marker, base.toString)
+        base
+    }
+  }
+
+  /** One micro-batch into a HIVE-partitioned z-ordered fact — the
+    * production composition maintained continuously: rows route to
+    * their partition leaf (the distinct-tuple collect is bounded by
+    * the partition scheme's cardinality, never by rows), each touched
+    * leaf takes one [[Layout.appendZorder]] at the batch's generation
+    * under the leaf's own manifest protocol, and a leaf that doesn't
+    * exist yet is CREATED (one [[Layout.zorderWrite]], boundaries
+    * derived from its first rows — later appends reuse them).
+    *
+    * Exactly-once per leaf: appends replay via the leaf's own
+    * gen-partition uncommit; a CREATING batch builds the leaf at the
+    * batch's generation itself ([[Layout.zorderWrite]]'s `gen`), so
+    * "this leaf was created by this batch" is readable from the
+    * manifest alone — committedGens == Seq(gen) — and the replay
+    * recreates idempotently (stream generations sit above every
+    * pre-stream id, so no pre-stream leaf can collide). A crash
+    * between the data write and the manifest commit leaves an
+    * uncommitted leaf the replay rebuilds from scratch. The
+    * replay-only-the-last-batch discipline of foreachBatch is what
+    * makes creation-recreate safe — no later batch can have appended
+    * to a leaf whose creating batch never committed the checkpoint.
+    * Each touched leaf also receives the root `_stream_base` marker so
+    * MANUAL appendZorder calls refuse ([[Layout.appendZorder]]'s
+    * stream guard); one stream per tree, like every single-writer path
+    * here. A leaf folded by [[Layout.compactLayout]] keeps the fold
+    * guard: a replayed pre-fold batch fails loudly instead of
+    * duplicating rows. */
+  def processBatchHive(batch: DataFrame, batchId: Long, root: String,
+                       partitionCols: Seq[String], zCols: Seq[String],
+                       nFiles: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.col
+    val gen = treeStreamBase(spark, root) + batchId
+    val parts = batch.select(partitionCols.map(col): _*)
+      .distinct().collect()
+    parts.foreach { r =>
+      val leaf = root + "/" + partitionCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+      val rows = partitionCols.zipWithIndex.foldLeft(batch) {
+        case (df, (c, i)) => df.filter(col(c) === r.get(i))
+      }.drop(partitionCols: _*)
+      val committed =
+        graft.FsUtils.committedExists(spark, s"$leaf/_manifest_mm")
+      val createdByThisBatch =
+        committed && Layout.committedGens(spark, leaf) == Seq(gen)
+      if (committed && !createdByThisBatch) {
+        val fh = Layout.foldHigh(spark, leaf)
+        if (gen <= fh)
+          throw new IllegalStateException(
+            s"hive layout stream batch $batchId maps to generation " +
+              s"$gen at leaf $leaf, already folded (through $fh) — " +
+              s"rebase: delete $root/_stream_base and restart from a " +
+              "fresh checkpoint")
+        Layout.appendZorder(spark, rows, leaf, nFiles = nFiles,
+          gen = Some(gen), viaStream = true)
+      } else {
+        // fresh leaf, crashed-creation residue (uncommitted), or a
+        // replayed creation (the leaf's one generation IS this gen):
+        // (re)build idempotently at the batch's generation
+        Layout.zorderWrite(spark, rows, zCols, leaf, nFiles, gen = gen)
+      }
+      graft.FsUtils.writeString(spark, s"$leaf/_stream_base",
+        treeStreamBase(spark, root).toString)
+    }
+  }
+
+  /** Attach hive-routed layout maintenance to a stream of fact rows. */
+  def runHive(rowsStream: DataFrame, root: String,
+              partitionCols: Seq[String], zCols: Seq[String],
+              checkpoint: String, nFiles: Int = 4): StreamingQuery =
+    rowsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchHive(batch, batchId, root, partitionCols, zCols,
+          nFiles)
+      }
+      .start()
 }

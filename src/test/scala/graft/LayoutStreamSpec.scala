@@ -118,6 +118,47 @@ class LayoutStreamSpec extends SparkSpec {
     assert(probe(s"$w/zl") == before)
   }
 
+  test("hive-routed stream: creation + append per leaf, replay exactly-once") {
+    val w = work(); val root = s"$w/fact"
+    val pcols = Seq("l_returnflag")
+    val zcols = Seq("l_suppkey", "l_partkey")
+    // batch 0 CREATES the leaves (no pre-built tree at all)
+    LayoutStream.processBatchHive(slice(0), 0L, root, pcols, zcols)
+    LayoutStream.processBatchHive(slice(1), 1L, root, pcols, zcols)
+    def probeAll() = Layout.zonePrunedReadLeaves(spark, root,
+        Seq(("l_partkey", 0L, Long.MaxValue)), _ => true)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+        "l_returnflag")
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val want = li.filter(col("l_orderkey") % 3 < 2)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+        "l_returnflag")
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(probeAll() == want)
+    // replay of the APPEND batch and of the CREATING batch: both land
+    // exactly once (append replays uncommit their own generation;
+    // creation replays route through the same per-leaf protocol)
+    LayoutStream.processBatchHive(slice(1), 1L, root, pcols, zcols)
+    assert(probeAll() == want)
+    LayoutStream.processBatchHive(slice(0), 0L, root, pcols, zcols)
+    assert(probeAll() == want)
+    // a NEW partition value mid-stream creates its leaf
+    val zRows = slice(2).withColumn("l_returnflag", lit("Z"))
+    LayoutStream.processBatchHive(zRows, 2L, root, pcols, zcols)
+    val gotZ = Layout.zonePrunedRead(spark, s"$root/l_returnflag=Z",
+        Seq(("l_partkey", 0L, Long.MaxValue)))
+    assert(gotZ.count() == slice(2).count())
+    // leaves are stream-managed: manual appends refuse
+    intercept[IllegalArgumentException] {
+      Layout.appendZorder(spark,
+        slice(0).drop("l_returnflag"), s"$root/l_returnflag=Z")
+    }
+    // each leaf carries its own boundaries + manifest (file-grain
+    // skipping inside every leaf, streamed or created)
+    val mm = spark.read.parquet(s"$root/l_returnflag=R/_manifest_mm")
+    assert(mm.count() > 0)
+  }
+
   test("streamed generations keep tight envelopes (still skippable)") {
     val w = work()
     Layout.zorderWrite(spark, slice(0), Seq("l_suppkey", "l_partkey"),
