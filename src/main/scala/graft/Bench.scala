@@ -480,6 +480,7 @@ object Bench {
     // (r12) alphabetically first of the z-fact family, so it pays the
     // one-time sidecar build in a fresh /tmp; probe alone ~0.5 s
     "star_fact_uid_lookup" -> 3.0,
+    "sample_cluster_balanced" -> 1.6, // (r12) kmeans sample scan + assign + keyed window
     "j15_salted_skew" -> 2.1, // shuffle-hash join by design (no broadcast)
     "pack_curriculum" -> 2.4, // quantile agg + offset collect + bucket window
     "sim_ivf_filtered" -> 2.8, // the sim_ivf_topk pipeline + label filter

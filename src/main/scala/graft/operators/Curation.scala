@@ -327,6 +327,14 @@ object Curation extends QueryPack {
   private val Stopwords = Seq("the", "be", "to", "of", "and", "that",
     "have", "with")
 
+  /** Query-private centroid sidecar for `sample_cluster_balanced` —
+    * the dedup_semantic convention: the query persists the centroids
+    * it assigned under, the oracle re-derives the assignment from the
+    * same frame. */
+  private val oracleClusterCentroidSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_cluster_balance_centroids").getAbsolutePath
+
   def queries: Map[String, QFn] = Map(
     // k-anonymity audit — the release gate next to PII scrubbing: can
     // an individual be singled out by quasi-identifiers alone? Each
@@ -466,6 +474,33 @@ object Curation extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_chars"),
           graft.functions.NormExprs.pround(col("priority"), 4)
             .as("priority"))),
+
+    // Cluster-balanced sampling — the embedding-space twin of the
+    // per-source quota: k-means buckets (the deterministic sampled
+    // Lloyd of [[Similarity.kmeansCentroids]], centroids persisted so
+    // the oracle assigns under the SAME definition), every vector
+    // assigned scan-side against the broadcast centroids, then the
+    // 10 highest-priority vectors WITHIN each cluster. The standard
+    // remedy when a training mixture over-represents one dense region
+    // of embedding space: no cluster can crowd out another, selection
+    // within a cluster is the unbiased DLT priority draw. One corpus
+    // scan + one keyed window — no all-pairs, no global sort.
+    "sample_cluster_balanced" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 8)
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(oracleClusterCentroidSidecar)
+      val assigned = Similarity.assignBuckets(e, "vec_id", "embedding",
+        cents)
+      samplePriorityPerGroup(
+          assigned.select(col("vec_id"), col("bucket")),
+          col("bucket"), lit(1.0), col("vec_id"), k = 10,
+          salt = "cluster")
+        .select(col("bucket"), col("vec_id"),
+          pround(col("priority"), 4).as("priority"))
+    }),
 
     "sample_hash_stratified" -> ((s, d) => {
       val rate = (substring(col("source"), 4, Int.MaxValue).cast("int")
@@ -890,6 +925,44 @@ object Curation extends QueryPack {
         SELECT doc_id, source, n_chars,
                floor(priority * 10000.0 + 0.5) / 10000.0 AS priority
         FROM r WHERE rn <= 5""",
+
+      // assignment re-derived in SQL from the persisted centroids
+      // (argmax cosine, ties to the lowest centroid_id — the
+      // assignBuckets tie-break), then the same DLT priority per
+      // cluster
+      "sample_cluster_balanced" -> s"""
+        WITH cents AS (
+          SELECT centroid_id, cent
+          FROM read_parquet('$oracleClusterCentroidSidecar/*.parquet')),
+        adots AS (
+          SELECT e.vec_id, c.centroid_id,
+                 SUM(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) *
+                     CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+                 SUM(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) *
+                     CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+                 SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
+                     CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+          FROM embeddings e, cents c, range(1, 65) r(i)
+          GROUP BY 1, 2),
+        assigned AS (
+          SELECT vec_id, bucket FROM (
+            SELECT vec_id, centroid_id AS bucket,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC,
+                              centroid_id) AS rn
+            FROM adots) WHERE rn = 1),
+        p AS (
+          SELECT bucket, vec_id,
+            CAST(1.0 AS DOUBLE) /
+              ((CAST(('0x' || substr(md5('cluster:' ||
+                  CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                / 4294967296.0) AS priority
+          FROM assigned),
+        r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                ORDER BY priority DESC, vec_id) AS rn FROM p)
+        SELECT bucket, vec_id,
+               floor(priority * 10000.0 + 0.5) / 10000.0 AS priority
+        FROM r WHERE rn <= 10""",
 
       "sample_hash_stratified" -> """
         WITH s AS (

@@ -37,6 +37,13 @@ import graft.queries.QueryPack
   *    meets precisely the one replica carrying its salt), which is
   *    what lets a DuckDB oracle pin it with an ordinary join.
   *
+  * Note on logs: manifests live under `_`-prefixed dirs ON PURPOSE —
+  * that's what keeps them invisible to plain `spark.read.parquet(dir)`
+  * scans. Reading one explicitly makes Spark's DataSource log
+  * "All paths were ignored" (it keeps explicitly-specified hidden
+  * paths and warns); the warning is expected and harmless — every
+  * manifest read here is oracle-verified.
+  *
   * Reference anchors: the reference partitions its fact by 5 hive
   * levels and leans on DuckDB zone maps for everything else
   * (webapp/DASHBOARD_OPTIMIZATION_GUIDE.md's "row-group skipping"
