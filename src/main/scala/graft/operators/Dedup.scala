@@ -777,27 +777,41 @@ object Dedup extends QueryPack {
     *
     * 100 TB shape — this is SELF-dedup, so unlike decontamination there
     * is no small broadcastable side: the corpus gram stream must meet
-    * itself. A window min over the gram partition does it in ONE
-    * exchange of slim (16-hex-digest, id, pos) rows, and — decisive at
-    * scale — tokenization + per-gram md5 run ONCE: the groupBy-min +
-    * join-back alternative consumes the gram stream twice, and with no
-    * common subtree to reuse Spark re-scans and re-hashes the whole
-    * corpus for each consumer (measured 1.9× slower at sf0.1). The
-    * window's per-partition sort is on the digest key only; a hot
-    * boilerplate gram concentrates its occurrence rows in one
-    * partition, but the row count is linear in occurrences (never
-    * pairwise) and each row still matches exactly one first_doc, so
-    * there is no quadratic term to cap. Only the rare covered
-    * positions reach the per-doc collect_list, which is bounded by
-    * document length. */
+    * itself. Decisive at scale: NOTHING ever sorts that stream. The
+    * first-occurrence table is a map-side-COMBINED hash aggregate
+    * (`min(id)` per digest — partial mins collapse to one slim row per
+    * distinct gram per task before the exchange, constant state per
+    * gram so it never falls back to sort-based), and the join-back is
+    * a SHUFFLE_HASH join that builds on that distinct-gram min table
+    * and STREAMS the (16-hex-digest, id, pos) occurrence rows. The
+    * previous window-min formulation shuffled the stream once but
+    * SORTED every shingle in the corpus inside the exchange; at the
+    * synthetic-100× probe that sort spilled and drove slope_100x to
+    * 18.4 (10 = linear) — the hash-agg + hash-join shape has no
+    * corpus-wide sort to spill. The price is that tokenize+md5 run
+    * twice (once per consumer): scan-local, embarrassingly parallel
+    * CPU with zero memory pressure — the safe side of the trade at
+    * 100 TB, and unavoidable here because the two consumers prune and
+    * infer different columns/filters, so no single exchange
+    * canonicalizes for reuse (a forced common `repartition(gram)` was
+    * tried: pruning still split it into two full-stream exchanges). A
+    * hot boilerplate gram is one build-side entry and a linear probe
+    * stream (never pairwise), so there is no quadratic term to cap;
+    * only the rare covered positions reach the per-doc collect_list,
+    * which is bounded by document length. */
   def removeDuplicatedSpans(documents: DataFrame, idCol: String,
                             textCol: String, n: Int = 8): DataFrame = {
     val tok = documents.select(col(idCol),
       Decontaminate.tokens(col(textCol)).as("tk"))
     val gp = Decontaminate.gramRows(tok, n, Seq(col(idCol)), keepPos = true)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
-    val starts = gp
-      .withColumn("first_doc", min(col(idCol)).over(w))
+    // Map-side-combined first occurrence: the exchange carries one
+    // (digest, partial-min) row per distinct gram per task, not the
+    // occurrence stream.
+    val firsts = gp.groupBy("gram").agg(min(col(idCol)).as("first_doc"))
+    // Build on the distinct-gram side, stream the occurrences: the
+    // hint forbids the sort-merge fallback that would re-sort the full
+    // gram stream on the probe side.
+    val starts = gp.join(firsts.hint("SHUFFLE_HASH"), Seq("gram"))
       .filter(col(idCol) > col("first_doc"))
       .groupBy(idCol).agg(sort_array(collect_list(col("i"))).as("starts"))
     Decontaminate.spliceCovered(tok, starts, idCol, n)
