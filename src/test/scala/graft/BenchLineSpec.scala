@@ -59,6 +59,28 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("queries_omitted").asInt() == 200 - kept.size)
   }
 
+  test("drift flags only real movers: banded, absolute-floored, best-based") {
+    val best = Map("big" -> 4.0, "mid" -> 2.0, "tiny" -> 0.2, "gone" -> 3.0)
+    val cur = Seq(
+      "big" -> 6.0, // +50% and +2.0s vs best -> flagged at floor band
+      "mid" -> 2.4, // +20% < 30% floor band -> not flagged
+      "tiny" -> 0.6, // 3x but absolute delta 0.4s < 0.5s -> not flagged
+      "new" -> 9.0) // no history -> not flagged
+    val d = Bench.driftAgainst(best, cur, noiseFloor = 0.05)
+    assert(d.keySet == Set("big"), d.toString)
+    assert(math.abs(d("big") - 1.5) < 1e-9)
+    // a noisier floor widens the band: 3 x 0.2 = 60% > big's 50%
+    assert(Bench.driftAgainst(best, cur, noiseFloor = 0.2).isEmpty)
+  }
+
+  test("compact line carries the drift field as JSON") {
+    val line = Bench.compactLine(mkResults(94), 1.0, 0, 0, 0, "/x",
+      driftJson = """{"q_slow":1.62}""")
+    val node = mapper.readTree(line)
+    assert(node.get("drift").get("q_slow").asDouble() == 1.62)
+    assert(line.length < 1700)
+  }
+
   test("the slowest queries survive omission, never the fastest-first") {
     val line = Bench.compactLine(mkResults(300), 1.0, 0, 0, 0, "/x")
     val node = mapper.readTree(line)
