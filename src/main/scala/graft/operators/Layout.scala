@@ -586,17 +586,51 @@ object Layout extends QueryPack {
     * (never rows); each leaf rewrite is one range shuffle of that
     * leaf's rows, and leaves are independent — a deployment fans them
     * out as concurrent jobs. Returns the number of leaves rebuilt. */
+  /** List a directory for leaf discovery, first HEALING any crashed
+    * per-leaf swap: residue from [[compactLayout]]'s publish is named
+    * `<leaf>.compacting` / `<leaf>.old` (suffix, not prefix — the
+    * `_`/`.`-prefix skip never matched it, r12 ADVICE), so without
+    * healing a crash between swapDirs' renames would enumerate the
+    * residue as a data leaf (duplicated rows under a mangled partition
+    * value) or lose the leaf entirely. recoverCompaction on the base
+    * name finishes or rolls back the swap; the re-list then sees only
+    * real leaves, and residue names are excluded from the result. */
+  private def listHealed(spark: SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    import graft.streaming.DedupStream.{CompactTmpSuffix, CompactOldSuffix}
+    def residueBase(n: String): Option[String] =
+      if (n.endsWith(CompactTmpSuffix))
+        Some(n.dropRight(CompactTmpSuffix.length))
+      else if (n.endsWith(CompactOldSuffix))
+        Some(n.dropRight(CompactOldSuffix.length))
+      else None
+    val raw = fs.listStatus(p).toIndexedSeq
+    val bases = raw.flatMap(st => residueBase(st.getPath.getName)).distinct
+    val listed = if (bases.isEmpty) raw else {
+      bases.foreach { b =>
+        graft.streaming.DedupStream.recoverCompaction(spark,
+          new org.apache.hadoop.fs.Path(p, b).toString)
+      }
+      fs.listStatus(p).toIndexedSeq
+    }
+    listed.filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && residueBase(n).isEmpty
+    }
+  }
+
   /** Leaf dirs of a hive tree: the dirs holding data files directly
-    * (hidden/`_` entries skipped at every level). Bounded by the
-    * partition scheme's cardinality. */
+    * (hidden/`_` entries skipped, crashed-swap residue healed at every
+    * level — see [[listHealed]]). Bounded by the partition scheme's
+    * cardinality. */
   private[graft] def hiveLeaves(spark: SparkSession,
                                 root: String): Seq[String] = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      val entries = fs.listStatus(p).toIndexedSeq
-        .filter(st => !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
+      val entries = listHealed(spark, fs, p)
       if (entries.exists(_.isFile)) Seq(p)
       else entries.filter(_.isDirectory).flatMap(st => leaves(st.getPath))
     }
@@ -610,15 +644,69 @@ object Layout extends QueryPack {
     val leafDirs = hiveLeaves(spark, root)
       .map(new org.apache.hadoop.fs.Path(_))
     leafDirs.foreach { leaf =>
-      graft.streaming.DedupStream.recoverCompaction(spark, leaf.toString)
-      val rows = spark.read.parquet(leaf.toString)
-      val tmp = leaf.toString + graft.streaming.DedupStream.CompactTmpSuffix
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      zorderWrite(spark, rows, cols, tmp, nFiles, bits)
-      graft.streaming.DedupStream.swapDirs(fs, leaf,
-        new org.apache.hadoop.fs.Path(tmp))
+      if (FsUtils.committedExists(spark, s"$leaf/_manifest_mm")) {
+        // A leaf ALREADY under manifest management (a prior
+        // zorderLeaves conversion, possibly since appended to by
+        // [[appendZorder]]/[[graft.streaming.LayoutStream]]): rebuild
+        // through [[compactLayout]], which reads only the
+        // manifest-COMMITTED files (a raw directory read would adopt
+        // the uncommitted orphans of a crashed append — r12 ADVICE),
+        // advances `_fold_high` past every absorbed generation (so a
+        // retried pre-rebuild append fails loudly instead of
+        // duplicating rows), carries `_stream_base` through the swap,
+        // and rebuilds the bloom sidecars the plain rebuild dropped.
+        // Clustering columns come from the leaf's persisted
+        // `_boundaries` (they were fixed at conversion; `cols` applies
+        // to first conversions only).
+        compactLayout(spark, leaf.toString, nFiles, bits)
+      } else {
+        // First conversion of a plain hive leaf (no manifest yet).
+        graft.streaming.DedupStream.recoverCompaction(spark, leaf.toString)
+        val rows = spark.read.parquet(leaf.toString)
+        val tmp = leaf.toString + graft.streaming.DedupStream.CompactTmpSuffix
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        zorderWrite(spark, rows, cols, tmp, nFiles, bits)
+        graft.streaming.DedupStream.swapDirs(fs, leaf,
+          new org.apache.hadoop.fs.Path(tmp))
+      }
     }
     leafDirs.size
+  }
+
+  /** Hive's null-partition directory token (what Spark's own
+    * dynamic-partition writer emits for a null key). */
+  private[graft] val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Hive-style %xx escaping for partition-path values — the same
+    * character set Spark's `escapePathName` protects, so leaf names
+    * built by [[graft.streaming.LayoutStream.processBatchHive]] match
+    * what a native partitioned write would produce. */
+  private[graft] def escapeHive(v: String): String = {
+    val needs = "\"#%'*/:=?\\{[]^"
+    val sb = new StringBuilder
+    v.foreach { c =>
+      if (c < ' ' || c == '\u007F' || needs.indexOf(c.toInt) >= 0)
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[escapeHive]] (decodes any %xx byte). */
+  private[graft] def unescapeHive(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Probe a hive-partitioned dataset whose leaves were z-ordered by
@@ -626,11 +714,18 @@ object Layout extends QueryPack {
     * `leafPred` selects (a predicate over the leaf's hive key→value
     * map — the directory-listing prune, exactly what the partition
     * scheme is for), re-attaching each leaf's partition values as
-    * literal columns so the result carries the same schema a plain
-    * partition-aware read would. The driver loop is over the BOUNDED
-    * selected-leaf count; per leaf, the zone map then prunes at file
-    * grain — the two-level skipping a multi-select dashboard query
-    * (state IN (...) + a code/rate box) wants. */
+    * literal columns. Partition values are hive-UNESCAPED (%xx decoded)
+    * before both the predicate and the re-attachment, the
+    * `__HIVE_DEFAULT_PARTITION__` token comes back as a null value
+    * (and is presented to `leafPred` as an absent key's null), and a
+    * partition column whose every leaf value parses as an integer is
+    * typed long — matching a native partitioned read for string- and
+    * integer-valued partition columns (date/decimal partition
+    * inference is intentionally not applied). Crashed-swap residue is
+    * healed during the walk ([[listHealed]]). The driver loop is over
+    * the BOUNDED selected-leaf count; per leaf, the zone map then
+    * prunes at file grain — the two-level skipping a multi-select
+    * dashboard query (state IN (...) + a code/rate box) wants. */
   def zonePrunedReadLeaves(spark: SparkSession, root: String,
                            box: Seq[(String, Long, Long)],
                            leafPred: Map[String, String] => Boolean)
@@ -639,14 +734,17 @@ object Layout extends QueryPack {
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
     def walk(p: org.apache.hadoop.fs.Path, kv: Seq[(String, String)])
         : Seq[(String, Seq[(String, String)])] = {
-      val entries = fs.listStatus(p).toIndexedSeq
-        .filter(st => !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
+      val entries = listHealed(spark, fs, p)
       if (entries.exists(_.isFile)) Seq((p.toUri.toString, kv))
       else entries.filter(_.isDirectory).flatMap { st =>
         val n = st.getPath.getName
         val i = n.indexOf('=')
-        val pair = if (i > 0) Seq(n.take(i) -> n.drop(i + 1)) else Nil
+        val pair = if (i > 0) {
+          val raw = n.drop(i + 1)
+          val v = if (raw == HiveDefaultPartition) null
+                  else unescapeHive(raw)
+          Seq(n.take(i) -> v)
+        } else Nil
         walk(st.getPath, kv ++ pair)
       }
     }
@@ -654,9 +752,20 @@ object Layout extends QueryPack {
       .filter { case (_, kv) => leafPred(kv.toMap) }
     require(selected.nonEmpty,
       s"no hive leaf of $root matches the partition predicate")
+    // Per-column type inference over the SELECTED leaves (the same
+    // all-or-nothing rule native partition discovery uses, restricted
+    // to integers): every non-null value parses as long -> LongType.
+    val longTyped: Set[String] = selected.flatMap(_._2).groupBy(_._1)
+      .collect { case (k, vs)
+        if vs.map(_._2).forall(v =>
+          v != null && scala.util.Try(v.toLong).isSuccess) => k }
+      .toSet
     selected.map { case (leaf, kv) =>
       kv.foldLeft(zonePrunedRead(spark, leaf, box)) {
-        case (df, (k, v)) => df.withColumn(k, lit(v))
+        case (df, (k, v)) =>
+          val base = if (v == null) lit(null) else lit(v)
+          df.withColumn(k,
+            if (longTyped(k)) base.cast("long") else base.cast("string"))
       }
     }.reduce(_.unionByName(_))
   }

@@ -170,7 +170,7 @@ object DedupStream {
   }
 
   private[graft] val CompactTmpSuffix = ".compacting"
-  private val CompactOldSuffix = ".old"
+  private[graft] val CompactOldSuffix = ".old"
 
   /** Heal a crashed [[compactStore]]: if the store dir is missing,
     * promote the committed fresh copy (crash between the renames) or

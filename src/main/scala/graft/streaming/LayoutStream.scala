@@ -155,10 +155,21 @@ object LayoutStream {
     val parts = batch.select(partitionCols.map(col): _*)
       .distinct().collect()
     parts.foreach { r =>
+      // Null-safe routing (r12 ADVICE): `===` returns null for a null
+      // partition value, silently dropping those rows AND building a
+      // bogus "c=null" leaf. `<=>` routes them, and the leaf name uses
+      // hive's own null token + %xx escaping, so the tree stays
+      // readable by both [[Layout.zonePrunedReadLeaves]] and a native
+      // partition-aware read.
       val leaf = root + "/" + partitionCols.zipWithIndex
-        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+        .map { case (c, i) =>
+          val v = r.get(i)
+          val dir = if (v == null) Layout.HiveDefaultPartition
+                    else Layout.escapeHive(v.toString)
+          s"$c=$dir"
+        }.mkString("/")
       val rows = partitionCols.zipWithIndex.foldLeft(batch) {
-        case (df, (c, i)) => df.filter(col(c) === r.get(i))
+        case (df, (c, i)) => df.filter(col(c) <=> r.get(i))
       }.drop(partitionCols: _*)
       val committed =
         graft.FsUtils.committedExists(spark, s"$leaf/_manifest_mm")

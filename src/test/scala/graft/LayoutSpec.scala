@@ -334,6 +334,91 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorderLeaves rerun: orphans excluded, fold guard + sidecars kept") {
+    val root = java.nio.file.Files.createTempDirectory("graft_leafmgd")
+      .toString + "/fact"
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(root)
+    val zc = Seq("l_suppkey", "l_partkey")
+    Layout.zorderLeaves(spark, root, zc, nFiles = 4) // first conversion
+    val leaf = s"$root/l_returnflag=R"
+    // a committed append era + the sidecars a production leaf carries
+    val delta = li.filter(col("l_returnflag") === "N").limit(40)
+      .drop("l_returnflag")
+    Layout.appendZorder(spark, delta, leaf)
+    Layout.writeBloomManifest(spark, leaf, "l_orderkey",
+      estItems = 1000L, numBits = 1L << 16)
+    FsUtils.writeString(spark, s"$leaf/_stream_base", "100")
+    val fullBox = Seq(("l_partkey", 0L, Long.MaxValue))
+    val before = Layout.zonePrunedRead(spark, leaf, fullBox).count()
+    // crashed-append residue: data files land, no manifest generation
+    li.limit(57).drop("l_returnflag")
+      .write.mode("append").parquet(leaf)
+    // the "after heavy append eras" rebuild (r12 ADVICE: this used to
+    // adopt the orphans and drop every sidecar)
+    Layout.zorderLeaves(spark, root, zc, nFiles = 4)
+    assert(Layout.zonePrunedRead(spark, leaf, fullBox).count() == before,
+      "rebuild adopted uncommitted orphan files")
+    assert(FsUtils.readString(spark, s"$leaf/_stream_base")
+      .contains("100"), "rebuild dropped the stream marker")
+    assert(Layout.foldHigh(spark, leaf) >= 1L,
+      "rebuild did not advance _fold_high past the absorbed append gen")
+    // bloom sidecar rebuilt against the folded files: a base key probes
+    val k = spark.read.parquet(leaf).select("l_orderkey").head().getLong(0)
+    assert(Layout.bloomPrunedRead(spark, leaf, "l_orderkey", Seq(k)).count() > 0)
+    // and a replayed pre-rebuild append now fails loudly
+    intercept[IllegalArgumentException] {
+      Layout.appendZorder(spark, delta, leaf, gen = Some(1L),
+        viaStream = true)
+    }
+  }
+
+  test("leaf walks heal crashed-swap residue instead of reading it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_leafres")
+      .toString + "/fact"
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(root)
+    Layout.zorderLeaves(spark, root, Seq("l_suppkey", "l_partkey"),
+      nFiles = 4)
+    val want = spark.read.parquet(root).count()
+    // simulate a crash between swapDirs' renames: the live leaf moved
+    // aside to <leaf>.old, replacement rename never happened
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val leaf = new org.apache.hadoop.fs.Path(s"$root/l_returnflag=R")
+    val old = new org.apache.hadoop.fs.Path(s"$root/l_returnflag=R.old")
+    assert(fs.rename(leaf, old))
+    // the walk heals (renames .old back) and never lists residue as a
+    // leaf (which would read duplicated rows under a mangled value)
+    val healed = Layout.zonePrunedReadLeaves(spark, root,
+      Seq(("l_partkey", 0L, Long.MaxValue)), _ => true)
+    assert(healed.count() == want)
+    assert(!healed.select("l_returnflag").distinct().collect()
+      .exists(_.getString(0).endsWith(".old")))
+    assert(fs.exists(leaf) && !fs.exists(old))
+    // hiveLeaves heals too (zorderLeaves' enumeration path)
+    assert(fs.rename(leaf, old))
+    val leaves = Layout.hiveLeaves(spark, root)
+    assert(leaves.exists(_.endsWith("l_returnflag=R")))
+    assert(!leaves.exists(_.contains(".old")))
+  }
+
+  test("leaf partition values: ints typed long, %xx values round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("graft_leaftype")
+      .toString + "/fact"
+    li.write.mode("overwrite").partitionBy("l_linenumber").parquet(root)
+    Layout.zorderLeaves(spark, root, Seq("l_suppkey", "l_partkey"),
+      nFiles = 2)
+    val got = Layout.zonePrunedReadLeaves(spark, root,
+      Seq(("l_partkey", 0L, Long.MaxValue)), _ => true)
+    assert(got.schema("l_linenumber").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val wantSum = li.agg(sum(col("l_linenumber"))).head().getLong(0)
+    assert(got.agg(sum(col("l_linenumber"))).head().getLong(0) == wantSum)
+    // escape/unescape round-trips the hive-special characters
+    val nasty = "a/b:c=d%e f"
+    assert(Layout.unescapeHive(Layout.escapeHive(nasty)) == nasty)
+    assert(!Layout.escapeHive(nasty).exists("/:=".contains(_)))
+  }
+
   test("skew advisor: broadcast < aqe < salt ladder, salt n clamped") {
     import graft.sources.SkewTools
     // small dim: broadcast regardless of skew
