@@ -159,6 +159,39 @@ class LayoutStreamSpec extends SparkSpec {
     assert(mm.count() > 0)
   }
 
+  test("null partition keys route to the hive default leaf, nothing lost") {
+    val w = work(); val root = s"$w/fact"
+    // every third row's partition key is null, plus one value carrying
+    // hive-special characters (it must escape in the dir name and
+    // round-trip on read)
+    val batch = slice(0).withColumn("l_returnflag",
+      when(col("l_orderkey") % 3 === 0, lit(null))
+        .otherwise(concat(col("l_returnflag"), lit("/x"))))
+    LayoutStream.processBatchHive(batch, 0L, root,
+      Seq("l_returnflag"), Seq("l_suppkey", "l_partkey"))
+    val got = Layout.zonePrunedReadLeaves(spark, root,
+      Seq(("l_partkey", 0L, Long.MaxValue)), _ => true)
+    // nothing dropped: === routing made the null-key predicate null
+    // for every row (r12 ADVICE) — <=> keeps them
+    assert(got.count() == batch.count(), "null-key rows were dropped")
+    assert(got.filter(col("l_returnflag").isNull).count() ==
+      batch.filter(col("l_returnflag").isNull).count())
+    // the special characters escaped into the leaf name and came back
+    val vals = got.select("l_returnflag").distinct().collect()
+      .map(_.getString(0)).filter(_ != null).toSet
+    assert(vals.forall(_.endsWith("/x")), vals.toString)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/l_returnflag=__HIVE_DEFAULT_PARTITION__")))
+    // and a replay of the batch still lands exactly once per leaf
+    LayoutStream.processBatchHive(batch, 0L, root,
+      Seq("l_returnflag"), Seq("l_suppkey", "l_partkey"))
+    assert(Layout.zonePrunedReadLeaves(spark, root,
+      Seq(("l_partkey", 0L, Long.MaxValue)), _ => true).count() ==
+      batch.count())
+  }
+
   test("streamed generations keep tight envelopes (still skippable)") {
     val w = work()
     Layout.zorderWrite(spark, slice(0), Seq("l_suppkey", "l_partkey"),
