@@ -483,7 +483,9 @@ object Multimodal extends QueryPack {
     }),
 
     // resize in the codec seam: binary → bounded binary, metadata
-    // refreshed (rows-only — byte semantics pinned by OperatorsSpec)
+    // refreshed. Text payloads all take the deterministic stub
+    // resample, so the oracle replays it byte-for-byte (the image
+    // branch's byte semantics are pinned by OperatorsSpec instead)
     "multimodal_resize" -> ((s, d) => {
       import s.implicits._
       val media = Tables.load(s, d, "documents").select(
@@ -571,8 +573,13 @@ object Multimodal extends QueryPack {
     * exactly; a non-ASCII generation would surface as a hash mismatch
     * on this query — the CRC fold and substr offsets are the
     * byte-vs-character seams to revisit if that ever fires.
-    * `multimodal_resize` stays rows-only:
-    * its real ImageIO/Graphics2D codec has no SQL twin by nature. */
+    * `multimodal_resize` is hash-checkable too (r12 judge ask #4): the
+    * fixture payloads are text, so every row takes the deterministic
+    * stride-resample stub — pure byte arithmetic the twin replays
+    * character-for-character (same ASCII assumption). The IMAGE branch
+    * of the resize (ImageIO/Graphics2D) still has no SQL twin by
+    * nature; its byte semantics are pinned by OperatorsSpec against a
+    * known PNG. */
   def oracles: Map[String, String] = {
     val frames = 4
     // concat_ws, not ||-chaining: Spark's concat_ws SKIPS null
@@ -606,6 +613,24 @@ object Multimodal extends QueryPack {
                CAST(b.blen % 480 AS INTEGER) AS height,
                $frameHashSql AS frame_hashes
         FROM base b JOIN crc c USING (media_id)""",
+
+      // the stub resample, replayed: output byte i (0-based) is input
+      // byte floor(i*n/64); identity when n <= 64. width/height are
+      // the synthetic len%640/len%480 pseudo-dims of the stub path.
+      "multimodal_resize" -> """
+        WITH base AS (
+          SELECT doc_id AS media_id, text,
+                 CAST(strlen(text) AS BIGINT) AS n
+          FROM documents)
+        SELECT media_id,
+               CAST(LEAST(n, 64) AS INTEGER) AS byte_len,
+               md5(CASE WHEN n <= 64 THEN text
+                   ELSE list_reduce(list_transform(range(0, 64),
+                          i -> text[CAST((i * n) // 64 AS INTEGER) + 1]),
+                        (a, b) -> a || b) END) AS content_hash,
+               CAST(LEAST(n, 64) % 640 AS INTEGER) AS width,
+               CAST(LEAST(n, 64) % 480 AS INTEGER) AS height
+        FROM base""",
 
       // replay the PCM recurrence exactly, PER CHANNEL (channel c of
       // media id runs the recurrence seeded with id + c): integer
