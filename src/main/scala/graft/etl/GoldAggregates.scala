@@ -27,9 +27,53 @@ import graft.functions.NormExprs.pround
   */
 object GoldAggregates {
 
+  /** Routed-frame cache for the serving path. Constructing + analyzing
+    * the defining query is ~50 ms per call at sf0.1 (three role frames
+    * plus one analysis pass of the join-aggregate tree) — paid by every
+    * dashboard query even though the analyzed result, once ROUTED, is
+    * just `Project(scan(gold))`. The cache is keyed by the
+    * [[graft.plans.GoldCatalog]] generation, so any register/invalidate
+    * makes every cached frame unreachable instead of stale (exactly the
+    * [[readSlice]] resolved-frame discipline, one level up). Only
+    * frames that actually routed are cached: an UNROUTED frame pins
+    * base-table file listings whose freshness this cache must not own.
+    * Same size-bounded LRU + stopped-session sweep as the catalog's
+    * scan cache. */
+  private val FrameCacheMax = 64
+  private val frameCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String, Long), DataFrame](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Long), DataFrame]) =
+        size() > FrameCacheMax
+    })
+
   /** The aggregate as a query over the raw roles (inline form; the
-    * oracle-checked shape). */
+    * oracle-checked shape). Serving calls (routing enabled) return the
+    * cached routed frame when one exists; build paths
+    * (`withRoutingDisabled`) always construct fresh, so registration
+    * keys are never a cached routed plan. */
   def aggMarketRates(spark: SparkSession, dir: String): DataFrame = {
+    if (!graft.plans.GoldCatalog.routingEnabled(spark))
+      return buildAggMarketRates(spark, dir)
+    val k = (spark, dir, graft.plans.GoldCatalog.gen())
+    val hit = frameCache.synchronized(frameCache.get(k))
+    if (hit != null) hit
+    else {
+      val df = buildAggMarketRates(spark, dir)
+      val routed = df.queryExecution.analyzed.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty
+      if (routed) frameCache.synchronized {
+        frameCache.keySet().removeIf(e => e._1.sparkContext.isStopped)
+        frameCache.put(k, df)
+      }
+      df
+    }
+  }
+
+  private def buildAggMarketRates(spark: SparkSession,
+                                  dir: String): DataFrame = {
     val r = Roles.rates(spark, dir)
     val p = Roles.providers(spark, dir)
     val tin = EnrichmentDims.xrefPgMemberTin(p)

@@ -40,6 +40,27 @@ object GoldCatalog {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Entry]()
 
+  /** Monotone catalog generation, bumped by every mutation. Callers
+    * that cache ROUTED artifacts (e.g. [[graft.etl.GoldAggregates]]'s
+    * defining-frame cache) key by it, so a register/invalidate makes
+    * every previously-cached routed plan unreachable instead of stale. */
+  private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
+  def gen(): Long = generation.get()
+
+  /** Root node classes of the registered keys — the cheap pre-filter
+    * [[GoldRoutingRule]] applies before canonicalizing a subtree.
+    * Canonicalization is O(subtree) and the rule visits every node of
+    * every analyzed plan; class-gating skips it everywhere except the
+    * handful of nodes that could possibly match (measured ~9 ms per
+    * dashboard-query analysis at sf0.1 without the gate). */
+  @volatile private var keyClassesV: Set[Class[_]] = Set.empty
+  private[plans] def keyClasses: Set[Class[_]] = keyClassesV
+  private def refreshKeyClasses(): Unit = {
+    val s = Set.newBuilder[Class[_]]
+    entries.keySet().forEach(k => s += k.getClass)
+    keyClassesV = s.result()
+  }
+
   /** Analyzed scan plans per (session, path). A gold table holds one
     * leaf dir per (state, year_month) slice — thousands at scale — and
     * `spark.read.parquet` lists them all to build its FileIndex. Doing
@@ -102,6 +123,8 @@ object GoldCatalog {
   def register(defining: DataFrame, path: String): Unit = {
     dropScans(path) // the table was just (re)written; relist on next use
     entries.put(defining.queryExecution.analyzed.canonicalized, Entry(path))
+    refreshKeyClasses()
+    generation.incrementAndGet()
   }
 
   def lookup(plan: LogicalPlan): Option[Entry] =
@@ -114,13 +137,19 @@ object GoldCatalog {
   def invalidate(path: String): Unit = {
     dropScans(path)
     entries.entrySet().removeIf(e => e.getValue.path == path)
+    refreshKeyClasses()
+    generation.incrementAndGet()
   }
 
   /** Whether `path` currently backs any registration. */
   def isRegistered(path: String): Boolean =
     entries.values().stream().anyMatch(e => e.path == path)
 
-  def clear(): Unit = { entries.clear(); scanCache.clear() }
+  def clear(): Unit = {
+    entries.clear(); scanCache.clear()
+    refreshKeyClasses()
+    generation.incrementAndGet()
+  }
 
   /** Thread-local bypass used by the gold writers. A session conf
     * would race: two threads rebuilding gold tables in one session

@@ -28,12 +28,21 @@ case class GoldRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (GoldCatalog.isEmpty || !GoldCatalog.routingEnabled(spark)) plan
-    else plan.transformUp {
-      case sub if sub.resolved && !sub.isInstanceOf[LeafNode] =>
-        GoldCatalog.lookup(sub) match {
-          case Some(entry) => route(sub, entry).getOrElse(sub)
-          case None => sub
-        }
+    else {
+      // Class gate: only a subtree whose root class matches some
+      // registered key's root class can possibly canonical-match, and
+      // canonicalization (O(subtree), run per visited node) is the
+      // rule's entire cost on the serving path — skip it everywhere
+      // else.
+      val classes = GoldCatalog.keyClasses
+      plan.transformUp {
+        case sub if sub.resolved && !sub.isInstanceOf[LeafNode] &&
+            classes.contains(sub.getClass) =>
+          GoldCatalog.lookup(sub) match {
+            case Some(entry) => route(sub, entry).getOrElse(sub)
+            case None => sub
+          }
+      }
     }
   }
 

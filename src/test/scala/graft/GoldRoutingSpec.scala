@@ -70,6 +70,12 @@ class GoldRoutingSpec extends SparkSpec {
         .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
       assert(viaGold.toSeq == inline.toSeq,
         "routed values diverge from the inline aggregate")
+      // serving calls reuse the generation-keyed cached frame (the
+      // ~50 ms construct+analyze is paid once per catalog generation,
+      // not per dashboard query); any register/invalidate below mints
+      // a new generation and thus a fresh frame
+      assert(routed eq GoldAggregates.aggMarketRates(s, sf0001),
+        "routed defining frame must be served from the frame cache")
 
       // 2: filter above the routed aggregate partition-prunes the gold
       val Array(someState, someYm) = inline.head match {
