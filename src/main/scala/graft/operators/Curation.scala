@@ -533,38 +533,66 @@ object Curation extends QueryPack {
     // denoising spans for a masked-span training objective. Span
     // starts are content-hash coins per (doc, pos) (~8% of positions),
     // each start masks itself + the next 2 tokens; overlapping or
-    // adjacent masks merge into maximal spans via the gaps-and-islands
-    // window (pos − row_number), and each doc's spans are numbered in
+    // adjacent masks merge into maximal spans, numbered per doc in
     // position order — the sentinel ids a seq2seq target needs.
-    // Everything is windows over the token stream: one shuffle on
-    // doc_id, no self-joins, identical plan shape at any corpus size.
+    // 100 TB shape (r13, replacing the exploded-token windows that
+    // PlanLint's window-sort-expanded rule now flags): span semantics
+    // are PER-DOC, so everything runs array-local on the staged token
+    // array — flags, the 2-PRECEDING mask dilation, and the
+    // gaps-and-islands merge (one `aggregate` fold over the masked
+    // positions) — and the only Generate emits the finished SPANS, at
+    // ~8% of token grain. Zero shuffles, zero windows: the old plan
+    // range-sorted the corpus's full token stream; this one never
+    // exchanges at all, and span_id is the explode ordinal (spans are
+    // built in position order).
     "augment_span_corruption" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-      val toks = docs(s, d)
+      val base = docs(s, d)
+        .select(col("doc_id"), TextAnalysis.tokCol(col("text")).as("tk"))
+      // 1-based positions; guard the empty doc (sequence(1, 0) would
+      // count DOWN, not produce an empty array)
+      val positions = when(size(col("tk")) < 1,
+          array().cast("array<int>"))
+        .otherwise(sequence(lit(1), size(col("tk"))))
+      val withFlags = base
+        .withColumn("flags", transform(positions, p =>
+          (hashUniform(concat_ws(":", col("doc_id"), p), "t5span")
+            < 0.08).cast("int")))
+      // masked position p: any start flag in [p-2, p]
+      val masked = withFlags.withColumn("mpos",
+        filter(positions, p => {
+          val s0 = greatest(p - 2, lit(1))
+          exists(slice(col("flags"), s0, p - s0 + 1), f => f === 1)
+        }))
+      // gaps-and-islands as an array fold: extend the open span when
+      // this position is adjacent to its end, else open a new one.
+      // The outer CASE evaluates the last-element probe only on
+      // non-empty accumulators (CaseWhen branches are lazy), so the
+      // fold is ANSI-safe.
+      val spans = masked.withColumn("spans",
+        aggregate(col("mpos"),
+          array().cast("array<struct<s:int,e:int>>"),
+          (acc, p) => {
+            val last = element_at(acc, -1)
+            val appended = concat(acc,
+              array(struct(p.cast("int").as("s"), p.cast("int").as("e"))))
+            when(size(acc) === 0, appended)
+              .otherwise(when(last("e") === p - 1,
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(struct(last("s").as("s"), p.cast("int").as("e")))))
+                .otherwise(appended))
+          }))
+      spans
+        // explode_outer + null filter per the InferFiltersFromGenerate
+        // trap (SURVEY §4)
+        .select(col("doc_id"), col("tk"),
+          posexplode_outer(col("spans")).as(Seq("i", "sp")))
+        .filter(col("sp").isNotNull)
         .select(col("doc_id"),
-          posexplode(TextAnalysis.tokCol(col("text"))))
-        .toDF("doc_id", "pos0", "token")
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
-      val masked = toks
-        .withColumn("start_flag",
-          (hashUniform(concat_ws(":", col("doc_id"), col("pos")),
-            "t5span") < 0.08).cast("int"))
-        .withColumn("is_masked", max(col("start_flag")).over(
-          w.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 0)))
-        .filter(col("is_masked") === 1)
-      masked
-        .withColumn("grp", col("pos") - row_number().over(
-          w.partitionBy("doc_id").orderBy("pos")))
-        .groupBy("doc_id", "grp")
-        .agg(min(col("pos")).as("start_pos"),
-          count(lit(1)).as("span_len"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("token")))),
-            x => x.getField("token")), "|").as("masked_tokens"))
-        .withColumn("span_id", row_number().over(
-          w.partitionBy("doc_id").orderBy("start_pos")))
-        .select("doc_id", "span_id", "start_pos", "span_len",
-          "masked_tokens")
+          (col("i") + 1).as("span_id"),
+          col("sp")("s").as("start_pos"),
+          (col("sp")("e") - col("sp")("s") + 1).cast("long").as("span_len"),
+          array_join(transform(sequence(col("sp")("s"), col("sp")("e")),
+            i => element_at(col("tk"), i)), "|").as("masked_tokens"))
     }),
 
     // Snapshot diff via the generic operator; the fixture's "next

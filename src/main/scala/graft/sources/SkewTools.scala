@@ -94,6 +94,25 @@ object SkewTools {
     }
   }
 
+  /** Execute an [[advise]] decision — the remediation half of the
+    * `dq_skew_advice` → fix loop, so report → remedied join is one
+    * call (`applyAdvice(advise(...), fact, dim, key)`). Every branch
+    * returns EXACTLY the plain join's rows (SkewSpec pins all three
+    * against the unhinted join); only the physical strategy moves:
+    *  - `broadcast`: dim ships to every task — no shuffle, no skew;
+    *  - `aqe`: the plain shuffled join, leaving AQE's runtime skew
+    *    split to do its work (no hint — the planner stays free);
+    *  - `salt`: [[saltedJoin]] at the advised fan. */
+  def applyAdvice(advice: SkewAdvice, fact: DataFrame, dim: DataFrame,
+                  key: String, joinType: String = "left"): DataFrame =
+    advice.strategy match {
+      case "broadcast" => fact.join(broadcast(dim), Seq(key), joinType)
+      case "aqe" => fact.join(dim, Seq(key), joinType)
+      case "salt" => saltedJoin(fact, dim, key, advice.saltN, joinType)
+      case other => throw new IllegalArgumentException(
+        s"unknown skew strategy '$other' (broadcast|aqe|salt)")
+    }
+
   /** [[advise]]'s ladder as codegen'd Column expressions — (strategy,
     * salt_n) — so a per-key skew report can carry its remediation at
     * KEY grain inside one distributed pass (the scalar form decides

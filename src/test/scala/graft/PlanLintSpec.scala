@@ -36,6 +36,28 @@ class PlanLintSpec extends SparkSpec {
     assert(rules(keyed).isEmpty)
   }
 
+  test("window-sort-expanded: fires on exploded streams, passes raw/agg") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    // the span-removal anti-shape: keyed window sorting a
+    // Generate-expanded stream (rows x fan-out)
+    val exploded = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val bad = exploded.withColumn("rn", row_number().over(
+      Window.partitionBy("doc_id").orderBy("tok")))
+    assert(rules(bad).contains("window-sort-expanded"))
+    // an aggregate between the Generate and the window collapses the
+    // blow-up back to key grain — no finding
+    val agged = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("n")))
+    assert(rules(agged).isEmpty)
+    // a keyed window over a RAW stream (sessionization class) is the
+    // linear cost the operator signs up for — not this rule's target
+    val raw = li.withColumn("rn", row_number().over(
+      Window.partitionBy("l_orderkey").orderBy("l_linenumber")))
+    assert(rules(raw).isEmpty)
+  }
+
   test("global-sort-unbounded: fires mid-plan, passes top-k/local/root sort") {
     // a mid-plan total order: sorted frame feeding further computation
     val bad = li.orderBy("l_extendedprice")

@@ -28,6 +28,50 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain, s"${salted.size} vs ${plain.size} rows")
   }
 
+  test("applyAdvice: every strategy returns the plain join, right plan") {
+    val r = Roles.rates(spark, sf0001)
+    val fact = r.select(
+      when(col("l_orderkey") % 3 === 0, "HOT")
+        .otherwise(col("billing_code")).as("code"),
+      col("l_orderkey"), col("l_linenumber"), col("negotiated_rate"))
+    val dim = Tables.load(spark, sf0001, "part")
+      .select(col("p_partkey").cast("string").as("code"),
+        col("p_name").as("code_desc"))
+      .unionByName(spark.sql("SELECT 'HOT' AS code, 'hot desc' AS code_desc"))
+    val cols = Seq("code", "l_orderkey", "l_linenumber",
+      "negotiated_rate", "code_desc")
+    val plain = fact.join(dim, Seq("code"), "left")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+
+    // the ladder end to end: advise() decides, applyAdvice() rewrites
+    val b = SkewTools.advise(hotShareBp = 3000, dimBytes = 1L << 20)
+    assert(b.strategy == "broadcast")
+    val viaB = SkewTools.applyAdvice(b, fact, dim, "code")
+    assert(rows(viaB) == plain)
+    assert(plan(viaB).contains("BroadcastHashJoin"),
+      "broadcast advice must plan a broadcast join")
+
+    val a = SkewTools.advise(hotShareBp = 100, dimBytes = 1L << 30)
+    assert(a.strategy == "aqe")
+    assert(rows(SkewTools.applyAdvice(a, fact, dim, "code")) == plain)
+
+    val sa = SkewTools.advise(hotShareBp = 3000, dimBytes = 1L << 30)
+    assert(sa.strategy == "salt" && sa.saltN >= 8)
+    val viaS = SkewTools.applyAdvice(sa, fact, dim, "code")
+    assert(rows(viaS) == plain)
+    assert(plan(viaS).contains("ShuffledHashJoin"),
+      "salt advice must shuffle on (key, salt), not broadcast")
+
+    intercept[IllegalArgumentException] {
+      SkewTools.applyAdvice(SkewTools.SkewAdvice("yolo", 0, ""),
+        fact, dim, "code")
+    }
+  }
+
   test("approx gold aggregate stays inside its accuracy envelope") {
     val exact = GoldAggregates.aggMarketRates(spark, sf0001)
       .select("year_month", "state", "payer_slug", "billing_class",
