@@ -1,0 +1,348 @@
+package graft.serving
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Roles
+import graft.etl.EnrichmentDims
+import graft.queries.QueryApi
+import graft.functions.NormExprs.pround
+
+/** The REST serving shell (webapp/backend/main.py:1-1000) — the one
+  * reference subsystem that had no counterpart: a pure-JDK HTTP layer
+  * over the ALREADY-implemented query inventory. Every endpoint is a
+  * thin translation — decode params (comma-separated multi-selects via
+  * [[QueryApi.parseMulti]], the consolidated dashboard's grammar),
+  * clamp limits, build the DataFrame through the same QueryApi /
+  * role functions the oracle-checked queries use, and render rows as
+  * JSON. No query logic lives here; the shell is intentionally the
+  * thinnest layer in the repo, exactly as the reference's FastAPI file
+  * is a param-decoder around DuckDB SQL.
+  *
+  * Divergences from the reference, on record:
+  *  - missing required params answer 422 with a one-line
+  *    `{"detail": ...}` (FastAPI's shape is a validation-error list);
+  *  - `limit` is clamped to [1, [[MaxLimit]]] — the reference
+  *    interpolates the int into `LIMIT {n}` unclamped;
+  *  - responses carry row OBJECTS (Spark's row→JSON), field spelling
+  *    per our star schema (payer_slug etc.), not DuckDB column tuples.
+  *
+  * Serving-latency note: dashboard-grade latency comes from the
+  * materialize → [[graft.plans.GoldRoutingRule]] path (Bench's
+  * routed/serving metrics), which engages automatically for queries
+  * matching a registered gold aggregate. This shell adds only
+  * param decoding on top (~zero — no plan work happens here).
+  *
+  * Threading: handlers share the one SparkSession (thread-safe) on a
+  * small fixed pool — concurrency is bounded by the pool, and each
+  * request is one short Spark job, the same serving discipline as the
+  * reference's per-request DuckDB connection with clamped threads.
+  */
+class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
+
+  import RestServer._
+
+  private val server =
+    HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  /** Start and return the bound port (0 → ephemeral). */
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  // -------------------------------------------------------------- routes
+
+  route("/", _ => ok("""{"message":"graft rate analytics API"}"""))
+
+  route("/api/health", { _ =>
+    val n = Roles.rates(spark, dataDir).limit(1).count()
+    ok(s"""{"status":"healthy","fact_readable":${n >= 0}}""")
+  })
+
+  // main.py:100-186 — the summary statistics card
+  route("/api/rates/summary", { p =>
+    val f = rateFilter(p)
+    var df = QueryApi.filteredRates(spark, dataDir, f)
+    p.get("negotiation_arrangement").foreach(v =>
+      df = df.filter(col("negotiation_arrangement") === v))
+    p.get("code_type").foreach(v => df = df.filter(col("code_type") === v))
+    val row = df.agg(
+      count(lit(1)).as("total_rates"),
+      pround(avg(col("negotiated_rate")), 2).as("avg_rate"),
+      pround(min(col("negotiated_rate")), 2).as("min_rate"),
+      pround(max(col("negotiated_rate")), 2).as("max_rate"),
+      pround(percentile(col("negotiated_rate"), lit(0.5)), 2)
+        .as("median_rate"),
+      countDistinct(col("billing_code")).as("unique_procedures"),
+      countDistinct(col("payer_slug")).as("unique_payers"))
+    ok(s"""{"state":${js(p("state"))},"year_month":${js(p("year_month"))},"summary":${firstJson(row)}}""")
+  })
+
+  // main.py:188-236 — per-payer stats, heaviest payers first
+  route("/api/rates/by-payer", { p =>
+    val f = rateFilter(p)
+    val lim = limit(p, 50)
+    val df = QueryApi.filteredRates(spark, dataDir, f)
+      .groupBy("payer_slug")
+      .agg(count(lit(1)).as("rate_count"),
+        pround(avg(col("negotiated_rate")), 2).as("avg_rate"),
+        pround(min(col("negotiated_rate")), 2).as("min_rate"),
+        pround(max(col("negotiated_rate")), 2).as("max_rate"),
+        countDistinct(col("billing_code")).as("unique_procedures"))
+      .orderBy(col("rate_count").desc, col("payer_slug"))
+      .limit(lim)
+    resultsJson(df)
+  })
+
+  // main.py:237-328 — per-procedure stats
+  route("/api/rates/by-procedure", { p =>
+    val f = rateFilter(p)
+    val lim = limit(p, 50)
+    var df = QueryApi.filteredRates(spark, dataDir, f)
+    p.get("code_type").foreach(v => df = df.filter(col("code_type") === v))
+    resultsJson(df
+      .groupBy("billing_code", "code_type")
+      .agg(count(lit(1)).as("rate_count"),
+        pround(avg(col("negotiated_rate")), 2).as("avg_rate"),
+        pround(percentile(col("negotiated_rate"), lit(0.5)), 2).as("median_rate"),
+        countDistinct(col("payer_slug")).as("unique_payers"))
+      .orderBy(col("rate_count").desc, col("billing_code"))
+      .limit(lim))
+  })
+
+  // main.py:329-412 — row-level detail, hard-capped
+  route("/api/rates/detail", { p =>
+    val f = rateFilter(p)
+    val lim = limit(p, 100)
+    var df = QueryApi.filteredRates(spark, dataDir, f)
+    p.get("code_type").foreach(v => df = df.filter(col("code_type") === v))
+    resultsJson(df
+      .select("year_month", "payer_slug", "billing_code", "code_type",
+        "billing_class", "negotiated_type", "negotiated_rate",
+        "provider_reference_id")
+      .orderBy(col("negotiated_rate").desc, col("billing_code"),
+        col("provider_reference_id"))
+      .limit(lim))
+  })
+
+  // main.py:413-460 — provider-name search over the NPPES dim
+  route("/api/providers/search", { p =>
+    val q = required(p, "q").toLowerCase
+    val lim = limit(p, 20)
+    val dim = EnrichmentDims.dimNpi(Roles.providers(spark, dataDir))
+    resultsJson(dim
+      .filter(lower(coalesce(col("organization_name"), col("last_name")))
+        .contains(q))
+      .select("npi", "enumeration_type", "organization_name",
+        "last_name", "primary_taxonomy_desc", "primary_taxonomy_state")
+      .orderBy("npi").limit(lim))
+  })
+
+  // main.py:461-504 — which (state, year_month) slices exist
+  route("/api/meta/available-data", { _ =>
+    val r = Roles.rates(spark, dataDir)
+    val p = Roles.providers(spark, dataDir)
+    resultsJson(r
+      .join(broadcast(p),
+        r("provider_reference_id") === p("provider_group_id"), "left")
+      .groupBy("state", "year_month")
+      .agg(count(lit(1)).as("rate_count"))
+      .orderBy("state", "year_month"))
+  })
+
+  // main.py:505-585 — distinct values of one WHITELISTED dimension
+  route("/api/meta/dimension-values", { p =>
+    val dim = required(p, "dimension")
+    if (!DimensionWhitelist(dim))
+      throw ApiError(400, s"unknown dimension '$dim' " +
+        s"(one of: ${DimensionWhitelist.toSeq.sorted.mkString(", ")})")
+    val f = rateFilter(p)
+    resultsJson(QueryApi.filteredRates(spark, dataDir, f)
+      .groupBy(dim).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(dim)))
+  })
+
+  // main.py:724-790 — the consolidated dashboard's multi-select search:
+  // every field takes a comma-separated list (parseMulti), absent
+  // fields never enter the plan
+  route("/api/search/multi-field", { p =>
+    val lim = limit(p, 100)
+    val f = QueryApi.RateFilter(
+      state = p.getOrElse("state", ""),
+      yearMonth = required(p, "year_month"),
+      states = QueryApi.parseMulti(p.getOrElse("states", null)),
+      codes = QueryApi.parseMulti(p.getOrElse("codes", null)),
+      billingClasses =
+        QueryApi.parseMulti(p.getOrElse("billing_classes", null)),
+      negotiatedTypes =
+        QueryApi.parseMulti(p.getOrElse("negotiated_types", null)),
+      payers = QueryApi.parseMulti(p.getOrElse("payers", null)),
+      tinValues = QueryApi.parseMulti(p.getOrElse("tin_values", null)),
+      taxonomies = QueryApi.parseMulti(p.getOrElse("taxonomies", null)),
+      npis = QueryApi.parseMulti(p.getOrElse("npis", null)),
+      enumerationTypes =
+        QueryApi.parseMulti(p.getOrElse("enumeration_types", null)),
+      payerIlikes = QueryApi.parseMulti(p.getOrElse("payer_ilikes", null)),
+      orgIlikes = QueryApi.parseMulti(p.getOrElse("org_ilikes", null)))
+    val df = QueryApi.filteredRates(spark, dataDir, f)
+    val summary = firstJson(df.agg(
+      count(lit(1)).as("total_rates"),
+      pround(avg(col("negotiated_rate")), 2).as("avg_rate"),
+      countDistinct(col("billing_code")).as("unique_procedures")))
+    val rows = rowsJson(df
+      .select("year_month", "payer_slug", "billing_code", "billing_class",
+        "negotiated_type", "negotiated_rate")
+      .orderBy(col("negotiated_rate").desc, col("billing_code"))
+      .limit(lim))
+    ok(s"""{"summary":$summary,"results":$rows}""")
+  })
+
+  // main.py:791-907 — typeahead over one whitelisted field; the field
+  // rides the path (`/api/autocomplete/payer`), matching the
+  // reference's {field} path parameter
+  routeWithSuffix("/api/autocomplete", { (suffix, p) =>
+    val field = if (suffix.nonEmpty) suffix else required(p, "field")
+    val colName = AutocompleteFields.getOrElse(field,
+      throw ApiError(400, s"unknown autocomplete field '$field' " +
+        s"(one of: ${AutocompleteFields.keys.toSeq.sorted.mkString(", ")})"))
+    val q = p.getOrElse("query", "").toLowerCase
+    val lim = limit(p, 20)
+    val f = rateFilter(p)
+    val base =
+      if (NppesFields(field))
+        EnrichmentDims.dimNpi(Roles.providers(spark, dataDir))
+      else QueryApi.filteredRates(spark, dataDir, f)
+    resultsJson(base
+      .select(col(colName).as("value"))
+      .filter(col("value").isNotNull && col("value") =!= "" &&
+        lower(col("value")).contains(q))
+      .distinct().orderBy("value").limit(lim))
+  })
+
+  // main.py:926-951 — the availability matrix
+  route("/api/explore/data-availability", { p =>
+    val f = rateFilter(p)
+    resultsJson(QueryApi.filteredRates(spark, dataDir, f)
+      .groupBy("billing_class", "code_type")
+      .agg(count(lit(1)).as("rate_count"),
+        countDistinct(col("billing_code")).as("unique_codes"),
+        pround(avg(col("negotiated_rate")), 2).as("avg_rate"))
+      .orderBy("billing_class", "code_type"))
+  })
+
+  // ------------------------------------------------------------ plumbing
+
+  /** The shared mandatory+optional single-value grammar
+    * (main.py:100-125): state + year_month required, the rest attach
+    * only when present. */
+  private def rateFilter(p: Map[String, String]): QueryApi.RateFilter =
+    QueryApi.RateFilter(
+      state = required(p, "state"),
+      yearMonth = required(p, "year_month"),
+      payerIlike = p.get("payer"),
+      code = p.get("code"),
+      billingClass = p.get("billing_class"),
+      negotiatedType = p.get("negotiated_type"),
+      tinValue = p.get("tin_value"),
+      minRate = p.get("min_rate").map(_.toDouble),
+      maxRate = p.get("max_rate").map(_.toDouble))
+
+  private def route(path: String, h: Map[String, String] => Response): Unit =
+    routeWithSuffix(path, { (suffix, p) =>
+      // exact-path match: HttpServer contexts are prefix-matched, and
+      // "/" would otherwise swallow unknown paths as 200s
+      if (suffix.nonEmpty) Response(404, """{"detail":"not found"}""")
+      else h(p)
+    })
+
+  /** Register `path` accepting one optional path segment after it
+    * (the FastAPI `{field}` pattern), passed to the handler as
+    * `suffix` ("" when absent). */
+  private def routeWithSuffix(path: String,
+      h: (String, Map[String, String]) => Response): Unit =
+    server.createContext(path, { (ex: HttpExchange) =>
+      val resp =
+        try {
+          val reqPath = ex.getRequestURI.getPath
+          val suffix = reqPath.stripPrefix(path).stripPrefix("/")
+          if (reqPath != path && (!reqPath.startsWith(path + "/") ||
+              suffix.contains("/")))
+            Response(404, """{"detail":"not found"}""")
+          else h(suffix, params(ex))
+        } catch {
+          case ApiError(code, msg) => Response(code, s"""{"detail":${js(msg)}}""")
+          case scala.util.control.NonFatal(e) =>
+            Response(500, s"""{"detail":${js(String.valueOf(e.getMessage))}}""")
+        }
+      val bytes = resp.body.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(resp.status, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+
+  /** One DataFrame → `{"count":n,"results":[...]}`. The collect is
+    * bounded: every caller limits first (or aggregates to dimension
+    * grain). */
+  private def resultsJson(df: DataFrame): Response = {
+    val arr = df.toJSON.collect()
+    ok(s"""{"count":${arr.length},"results":${arr.mkString("[", ",", "]")}}""")
+  }
+
+  private def rowsJson(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private def firstJson(df: DataFrame): String =
+    df.toJSON.collect().headOption.getOrElse("{}")
+}
+
+object RestServer {
+
+  /** The reference interpolates `limit` unclamped into SQL; we cap. */
+  val MaxLimit = 1000
+
+  private[serving] val DimensionWhitelist = Set("billing_class",
+    "code_type", "negotiated_type", "negotiation_arrangement",
+    "payer_slug")
+
+  /** autocomplete field → backing column; NPPES-dim fields resolve
+    * against the dim, fact fields against the filtered fact. */
+  private[serving] val AutocompleteFields = Map(
+    "payer" -> "payer_slug",
+    "billing_code" -> "billing_code",
+    "billing_class" -> "billing_class",
+    "organization" -> "organization_name",
+    "taxonomy" -> "primary_taxonomy_desc")
+  private[serving] val NppesFields = Set("organization", "taxonomy")
+
+  final case class ApiError(status: Int, message: String)
+    extends RuntimeException(message)
+
+  final case class Response(status: Int, body: String)
+  private def ok(body: String) = Response(200, body)
+
+  private def js(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+
+  private def required(p: Map[String, String], k: String): String =
+    p.getOrElse(k, throw ApiError(422,
+      s"missing required query parameter: $k"))
+
+  private def limit(p: Map[String, String], default: Int): Int = {
+    val raw = p.get("limit").map(v =>
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        throw ApiError(422, s"limit must be an integer: $v") })
+    math.min(MaxLimit, math.max(1, raw.getOrElse(default)))
+  }
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").iterator.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) dec(kv) -> "" else dec(kv.take(i)) -> dec(kv.drop(i + 1))
+      }.toMap
+  }
+}

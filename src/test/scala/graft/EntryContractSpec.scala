@@ -40,13 +40,12 @@ class EntryContractSpec extends SparkSpec {
     * new query silently missing its oracle would downgrade the
     * driver's check without anyone noticing — fail here instead. */
   test("un-oracled queries are exactly the documented rows-only set") {
-    val rowsOnlyByDesign = Set(
-      // multimodal_pipeline graduated: its outputs are deterministic
-      // byte math, so the oracle replays them in SQL — including a
-      // full CRC-32 list_reduce fold. The resize path alone remains
-      // engine-specific: a real ImageIO/Graphics2D codec has no SQL
-      // twin by nature.
-      "multimodal_resize")
+    // Empty as of round 13: multimodal_resize — the last holdout —
+    // graduated too (the fixture's text payloads all take the
+    // deterministic stride-resample stub, which the oracle replays
+    // byte-for-byte; only the IMAGE branch's codec bytes stay
+    // spec-pinned, and no declared query emits them).
+    val rowsOnlyByDesign = Set.empty[String]
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnlyByDesign,
       s"unexpected rows-only queries: ${unoracled -- rowsOnlyByDesign}; " +

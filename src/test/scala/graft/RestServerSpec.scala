@@ -1,0 +1,136 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import graft.serving.RestServer
+
+/** The REST shell over real HTTP: param decoding (incl. the
+  * comma-separated multi-select grammar), limit clamps, whitelists,
+  * error statuses, and — the part that matters — numeric parity with
+  * the same computation done directly through QueryApi. */
+class RestServerSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private lazy val server = new RestServer(spark, sf0001)
+  private lazy val base = s"http://127.0.0.1:${server.start()}"
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base$path")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  /** A (state, year_month) slice that actually exists in the fixture. */
+  private lazy val (st, ym) = {
+    val r = Roles.rates(spark, sf0001)
+    val p = Roles.providers(spark, sf0001)
+    val row = r.join(p,
+        r("provider_reference_id") === p("provider_group_id"))
+      .groupBy("state", "year_month").count()
+      .orderBy(col("count").desc).head()
+    (row.getString(0), row.getString(1))
+  }
+
+  // no afterAll hook on the shared-session base: the ephemeral server
+  // dies with the forked test JVM, but stop it politely in the last test
+
+  test("health + root respond, unknown paths 404") {
+    assert(get("/api/health")._2.get("status").asText() == "healthy")
+    assert(get("/")._1 == 200)
+    assert(get("/nope")._1 == 404)
+    assert(get("/api/rates/summary/extra?state=x&year_month=y")._1 == 404)
+  }
+
+  test("rates/summary matches the direct QueryApi computation") {
+    val (code, node) = get(s"/api/rates/summary?state=$st&year_month=$ym")
+    assert(code == 200, node.toString)
+    val s = node.get("summary")
+    val want = graft.queries.QueryApi.filteredRates(spark, sf0001,
+        graft.queries.QueryApi.RateFilter(state = st, yearMonth = ym))
+      .agg(count(lit(1)), avg("negotiated_rate"),
+        countDistinct(col("billing_code")),
+        countDistinct(col("payer_slug"))).head()
+    assert(s.get("total_rates").asLong() == want.getLong(0))
+    assert(math.abs(s.get("avg_rate").asDouble() - want.getDouble(1)) < 0.01)
+    assert(s.get("unique_procedures").asLong() == want.getLong(2))
+    assert(s.get("unique_payers").asLong() == want.getLong(3))
+    assert(node.get("state").asText() == st)
+    // optional single-value filter narrows the count
+    val (c2, n2) = get(
+      s"/api/rates/summary?state=$st&year_month=$ym&billing_class=professional")
+    assert(c2 == 200)
+    assert(n2.get("summary").get("total_rates").asLong() <=
+      s.get("total_rates").asLong())
+  }
+
+  test("missing required params answer 422; bad limit answers 422") {
+    assert(get("/api/rates/summary?state=GA")._1 == 422)
+    assert(get(s"/api/rates/by-payer?state=$st")._1 == 422)
+    assert(get(
+      s"/api/rates/by-payer?state=$st&year_month=$ym&limit=abc")._1 == 422)
+  }
+
+  test("by-payer honors the limit clamp and ranks by count") {
+    val (_, n1) = get(
+      s"/api/rates/by-payer?state=$st&year_month=$ym&limit=2")
+    assert(n1.get("count").asInt() <= 2)
+    val counts = (0 until n1.get("results").size())
+      .map(i => n1.get("results").get(i).get("rate_count").asLong())
+    assert(counts == counts.sortBy(-_), s"not rank-ordered: $counts")
+    // a limit beyond MaxLimit is clamped, not echoed into the plan
+    val (c2, _) = get(
+      s"/api/rates/by-payer?state=$st&year_month=$ym&limit=999999")
+    assert(c2 == 200)
+  }
+
+  test("dimension-values: whitelisted dims work, unknown dim 400") {
+    val (c1, n1) = get(
+      s"/api/meta/dimension-values?state=$st&year_month=$ym&dimension=billing_class")
+    assert(c1 == 200)
+    val vals = (0 until n1.get("results").size())
+      .map(i => n1.get("results").get(i).get("billing_class").asText()).toSet
+    assert(vals.subsetOf(Set("professional", "institutional")))
+    assert(get(s"/api/meta/dimension-values?state=$st&year_month=$ym" +
+      "&dimension=negotiated_rate")._1 == 400)
+  }
+
+  test("multi-field search decodes comma lists into IN predicates") {
+    val (c, n) = get(s"/api/search/multi-field?year_month=$ym" +
+      s"&states=$st&billing_classes=professional,%20institutional&limit=5")
+    assert(c == 200, n.toString)
+    assert(n.get("summary").get("total_rates").asLong() > 0)
+    assert(n.get("results").size() <= 5)
+    // parity with the grammar called directly
+    val want = graft.queries.QueryApi.filteredRates(spark, sf0001,
+      graft.queries.QueryApi.RateFilter(state = "", yearMonth = ym,
+        states = Seq(st),
+        billingClasses = Seq("professional", "institutional"))).count()
+    assert(n.get("summary").get("total_rates").asLong() == want)
+  }
+
+  test("autocomplete: path-param field, contains filter, whitelist 400") {
+    val (c, n) = get(
+      s"/api/autocomplete/payer?query=payer_&state=$st&year_month=$ym&limit=3")
+    assert(c == 200, n.toString)
+    assert(n.get("count").asInt() > 0 && n.get("count").asInt() <= 3)
+    val vs = (0 until n.get("results").size())
+      .map(i => n.get("results").get(i).get("value").asText())
+    assert(vs.forall(_.startsWith("payer_")))
+    assert(get(s"/api/autocomplete/ssn?query=x&state=$st&year_month=$ym")
+      ._1 == 400)
+  }
+
+  test("providers/search and explore endpoints answer with rows") {
+    val (c1, n1) = get("/api/providers/search?q=supplier&limit=4")
+    assert(c1 == 200 && n1.get("count").asInt() <= 4)
+    val (c2, n2) = get(
+      s"/api/explore/data-availability?state=$st&year_month=$ym")
+    assert(c2 == 200 && n2.get("count").asInt() > 0)
+    val (c3, n3) = get("/api/meta/available-data")
+    assert(c3 == 200 && n3.get("count").asInt() > 0)
+    server.stop()
+  }
+}
