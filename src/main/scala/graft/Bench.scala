@@ -649,6 +649,7 @@ object Bench {
     "pack_curriculum" -> 2.4, // quantile agg + offset collect + bucket window
     "sim_ivf_filtered" -> 2.8, // the sim_ivf_topk pipeline + label filter
     "source_orc_roundtrip" -> 1.4, // sidecar write + orc read (csv class)
+    "source_xlsx_roundtrip" -> 2.0, // (r13) workbook build + binaryFile parse
     // (r7, full 129-query suite record, idle machine) — suite-position
     // numbers, i.e. they include per-query codegen; steer-only
     "sketch_kmv_slices" -> 2.9, // (r7, full-suite record)
