@@ -536,63 +536,71 @@ object Curation extends QueryPack {
     // adjacent masks merge into maximal spans, numbered per doc in
     // position order — the sentinel ids a seq2seq target needs.
     // 100 TB shape (r13, replacing the exploded-token windows that
-    // PlanLint's window-sort-expanded rule now flags): span semantics
-    // are PER-DOC, so everything runs array-local on the staged token
-    // array — flags, the 2-PRECEDING mask dilation, and the
-    // gaps-and-islands merge (one `aggregate` fold over the masked
-    // positions) — and the only Generate emits the finished SPANS, at
-    // ~8% of token grain. Zero shuffles, zero windows: the old plan
-    // range-sorted the corpus's full token stream; this one never
-    // exchanges at all, and span_id is the explode ordinal (spans are
-    // built in position order).
+    // PlanLint's window-sort-expanded rule now flags): the coin md5s
+    // run CODEGEN'd on the exploded (pos, flag, tok) rows, ONE hash
+    // aggregate gathers each doc's rows back into a position-sorted
+    // array (bounded by doc length — the same exchange volume the old
+    // windows paid, minus their full-stream sort), and every piece of
+    // span math above it — the 2-PRECEDING mask dilation, the
+    // gaps-and-islands merge, the per-span token join — runs in ONE
+    // projection whose lambdas reference only the AGGREGATE's output
+    // attribute. That last constraint is load-bearing: a lambda that
+    // references a sibling projection's array alias gets that alias
+    // INLINED by CollapseProject (structurally it is "referenced
+    // once"), so each element access rebuilds the whole upstream
+    // array — the first cut of this rewrite staged flags/masked as
+    // chained withColumns and went O(tokens²), 15 s vs 1.5 s at
+    // sf0.1. An Aggregate is a collapse barrier; an attribute
+    // reference cannot be inlined. The gaps-and-islands merge itself
+    // is fold-free: a span START is a masked position whose
+    // predecessor is unmasked, an END one whose successor is, and
+    // runs are ordered so the i-th start pairs the i-th end — one
+    // zip_with, O(tokens) per doc. span_id is the explode ordinal
+    // (spans emerge in position order).
     "augment_span_corruption" -> ((s, d) => {
       val base = docs(s, d)
         .select(col("doc_id"), TextAnalysis.tokCol(col("text")).as("tk"))
-      // 1-based positions; guard the empty doc (sequence(1, 0) would
-      // count DOWN, not produce an empty array)
-      val positions = when(size(col("tk")) < 1,
-          array().cast("array<int>"))
-        .otherwise(sequence(lit(1), size(col("tk"))))
-      val withFlags = base
-        .withColumn("flags", transform(positions, p =>
-          (hashUniform(concat_ws(":", col("doc_id"), p), "t5span")
-            < 0.08).cast("int")))
-      // masked position p: any start flag in [p-2, p]
-      val masked = withFlags.withColumn("mpos",
-        filter(positions, p => {
-          val s0 = greatest(p - 2, lit(1))
-          exists(slice(col("flags"), s0, p - s0 + 1), f => f === 1)
-        }))
-      // gaps-and-islands as an array fold: extend the open span when
-      // this position is adjacent to its end, else open a new one.
-      // The outer CASE evaluates the last-element probe only on
-      // non-empty accumulators (CaseWhen branches are lazy), so the
-      // fold is ANSI-safe.
-      val spans = masked.withColumn("spans",
-        aggregate(col("mpos"),
-          array().cast("array<struct<s:int,e:int>>"),
-          (acc, p) => {
-            val last = element_at(acc, -1)
-            val appended = concat(acc,
-              array(struct(p.cast("int").as("s"), p.cast("int").as("e"))))
-            when(size(acc) === 0, appended)
-              .otherwise(when(last("e") === p - 1,
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(struct(last("s").as("s"), p.cast("int").as("e")))))
-                .otherwise(appended))
-          }))
+      val rows = base
+        .select(col("doc_id"), posexplode_outer(col("tk"))
+          .as(Seq("p0", "tok")))
+        .filter(col("tok").isNotNull)
+        .select(col("doc_id"),
+          (col("p0") + 1).cast("int").as("pos"), col("tok"),
+          (hashUniform(concat_ws(":", col("doc_id"), col("p0") + 1),
+            "t5span") < 0.08).cast("int").as("flag"))
+      val perDoc = rows.groupBy("doc_id")
+        .agg(array_sort(collect_list(
+          struct(col("pos"), col("flag"), col("tok")))).as("tfs"))
+      val n = size(col("tfs"))
+      // masked(p) = any start flag in [p-2, p] — O(3) element reads of
+      // the tfs ATTRIBUTE per call, never a rebuilt array
+      def maskedAt(p: Column): Column = {
+        val s0 = greatest(p - 2, lit(1))
+        exists(slice(col("tfs"), s0, p - s0 + 1), x => x("flag") === 1)
+      }
+      val positions = when(n < 1, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), n))
+      val spans = perDoc.withColumn("spans", zip_with(
+        filter(positions, p =>
+          maskedAt(p) && (p === 1 || !maskedAt(p - 1))),
+        filter(positions, p =>
+          maskedAt(p) && (p === n || !maskedAt(p + 1))),
+        // the per-span token join happens HERE, at doc grain, so the
+        // explode below never carries the doc-sized tfs array per row
+        (st, en) => struct(st.cast("int").as("s"), en.cast("int").as("e"),
+          array_join(transform(sequence(st, en),
+            i => element_at(col("tfs"), i)("tok")), "|").as("mt"))))
       spans
         // explode_outer + null filter per the InferFiltersFromGenerate
         // trap (SURVEY §4)
-        .select(col("doc_id"), col("tk"),
-          posexplode_outer(col("spans")).as(Seq("i", "sp")))
+        .select(col("doc_id"), posexplode_outer(col("spans"))
+          .as(Seq("i", "sp")))
         .filter(col("sp").isNotNull)
         .select(col("doc_id"),
           (col("i") + 1).as("span_id"),
           col("sp")("s").as("start_pos"),
           (col("sp")("e") - col("sp")("s") + 1).cast("long").as("span_len"),
-          array_join(transform(sequence(col("sp")("s"), col("sp")("e")),
-            i => element_at(col("tk"), i)), "|").as("masked_tokens"))
+          col("sp")("mt").as("masked_tokens"))
     }),
 
     // Snapshot diff via the generic operator; the fixture's "next
