@@ -39,11 +39,19 @@ object Bench {
     * probes). */
   private val probeNames = Seq("s15_agg_market_rates", "a7_market_profile",
     "dedup_span_removal", "dedup_minhash_lsh", "text_pmi_pairs",
-    "search_index_topk", "layout_zorder_box")
+    "search_index_topk", "layout_zorder_box", "sim_ivf_topk")
 
-  /** Subset re-run against the synthetic 10x dir (100x vs sf0.01). */
+  /** Subset re-run against the synthetic 10x dir (100x vs sf0.01).
+    * sim_ivf_topk (r13) extends the envelope to the ANN family: the
+    * IVF probe's candidate set grows with bucket population, so its
+    * slope is the "nprobe buckets, not corpus" design claim measured.
+    * (dedup_embedding_cosine is deliberately NOT probed on synth data:
+    * key-shifted copies are exact duplicates, so its PAIR OUTPUT grows
+    * quadratically by construction of the synthetic corpus — the probe
+    * would measure the fixture's degeneracy, not the operator.) */
   private val synthNames = Seq("text_pmi_pairs", "dedup_span_removal",
-    "a7_market_profile", "layout_zorder_box", "search_index_topk")
+    "a7_market_profile", "layout_zorder_box", "search_index_topk",
+    "sim_ivf_topk")
 
   /** Probes whose first run against a fresh dir pays a one-time
     * fingerprint-cached sidecar build — min-of-2 on synth so the build
@@ -226,11 +234,26 @@ object Bench {
     * sub-half-second absolute deltas. Values are cur/best ratios. */
   def driftAgainst(best: Map[String, Double],
                    current: Seq[(String, Double)],
-                   noiseFloor: Double): Map[String, Double] = {
+                   noiseFloor: Double,
+                   refSec: Map[String, Double] = Map.empty,
+                   defaultRef: Double = 1.0,
+                   minAbsSec: Double = 0.5,
+                   minGuardSec: Double = 2.0): Map[String, Double] = {
     val band = math.max(3.0 * math.max(noiseFloor, 0.0), 0.30)
     current.flatMap { case (q, cur) =>
+      // Two independent gates (r13, after the first quiet run flagged
+      // sketch_kmv's one-time sidecar build as "drift"): the value must
+      // exceed its best-record band AND the contention-guard threshold
+      // for this query (3x its idle reference, floored at
+      // `minGuardSec`) — the same bar the in-loop retry uses for "this
+      // cannot be noise". The floors are per metric CLASS: suite
+      // queries use (0.5 s, 2 s); millisecond serving metrics pass
+      // proportionally smaller ones or every latency regression would
+      // sit under the absolute gates.
+      val guard = math.max(minGuardSec, 3.0 * refSec.getOrElse(q, defaultRef))
       best.get(q) match {
-        case Some(b) if b > 0 && cur > b * (1.0 + band) && cur - b > 0.5 =>
+        case Some(b) if b > 0 && cur > b * (1.0 + band) &&
+            cur - b > minAbsSec && cur > guard =>
           Some(q -> cur / b)
         case _ => None
       }
@@ -565,10 +588,20 @@ object Bench {
       "routed_warm_ms_p50" -> routedWarmMs,
       "sketch_rollup_ms_p50" -> sketchMs)
     val best = historyBest()
-    val drift = driftAgainst(best,
-      results ++ msMetrics.toSeq.filter(_._2 > 0)
-        .map { case (k, v) => k -> v / 1000.0 },
-      noiseFloor)
+    // ms metrics join the drift check under their idle references (in
+    // seconds), with a near-zero default so the absolute-floor gates
+    // never mute them
+    val msRefs = Map("serving_ms_p50" -> servingRefMs / 1000.0,
+      "serving_warm_ms_p50" -> servingWarmRefMs / 1000.0,
+      "routed_ms_p50" -> routedRefMs / 1000.0,
+      "routed_warm_ms_p50" -> routedRefMs / 1000.0,
+      "sketch_rollup_ms_p50" -> sketchRefMs / 1000.0)
+    val drift = driftAgainst(best, results, noiseFloor, referenceSec) ++
+      driftAgainst(best,
+        msMetrics.toSeq.filter(_._2 > 0)
+          .map { case (k, v) => k -> v / 1000.0 },
+        noiseFloor, msRefs, defaultRef = 0.0,
+        minAbsSec = 0.05, minGuardSec = 0.1)
     val driftJson = slopeJsonOf(drift)
     // Only full (unfiltered) runs enter the permanent record: a
     // SPARK_GRAFT_ONLY iteration run measures a different JVM shape.
@@ -609,6 +642,7 @@ object Bench {
     }
     scaled("documents", Seq("doc_id"))
     scaled("lineitem", Seq("l_orderkey", "l_suppkey"))
+    scaled("embeddings", Seq("vec_id"))
   }
 
   /** Idle-machine per-query reference times (seconds) at sf0.1, measured

@@ -71,6 +71,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(d("big") - 1.5) < 1e-9)
     // a noisier floor widens the band: 3 x 0.2 = 60% > big's 50%
     assert(Bench.driftAgainst(best, cur, noiseFloor = 0.2).isEmpty)
+    // the contention-guard gate: a query whose idle reference says
+    // "6s is under 3x normal" (e.g. a one-time sidecar build) is not
+    // drift even when it exceeds its best-record band
+    assert(Bench.driftAgainst(best, cur, noiseFloor = 0.05,
+      refSec = Map("big" -> 2.5)).isEmpty)
+    // ms metrics pass class-scaled floors: a 0.08s -> 0.5s routed
+    // regression flags (above 3x the 0.15s idle ref), while 0.3s —
+    // within the contention guard's own noise bar — does not
+    val msBest = Map("routed_ms_p50" -> 0.08)
+    def msDrift(cur: Double) = Bench.driftAgainst(msBest,
+      Seq("routed_ms_p50" -> cur), noiseFloor = 0.05,
+      refSec = Map("routed_ms_p50" -> 0.15), defaultRef = 0.0,
+      minAbsSec = 0.05, minGuardSec = 0.1)
+    assert(msDrift(0.5).contains("routed_ms_p50"))
+    assert(msDrift(0.3).isEmpty)
   }
 
   test("compact line carries the drift field as JSON") {
