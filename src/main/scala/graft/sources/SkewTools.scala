@@ -113,6 +113,32 @@ object SkewTools {
         s"unknown skew strategy '$other' (broadcast|aqe|salt)")
     }
 
+  /** Measure → decide → rewrite in one call: the fact side's hottest
+    * key share comes from ONE key-grain aggregate (map-side-combined
+    * counts, then a 2-row max/sum over the key-grain frame — never a
+    * row-grain sort), the dim size from its row count × schema default
+    * width, and the join is rewritten per [[advise]]. Returns the
+    * decision alongside the frame so callers can log WHY the plan
+    * changed. The measurement pass costs one extra job over the fact —
+    * this is the diagnostic entry point; steady-state pipelines cache
+    * the advice and call [[applyAdvice]] directly. */
+  def adviseAndJoin(fact: DataFrame, dim: DataFrame, key: String,
+                    joinType: String = "left",
+                    broadcastThresholdBytes: Long = 10L << 20,
+                    shufflePartitions: Int = 200,
+                    skewFactor: Double = 4.0): (SkewAdvice, DataFrame) = {
+    val stats = fact.groupBy(col(key)).count()
+      .agg(max(col("count")).as("hot"), sum(col("count")).as("total"))
+      .head()
+    val hotShareBp =
+      if (stats.isNullAt(1) || stats.getLong(1) == 0L) 0.0
+      else stats.getLong(0).toDouble / stats.getLong(1) * 10000.0
+    val dimBytes = dim.count() * dim.schema.defaultSize
+    val a = advise(hotShareBp, dimBytes, broadcastThresholdBytes,
+      shufflePartitions, skewFactor)
+    (a, applyAdvice(a, fact, dim, key, joinType))
+  }
+
   /** [[advise]]'s ladder as codegen'd Column expressions — (strategy,
     * salt_n) — so a per-key skew report can carry its remediation at
     * KEY grain inside one distributed pass (the scalar form decides

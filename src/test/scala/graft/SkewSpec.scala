@@ -70,6 +70,18 @@ class SkewSpec extends SparkSpec {
       SkewTools.applyAdvice(SkewTools.SkewAdvice("yolo", 0, ""),
         fact, dim, "code")
     }
+
+    // measure -> decide -> rewrite in one call: the HOT key holds a
+    // third of the fact, so with broadcast priced out the measurement
+    // itself must drive the ladder to salt — and still match plain
+    val (auto, joined) = SkewTools.adviseAndJoin(fact, dim, "code",
+      broadcastThresholdBytes = 1L) // price the broadcast rung out
+    assert(auto.strategy == "salt" && auto.saltN >= 8, auto.toString)
+    assert(rows(joined) == plain)
+    // with the default threshold the tiny dim broadcasts instead
+    val (auto2, joined2) = SkewTools.adviseAndJoin(fact, dim, "code")
+    assert(auto2.strategy == "broadcast", auto2.toString)
+    assert(rows(joined2) == plain)
   }
 
   test("approx gold aggregate stays inside its accuracy envelope") {
