@@ -99,19 +99,80 @@ object Graph extends QueryPack {
     // k(k-1)/2 pairs; the >= 2 filter runs AFTER the aggregate, so
     // the shuffle carries one row per distinct pair, map-side
     // combined).
-    "graph_copurchase_edges" -> ((s, d) => {
-      val li = Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val a = li.as("a")
-      val b = li.as("b")
-      a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"),
-          col("b.l_partkey").as("part_b"))
-        .agg(count(lit(1)).as("n_coorders"))
-        .filter(col("n_coorders") >= 2)
+    "graph_copurchase_edges" -> ((s, d) => copurchaseEdges(s, d)),
+
+    // Triangle counting over the co-purchase graph — the clustering
+    // signal of graph curation (community tightness for sampling
+    // weights, spam-ring detection in link graphs). The naive
+    // wedge-join explodes on hubs (a degree-d node emits d² wedges);
+    // here every edge is ORIENTED from its (degree, id)-smaller
+    // endpoint first — the classic orientation bound: out-degree is
+    // O(√m), so the wedge join is O(m^1.5) TOTAL regardless of hub
+    // skew, and each triangle is enumerated exactly once (its
+    // orientation-order (u,v,w) has edges u→v, u→w, v→w). The final
+    // membership probe is a LEFT SEMI join on the oriented edge set —
+    // slim (v, w) pairs, no payload. Per-node participation counts
+    // come from one map-side-combinable aggregate over the three
+    // corners.
+    "graph_triangle_count" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+        .select(col("part_a").as("u"), col("part_b").as("v"))
+      val deg = e.select(col("u").as("id"))
+        .unionByName(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val lower = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = e
+        .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+        .select(when(lower, col("u")).otherwise(col("v")).as("src"),
+          when(lower, col("v")).otherwise(col("u")).as("dst"),
+          when(lower, col("dv")).otherwise(col("du")).as("ddeg"))
+        .localCheckpoint() // consumed twice: wedge sides + the probe
+      val w1 = oriented.select(col("src"), col("dst").as("v"),
+        col("ddeg").as("degv"))
+      val w2 = oriented.select(col("src"), col("dst").as("w"),
+        col("ddeg").as("degw"))
+      val wedges = w1.join(w2, Seq("src"))
+        .filter(col("degv") < col("degw") ||
+          (col("degv") === col("degw") && col("v") < col("w")))
+        .select(col("src").as("u"), col("v"), col("w"))
+      val tri = wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      tri.select(col("u").as("part"))
+        .unionByName(tri.select(col("v").as("part")))
+        .unionByName(tri.select(col("w").as("part")))
+        .groupBy("part").agg(count(lit(1)).as("n_triangles"))
     })
   )
+
+  /** Item-item co-purchase affinity edges (part_a < part_b, distinct
+    * co-order support >= 2) — the shared edge builder of
+    * `graph_copurchase_edges` and `graph_triangle_count`. An order
+    * with k items emits k(k-1)/2 pairs; the >= 2 support floor runs
+    * AFTER the aggregate, so the shuffle carries one map-side-combined
+    * row per distinct pair. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.as("a")
+    val b = li.as("b")
+    a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_coorders"))
+      .filter(col("n_coorders") >= 2)
+  }
+
+  private val copurchaseSql = """
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_coorders
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2"""
 
   def oracles: Map[String, String] = Map(
     // Three unrolled power-iteration rounds; every fractional literal
@@ -149,12 +210,41 @@ object Graph extends QueryPack {
              floor(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
       FROM r3""",
 
-    "graph_copurchase_edges" -> """
-      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-             count(*) AS n_coorders
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2"""
+    "graph_copurchase_edges" -> s"""
+      WITH e0 AS ($copurchaseSql)
+      SELECT part_a, part_b, n_coorders FROM e0""",
+
+    // Same orientation, wedge, and membership-probe stages as the
+    // Spark plan, over the same support-floored edge list.
+    "graph_triangle_count" -> s"""
+      WITH e0 AS ($copurchaseSql),
+      e AS (SELECT part_a AS u, part_b AS v FROM e0),
+      deg AS (SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+              GROUP BY 1),
+      ed AS (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+             FROM e JOIN deg du ON du.id = e.u
+                    JOIN deg dv ON dv.id = e.v),
+      oriented AS (
+        SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v
+                 END AS src,
+               CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u
+                 END AS dst,
+               CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du
+                 END AS ddeg
+        FROM ed),
+      wedges AS (
+        SELECT a.src AS u, a.dst AS v, b.dst AS w
+        FROM oriented a JOIN oriented b ON a.src = b.src
+        WHERE a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst)),
+      tri AS (
+        SELECT wg.u, wg.v, wg.w FROM wedges wg
+        WHERE EXISTS (SELECT 1 FROM oriented o
+                      WHERE o.src = wg.v AND o.dst = wg.w))
+      SELECT part, count(*) AS n_triangles
+      FROM (SELECT u AS part FROM tri
+            UNION ALL SELECT v AS part FROM tri
+            UNION ALL SELECT w AS part FROM tri)
+      GROUP BY part"""
   )
 }

@@ -244,6 +244,52 @@ object Similarity extends QueryPack {
         .parquet(oracleIvfPqCodesSidecar)
       ivfPqTopK(e, cents, cb,
         s.read.parquet(oracleIvfPqCodesSidecar), nprobe = 2, topK = 5)
+    }),
+
+    // Batch kNN-GRAPH build — every vector's top-k neighbors, the
+    // backbone artifact of embedding-space curation (SemDeDup-style
+    // clustering, label propagation, graph-based quality filters all
+    // consume "each doc's nearest neighbors" as their input). Brute
+    // force is corpus² and never survives scale; here every vector
+    // probes its `nprobe` nearest IVF buckets and compares only
+    // against bucket members, so the pair stream is
+    // Σ_b |probes_b|·|members_b| ≈ nprobe·N²/K — sub-quadratic in N
+    // for any fixed bucket population, and K is the scale knob (grow
+    // K ~ √N and the build is ~N^1.5 instead of N²; bucket-key skew
+    // at tiny K is the same trade the IVF index documents). No window
+    // sort anywhere: probe selection AND the per-vector top-k both
+    // collapse via map-side-combinable aggregates (collect_list
+    // bounded by K resp. probed-bucket population, array_sort on the
+    // bounded list) — the exact rewrite PlanLint's
+    // window-sort-expanded rule demands over exploded streams.
+    // Centroids persist to a query-private sidecar so the DuckDB twin
+    // replays assignment/probing over identical fp32 centroids (the
+    // IVF oracle pattern).
+    "sim_knn_graph" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroids(e)
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(oracleKnnGraphCentroidSidecar)
+      knnGraph(e, cents, nprobe = 2, k = 3)
+    }),
+
+    // kNN LABEL PROPAGATION over the same bucketed graph — the
+    // semi-supervised classification pass of corpus curation (spread
+    // a small set of human quality labels to the whole corpus via
+    // embedding neighbors): each vector's predicted label is the
+    // majority vote of its k nearest neighbors, ties to the smallest
+    // label; `agree` compares against the vector's own label, so the
+    // query doubles as a leave-one-out neighbor-consistency audit.
+    // Same candidate generation as the graph (bounded bucket
+    // populations, no window sorts); the vote itself is two keyed
+    // aggregates (count per (vec,label), then max_by on
+    // (votes, -label)) — all map-side combinable.
+    "sim_knn_classify" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroids(e)
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(oracleKnnClassifyCentroidSidecar)
+      knnClassify(e, cents, nprobe = 2, k = 3)
     })
   )
 
@@ -402,6 +448,93 @@ object Similarity extends QueryPack {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
       .select(col("vid"), col("qe"), col("centroid_id").as("probe"))
   }
+
+  /** The bucketed all-pairs candidate stream shared by [[knnGraph]]
+    * and [[knnClassify]]: every vector (query side) scored against the
+    * members of its `nprobe` nearest buckets (candidate side), self
+    * excluded. Unlike [[probeBuckets]] (10 query vectors — a window is
+    * fine), the query side here is the CORPUS, so probe selection is a
+    * keyed aggregate instead: collect the K (csim, centroid_id) scores
+    * per vector (bounded by K, partial-combined map-side), array_sort
+    * the bounded list, slice the top `nprobe` — no corpus-scale window
+    * sort. Tie-breaks ((-csim, centroid_id) asc = csim desc, lowest
+    * centroid first) match [[probeBuckets]] / [[assignBuckets]] so the
+    * DuckDB twin replays them as `ORDER BY sim DESC, centroid_id`. */
+  private def knnScored(e: DataFrame, cents: DataFrame,
+                        nprobe: Int): DataFrame = {
+    graft.functions.CosineSimF32.register(e.sparkSession)
+    val assigned = e.select(col("vec_id").as("cid"),
+        col("embedding").as("ce"), col("label").as("clabel"))
+      .crossJoin(broadcast(cents))
+      .select(col("cid"), col("ce"), col("clabel"), col("centroid_id"),
+        cosine(col("ce"), col("cent")).as("csim"))
+      .groupBy("cid")
+      .agg(first(col("ce")).as("ce"), first(col("clabel")).as("clabel"),
+        max_by(col("centroid_id"),
+          struct(col("csim"), -col("centroid_id"))).as("bucket"))
+    val probes = e.select(col("vec_id").as("vid"),
+        col("embedding").as("qe"), col("label").as("vlabel"))
+      .crossJoin(broadcast(cents))
+      .select(col("vid"), col("qe"), col("vlabel"), col("centroid_id"),
+        cosine(col("qe"), col("cent")).as("csim"))
+      .groupBy("vid")
+      .agg(first(col("qe")).as("qe"), first(col("vlabel")).as("vlabel"),
+        slice(array_sort(collect_list(struct((-col("csim")).as("ns"),
+          col("centroid_id").as("b")))), 1, nprobe).as("top"))
+      .select(col("vid"), col("qe"), col("vlabel"),
+        explode(col("top.b")).as("probe"))
+    // each candidate lives in exactly ONE bucket (argmax assignment)
+    // and probes are distinct buckets per vector, so every (vid, cid)
+    // pair scores at most once — no post-join dedup needed
+    probes.join(assigned,
+        col("probe") === col("bucket") && col("cid") =!= col("vid"))
+      .select(col("vid"), col("vlabel"), col("cid"), col("clabel"),
+        cosine(col("qe"), col("ce")).as("sim"))
+  }
+
+  /** Per-vector top-`k` of the candidate stream as a keyed aggregate
+    * (collect_list bounded by the probed buckets' population,
+    * array_sort, slice, posexplode for ranks) — the aggregate-collapse
+    * form PlanLint's window-sort-expanded rule asks for instead of a
+    * row_number window over the explode-fed join. */
+  private def topNeighbors(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("vid"), col("vlabel"))
+      .agg(slice(array_sort(collect_list(struct((-col("sim")).as("ns"),
+        col("cid").as("cid"), col("clabel").as("clabel")))), 1, k)
+        .as("top"))
+      .select(col("vid"), col("vlabel"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vid"), col("vlabel"), col("t.cid").as("cid"),
+        col("t.clabel").as("clabel"),
+        (col("pos") + 1).cast("int").as("rank"), (-col("t.ns")).as("sim"))
+
+  /** Batch kNN graph: (vec_id, neighbor_id, rank, cosine) for every
+    * corpus vector, neighbors drawn from the vector's `nprobe` nearest
+    * IVF buckets. At nprobe = K (all buckets probed) the result is the
+    * EXACT k-nearest-neighbor graph — the recall contract OperatorsSpec
+    * pins; at the operating point it is the standard IVF
+    * approximation whose quality knob is (K, nprobe). */
+  def knnGraph(e: DataFrame, cents: DataFrame,
+               nprobe: Int, k: Int): DataFrame =
+    topNeighbors(knnScored(e, cents, nprobe), k)
+      .select(col("vid").as("vec_id"), col("cid").as("neighbor_id"),
+        col("rank"), pround(col("sim"), 4).as("cosine"))
+
+  /** kNN majority-vote label prediction over the bucketed graph:
+    * (vec_id, label, pred_label, votes, agree). Vote ties break to the
+    * SMALLEST label (max_by on (votes, -label)); `agree` is the
+    * leave-one-out consistency flag (own vector never votes — the
+    * self-pair is excluded from the candidate stream). */
+  def knnClassify(e: DataFrame, cents: DataFrame,
+                  nprobe: Int, k: Int): DataFrame =
+    topNeighbors(knnScored(e, cents, nprobe), k)
+      .groupBy(col("vid"), col("vlabel"), col("clabel"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("vid"), col("vlabel"))
+      .agg(max(struct(col("votes"), (-col("clabel")).as("nl"))).as("m"))
+      .select(col("vid").as("vec_id"), col("vlabel").as("label"),
+        (-col("m.nl")).as("pred_label"), col("m.votes").as("votes"),
+        (-col("m.nl") === col("vlabel")).as("agree"))
 
   /** Materialize the IVF index: corpus written hive-partitioned by
     * bucket, so probe queries prune to ~nprobe/K of the files. This is
@@ -956,6 +1089,16 @@ object Similarity extends QueryPack {
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_outlier_oracle_centroids").getAbsolutePath
 
+  /** Query-private centroid sidecars for `sim_knn_graph` /
+    * `sim_knn_classify` (same contract as [[oracleCentroidSidecar]]:
+    * the declared query overwrites, the DuckDB twin reads back). */
+  val oracleKnnGraphCentroidSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_knn_graph_oracle_centroids").getAbsolutePath
+  val oracleKnnClassifyCentroidSidecar: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_knn_classify_oracle_centroids").getAbsolutePath
+
   /** Shared SQL: per-(pair) double-precision dot products via UNNEST. */
   private[operators] def dotSql(qTbl: String, cTbl: String, joinCond: String): String = s"""
     SELECT qid, cid,
@@ -1298,6 +1441,86 @@ object Similarity extends QueryPack {
     "sim_ivf_topk" -> ivfOracleSql(oracleCentroidSidecar, ""),
 
     "sim_ivf_filtered" -> ivfOracleSql(oracleFilteredCentroidSidecar,
-      " WHERE label = 1")
+      " WHERE label = 1"),
+
+    "sim_knn_graph" -> s"""WITH ${knnOracleCore(oracleKnnGraphCentroidSidecar)}
+      SELECT vid AS vec_id, cid AS neighbor_id,
+             CAST(rank AS INTEGER) AS rank,
+             floor(sim * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM ranked WHERE rank <= 3""",
+
+    "sim_knn_classify" -> s"""WITH
+      ${knnOracleCore(oracleKnnClassifyCentroidSidecar)},
+      nn AS (SELECT vid, cid FROM ranked WHERE rank <= 3),
+      votes AS (SELECT n.vid, cc.clabel, count(*) AS votes
+                FROM nn n JOIN c cc ON cc.cid = n.cid
+                GROUP BY n.vid, cc.clabel),
+      best AS (SELECT vid, clabel AS pred_label, votes,
+                      row_number() OVER (PARTITION BY vid
+                        ORDER BY votes DESC, clabel) AS rn
+               FROM votes)
+      SELECT b.vid AS vec_id, qq.vlabel AS label, b.pred_label, b.votes,
+             (b.pred_label = qq.vlabel) AS agree
+      FROM best b JOIN q qq ON qq.vid = b.vid WHERE rn = 1"""
   )
+
+  /** Shared replay for the kNN-graph family oracles: nearest-centroid
+    * assignment, corpus-wide nprobe=2 probing, within-bucket scoring,
+    * per-vector ranking — the stages [[knnScored]]/[[topNeighbors]]
+    * run, over the sidecar centroids. Query and candidate sides are
+    * the same corpus, so one dot-product table (`adots`) serves both
+    * the rn=1 assignment and the rn<=2 probe selection. */
+  private def knnOracleCore(sidecar: String): String = s"""
+      cents AS (SELECT centroid_id, cent
+                FROM read_parquet('$sidecar/*.parquet')),
+      c AS (SELECT vec_id AS cid, embedding AS ce, label AS clabel
+            FROM embeddings),
+      q AS (SELECT vec_id AS vid, embedding AS qe, label AS vlabel
+            FROM embeddings),
+      adots AS (
+        SELECT cid, centroid_id,
+               SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(ce[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(cent[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cent[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM c, cents, range(1, 65) r(i)
+        GROUP BY cid, centroid_id),
+      assigned AS (
+        SELECT cid, bucket FROM (
+          SELECT cid, centroid_id AS bucket,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
+                   AS rn
+          FROM adots) WHERE rn = 1),
+      probes AS (
+        SELECT vid, probe FROM (
+          SELECT cid AS vid, centroid_id AS probe,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, centroid_id)
+                   AS rn
+          FROM adots) WHERE rn <= 2),
+      cand AS (
+        SELECT p.vid, a.cid
+        FROM probes p JOIN assigned a
+          ON a.bucket = p.probe AND a.cid <> p.vid),
+      sdots AS (
+        SELECT cand.vid, cand.cid,
+               SUM(CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+               SUM(CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(qq.qe[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+               SUM(CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE) *
+                   CAST(cc.ce[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+        FROM cand
+        JOIN q qq ON qq.vid = cand.vid
+        JOIN c cc ON cc.cid = cand.cid,
+             range(1, 65) r(i)
+        GROUP BY cand.vid, cand.cid),
+      ranked AS (
+        SELECT vid, cid, dp / (sqrt(na) * sqrt(nb)) AS sim,
+               row_number() OVER (PARTITION BY vid
+                 ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, cid) AS rank
+        FROM sdots)"""
 }

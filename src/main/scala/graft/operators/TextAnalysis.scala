@@ -162,6 +162,43 @@ object TextAnalysis extends QueryPack {
         .select("rank", "token", "cnt", "cum_share")
     }),
 
+    // Zipf-law fit of the corpus frequency distribution — the one-row
+    // corpus health check of tokenizer/dedup pipelines (natural text
+    // fits ln(freq) ≈ intercept + slope·ln(rank) with slope ≈ −1;
+    // boilerplate-heavy or template-duplicated corpora bend the curve,
+    // so a drifting slope after an ingest is an early data-quality
+    // alarm). The full-vocab total order comes from
+    // [[Ranking.globalRank]] (two-pass bucketed ranking — no
+    // single-partition window over the vocabulary), and the
+    // least-squares fit is ONE map-side-combinable aggregate over
+    // (ln rank, ln cnt) points; the closed-form slope follows one
+    // parenthesization mirrored by the oracle.
+    "text_zipf_fit" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), tokCol(col("text")).as("tk"))
+        .select(col("tk"),
+          explode_outer(when(size(col("tk")) < 1, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), size(col("tk"))))).as("i"))
+        .filter(col("i").isNotNull)
+        .select(element_at(col("tk"), col("i")).as("token"))
+      val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val ranked = Ranking.globalRank(
+        counts.withColumn("negc", -col("cnt")), "negc", "token")
+      val pts = ranked.select(
+        log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      val sums = pts.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val slope = (col("sxy") * col("n") - col("sx") * col("sy")) /
+        (col("sxx") * col("n") - col("sx") * col("sx"))
+      sums.select(col("n").as("n_vocab"),
+        pround(slope, 4).as("zipf_slope"),
+        pround((col("sy") - slope * col("sx")) / col("n"), 4)
+          .as("intercept"))
+    }),
+
     // Per-document keyword extraction: top-3 tokens by smoothed
     // TF-IDF (tf · (ln((1+N)/(1+df)) + 1), the sklearn-style smooth
     // idf) — the standard curation primitive for topic tagging and
@@ -831,6 +868,33 @@ object TextAnalysis extends QueryPack {
                       AS DOUBLE) / total_tokens) * 1000000.0 + 0.5)
                  / 1000000.0 AS cum_share
         FROM top CROSS JOIN total""",
+
+      // Same tokenizer and count grain as vocab_topk; rank replayed as
+      // the plain window the two-pass globalRank is provably equal to,
+      // and the closed-form slope follows the identical
+      // parenthesization.
+      "text_zipf_fit" -> """
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+            x -> x <> '')) AS token
+          FROM documents),
+        counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        ranked AS (SELECT cnt,
+                     row_number() OVER (ORDER BY cnt DESC, token) AS rank
+                   FROM counts),
+        pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                       ln(CAST(cnt AS DOUBLE)) AS y
+                FROM ranked),
+        sums AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                        SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                 FROM pts)
+        SELECT n AS n_vocab,
+               floor(((sxy * n - sx * sy) / (sxx * n - sx * sx))
+                 * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
+               floor(((sy - ((sxy * n - sx * sy) / (sxx * n - sx * sx))
+                 * sx) / n) * 10000.0 + 0.5) / 10000.0 AS intercept
+        FROM sums""",
 
       // Same tokenizer, same smoothed-idf formula text as the Spark
       // expression (tf · (ln((1.0+N)/(1.0+df)) + 1.0)), per-doc top-3

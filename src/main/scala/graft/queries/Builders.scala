@@ -26,6 +26,13 @@ import graft.functions.NormExprs.{pround, wageAdjFactor}
 object Builders extends QueryPack {
 
   private val R = s"WITH rates AS (${RolesSql.rates})"
+
+  /** Columns `dq_profile` profiles — ONE pinned list shared by the
+    * Spark aggregate and the DuckDB twin (schema-order drift in the
+    * parquet cannot silently change what either side profiles). */
+  private val profileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+    "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
   private val RP =
     s"WITH rates AS (${RolesSql.rates}), providers AS (${RolesSql.providers})"
 
@@ -560,6 +567,32 @@ object Builders extends QueryPack {
           col("oor").cast("long").as("n_violations")))
     }),
 
+    // Per-column table profile — the data-card / ingest-gate
+    // statistic every pipeline owner reads first (null rates and
+    // exact distinct cardinalities per column, over the widest fact
+    // table). ONE corpus pass: all 2·C aggregates ride a single
+    // Aggregate (Catalyst rewrites the multi-distinct with one Expand
+    // — a C-way row expansion, the irreducible price of EXACT
+    // per-column distincts; the approximate tier for 100 TB-wide
+    // profiling is the sketches family's HLL sidecars), then the
+    // 1-row result unpivots driver-free via stack. The column list is
+    // pinned to one shared Seq so the Spark plan and the DuckDB twin
+    // can never profile different columns.
+    "dq_profile" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val aggs = profileCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"))) :+
+        count(lit(1)).as("__rows")
+      val stackArgs = profileCols
+        .map(c => s"'$c', `${c}__nulls`, `${c}__distinct`").mkString(", ")
+      li.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(
+          s"stack(${profileCols.length}, $stackArgs)" +
+            " AS (col_name, n_nulls, n_distinct)",
+          "__rows AS n_rows")
+    }),
+
     // Hot-key skew report — the diagnostic a pipeline owner reads
     // BEFORE choosing between broadcast, AQE's skew split, and the
     // salted join (j15): the 10 heaviest join keys with exact counts
@@ -948,6 +981,17 @@ object Builders extends QueryPack {
           FROM base
         UNION ALL SELECT 'rate_out_of_range', CAST(oor AS BIGINT)
           FROM base""",
+
+      // One UNION ALL branch per pinned column; single-column
+      // COUNT(DISTINCT c) ignores nulls in both engines (the
+      // multi-column null divergence the violations oracle documents
+      // does not apply here).
+      "dq_profile" -> profileCols.map(c =>
+        s"""SELECT '$c' AS col_name,
+               COUNT(*) - COUNT($c) AS n_nulls,
+               COUNT(DISTINCT $c) AS n_distinct,
+               COUNT(*) AS n_rows FROM lineitem""").mkString(
+        "\n        UNION ALL "),
 
       "dq_key_skew" -> s"""$R,
         counts AS (

@@ -988,4 +988,77 @@ class OperatorsSpec extends SparkSpec {
       }
     } finally cents.unpersist()
   }
+
+  /** Driver-side exact kNN over the sf0.001 embeddings: cosine in
+    * index-order double math (the kernel/oracle parenthesization),
+    * ties to the lowest candidate id — an implementation fully
+    * independent of the Spark plans it checks. */
+  private def bruteKnn(k: Int): Map[Long, Seq[Long]] = {
+    val rows = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.map { case (vid, v) =>
+      vid -> rows.filter(_._1 != vid)
+        .map { case (cid, c) => (cid, cos(v, c)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(k).map(_._1).toSeq
+    }.toMap
+  }
+
+  test("knn graph: exact 3-NN at nprobe=K, bounded + self-free at the operating point") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val cents = Similarity.centroids(e).persist()
+    try {
+      val exact = bruteKnn(3)
+      // nprobe = K probes every bucket -> the candidate set is the
+      // whole corpus and the graph must EQUAL the brute-force 3-NN
+      // graph, rank for rank
+      val full = Similarity.knnGraph(e, cents, nprobe = 8, k = 3)
+        .select("vec_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+      val want = exact.flatMap { case (v, ns) =>
+        ns.zipWithIndex.map { case (n, i) => (v, i + 1) -> n }
+      }
+      assert(full == want,
+        s"nprobe=K graph != brute force (${full.size} vs ${want.size} edges)")
+      // operating point: per-vector caps hold, no self-edges, recall
+      // comfortably above the nprobe/K chance floor (0.25)
+      val op = Similarity.knnGraph(e, cents, nprobe = 2, k = 3)
+        .select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(op.forall { case (v, n) => v != n }, "self-edge in knn graph")
+      assert(op.groupBy(_._1).forall(_._2.length <= 3), "k cap violated")
+      val edgeSet = op.toSet
+      val recall = exact.toSeq.flatMap { case (v, ns) => ns.map((v, _)) }
+        .count(edgeSet).toDouble / (exact.size * 3)
+      info(f"knn graph recall@3 at nprobe=2: $recall%.2f")
+      assert(recall >= 0.4, f"recall@3 $recall%.2f under bound 0.4")
+    } finally cents.unpersist()
+  }
+
+  test("knn classify replays the brute-force majority vote at nprobe=K") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val cents = Similarity.centroids(e).persist()
+    try {
+      val labels = e.select("vec_id", "label").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      val want = bruteKnn(3).map { case (v, ns) =>
+        val byLabel = ns.groupBy(labels).map { case (l, g) => (l, g.size) }
+        val (pred, votes) = byLabel.toSeq.sortBy { case (l, c) => (-c, l) }.head
+        v -> ((labels(v), pred, votes.toLong, pred == labels(v)))
+      }
+      val got = Similarity.knnClassify(e, cents, nprobe = 8, k = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+      assert(got == want)
+      val acc = got.values.count(_._4).toDouble / got.size
+      info(f"leave-one-out 3-NN label agreement: $acc%.2f")
+    } finally cents.unpersist()
+  }
 }
