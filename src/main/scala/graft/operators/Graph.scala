@@ -144,6 +144,46 @@ object Graph extends QueryPack {
         .unionByName(tri.select(col("v").as("part")))
         .unionByName(tri.select(col("w").as("part")))
         .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // Frequent 3-itemsets (market-basket, support >= 2) — the level-3
+    // A-priori step over the same order/part facts. The naive 3-way
+    // self-join emits k³/6 candidates per k-item order; here the pair
+    // stream is SEMI-JOINED against the frequent-pair set BEFORE
+    // extension, and each extended triple must clear the (pb,pc) and
+    // (pa,pc) sub-pair checks too — the A-priori downward-closure
+    // prune (a support-2 triple's sub-pairs all have support >= 2, so
+    // pruning is LOSSLESS and the DuckDB twin can stay the naive
+    // 3-way join: same rows, different plan). At scale the prune is
+    // the operator: candidate volume tracks the frequent-pair count,
+    // not the order-size cube.
+    "basket_itemsets3" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = li.as("a"); val b = li.as("b"); val c = li.as("c")
+      val pairsInOrder = a.join(b,
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("ord"),
+          col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      val freqPairs = pairsInOrder.groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint() // consumed by three semi-joins
+      val pruned = pairsInOrder
+        .join(freqPairs, Seq("pa", "pb"), "left_semi")
+      pruned.join(c, col("ord") === col("c.l_orderkey") &&
+          col("pb") < col("c.l_partkey"))
+        .select(col("ord"), col("pa"), col("pb"),
+          col("c.l_partkey").as("pc"))
+        .join(freqPairs.select(col("pa").as("pb"), col("pb").as("pc")),
+          Seq("pb", "pc"), "left_semi")
+        .join(freqPairs.select(col("pa"), col("pb").as("pc")),
+          Seq("pa", "pc"), "left_semi")
+        .groupBy("pa", "pb", "pc").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("pa").as("part_a"), col("pb").as("part_b"),
+          col("pc").as("part_c"), col("support"))
     })
   )
 
@@ -245,6 +285,19 @@ object Graph extends QueryPack {
       FROM (SELECT u AS part FROM tri
             UNION ALL SELECT v AS part FROM tri
             UNION ALL SELECT w AS part FROM tri)
-      GROUP BY part"""
+      GROUP BY part""",
+
+    // The NAIVE 3-way join — the A-priori prunes in the Spark plan
+    // are lossless, so the twins agree row for row.
+    "basket_itemsets3" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             c.l_partkey AS part_c, count(*) AS support
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+      JOIN li c ON b.l_orderkey = c.l_orderkey
+               AND b.l_partkey < c.l_partkey
+      GROUP BY 1, 2, 3 HAVING count(*) >= 2"""
   )
 }

@@ -500,6 +500,65 @@ object Analytics extends QueryPack {
         .agg(countDistinct("user_id").as("n_users"))
     }),
 
+    // ORDERED conversion funnel — the sequence-aware twin of the
+    // retention matrix: users who viewed, then clicked STRICTLY AFTER
+    // their first view, then purchased strictly after that click.
+    // Each stage is a per-user min-timestamp aggregate joined to the
+    // next stage's event slice on user_id (co-partitioned, user-grain
+    // frames — never an event×event product), so the plan is three
+    // map-side-combinable aggregates and two slim joins; no window
+    // function touches the raw stream.
+    "events_funnel_ordered" -> ((s, d) => {
+      val e = graft.streaming.StreamingUpsert
+        .eventFeed(Tables.load(s, d, "events"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("event_time")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(count(lit(1)).as("np"))
+      v.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("stage"), lit("view").as("step"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("stage"), lit("click").as("step"),
+            col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("stage"), lit("purchase").as("step"),
+            col("n_users")))
+    }),
+
+    // First-order Markov transition matrix of the event stream — the
+    // behavioral fingerprint behind next-event prediction, bot
+    // detection (impossible transitions), and synthetic-session
+    // generation. Per-user ordering is a keyed window over the RAW
+    // stream (sessionization-class linear cost — no Generate below
+    // it, so PlanLint's expanded-sort rule stays quiet by
+    // construction); transition counts aggregate map-side on the
+    // 5×5-bounded type-pair grain, and the per-source totals are a
+    // broadcast dimension. Probabilities follow one division
+    // parenthesization mirrored in the oracle.
+    "events_markov_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("event_time"), col("event_id"))
+      val seq = graft.streaming.StreamingUpsert
+        .eventFeed(Tables.load(s, d, "events"))
+        .select(col("user_id"), col("event_type"), col("event_time"),
+          col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val cnt = seq.groupBy(col("event_type").as("from_type"),
+          col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("from_type").agg(sum("n").as("t"))
+      cnt.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          pround(col("n").cast("double") / col("t"), 4).as("p"))
+    }),
+
     // Winsorization — the clamp-don't-drop outlier treatment for rate
     // cleaning: per event type, values outside [p05, p95] are clamped
     // to the fence and counted. The exact per-type fences come from
@@ -928,6 +987,38 @@ object Analytics extends QueryPack {
       FROM signup JOIN active USING (user_id)
       WHERE active_week >= cohort_week
       GROUP BY 1, 2""",
+
+    // same strict-after chaining; timestamp comparisons are µs-exact
+    // in both engines
+    "events_funnel_ordered" -> """
+      WITH e AS (SELECT user_id, event_type, ts FROM events),
+      v AS (SELECT user_id, min(ts) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+      p AS (SELECT e.user_id FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+      SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
+             (SELECT count(*) FROM v) AS n_users
+      UNION ALL SELECT CAST(2 AS INTEGER), 'click',
+             (SELECT count(*) FROM c)
+      UNION ALL SELECT CAST(3 AS INTEGER), 'purchase',
+             (SELECT count(*) FROM p)""",
+
+    // same (ts, event_id) ordering, same division parenthesization
+    "events_markov_transitions" -> """
+      WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+        FROM events),
+      cnt AS (SELECT event_type AS from_type, to_type, count(*) AS n
+              FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, sum(n) AS t FROM cnt GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n,
+             floor((CAST(c.n AS DOUBLE) / t) * 10000.0 + 0.5) / 10000.0
+               AS p
+      FROM cnt c JOIN tot USING (from_type)""",
 
     // same exact quantile_cont fences, same unrounded clamp compare
     "clean_winsorize" -> """
