@@ -203,4 +203,64 @@ object StreamOps {
         count(lit(1)).cast("int").as("n_events"))
       .drop("session_id")
   }
+
+  // ------------------------------------------------ markov transitions
+
+  case class TransEvent(user_id: Long, event_id: Long,
+                        event_time: Timestamp, event_type: String)
+  case class TransState(lastUs: Long, lastId: Long, lastType: String)
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of the `events_markov_transitions` batch query's
+    * TRANSITION STREAM: per user, emit (from_type, to_type) for every
+    * consecutive event pair in (event_time, event_id) order, chaining
+    * across micro-batches through one tiny state record per user (the
+    * last seen event — O(active users), the irreducible minimum for
+    * sequence semantics; an event-time timeout could evict idle users
+    * at the cost of mis-chaining their next arrival, so eviction is
+    * left to the operator's retention policy). Rows are sorted within
+    * each batch; ACROSS batches the operator assumes per-user
+    * event-time-ordered arrival (the replay/backfill contract the
+    * sessionizer documents) — an out-of-order straddler would chain
+    * from the wrong predecessor. Emission is immediate (Append mode,
+    * no timeout): a transition is known the moment its second event
+    * arrives, so no watermark sentinel is needed. Downstream counts
+    * over the emitted pairs reproduce the batch query's matrix —
+    * StreamOpsSpec pins exactly that. */
+  def markovTransitions(feed: DataFrame): Dataset[Transition] = {
+    val spark = feed.sparkSession
+    import spark.implicits._
+    feed.select(col("user_id"), col("event_id"), col("event_time"),
+        col("event_type")).as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEvent],
+         state: GroupState[TransState]) =>
+          val sorted = rows.toArray
+            .sortBy(e => (toMicros(e.event_time), e.event_id))
+          var cur = state.getOption
+          val out = List.newBuilder[Transition]
+          sorted.foreach { e =>
+            cur.foreach(s => out += Transition(uid, s.lastType, e.event_type))
+            cur = Some(TransState(toMicros(e.event_time), e.event_id,
+              e.event_type))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Batch twin: the same transition stream via a keyed window. */
+  def markovTransitionsBatch(feed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("event_time"), col("event_id"))
+    feed.select(col("user_id"), col("event_id"), col("event_time"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("to_type"))
+  }
 }

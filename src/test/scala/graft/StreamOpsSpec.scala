@@ -235,4 +235,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.size == 3, s"expected 3 sub-second sessions, got $batch")
     assert(batch.toSeq.map(_(3).asInstanceOf[Int]).sum == 4)
   }
+
+  test("stateful markov transitions chain across micro-batches == batch twin") {
+    val work = Files.createTempDirectory("graft_markov").toString
+    val inDir = timeOrderedInput(work)
+    val outPath = s"$work/out"
+    // no watermark sentinel: transitions emit the moment their second
+    // event arrives (NoTimeout + Append)
+    val q = StreamOps.markovTransitions(
+      StreamingUpsert.readEventStream(spark, inDir))
+      .writeStream.option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").format("parquet")
+      .option("path", outPath).start()
+    q.processAllAvailable()
+    q.stop()
+
+    // transitions repeat per user — compare the MULTISET via counts,
+    // which is also exactly the declared query's matrix grain
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("user_id", "from_type", "to_type").count()
+      .collect().map(_.toSeq).toSet
+    val streamed = counts(spark.read.parquet(outPath))
+    val batch = counts(StreamOps.markovTransitionsBatch(
+      StreamingUpsert.eventFeed(spark.read.parquet(inDir))))
+    assert(streamed == batch,
+      s"streamed ${streamed.size} transition keys vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+    // cross-batch chaining actually happened: without state carry the
+    // stream would emit (n_events - n_users_per_batch * n_batches)
+    // transitions, strictly fewer than the batch twin's
+    val nStreamTrans = spark.read.parquet(outPath).count()
+    val feed = StreamingUpsert.eventFeed(spark.read.parquet(inDir))
+    val expected = feed.count() - feed.select("user_id").distinct().count()
+    assert(nStreamTrans == expected,
+      s"$nStreamTrans transitions != events - users = $expected")
+  }
 }
