@@ -184,6 +184,31 @@ object Graph extends QueryPack {
         .filter(col("support") >= 2)
         .select(col("pa").as("part_a"), col("pb").as("part_b"),
           col("pc").as("part_c"), col("support"))
+    }),
+
+    // Cosine-normalized item-item similarity — raw co-order counts
+    // favor popular items; dividing by √(freq_a·freq_b) (the cosine
+    // of the order-membership indicator vectors) surfaces genuinely
+    // ASSOCIATED pairs, the score collaborative filtering and
+    // negative-sampling tables actually want. Item frequencies are an
+    // item-grain aggregate joined twice onto the (already
+    // support-floored) pair list — slim keys, map-side combined — and
+    // the global top-50 is a TakeOrdered, never a full sort.
+    "graph_item_similarity" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val freq = li.groupBy(col("l_partkey").as("part"))
+        .agg(count(lit(1)).as("n_orders"))
+      copurchaseEdges(s, d)
+        .join(freq.select(col("part").as("part_a"),
+          col("n_orders").as("na")), "part_a")
+        .join(freq.select(col("part").as("part_b"),
+          col("n_orders").as("nb")), "part_b")
+        .select(col("part_a"), col("part_b"), col("n_coorders"),
+          pround(col("n_coorders") /
+            sqrt((col("na") * col("nb")).cast("double")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("part_a"), col("part_b"))
+        .limit(50)
     })
   )
 
@@ -298,6 +323,21 @@ object Graph extends QueryPack {
                AND a.l_partkey < b.l_partkey
       JOIN li c ON b.l_orderkey = c.l_orderkey
                AND b.l_partkey < c.l_partkey
-      GROUP BY 1, 2, 3 HAVING count(*) >= 2"""
+      GROUP BY 1, 2, 3 HAVING count(*) >= 2""",
+
+    // Ranked by the ROUNDED cosine (both engines round identically,
+    // so the top-50 boundary can never disagree), ties by pair id.
+    "graph_item_similarity" -> s"""
+      WITH e0 AS ($copurchaseSql),
+      li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      freq AS (SELECT l_partkey AS part, count(*) AS n_orders
+               FROM li GROUP BY 1)
+      SELECT part_a, part_b, n_coorders,
+             floor((n_coorders /
+               sqrt(CAST(fa.n_orders * fb.n_orders AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM e0 JOIN freq fa ON fa.part = part_a
+              JOIN freq fb ON fb.part = part_b
+      ORDER BY cosine DESC, part_a, part_b LIMIT 50"""
   )
 }

@@ -290,6 +290,32 @@ object Similarity extends QueryPack {
       cents.coalesce(1).write.mode("overwrite")
         .parquet(oracleKnnClassifyCentroidSidecar)
       knnClassify(e, cents, nprobe = 2, k = 3)
+    }),
+
+    // Per-dimension distribution audit — the normalization /
+    // whitening pre-check every embedding pipeline runs before
+    // quantization or IVF (a dead or wildly-scaled dimension distorts
+    // every distance downstream). One Generate fan-out (64× — bounded
+    // by the DIMENSION, not the corpus) collapsed immediately by a
+    // map-side-combinable aggregate on the 64-row dim grain; variance
+    // uses the explicit sum-of-squares closed form so both engines
+    // follow one parenthesization rather than their own stddev
+    // implementations.
+    "embedding_dim_stats" -> ((s, d) => {
+      val e = emb(s, d)
+      e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") + 1).cast("int").as("dim"),
+          col("v").cast("double").as("x"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          min("x").as("mn"), max("x").as("mx"))
+        .select(col("dim"),
+          pround(col("sx") / col("n"), 6).as("mean"),
+          pround(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            col("n")), 6).as("std"),
+          pround(col("mn"), 6).as("vmin"),
+          pround(col("mx"), 6).as("vmax"))
     })
   )
 
@@ -1461,7 +1487,24 @@ object Similarity extends QueryPack {
                FROM votes)
       SELECT b.vid AS vec_id, qq.vlabel AS label, b.pred_label, b.votes,
              (b.pred_label = qq.vlabel) AS agree
-      FROM best b JOIN q qq ON qq.vid = b.vid WHERE rn = 1"""
+      FROM best b JOIN q qq ON qq.vid = b.vid WHERE rn = 1""",
+
+    // same closed-form population variance, same parenthesization
+    "embedding_dim_stats" -> """
+      WITH x AS (
+        SELECT CAST(i AS INTEGER) AS dim,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+        FROM embeddings, range(1, 65) r(i)),
+      s AS (SELECT dim, count(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+                   MIN(x) AS mn, MAX(x) AS mx
+            FROM x GROUP BY 1)
+      SELECT dim,
+             floor((sx / n) * 1000000.0 + 0.5) / 1000000.0 AS mean,
+             floor(sqrt((sxx - sx * sx / n) / n) * 1000000.0 + 0.5)
+               / 1000000.0 AS std,
+             floor(mn * 1000000.0 + 0.5) / 1000000.0 AS vmin,
+             floor(mx * 1000000.0 + 0.5) / 1000000.0 AS vmax
+      FROM s"""
   )
 
   /** Shared replay for the kNN-graph family oracles: nearest-centroid

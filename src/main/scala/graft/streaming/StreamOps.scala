@@ -263,4 +263,50 @@ object StreamOps {
       .select(col("user_id"), col("event_type").as("from_type"),
         col("to_type"))
   }
+
+  // ------------------------------------------------- ordered funnel
+
+  case class FunnelState(t1: Long, t2: Long, t3: Long) // micros; -1 = unset
+  case class StageDone(user_id: Long, stage: Int)
+
+  /** Streaming twin of `events_funnel_ordered`'s per-user stage
+    * progression: one state record per user holding the first
+    * qualifying timestamp of each stage (first view; first click
+    * strictly after it; first purchase strictly after that), emitting
+    * (user_id, stage) ONCE when a stage first completes — so counting
+    * emitted rows per stage live-reproduces the batch funnel. Same
+    * chaining/ordering contract as [[markovTransitions]] (sorted
+    * within batch, per-user event-time-ordered arrival across
+    * batches); emission is immediate, state is three longs per
+    * engaged user. */
+  def funnelStages(feed: DataFrame): Dataset[StageDone] = {
+    val spark = feed.sparkSession
+    import spark.implicits._
+    feed.select(col("user_id"), col("event_id"), col("event_time"),
+        col("event_type")).as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageDone](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEvent],
+         state: GroupState[FunnelState]) =>
+          val sorted = rows.toArray
+            .sortBy(e => (toMicros(e.event_time), e.event_id))
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = List.newBuilder[StageDone]
+          sorted.foreach { e =>
+            val t = toMicros(e.event_time)
+            e.event_type match {
+              case "view" if s.t1 < 0 =>
+                s = s.copy(t1 = t); out += StageDone(uid, 1)
+              case "click" if s.t1 >= 0 && s.t2 < 0 && t > s.t1 =>
+                s = s.copy(t2 = t); out += StageDone(uid, 2)
+              case "purchase" if s.t2 >= 0 && s.t3 < 0 && t > s.t2 =>
+                s = s.copy(t3 = t); out += StageDone(uid, 3)
+              case _ =>
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
 }

@@ -270,4 +270,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(nStreamTrans == expected,
       s"$nStreamTrans transitions != events - users = $expected")
   }
+
+  test("stateful ordered funnel emits each stage once == declared batch funnel") {
+    val work = Files.createTempDirectory("graft_funnel").toString
+    val inDir = timeOrderedInput(work) // the sf0.001 events, 3 time cuts
+    val outPath = s"$work/out"
+    val q = StreamOps.funnelStages(
+      StreamingUpsert.readEventStream(spark, inDir))
+      .writeStream.option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").format("parquet")
+      .option("path", outPath).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val emitted = spark.read.parquet(outPath)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // once per (user, stage) — re-emission across batches would break
+    // any live funnel counter downstream
+    assert(emitted.length == emitted.distinct.length, "stage re-emitted")
+    val streamed = emitted.groupBy(_._2).map { case (s, g) =>
+      s -> g.length.toLong
+    }
+    val batch = graft.queries.Analytics
+      .queries("events_funnel_ordered")(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"streamed stage counts $streamed != batch $batch")
+  }
 }
