@@ -230,6 +230,37 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       .orderBy("billing_class", "code_type"))
   })
 
+  // ---------------------------------------------- retrieval (beyond ref)
+
+  /** The LLM-ops retrieval surface served over the same shell: the
+    * maintained inverted text index, built ONCE on first use (the
+    * build-once/probe-many discipline — a probe costs posting-bucket
+    * reads, never a corpus scan). Index construction is deterministic,
+    * so a restarted server rebuilds the identical index. */
+  private lazy val searchIndexDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rest_index").toString
+    graft.operators.Retrieval.writeTextIndex(
+      graft.Tables.load(spark, dataDir, "documents"),
+      "doc_id", "text", dir)
+    dir
+  }
+
+  /** BM25 document search: `q` tokenized with the corpus tokenizer
+    * (lowercase, non-alphanumerics to spaces), deduped, capped at 8
+    * terms (the pivot width is per-term — the cap bounds the plan,
+    * matching the reference shell's clamp discipline). */
+  route("/api/search/documents", { p =>
+    val q = required(p, "q")
+    val lim = limit(p, 10)
+    val terms = q.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .split("\\s+").filter(_.nonEmpty).distinct.take(8).toSeq
+    if (terms.isEmpty)
+      Response(422, """{"detail":"q has no indexable terms"}""")
+    else resultsJson(graft.operators.Retrieval
+      .probeIndexTopK(spark, searchIndexDir, terms, lim))
+  })
+
   // ------------------------------------------------------------ plumbing
 
   /** The shared mandatory+optional single-value grammar

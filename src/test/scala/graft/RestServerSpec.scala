@@ -131,6 +131,33 @@ class RestServerSpec extends SparkSpec {
     assert(c2 == 200 && n2.get("count").asInt() > 0)
     val (c3, n3) = get("/api/meta/available-data")
     assert(c3 == 200 && n3.get("count").asInt() > 0)
+  }
+
+  test("search/documents: BM25 over the index, parity with a direct probe") {
+    val terms = Seq("order", "customer", "scan") // TextAnalysis.Bm25Terms
+    val q = java.net.URLEncoder.encode(terms.mkString(" "), "UTF-8")
+    val (c, n) = get(s"/api/search/documents?q=$q&limit=5")
+    assert(c == 200, n.toString)
+    assert(n.get("count").asInt() > 0 && n.get("count").asInt() <= 5)
+    val got = (0 until n.get("results").size()).map { i =>
+      val r = n.get("results").get(i)
+      (r.get("rank").asInt(), r.get("doc_id").asLong(),
+        r.get("score").asDouble())
+    }
+    // the index build is deterministic, so a privately built index
+    // must serve the identical ranking and scores
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rest_twin_index").toString
+    graft.operators.Retrieval.writeTextIndex(
+      Tables.load(spark, sf0001, "documents"), "doc_id", "text", dir)
+    val want = graft.operators.Retrieval
+      .probeIndexTopK(spark, dir, terms, 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == want, s"$got != $want")
+    // grammar: missing q is a 422, q with no indexable terms is a 422
+    assert(get("/api/search/documents")._1 == 422)
+    assert(get("/api/search/documents?q=%2B%2B")._1 == 422)
     server.stop()
   }
 }
