@@ -762,6 +762,49 @@ object Similarity extends QueryPack {
         pround(col("sim"), 4).as("cosine"))
   }
 
+  /** Build the kNN GRAPH from a materialized IVF index — the
+    * build-once form of [[knnGraph]]: candidates come from the
+    * index's COMMITTED (cid, ce, bucket) rows (no re-assignment — the
+    * stored bucket is the assignment, valid under the sidecar
+    * centroids), and the probe side is those same vectors ranking
+    * their `nprobe` nearest sidecar centroids scan-side. A periodic
+    * graph rebuild (the SemDeDup / label-propagation refresh cadence)
+    * therefore reads bucket files, never re-derives centroids or
+    * re-shuffles assignments — and because both the index build and
+    * the inline derivation are deterministic, the graph is IDENTICAL
+    * to [[knnGraph]] over the same corpus (OperatorsSpec pins it). */
+  def knnGraphFromIndex(spark: SparkSession, indexPath: String,
+                        nprobe: Int, k: Int): DataFrame = {
+    graft.functions.CosineSimF32.register(spark)
+    val centsPath = centroidsPathOf(indexPath)
+    require(graft.FsUtils.committedExists(spark, centsPath),
+      s"no centroid sidecar at $centsPath — rebuild with writeIvfIndex")
+    val cents = spark.read.parquet(centsPath)
+    val assigned = GenStore
+      .committedData(spark, indexPath, gensPathOf(indexPath))
+      .select(col("cid"), col("ce"), col("bucket"))
+    val probes = assigned.select(col("cid").as("vid"), col("ce").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("vid"), col("qe"), col("centroid_id"),
+        cosine(col("qe"), col("cent")).as("csim"))
+      .groupBy("vid")
+      .agg(first(col("qe")).as("qe"),
+        slice(array_sort(collect_list(struct((-col("csim")).as("ns"),
+          col("centroid_id").as("b")))), 1, nprobe).as("top"))
+      .select(col("vid"), col("qe"), explode(col("top.b")).as("probe"))
+    probes.join(assigned,
+        col("probe") === col("bucket") && col("cid") =!= col("vid"))
+      .select(col("vid"), col("cid"),
+        cosine(col("qe"), col("ce")).as("sim"))
+      .groupBy(col("vid"))
+      .agg(slice(array_sort(collect_list(struct((-col("sim")).as("ns"),
+        col("cid").as("cid")))), 1, k).as("top"))
+      .select(col("vid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vid").as("vec_id"), col("t.cid").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        pround(-col("t.ns"), 4).as("cosine"))
+  }
+
   /** Materialize the composed IVFPQ index — the build-once half of the
     * production ANN stack: PQ codes hive-partitioned by IVF bucket, so
     * a probe's file listing prunes to ~nprobe/K of the code files AND

@@ -1061,4 +1061,24 @@ class OperatorsSpec extends SparkSpec {
       info(f"leave-one-out 3-NN label agreement: $acc%.2f")
     } finally cents.unpersist()
   }
+
+  test("knn graph from the materialized IVF index == inline derivation") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_knn_idx").toString + "/ivf"
+    Similarity.writeIvfIndex(spark, sf0001, idx)
+    val fromIndex = Similarity.knnGraphFromIndex(spark, idx,
+        nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    // both derivations are deterministic over the same corpus +
+    // sidecar centroids, so the graphs must be identical
+    val cents = spark.read.parquet(Similarity.centroidsPathOf(idx))
+    val inline = Similarity.knnGraph(e, cents, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(fromIndex == inline,
+      s"index-built graph ${fromIndex.size} edges != inline ${inline.size}")
+    assert(fromIndex.nonEmpty)
+  }
 }
