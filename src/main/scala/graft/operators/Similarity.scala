@@ -699,6 +699,20 @@ object Similarity extends QueryPack {
       GenStore.committedData(spark, indexPath, gensPathOf(indexPath)),
       nprobe, topK)
 
+  /** [[probeIvfIndex]] for SPECIFIC query ids — the point-serving
+    * form (one request = one vector's neighbors) the REST shell's
+    * `/api/knn/{vec_id}` exposes: the query row is one scan-filtered
+    * vector, the probe touches ~nprobe/K of the index's bucket files,
+    * and the result is topK slim rows — request cost is independent
+    * of corpus size, the property a vector-serving endpoint exists
+    * for. */
+  def probeIvfIndexForIds(spark: SparkSession, dir: String,
+                          indexPath: String, ids: Seq[Long],
+                          nprobe: Int = 2, topK: Int = 5): DataFrame =
+    probeIvfFrom(spark, dir, indexPath,
+      GenStore.committedData(spark, indexPath, gensPathOf(indexPath)),
+      nprobe, topK, qPred = col("vec_id").isin(ids.map(Long.box): _*))
+
   /** [[probeIvfIndex]] against a PAST committed snapshot — the vector
     * twin of `Retrieval.probeIndexTopKAsOf`, same visibility rule
     * ([[GenStore.committedIdsAsOf]]: base sentinels + appends ≤ asOf,
@@ -739,14 +753,15 @@ object Similarity extends QueryPack {
 
   private def probeIvfFrom(spark: SparkSession, dir: String,
                            indexPath: String, committed: DataFrame,
-                           nprobe: Int, topK: Int): DataFrame = {
+                           nprobe: Int, topK: Int,
+                           qPred: Column = col("vec_id") < 10): DataFrame = {
     val e = emb(spark, dir)
     val centsPath = centroidsPathOf(indexPath)
     require(graft.FsUtils.committedExists(spark, centsPath),
       s"no centroid sidecar at $centsPath — rebuild the index with " +
         "writeIvfIndex; probing with recomputed centroids risks silent " +
         "bucket-assignment skew")
-    val probes = probeBuckets(e.filter(col("vec_id") < 10)
+    val probes = probeBuckets(e.filter(qPred)
       .select(col("vec_id").as("vid"), col("embedding").as("qe")),
       spark.read.parquet(centsPath), nprobe)
     val probedBuckets = probes.select("probe").distinct()

@@ -261,6 +261,36 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       .probeIndexTopK(spark, searchIndexDir, terms, lim))
   })
 
+  /** The vector-serving twin: a lazily built-once IVF index (vectors
+    * hive-partitioned by bucket; probes prune to ~nprobe/K of the
+    * files), so one request costs one scan-filtered query row + a
+    * bucket-pruned candidate read + topK slim rows — independent of
+    * corpus size. */
+  private lazy val ivfIndexDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rest_ivf").toString + "/ivf"
+    graft.operators.Similarity.writeIvfIndex(spark, dataDir, dir)
+    dir
+  }
+
+  // /api/knn/{vec_id}?k=&nprobe= — nearest neighbors of a corpus vector
+  routeWithSuffix("/api/knn", { (suffix, p) =>
+    if (suffix.isEmpty)
+      Response(422, """{"detail":"missing path parameter: vec_id"}""")
+    else {
+      val vecId =
+        try suffix.toLong
+        catch { case _: NumberFormatException =>
+          throw ApiError(422, s"vec_id must be an integer: $suffix") }
+      val k = math.min(MaxLimit, math.max(1,
+        p.get("k").map(_.toInt).getOrElse(5)))
+      val nprobe = math.min(8, math.max(1,
+        p.get("nprobe").map(_.toInt).getOrElse(2)))
+      resultsJson(graft.operators.Similarity.probeIvfIndexForIds(
+        spark, dataDir, ivfIndexDir, Seq(vecId), nprobe, k))
+    }
+  })
+
   // ------------------------------------------------------------ plumbing
 
   /** The shared mandatory+optional single-value grammar

@@ -115,4 +115,28 @@ class GraphSpec extends SparkSpec {
       .toSet
     assert(got == naive)
   }
+
+  test("kcore2: the 6-round unroll reaches the true 2-core fixpoint") {
+    val got = Graph.queries("graph_kcore2")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.nonEmpty)
+    // driver-side peel to ACTUAL fixpoint from the raw edge list
+    var edges = Graph.queries("graph_copurchase_edges")(spark, sf0001)
+      .select("part_a", "part_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = edges.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != edges
+      edges = next
+    }
+    val want = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want,
+      s"6-round unroll != driver fixpoint (${got.size} vs ${want.size})")
+    assert(got.values.forall(_ >= 2), "a 2-core node with degree < 2")
+  }
 }

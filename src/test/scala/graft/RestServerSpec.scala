@@ -158,6 +158,31 @@ class RestServerSpec extends SparkSpec {
     // grammar: missing q is a 422, q with no indexable terms is a 422
     assert(get("/api/search/documents")._1 == 422)
     assert(get("/api/search/documents?q=%2B%2B")._1 == 422)
+  }
+
+  test("knn/{vec_id}: IVF-probed neighbors, parity with a direct index probe") {
+    val (c, n) = get("/api/knn/5?k=3")
+    assert(c == 200, n.toString)
+    assert(n.get("count").asInt() > 0 && n.get("count").asInt() <= 3)
+    val got = (0 until n.get("results").size()).map { i =>
+      val r = n.get("results").get(i)
+      (r.get("qid").asLong(), r.get("cid").asLong(),
+        r.get("rank").asInt(), r.get("cosine").asDouble())
+    }
+    assert(got.forall(_._1 == 5L))
+    // deterministic build -> a privately built index answers identically
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rest_twin_ivf").toString + "/ivf"
+    graft.operators.Similarity.writeIvfIndex(spark, sf0001, dir)
+    val want = graft.operators.Similarity
+      .probeIvfIndexForIds(spark, sf0001, dir, Seq(5L), nprobe = 2, topK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSeq
+    assert(got == want, s"$got != $want")
+    // grammar: missing / non-integer vec_id answer 422
+    assert(get("/api/knn")._1 == 422)
+    assert(get("/api/knn/abc")._1 == 422)
     server.stop()
   }
 }
