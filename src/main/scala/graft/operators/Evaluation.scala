@@ -137,6 +137,32 @@ object Evaluation extends QueryPack {
           col("ta").cast("long").as("tokens_a"),
           col("tb").cast("long").as("tokens_b"),
           pround(col("s") / lit(JsScale), 4).as("js_div"))
+    }),
+
+    // Population Stability Index — JS's industry twin for monitoring
+    // a SCALAR feature's distribution drift (model-risk teams read
+    // PSI per feature per refresh; >0.2 = investigate): doc length
+    // binned to 10 fixed-width buckets, expected = the 'en' slice,
+    // observed = the rest, per-bin (pa−pb)·ln(pa/pb) with Laplace
+    // smoothing (+0.5/bin) so an empty side never takes ln(0).
+    // Per-BIN terms are emitted (the actionable view — which length
+    // band drifted), so no cross-engine fp sum exists at all; both
+    // counts ride one map-side-combined aggregate over the
+    // 10-row bin grain and the totals broadcast back.
+    "corpus_drift_psi" -> ((s, d) => {
+      val binned = docs(s, d).select(col("lang"),
+        least(lit(9), floor(col("n_chars") / lit(64)).cast("int"))
+          .as("bin"))
+      val counts = binned.groupBy("bin")
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("cb"))
+      val tot = counts.agg(sum(col("ca")).cast("double").as("ta"),
+        sum(col("cb")).cast("double").as("tb"))
+      val pa = (col("ca").cast("double") + lit(0.5)) / (col("ta") + lit(5.0))
+      val pb = (col("cb").cast("double") + lit(0.5)) / (col("tb") + lit(5.0))
+      counts.crossJoin(broadcast(tot))
+        .select(col("bin"), col("ca"), col("cb"),
+          pround((pa - pb) * log(pa / pb), 6).as("psi_term"))
     })
   )
 
@@ -217,6 +243,30 @@ object Evaluation extends QueryPack {
                CAST(tb AS BIGINT) AS tokens_b,
                floor((SUM(t_scaled) / ${JsScale}) * 10000.0 + 0.5)
                  / 10000.0 AS js_div
-        FROM terms GROUP BY ta, tb, v"""
+        FROM terms GROUP BY ta, tb, v""",
+
+    // same bins, same Laplace smoothing, same (pa-pb)*ln(pa/pb)
+    // parenthesization; per-bin rows so no cross-engine sum exists
+    "corpus_drift_psi" -> """
+        WITH b AS (
+          SELECT lang,
+                 least(9, CAST(floor(n_chars / 64) AS INTEGER)) AS bin
+          FROM documents),
+        counts AS (
+          SELECT bin,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS cb
+          FROM b GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ca) AS DOUBLE) AS ta,
+                       CAST(SUM(cb) AS DOUBLE) AS tb FROM counts)
+        SELECT bin, ca, cb,
+               floor((((CAST(ca AS DOUBLE) + 0.5) / (ta + 5.0) -
+                       (CAST(cb AS DOUBLE) + 0.5) / (tb + 5.0)) *
+                 ln(((CAST(ca AS DOUBLE) + 0.5) / (ta + 5.0)) /
+                    ((CAST(cb AS DOUBLE) + 0.5) / (tb + 5.0))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS psi_term
+        FROM counts CROSS JOIN tot"""
   )
 }

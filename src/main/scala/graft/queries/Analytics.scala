@@ -475,6 +475,29 @@ object Analytics extends QueryPack {
           col("n_events"))
     }),
 
+    // Session-grain rollup of the gaps-and-islands sessionizer — the
+    // engagement summary a product dashboard reads (how many
+    // sessions, how deep, how long): count / single-event share /
+    // exact p50 duration over sessionizeBatch's output. One extra
+    // aggregate over the already-oracled session frame; durations in
+    // seconds via the µs-exact unix_micros convention.
+    "events_session_stats" -> ((s, d) => {
+      val sess = graft.streaming.StreamOps.sessionizeBatch(
+        graft.streaming.StreamingUpsert
+          .eventFeed(Tables.load(s, d, "events")),
+        gapMs = 30L * 60 * 1000)
+        .select(col("n_events"),
+          ((unix_micros(col("session_end")) -
+            unix_micros(col("session_start"))) / lit(1000000.0))
+            .as("dur_s"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_single"),
+        pround(avg(col("n_events")), 4).as("avg_events"),
+        max(col("n_events")).as("max_events"),
+        pround(avg(col("dur_s")), 4).as("avg_duration_s"),
+        pround(percentile(col("dur_s"), lit(0.5)), 4).as("p50_duration_s"))
+    }),
+
     // Retention cohort matrix: users bucketed by signup week, then
     // distinct-active counts per (cohort, week offset) — the product
     // analytics standard. Two shuffles total: the per-user signup-min
@@ -971,6 +994,40 @@ object Analytics extends QueryPack {
                AS session_end,
              CAST(COUNT(*) AS INTEGER) AS n_events
       FROM z GROUP BY user_id, sid""",
+
+    // same gaps-and-islands chain as events_sessionize, aggregated to
+    // session grain; quantile_cont = Spark's exact percentile
+    "events_session_stats" -> """
+      WITH x AS (
+        SELECT user_id, ts AS event_time,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events),
+      y AS (
+        SELECT user_id, event_time,
+               CASE WHEN prev IS NULL
+                      OR epoch_us(event_time) - epoch_us(prev) > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM x),
+      z AS (
+        SELECT user_id, event_time,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY event_time
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM y),
+      sess AS (
+        SELECT CAST(COUNT(*) AS INTEGER) AS n_events,
+               (epoch_us(MAX(event_time)) - epoch_us(MIN(event_time)))
+                 / 1000000.0 AS dur_s
+        FROM z GROUP BY user_id, sid)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single,
+             floor(AVG(n_events) * 10000.0 + 0.5) / 10000.0 AS avg_events,
+             MAX(n_events) AS max_events,
+             floor(AVG(dur_s) * 10000.0 + 0.5) / 10000.0
+               AS avg_duration_s,
+             floor(quantile_cont(dur_s, 0.5) * 10000.0 + 0.5) / 10000.0
+               AS p50_duration_s
+      FROM sess""",
 
     "events_retention_cohorts" -> """
       WITH wk AS (
