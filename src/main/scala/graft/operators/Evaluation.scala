@@ -153,9 +153,18 @@ object Evaluation extends QueryPack {
       val binned = docs(s, d).select(col("lang"),
         least(lit(9), floor(col("n_chars") / lit(64)).cast("int"))
           .as("bin"))
-      val counts = binned.groupBy("bin")
+      // Explicit 0-9 bin spine (r13 ADVICE): a bin empty on BOTH sides
+      // is absent from the groupBy output, yet its smoothed psi_term is
+      // nonzero — left-joining counts onto the full spine (ca/cb
+      // coalesced to 0) keeps the summed PSI equal to the canonical
+      // 10-bin smoothed PSI. 10 rows; broadcast, no shuffle.
+      val raw = binned.groupBy("bin")
         .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
           sum(when(col("lang") === "en", 0L).otherwise(1L)).as("cb"))
+      val spine = s.range(0, 10).select(col("id").cast("int").as("bin"))
+      val counts = spine.join(broadcast(raw), Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
       val tot = counts.agg(sum(col("ca")).cast("double").as("ta"),
         sum(col("cb")).cast("double").as("tb"))
       val pa = (col("ca").cast("double") + lit(0.5)) / (col("ta") + lit(5.0))
@@ -252,13 +261,19 @@ object Evaluation extends QueryPack {
           SELECT lang,
                  least(9, CAST(floor(n_chars / 64) AS INTEGER)) AS bin
           FROM documents),
-        counts AS (
+        raw AS (
           SELECT bin,
                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
                    AS BIGINT) AS ca,
                  CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
                    AS BIGINT) AS cb
           FROM b GROUP BY 1),
+        spine AS (SELECT CAST(range AS INTEGER) AS bin FROM range(0, 10)),
+        counts AS (
+          SELECT s.bin,
+                 CAST(coalesce(r.ca, 0) AS BIGINT) AS ca,
+                 CAST(coalesce(r.cb, 0) AS BIGINT) AS cb
+          FROM spine s LEFT JOIN raw r USING (bin)),
         tot AS (SELECT CAST(SUM(ca) AS DOUBLE) AS ta,
                        CAST(SUM(cb) AS DOUBLE) AS tb FROM counts)
         SELECT bin, ca, cb,

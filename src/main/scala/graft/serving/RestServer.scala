@@ -3,6 +3,7 @@ package graft.serving
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import graft.Roles
 import graft.etl.EnrichmentDims
 import graft.queries.QueryApi
@@ -48,7 +49,32 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
 
   /** Start and return the bound port (0 → ephemeral). */
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+
+  /** Force the lazily built text + IVF indexes NOW (r13 ADVICE): both
+    * are otherwise built inside the first matching HTTP request — a
+    * long blocking first call that can read as an outage. Call after
+    * [[start]] when the search/knn routes will serve traffic. */
+  def warmup(): Unit = { searchIndexDir; ivfIndexDir; () }
+
+  /** Stop, then delete the temp index dirs this instance created
+    * (r13 ADVICE: they leaked across restarts). */
+  def stop(): Unit = {
+    server.stop(0)
+    tempDirs.foreach { d =>
+      try {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val root = Path.of(d)
+        if (Files.exists(root))
+          Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Roots of temp dirs owned by this server, removed on [[stop]]. */
+  private val tempDirs =
+    new java.util.concurrent.CopyOnWriteArrayList[String]().asScala
 
   // -------------------------------------------------------------- routes
 
@@ -230,6 +256,226 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       .orderBy("billing_class", "code_type"))
   })
 
+  // ----------------------------- staged search / explore (main.py:586-970)
+
+  /** The staged dashboard's `comprehensive_search_index` re-expressed
+    * as a plan, not a materialization (optimized_queries.py builds it
+    * as a DuckDB view over fact ⋈ NPPES ⋈ TIN ⋈ code-category): the
+    * year_month predicate pushes into the fact scan, every dim side is
+    * a broadcast of the bounded provider universe, and the procedure
+    * taxonomy is the inline [[graft.functions.Categorizer]] when-chain
+    * (codegen'd — no dim join at all) rather than a second table. Each
+    * request therefore costs one pruned fact scan + broadcast hashes,
+    * the same class as every other route here. */
+  private def comprehensive(p: Map[String, String]): DataFrame = {
+    val state = required(p, "state")
+    val ym = required(p, "year_month")
+    val r = Roles.rates(spark, dataDir).filter(col("year_month") === ym)
+    val prov = Roles.providers(spark, dataDir)
+    val dim = EnrichmentDims.dimNpi(prov)
+      .select("npi", "enumeration_type", "status", "organization_name",
+        "first_name", "last_name", "primary_taxonomy_desc")
+    val tin = EnrichmentDims.xrefPgMemberTin(prov)
+      .select(col("provider_group_id").as("tin_pgid"), col("tin_type"),
+        col("tin_value"))
+    r.join(broadcast(prov.select("provider_group_id", "state")),
+        r("provider_reference_id") === col("provider_group_id"), "left")
+      .filter(col("state") === state)
+      .join(broadcast(dim),
+        col("provider_reference_id") === col("npi"), "left")
+      .join(broadcast(tin),
+        col("provider_reference_id") === col("tin_pgid"), "left")
+      .withColumn("cat",
+        graft.functions.Categorizer.categorize(col("billing_code")))
+      .withColumn("proc_set", col("cat.proc_set"))
+      .withColumn("proc_class", col("cat.proc_class"))
+      .withColumn("proc_group", col("cat.proc_group"))
+      .drop("cat", "provider_group_id", "tin_pgid")
+  }
+
+  private def rateStats = Seq(
+    count(lit(1)).as("rate_count"),
+    pround(avg(col("negotiated_rate")), 2).as("avg_rate"),
+    pround(min(col("negotiated_rate")), 2).as("min_rate"),
+    pround(max(col("negotiated_rate")), 2).as("max_rate"))
+
+  /** The staged search routes' shared response envelope
+    * (main.py:598-605: search_type + echoed value + result_count).
+    * One collect: the count is the collected array's length. */
+  private def searchJson(kind: String, value: String,
+                         p: Map[String, String], df: DataFrame): Response = {
+    val arr = df.toJSON.collect()
+    ok(s"""{"search_type":${js(kind)},"search_value":${js(value)},"state":${js(p("state"))},"year_month":${js(p("year_month"))},"result_count":${arr.length},"results":${arr.mkString("[", ",", "]")}}""")
+  }
+
+  /** groupBy + the var-args agg seam, once. */
+  private def aggBy(df: DataFrame, keys: Seq[String],
+                    aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  // main.py:586-608 / optimized_queries.py:265-313 — exact-TIN search
+  route("/api/search/tin", { p =>
+    val v = required(p, "tin_value")
+    val lim = limit(p, 100)
+    searchJson("tin", v, p, aggBy(
+      comprehensive(p).filter(col("tin_value") === v),
+      Seq("tin_value", "tin_type", "npi", "organization_name",
+        "first_name", "last_name", "primary_taxonomy_desc", "payer_slug"),
+      rateStats)
+      .orderBy(col("rate_count").desc, col("npi"), col("payer_slug"))
+      .limit(lim))
+  })
+
+  // main.py:609-631 / optimized_queries.py:315-366 — org-name ILIKE
+  route("/api/search/organization", { p =>
+    val v = required(p, "org_name")
+    val lim = limit(p, 100)
+    searchJson("organization", v, p, aggBy(
+      comprehensive(p)
+        .filter(lower(col("organization_name")).contains(v.toLowerCase)),
+      Seq("npi", "organization_name", "first_name", "last_name",
+        "primary_taxonomy_desc", "status", "enumeration_type"),
+      rateStats)
+      .orderBy(col("rate_count").desc, col("npi"))
+      .limit(lim))
+  })
+
+  // main.py:632-654 / optimized_queries.py:368-414 — taxonomy ILIKE
+  route("/api/search/taxonomy", { p =>
+    val v = required(p, "taxonomy_desc")
+    val lim = limit(p, 100)
+    searchJson("taxonomy", v, p, aggBy(
+      comprehensive(p)
+        .filter(lower(col("primary_taxonomy_desc")).contains(v.toLowerCase)),
+      Seq("npi", "organization_name", "first_name", "last_name",
+        "primary_taxonomy_desc"),
+      rateStats)
+      .orderBy(col("rate_count").desc, col("npi"))
+      .limit(lim))
+  })
+
+  // main.py:655-677 / optimized_queries.py:416-457 — proc-class ILIKE
+  route("/api/search/procedure-category", { p =>
+    val v = required(p, "proc_class")
+    val lim = limit(p, 100)
+    searchJson("procedure_category", v, p, aggBy(
+      comprehensive(p)
+        .filter(lower(col("proc_class")).contains(v.toLowerCase)),
+      Seq("billing_code", "code_type", "proc_set", "proc_class",
+        "proc_group"),
+      rateStats :+ countDistinct(col("payer_slug")).as("unique_payers"))
+      .orderBy(col("rate_count").desc, col("billing_code"))
+      .limit(lim))
+  })
+
+  // main.py:678-700 / optimized_queries.py:459-502 — exact billing code
+  route("/api/search/billing-code", { p =>
+    val v = required(p, "billing_code")
+    val lim = limit(p, 100)
+    searchJson("billing_code", v, p, aggBy(
+      comprehensive(p).filter(col("billing_code") === v),
+      Seq("billing_code", "code_type", "proc_set", "proc_class",
+        "proc_group", "billing_class"),
+      rateStats :+ countDistinct(col("payer_slug")).as("unique_payers"))
+      .orderBy(col("rate_count").desc, col("billing_class"))
+      .limit(lim))
+  })
+
+  // main.py:701-723 / optimized_queries.py:504-540 — payer ILIKE.
+  // payer_slug stands in for reporting_entity_name (divergence note in
+  // the class doc: field spelling per our star schema).
+  route("/api/search/payer", { p =>
+    val v = required(p, "payer_name")
+    val lim = limit(p, 100)
+    searchJson("payer", v, p, aggBy(
+      comprehensive(p)
+        .filter(lower(col("payer_slug")).contains(v.toLowerCase)),
+      Seq("payer_slug"),
+      rateStats ++ Seq(
+        countDistinct(col("billing_code")).as("unique_procedures"),
+        countDistinct(col("provider_reference_id"))
+          .as("unique_provider_groups")))
+      .orderBy(col("rate_count").desc, col("payer_slug"))
+      .limit(lim))
+  })
+
+  // main.py:908-925 / optimized_queries.py:798-826 — dashboard counters
+  route("/api/search/statistics", { p =>
+    val stats = firstJson(comprehensive(p).agg(
+      countDistinct(col("npi")).as("unique_providers"),
+      countDistinct(col("organization_name")).as("unique_organizations"),
+      countDistinct(col("primary_taxonomy_desc")).as("unique_taxonomies"),
+      countDistinct(col("billing_code")).as("unique_procedures"),
+      countDistinct(col("proc_class")).as("unique_procedure_classes"),
+      countDistinct(col("payer_slug")).as("unique_payers"),
+      countDistinct(col("tin_value")).as("unique_tins"),
+      count(lit(1)).as("total_records")))
+    ok(s"""{"state":${js(p("state"))},"year_month":${js(p("year_month"))},"statistics":$stats}""")
+  })
+
+  // main.py:952-969 / optimized_queries.py:901-964 — per-category counts
+  route("/api/explore/category-stats", { p =>
+    val r = comprehensive(p).agg(
+      countDistinct(col("payer_slug")).as("c0"),
+      countDistinct(col("organization_name")).as("c1"),
+      countDistinct(col("primary_taxonomy_desc")).as("c2"),
+      countDistinct(col("proc_set")).as("c3"),
+      countDistinct(col("proc_class")).as("c4"),
+      countDistinct(col("billing_code")).as("c5"),
+      countDistinct(col("npi")).as("c6"),
+      countDistinct(col("tin_value")).as("c7"),
+      count(lit(1)).as("c8")).head()
+    def cat(i: Int, label: String, desc: String): String =
+      s"""{"count":${r.getLong(i)},"label":${js(label)},"description":${js(desc)}}"""
+    val body = Seq(
+      "payer" -> cat(0, "Payers", "Insurance companies and payers"),
+      "organization" -> cat(1, "Organizations",
+        "Healthcare organizations and provider groups"),
+      "taxonomy" -> cat(2, "Taxonomies",
+        "Provider specialties and classifications"),
+      "procedure_set" -> cat(3, "Procedure Sets",
+        "High-level procedure categories"),
+      "procedure_class" -> cat(4, "Procedure Classes",
+        "Detailed procedure classifications"),
+      "procedure" -> cat(5, "Procedures", "Individual procedure codes"),
+      "provider" -> cat(6, "Providers",
+        "Individual healthcare providers"),
+      "tin" -> cat(7, "TINs", "Tax identification numbers"))
+      .map { case (k, v) => s"${js(k)}:$v" }
+      .mkString("{", ",", s""","total_records":${r.getLong(8)}}""")
+    ok(s"""{"state":${js(p("state"))},"year_month":${js(p("year_month"))},"category_statistics":$body}""")
+  })
+
+  // main.py:970-996 / optimized_queries.py:966-1037 — category →
+  // category drill-down. Limit carries the staged dashboard's 500 cap
+  // (staged_dashboard.py:378); unknown categories answer 400 (the
+  // reference silently returns [] — divergence on record, same
+  // contract as the dimension whitelist above).
+  route("/api/explore/drill-down", { p =>
+    val cat = required(p, "category")
+    val value = required(p, "selected_value")
+    val drill = required(p, "drill_category")
+    val lim = limit(p, 50, cap = StagedMaxLimit)
+    def field(name: String): String =
+      DrillCategories.getOrElse(name, throw ApiError(400,
+        s"unknown category '$name' " +
+          s"(one of: ${DrillCategories.keys.toSeq.sorted.mkString(", ")})"))
+    val src = field(cat)
+    val dst = field(drill)
+    val aggs = Seq(count(lit(1)).as("record_count"),
+      countDistinct(col("npi")).as("unique_providers"),
+      countDistinct(col("billing_code")).as("unique_procedures")) ++
+      rateStats.tail // avg/min/max, the reference's drill stats
+    val rows = rowsJson(comprehensive(p)
+      .filter(col(src) === value &&
+        col(dst).isNotNull && col(dst) =!= "")
+      .groupBy(col(dst).as("value"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("record_count").desc, col("value"))
+      .limit(lim))
+    ok(s"""{"state":${js(p("state"))},"year_month":${js(p("year_month"))},"source_category":${js(cat)},"selected_value":${js(value)},"drill_category":${js(drill)},"results":$rows}""")
+  })
+
   // ---------------------------------------------- retrieval (beyond ref)
 
   /** The LLM-ops retrieval surface served over the same shell: the
@@ -240,6 +486,7 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   private lazy val searchIndexDir: String = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_rest_index").toString
+    tempDirs += dir
     graft.operators.Retrieval.writeTextIndex(
       graft.Tables.load(spark, dataDir, "documents"),
       "doc_id", "text", dir)
@@ -267,8 +514,10 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     * bucket-pruned candidate read + topK slim rows — independent of
     * corpus size. */
   private lazy val ivfIndexDir: String = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_rest_ivf").toString + "/ivf"
+    val parent = java.nio.file.Files
+      .createTempDirectory("graft_rest_ivf").toString
+    tempDirs += parent
+    val dir = parent + "/ivf"
     graft.operators.Similarity.writeIvfIndex(spark, dataDir, dir)
     dir
   }
@@ -282,10 +531,10 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
         try suffix.toLong
         catch { case _: NumberFormatException =>
           throw ApiError(422, s"vec_id must be an integer: $suffix") }
-      val k = math.min(MaxLimit, math.max(1,
-        p.get("k").map(_.toInt).getOrElse(5)))
-      val nprobe = math.min(8, math.max(1,
-        p.get("nprobe").map(_.toInt).getOrElse(2)))
+      // intParam, not raw .toInt (r13 ADVICE): ?k=abc is a 422 like a
+      // malformed limit, never a NumberFormatException → 500
+      val k = math.min(MaxLimit, math.max(1, intParam(p, "k", 5)))
+      val nprobe = math.min(8, math.max(1, intParam(p, "nprobe", 2)))
       resultsJson(graft.operators.Similarity.probeIvfIndexForIds(
         spark, dataDir, ivfIndexDir, Seq(vecId), nprobe, k))
     }
@@ -359,8 +608,26 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
 
 object RestServer {
 
-  /** The reference interpolates `limit` unclamped into SQL; we cap. */
+  /** The reference interpolates `limit` unclamped into SQL; we cap.
+    * 1000 is the multi-field cap (optimized_queries.py:562-563). */
   val MaxLimit = 1000
+
+  /** The staged dashboard's own cap (staged_dashboard.py:378:
+    * `LIMIT {min(limit, 500)}`) — applied to the drill-down route. */
+  val StagedMaxLimit = 500
+
+  /** explore/drill-down category → backing column
+    * (optimized_queries.py:970-979's category_mapping, field spellings
+    * per our star schema). */
+  private[serving] val DrillCategories = Map(
+    "payer" -> "payer_slug",
+    "organization" -> "organization_name",
+    "taxonomy" -> "primary_taxonomy_desc",
+    "procedure_set" -> "proc_set",
+    "procedure_class" -> "proc_class",
+    "procedure" -> "billing_code",
+    "provider" -> "npi",
+    "tin" -> "tin_value")
 
   private[serving] val DimensionWhitelist = Set("billing_class",
     "code_type", "negotiated_type", "negotiation_arrangement",
@@ -390,13 +657,19 @@ object RestServer {
     p.getOrElse(k, throw ApiError(422,
       s"missing required query parameter: $k"))
 
-  private def limit(p: Map[String, String], default: Int): Int = {
-    val raw = p.get("limit").map(v =>
+  /** Integer query param or 422 — the shared guard for limit/k/nprobe
+    * (r13 ADVICE: k/nprobe used raw .toInt and 500'd on ?k=abc). */
+  private def intParam(p: Map[String, String], k: String,
+                       default: Int): Int =
+    p.get(k).map(v =>
       try v.toInt
       catch { case _: NumberFormatException =>
-        throw ApiError(422, s"limit must be an integer: $v") })
-    math.min(MaxLimit, math.max(1, raw.getOrElse(default)))
-  }
+        throw ApiError(422, s"$k must be an integer: $v") })
+      .getOrElse(default)
+
+  private def limit(p: Map[String, String], default: Int,
+                    cap: Int = MaxLimit): Int =
+    math.min(cap, math.max(1, intParam(p, "limit", default)))
 
   private def params(ex: HttpExchange): Map[String, String] = {
     def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")

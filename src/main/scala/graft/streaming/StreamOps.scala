@@ -291,7 +291,8 @@ object StreamOps {
          state: GroupState[FunnelState]) =>
           val sorted = rows.toArray
             .sortBy(e => (toMicros(e.event_time), e.event_id))
-          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val prior = state.getOption
+          var s = prior.getOrElse(FunnelState(-1L, -1L, -1L))
           val out = List.newBuilder[StageDone]
           sorted.foreach { e =>
             val t = toMicros(e.event_time)
@@ -305,7 +306,12 @@ object StreamOps {
               case _ =>
             }
           }
-          state.update(s)
+          // Store ONLY engaged users (r13 ADVICE): a user whose events
+          // never advanced a stage keeps no record, and an unchanged
+          // returning user skips the redundant write — state stays
+          // O(engaged users), the documented three-longs contract.
+          if (!prior.contains(s) && s != FunnelState(-1L, -1L, -1L))
+            state.update(s)
           out.result().iterator
       }
   }

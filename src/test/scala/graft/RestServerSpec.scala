@@ -160,6 +160,142 @@ class RestServerSpec extends SparkSpec {
     assert(get("/api/search/documents?q=%2B%2B")._1 == 422)
   }
 
+  test("search/payer: ILIKE grouped stats match the direct computation") {
+    // a payer that actually exists in the fixture slice
+    val payer = graft.queries.QueryApi.filteredRates(spark, sf0001,
+        graft.queries.QueryApi.RateFilter(state = st, yearMonth = ym))
+      .select("payer_slug").head().getString(0)
+    val (c, n) = get(
+      s"/api/search/payer?payer_name=$payer&state=$st&year_month=$ym")
+    assert(c == 200, n.toString)
+    assert(n.get("search_type").asText() == "payer")
+    assert(n.get("result_count").asInt() == 1)
+    val row = n.get("results").get(0)
+    val want = graft.queries.QueryApi.filteredRates(spark, sf0001,
+        graft.queries.QueryApi.RateFilter(state = st, yearMonth = ym))
+      .filter(col("payer_slug") === payer)
+      .agg(count(lit(1)), avg("negotiated_rate"),
+        countDistinct(col("billing_code")),
+        countDistinct(col("provider_reference_id"))).head()
+    assert(row.get("rate_count").asLong() == want.getLong(0))
+    assert(math.abs(row.get("avg_rate").asDouble() - want.getDouble(1)) < 0.01)
+    assert(row.get("unique_procedures").asLong() == want.getLong(2))
+    assert(row.get("unique_provider_groups").asLong() == want.getLong(3))
+    // missing required param → 422
+    assert(get(s"/api/search/payer?state=$st&year_month=$ym")._1 == 422)
+  }
+
+  test("search/tin + billing-code + organization + taxonomy + " +
+      "procedure-category answer with ranked rows") {
+    // a TIN that exists in the slice: take any provider in the slice
+    // and derive its tin through the same xref the server uses
+    val slice = graft.queries.QueryApi.filteredRates(spark, sf0001,
+      graft.queries.QueryApi.RateFilter(state = st, yearMonth = ym))
+    val pgid = slice.select("provider_reference_id").head().getString(0)
+    val tin = graft.etl.EnrichmentDims
+      .xrefPgMemberTin(Roles.providers(spark, sf0001))
+      .filter(col("provider_group_id") === pgid)
+      .select("tin_value").head().getString(0)
+    val (c1, n1) = get(
+      s"/api/search/tin?tin_value=$tin&state=$st&year_month=$ym")
+    assert(c1 == 200, n1.toString)
+    assert(n1.get("result_count").asInt() > 0)
+    // every result row carries the searched tin and a positive count
+    (0 until n1.get("results").size()).foreach { i =>
+      val r = n1.get("results").get(i)
+      assert(r.get("tin_value").asText() == tin)
+      assert(r.get("rate_count").asLong() > 0)
+    }
+    // rate_count parity: the slice rows whose provider carries this tin
+    val wantTin = slice.join(
+      graft.etl.EnrichmentDims
+        .xrefPgMemberTin(Roles.providers(spark, sf0001))
+        .filter(col("tin_value") === tin)
+        .select(col("provider_group_id").as("pg")),
+      slice("provider_reference_id") === col("pg")).count()
+    val gotTin = (0 until n1.get("results").size())
+      .map(i => n1.get("results").get(i).get("rate_count").asLong()).sum
+    assert(gotTin == wantTin, s"$gotTin != $wantTin")
+
+    val code = slice.select("billing_code").head().getString(0)
+    val (c2, n2) = get(
+      s"/api/search/billing-code?billing_code=$code&state=$st&year_month=$ym")
+    assert(c2 == 200, n2.toString)
+    assert(n2.get("result_count").asInt() > 0)
+    val wantCode = slice.filter(col("billing_code") === code).count()
+    val gotCode = (0 until n2.get("results").size())
+      .map(i => n2.get("results").get(i).get("rate_count").asLong()).sum
+    assert(gotCode == wantCode)
+
+    // org / taxonomy / procedure-category: ranked, bounded, non-empty
+    val (c3, n3) = get(
+      s"/api/search/organization?org_name=supplier&state=$st&year_month=$ym&limit=5")
+    assert(c3 == 200 && n3.get("result_count").asInt() <= 5)
+    val (c4, n4) = get(
+      s"/api/search/taxonomy?taxonomy_desc=taxonomy&state=$st&year_month=$ym&limit=5")
+    assert(c4 == 200 && n4.get("result_count").asInt() <= 5)
+    val (c5, n5) = get(
+      s"/api/search/procedure-category?proc_class=&state=$st&year_month=$ym&limit=5")
+    assert(c5 == 200 && n5.get("result_count").asInt() <= 5)
+    val counts5 = (0 until n5.get("results").size())
+      .map(i => n5.get("results").get(i).get("rate_count").asLong())
+    assert(counts5 == counts5.sortBy(-_), s"not rank-ordered: $counts5")
+  }
+
+  test("search/statistics + explore/category-stats: distinct counters " +
+      "match the direct computation") {
+    val slice = graft.queries.QueryApi.filteredRates(spark, sf0001,
+      graft.queries.QueryApi.RateFilter(state = st, yearMonth = ym))
+    val want = slice.agg(count(lit(1)),
+      countDistinct(col("billing_code")),
+      countDistinct(col("payer_slug")),
+      countDistinct(col("provider_reference_id"))).head()
+    val (c1, n1) = get(s"/api/search/statistics?state=$st&year_month=$ym")
+    assert(c1 == 200, n1.toString)
+    val s1 = n1.get("statistics")
+    assert(s1.get("total_records").asLong() == want.getLong(0))
+    assert(s1.get("unique_procedures").asLong() == want.getLong(1))
+    assert(s1.get("unique_payers").asLong() == want.getLong(2))
+    // every rate row's provider exists in the fixture's supplier
+    // universe, so npi (left-joined dim key) counts the same set
+    assert(s1.get("unique_providers").asLong() == want.getLong(3))
+    assert(s1.get("unique_tins").asLong() > 0)
+
+    val (c2, n2) = get(s"/api/explore/category-stats?state=$st&year_month=$ym")
+    assert(c2 == 200, n2.toString)
+    val cs = n2.get("category_statistics")
+    assert(cs.get("total_records").asLong() == want.getLong(0))
+    assert(cs.get("procedure").get("count").asLong() == want.getLong(1))
+    assert(cs.get("payer").get("count").asLong() == want.getLong(2))
+    assert(cs.get("provider").get("count").asLong() == want.getLong(3))
+    assert(cs.get("payer").get("label").asText() == "Payers")
+  }
+
+  test("explore/drill-down: payer → procedure_class partition sums to " +
+      "the payer's slice; unknown category 400") {
+    val slice = graft.queries.QueryApi.filteredRates(spark, sf0001,
+      graft.queries.QueryApi.RateFilter(state = st, yearMonth = ym))
+    val payer = slice.select("payer_slug").head().getString(0)
+    val wantTotal = slice.filter(col("payer_slug") === payer).count()
+    val (c, n) = get("/api/explore/drill-down?category=payer" +
+      s"&selected_value=$payer&drill_category=procedure_class" +
+      s"&state=$st&year_month=$ym&limit=500")
+    assert(c == 200, n.toString)
+    val got = (0 until n.get("results").size())
+      .map(i => n.get("results").get(i).get("record_count").asLong()).sum
+    // the categorizer never emits null/'' classes, so the drill rows
+    // partition the payer's slice exactly
+    assert(got == wantTotal, s"$got != $wantTotal")
+    assert(n.get("source_category").asText() == "payer")
+    assert(get("/api/explore/drill-down?category=ssn&selected_value=x" +
+      s"&drill_category=payer&state=$st&year_month=$ym")._1 == 400)
+  }
+
+  test("knn k/nprobe grammar: malformed ints answer 422, not 500") {
+    assert(get("/api/knn/5?k=abc")._1 == 422)
+    assert(get("/api/knn/5?nprobe=xyz")._1 == 422)
+  }
+
   test("knn/{vec_id}: IVF-probed neighbors, parity with a direct index probe") {
     val (c, n) = get("/api/knn/5?k=3")
     assert(c == 200, n.toString)
