@@ -88,6 +88,32 @@ class BenchLineSpec extends AnyFunSuite {
     assert(msDrift(0.3).isEmpty)
   }
 
+  test("history-derived idle refs arm the drift guard the hardcoded " +
+      "table muted") {
+    // the r13 escape: a6_payer_index ran ~5.4s vs a ~1.0-1.3s history,
+    // but the hardcoded table's 2.1s reference put the contention
+    // guard at 6.3s, so an 18x-vs-best run never flagged. With refs
+    // derived from history (p25 of the per-sf records), a synthetic
+    // 3x-inflated query IS flagged…
+    val history = Map(
+      "q_inflated" -> Seq(1.0, 1.1, 0.9, 1.2, 6.0), // one contended round
+      "q_quiet" -> Seq(1.0, 1.1, 0.9, 1.2),
+      "q_thin" -> Seq(0.5)) // < minRecords -> no history ref
+    val idle = Bench.idleRefsFrom(history)
+    assert(math.abs(idle("q_inflated") - 1.0) < 1e-9) // p25, not the 6.0
+    assert(!idle.contains("q_thin"), "thin history must fall back")
+    val best = history.map { case (k, v) => k -> v.min }
+    val staleTable = Map("q_inflated" -> 2.1) // the r13-style stale ref
+    val cur = Seq("q_inflated" -> 3.5, "q_quiet" -> 1.05)
+    // …while the stale table alone muted it (guard 3 x 2.1 = 6.3)
+    assert(Bench.driftAgainst(best, cur, noiseFloor = 0.05,
+      refSec = staleTable).isEmpty)
+    val d = Bench.driftAgainst(best, cur, noiseFloor = 0.05,
+      refSec = staleTable ++ idle)
+    assert(d.keySet == Set("q_inflated"), d.toString)
+    assert(math.abs(d("q_inflated") - 3.5 / 0.9) < 1e-9)
+  }
+
   test("compact line carries the drift field as JSON") {
     val line = Bench.compactLine(mkResults(94), 1.0, 0, 0, 0, "/x",
       driftJson = """{"q_slow":1.62}""")

@@ -54,6 +54,9 @@ def extract(path):
     return {
         "ts": best.get("run_ts", f"round-{rnd}"),
         "tree_hash": best.get("tree_hash", "unknown"),
+        # sf tag (r14): history readers keep only lines at their own
+        # scale factor; driver round records all run at sf0.1
+        "sf": best.get("sf", "/root/testdata/sf0.1"),
         "noise_floor": best.get("noise_floor", -1.0),
         "src": f"BENCH_r{rnd}",
         "queries": queries,
