@@ -138,5 +138,51 @@ class GraphSpec extends SparkSpec {
     assert(got == want,
       s"6-round unroll != driver fixpoint (${got.size} vs ${want.size})")
     assert(got.values.forall(_ >= 2), "a 2-core node with degree < 2")
+    // the convergence-checked variant must agree on the corpus too
+    val gotFix = Graph.queries("graph_kcore2_fix")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotFix == want, "fixpoint variant diverged on the corpus")
+  }
+
+  /** Driver-side synchronous peel to the true k-core fixpoint. */
+  private def peelToFixpoint(edges0: Set[(Long, Long)]): Set[(Long, Long)] = {
+    var edges = edges0
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = edges.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != edges
+      edges = next
+    }
+    edges
+  }
+
+  test("kcoreFixpoint: converges on a chain longer than the unroll, " +
+      "where 6 rounds provably have not finished") {
+    import spark.implicits._
+    // a 21-edge path glued to a triangle: each peel round removes one
+    // leaf edge from the free end, so the true 2-core (the triangle)
+    // takes ~21 rounds to emerge — 6 unrolled rounds leave a tail
+    val path = (0L until 21L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L), (21L, 100L))
+    val all = (path ++ tri).toSet
+    val df = all.toSeq.toDF("u", "v")
+    val got = Graph.kcoreFixpoint(df, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = peelToFixpoint(all)
+    assert(want == Set((100L, 101L), (101L, 102L), (100L, 102L)))
+    assert(got == want, s"$got != $want")
+    // and the fixed 6-round unroll genuinely has NOT converged here —
+    // the case that makes the convergence-checked variant necessary
+    var e6 = all
+    for (_ <- 1 to Graph.KcoreRounds) {
+      val deg = e6.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      e6 = e6.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    assert(e6 != want, "chain too short to exercise the divergence")
   }
 }

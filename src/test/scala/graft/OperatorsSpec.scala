@@ -1081,4 +1081,35 @@ class OperatorsSpec extends SparkSpec {
       s"index-built graph ${fromIndex.size} edges != inline ${inline.size}")
     assert(fromIndex.nonEmpty)
   }
+
+  test("PQ-composed knn graph == raw-vector graph at nprobe=K, " +
+      "full shortlist") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_knn_pq_idx").toString + "/ivfpq"
+    Similarity.writeIvfPqIndex(spark, sf0001, idx)
+    // nprobe=K probes every bucket and a corpus-sized shortlist keeps
+    // every candidate, so the exact cosine re-rank must reproduce the
+    // raw-vector graph bit-for-bit regardless of quantization error
+    val fromPq = Similarity.knnGraphFromPqIndex(spark, sf0001, idx,
+        nprobe = 8, k = 3, shortlist = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val cents = spark.read.parquet(Similarity.centroidsPathOf(idx))
+    val raw = Similarity.knnGraph(e, cents, nprobe = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(fromPq == raw,
+      s"PQ graph ${fromPq.size} edges != raw ${raw.size}")
+    assert(fromPq.nonEmpty)
+    // at the operating point the approximation still finds most true
+    // neighbors (the recall claim of the ADC shortlist)
+    val approx = Similarity.knnGraphFromPqIndex(spark, sf0001, idx,
+        nprobe = 2, k = 3, shortlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = raw.map(t => (t._1, t._2))
+    val recall = approx.count(truePairs).toDouble / truePairs.size
+    info(f"PQ graph recall@3 at nprobe=2, shortlist=16: $recall%.2f")
+    assert(recall >= 0.3, f"recall $recall%.2f under bound")
+  }
 }
