@@ -613,6 +613,85 @@ object Bench {
         (cold, warm)
       }
     } catch { case _: Throwable => (-1.0, -1.0) }
+    // REST workload (r13 stretch #7): the serving shell under a
+    // CONCURRENT endpoint mix — summary, grouped stats, multi-field
+    // search, BM25 doc search, kNN, autocomplete — 4 client threads
+    // against the server's own 4-thread pool, one untimed warm pass
+    // per endpoint first (plan build + codegen paid, as a dashboard's
+    // steady state would have). Reported as requests/s over the wall
+    // window plus the per-request p95 in ms — the reference's serving
+    // targets (avg < 200 ms, p95 < 500 ms) as a measured per-round
+    // record instead of a claim.
+    // Full runs only: warmup builds two indexes, too heavy for a
+    // SPARK_GRAFT_ONLY iteration loop (force with
+    // SPARK_GRAFT_REST_BENCH=1).
+    val restWanted = only.isEmpty ||
+      sys.env.get("SPARK_GRAFT_REST_BENCH").contains("1")
+    val (restRps, restP95Ms): (Double, Double) = if (!restWanted)
+      (-1.0, -1.0)
+    else try {
+      val server = new graft.serving.RestServer(spark, sfDir)
+      val port = server.start()
+      try {
+        server.warmup() // untimed: builds the text + IVF indexes
+        val base = s"http://127.0.0.1:$port"
+        val r = graft.Roles.rates(spark, sfDir)
+        val pr = graft.Roles.providers(spark, sfDir)
+        val row = r.join(pr,
+            r("provider_reference_id") === pr("provider_group_id"))
+          .groupBy("state", "year_month").count()
+          .orderBy(org.apache.spark.sql.functions.col("count").desc).head()
+        val st = java.net.URLEncoder.encode(row.getString(0), "UTF-8")
+        val ym = row.getString(1)
+        val mix = Seq(
+          s"/api/rates/summary?state=$st&year_month=$ym",
+          s"/api/rates/by-payer?state=$st&year_month=$ym&limit=20",
+          s"/api/search/multi-field?year_month=$ym&states=$st&limit=20",
+          "/api/search/documents?q=order+customer&limit=5",
+          "/api/knn/5?k=3",
+          s"/api/autocomplete/payer?query=payer&state=$st&year_month=$ym")
+        val client = java.net.http.HttpClient.newHttpClient()
+        def fire(path: String): Double = {
+          val t0 = System.nanoTime()
+          val resp = client.send(java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(base + path)).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200,
+            s"$path -> ${resp.statusCode()}: ${resp.body().take(300)}")
+          (System.nanoTime() - t0) / 1e6
+        }
+        mix.foreach(fire) // warm pass, untimed
+        val nThreads = 4
+        val perThread = 12
+        val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
+        val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val t0 = System.nanoTime()
+        val threads = (0 until nThreads).map { t =>
+          new Thread(() => {
+            var i = 0
+            while (i < perThread) {
+              try lat.add(fire(mix((t + i) % mix.size)))
+              catch { case _: Throwable => errs.incrementAndGet() }
+              i += 1
+            }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        val wall = (System.nanoTime() - t0) / 1e9
+        val ls = {
+          import scala.jdk.CollectionConverters._
+          lat.iterator().asScala.map(_.doubleValue).toArray.sorted
+        }
+        if (errs.get() > 0 || ls.isEmpty) (-1.0, -1.0)
+        else (ls.length / wall,
+          ls(math.min(ls.length - 1, (0.95 * ls.length).toInt)))
+      } finally server.stop()
+    } catch { case e: Throwable =>
+      // stderr only — the stdout JSON contract must stay intact
+      System.err.println(s"rest workload bench failed: $e")
+      (-1.0, -1.0)
+    }
     // Slope ratios, from the prior-JVM probe phase when it ran, else
     // from an in-JVM fallback pass here (pre-r13 behavior). The big-dir
     // numerator is capped with the suite's own keep-min for the same
@@ -651,10 +730,14 @@ object Bench {
     // Drift (r12 judge ask #3): compare against the best recorded value
     // per query across all persisted history, then append this run.
     // Millisecond metrics participate as seconds under their own keys.
+    // rest_rps is throughput (bigger = better), so it stays out of the
+    // drift/history machinery, which flags INCREASES; the p95 latency
+    // participates like the other ms metrics.
     val msMetrics = Map("serving_ms_p50" -> servingMs,
       "serving_warm_ms_p50" -> servingWarmMs, "routed_ms_p50" -> routedMs,
       "routed_warm_ms_p50" -> routedWarmMs,
-      "sketch_rollup_ms_p50" -> sketchMs)
+      "sketch_rollup_ms_p50" -> sketchMs,
+      "rest_p95_ms" -> restP95Ms)
     val best = histVals.collect { case (k, vs) if vs.nonEmpty =>
       k -> vs.min }
     // ms metrics join the drift check under their idle references (in
@@ -664,7 +747,8 @@ object Bench {
       "serving_warm_ms_p50" -> servingWarmRefMs / 1000.0,
       "routed_ms_p50" -> routedRefMs / 1000.0,
       "routed_warm_ms_p50" -> routedRefMs / 1000.0,
-      "sketch_rollup_ms_p50" -> sketchRefMs / 1000.0) ++
+      "sketch_rollup_ms_p50" -> sketchRefMs / 1000.0,
+      "rest_p95_ms" -> restRefMs / 1000.0) ++
       msMetrics.keys.flatMap(k => idleRefs.get(k).map(k -> _))
     val drift = driftAgainst(best, results, noiseFloor,
         referenceSec ++ idleRefs) ++
@@ -679,11 +763,12 @@ object Bench {
     if (only.isEmpty)
       appendHistory(treeHash, runTs, noiseFloor, results, msMetrics, sfDir)
     // Full-precision line first (local inspection)…
-    println(s"""{"metric":"total","value":$total,"unit":"sec","tree_hash":"$treeHash","run_ts":"$runTs","queries":$qs,"serving_ms_p50":$servingMs,"serving_warm_ms_p50":$servingWarmMs,"routed_ms_p50":$routedMs,"routed_warm_ms_p50":$routedWarmMs,"sketch_rollup_ms_p50":$sketchMs,"slope_10x":$slopeJson,"slope_100x":$slope100Json,"probe_noise":$probeNoiseJson,"noise_floor":$noiseFloor,"drift":$driftJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","tree_hash":"$treeHash","run_ts":"$runTs","queries":$qs,"serving_ms_p50":$servingMs,"serving_warm_ms_p50":$servingWarmMs,"routed_ms_p50":$routedMs,"routed_warm_ms_p50":$routedWarmMs,"sketch_rollup_ms_p50":$sketchMs,"rest_rps":$restRps,"rest_p95_ms":$restP95Ms,"slope_10x":$slopeJson,"slope_100x":$slope100Json,"probe_noise":$probeNoiseJson,"noise_floor":$noiseFloor,"drift":$driftJson,"sf":"$sfDir"}""")
     // …then the compact line LAST (see [[compactLine]]).
     println(compactLine(results.toSeq, total, servingMs, servingWarmMs,
       routedMs, sfDir, slopeJson, sketchMs, slope100Json, noiseFloor,
-      treeHash, runTs, driftJson, routedWarmMs, probeNoiseJson))
+      treeHash, runTs, driftJson, routedWarmMs, probeNoiseJson,
+      restRps, restP95Ms))
     spark.stop()
   }
 
@@ -736,6 +821,8 @@ object Bench {
   private val servingWarmRefMs = 80.0
   private val routedRefMs = 150.0
   private val sketchRefMs = 600.0 // (r7) two rollups/rep, each a full agg job
+  private val restRefMs = 800.0 // (r14) p95 of the mixed REST workload: the
+  // summary/multi-field legs are live filtered aggregates at sf0.1
 
   private val referenceSec: Map[String, Double] = Map(
     // (r11) layout family: the *_lookup/_append entries carry their
@@ -891,11 +978,13 @@ object Bench {
                   runTs: String = "",
                   driftJson: String = "{}",
                   routedWarmMs: Double = -1.0,
-                  probeNoiseJson: String = "{}"): String = {
+                  probeNoiseJson: String = "{}",
+                  restRps: Double = -1.0,
+                  restP95Ms: Double = -1.0): String = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val bySlowest = results.sortBy(-_._2)
     val budget = 1500 // line budget in chars, well under the 2000-char tail
-    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","tree_hash":"$treeHash","run_ts":"$runTs","n_queries":${results.size},"serving_ms_p50":${r3(servingMs)},"serving_warm_ms_p50":${r3(servingWarmMs)},"routed_ms_p50":${r3(routedMs)},"routed_warm_ms_p50":${r3(routedWarmMs)},"sketch_rollup_ms_p50":${r3(sketchMs)},"slope_10x":$slopeJson,"slope_100x":$slope100Json,"probe_noise":$probeNoiseJson,"noise_floor":${r3(noiseFloor)},"drift":$driftJson,"sf":"$sfDir","queries":{"""
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","tree_hash":"$treeHash","run_ts":"$runTs","n_queries":${results.size},"serving_ms_p50":${r3(servingMs)},"serving_warm_ms_p50":${r3(servingWarmMs)},"routed_ms_p50":${r3(routedMs)},"routed_warm_ms_p50":${r3(routedWarmMs)},"sketch_rollup_ms_p50":${r3(sketchMs)},"rest_rps":${r3(restRps)},"rest_p95_ms":${r3(restP95Ms)},"slope_10x":$slopeJson,"slope_100x":$slope100Json,"probe_noise":$probeNoiseJson,"noise_floor":${r3(noiseFloor)},"drift":$driftJson,"sf":"$sfDir","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = header.length + 60 // reserve room for the omitted-queries tail
     var full = false

@@ -158,8 +158,16 @@ object Graph extends QueryPack {
     // the operator: candidate volume tracks the frequent-pair count,
     // not the order-size cube.
     "basket_itemsets3" -> ((s, d) => {
+      // The distinct (order, part) base is checkpointed ONCE (r13
+      // drift follow-up): the eager freqPairs checkpoint plus the main
+      // job used to scan + distinct-shuffle lineitem twice each side.
+      // The base is input-bounded (never the k²/2-per-order pair
+      // stream — THAT stays stream-through in both jobs, the choice
+      // that holds at 100 TB where materializing pairs is the one
+      // thing this operator must not do).
       val li = Tables.load(s, d, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint()
       val a = li.as("a"); val b = li.as("b"); val c = li.as("c")
       val pairsInOrder = a.join(b,
           col("a.l_orderkey") === col("b.l_orderkey") &&

@@ -719,9 +719,11 @@ object Layout extends QueryPack {
     * `__HIVE_DEFAULT_PARTITION__` token comes back as a null value
     * (and is presented to `leafPred` as an absent key's null), and a
     * partition column whose every leaf value parses as an integer is
-    * typed long — matching a native partitioned read for string- and
-    * integer-valued partition columns (date/decimal partition
-    * inference is intentionally not applied). Crashed-swap residue is
+    * typed long; one whose every value is a strict yyyy-MM-dd calendar
+    * date is typed date (r13 stretch: `ship_date`-style keys now match
+    * a native partitioned read; `year_month` keys stay string — "2024-
+    * 03" is not a date under native inference either). Decimal
+    * partition inference is intentionally not applied. Crashed-swap residue is
     * healed during the walk ([[listHealed]]). The driver loop is over
     * the BOUNDED selected-leaf count; per leaf, the zone map then
     * prunes at file grain — the two-level skipping a multi-select
@@ -755,17 +757,29 @@ object Layout extends QueryPack {
     // Per-column type inference over the SELECTED leaves (the same
     // all-or-nothing rule native partition discovery uses, restricted
     // to integers): every non-null value parses as long -> LongType.
-    val longTyped: Set[String] = selected.flatMap(_._2).groupBy(_._1)
+    val byKey = selected.flatMap(_._2).groupBy(_._1)
+    val longTyped: Set[String] = byKey
       .collect { case (k, vs)
         if vs.map(_._2).forall(v =>
           v != null && scala.util.Try(v.toLong).isSuccess) => k }
+      .toSet
+    // date inference is all-or-nothing too, and strict: the value must
+    // be shaped yyyy-MM-dd AND be a real calendar date (2024-13-40
+    // stays a string), so a mixed or sloppy key never half-types
+    val dateTyped: Set[String] = byKey
+      .collect { case (k, vs)
+        if !longTyped(k) && vs.map(_._2).forall(v =>
+          v != null && v.matches("\\d{4}-\\d{2}-\\d{2}") &&
+            scala.util.Try(java.sql.Date.valueOf(v)).isSuccess) => k }
       .toSet
     selected.map { case (leaf, kv) =>
       kv.foldLeft(zonePrunedRead(spark, leaf, box)) {
         case (df, (k, v)) =>
           val base = if (v == null) lit(null) else lit(v)
           df.withColumn(k,
-            if (longTyped(k)) base.cast("long") else base.cast("string"))
+            if (longTyped(k)) base.cast("long")
+            else if (dateTyped(k)) base.cast("date")
+            else base.cast("string"))
       }
     }.reduce(_.unionByName(_))
   }

@@ -356,7 +356,8 @@ object Retrieval extends QueryPack {
     val dfRow = tstats.groupBy().agg(dfAggs.head, dfAggs.tail: _*)
     val stats = statsRow.crossJoin(dfRow)
     val scored = tf.crossJoin(broadcast(stats))
-      .select(col("doc_id"), TextAnalysis.bm25ScoreCol.as("score_raw"))
+      .select(col("doc_id"),
+        TextAnalysis.bm25ScoreCol(terms.size).as("score_raw"))
       .filter(col("score_raw") > 0)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_raw").desc, col("doc_id"))

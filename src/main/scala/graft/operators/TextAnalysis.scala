@@ -438,7 +438,7 @@ object TextAnalysis extends QueryPack {
           Bm25Terms.indices.map(i =>
             sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).as(s"df_$i")): _*)
       val scored = tf.crossJoin(broadcast(stats))
-        .select(col("doc_id"), bm25ScoreCol.as("score_raw"))
+        .select(col("doc_id"), bm25ScoreCol(Bm25Terms.size).as("score_raw"))
         .filter(col("score_raw") > 0)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("score_raw").desc, col("doc_id"))
@@ -753,11 +753,14 @@ object TextAnalysis extends QueryPack {
         FROM sc"""
 
   /** The BM25 score fold over columns (tf_0.., df_0.., n_docs, dl,
-    * avgdl) in FIXED Bm25Terms order — ONE expression shared by the
-    * corpus-scan query and [[Retrieval]]'s index probe, so the two
-    * physical plans cannot drift numerically. */
-  private[operators] def bm25ScoreCol: org.apache.spark.sql.Column =
-    Bm25Terms.indices.map { i =>
+    * avgdl) in FIXED term-position order — ONE expression shared by
+    * the corpus-scan query and [[Retrieval]]'s index probe, so the two
+    * physical plans cannot drift numerically. `nTerms` is the query's
+    * term count (r14: the fold was hard-wired to Bm25Terms' three
+    * positions, so the REST route 500'd on any 1/2/4+-term query). */
+  private[operators] def bm25ScoreCol(
+      nTerms: Int): org.apache.spark.sql.Column =
+    (0 until nTerms).map { i =>
       val tfc = col(s"tf_$i").cast("double")
       val idf = log(lit(1.0) +
         (col("n_docs") - col(s"df_$i") + lit(0.5)) /

@@ -45,7 +45,8 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
 
   private val server =
     HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** Start and return the bound port (0 → ephemeral). */
   def start(): Int = { server.start(); server.getAddress.getPort }
@@ -60,6 +61,9 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     * (r13 ADVICE: they leaked across restarts). */
   def stop(): Unit = {
     server.stop(0)
+    // the pool's threads are non-daemon: without this shutdown an
+    // embedding JVM (the bench main) never exits
+    pool.shutdown()
     tempDirs.foreach { d =>
       try {
         import java.nio.file.{Files, Path}

@@ -419,6 +419,49 @@ class LayoutSpec extends SparkSpec {
     assert(!Layout.escapeHive(nasty).exists("/:=".contains(_)))
   }
 
+  test("leaf partition values: yyyy-MM-dd keys typed date, " +
+      "year_month-style keys stay string") {
+    import org.apache.spark.sql.types.{DateType, StringType}
+    val root = java.nio.file.Files.createTempDirectory("graft_leafdate")
+      .toString + "/fact"
+    // two leaves only — zorderLeaves jobs run per leaf, so the leaf
+    // count must stay bounded in a spec
+    spark.range(100).select(col("id"),
+        when(col("id") % 2 === 0, "2024-01-15").otherwise("2024-02-29")
+          .as("ship_date"),
+        when(col("id") % 2 === 0, "2024-01").otherwise("2024-02")
+          .as("year_month"),
+        (col("id") % 10).as("l_suppkey"), (col("id") % 7).as("l_partkey"))
+      .write.mode("overwrite").partitionBy("year_month", "ship_date")
+      .parquet(root)
+    Layout.zorderLeaves(spark, root, Seq("l_suppkey", "l_partkey"),
+      nFiles = 1)
+    val got = Layout.zonePrunedReadLeaves(spark, root,
+      Seq(("l_partkey", 0L, Long.MaxValue)), _ => true)
+    assert(got.schema("ship_date").dataType == DateType)
+    assert(got.schema("year_month").dataType == StringType)
+    // typed like a native partitioned read: values round-trip as dates
+    val gotDates = got.select(date_format(col("ship_date"), "yyyy-MM-dd"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(gotDates == Set("2024-01-15", "2024-02-29"))
+    assert(got.count() == 100)
+    // a mixed key (one real date, one not) must stay string: rewrite
+    // one leaf name shape via a third partition value that fails the
+    // strict gate
+    val root2 = java.nio.file.Files.createTempDirectory("graft_leafdate2")
+      .toString + "/fact"
+    spark.range(20).select(col("id"),
+        when(col("id") % 2 === 0, "2024-01-15").otherwise("2024-13-40")
+          .as("ship_date"),
+        (col("id") % 10).as("l_suppkey"), (col("id") % 7).as("l_partkey"))
+      .write.mode("overwrite").partitionBy("ship_date").parquet(root2)
+    Layout.zorderLeaves(spark, root2, Seq("l_suppkey", "l_partkey"),
+      nFiles = 1)
+    val got2 = Layout.zonePrunedReadLeaves(spark, root2,
+      Seq(("l_partkey", 0L, Long.MaxValue)), _ => true)
+    assert(got2.schema("ship_date").dataType == StringType)
+  }
+
   test("skew advisor: broadcast < aqe < salt ladder, salt n clamped") {
     import graft.sources.SkewTools
     // small dim: broadcast regardless of skew

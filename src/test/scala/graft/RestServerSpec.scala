@@ -158,6 +158,13 @@ class RestServerSpec extends SparkSpec {
     // grammar: missing q is a 422, q with no indexable terms is a 422
     assert(get("/api/search/documents")._1 == 422)
     assert(get("/api/search/documents?q=%2B%2B")._1 == 422)
+    // term counts other than 3 must work too (r14: the score fold was
+    // hard-wired to three positions and 500'd on 1/2/4-term queries)
+    assert(get("/api/search/documents?q=order&limit=3")._1 == 200)
+    assert(get("/api/search/documents?q=order+customer&limit=3")._1 == 200)
+    val (c4, _) = get(
+      "/api/search/documents?q=order+customer+scan+part&limit=3")
+    assert(c4 == 200)
   }
 
   test("search/payer: ILIKE grouped stats match the direct computation") {
