@@ -853,6 +853,8 @@ object Bench {
     "sample_lang_temperature" -> 1.5, // (r7, cold 6-query suite)
     "dq_violations_report" -> 3.1,
     "sim_ivfpq_topk" -> 3.1,
+    "sim_knn_graph_pq" -> 2.2, // (r14) codebook+codes sidecar writes + ADC graph
+    "graph_kcore2_fix" -> 2.6, // (r14) kcore2's class + per-round counts
     "asof_rate_lookup" -> 2.8,
     "sim_pq_topk" -> 2.8,
     "funnel_stage1_classes" -> 2.4,

@@ -249,15 +249,41 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       .distinct().orderBy("value").limit(lim))
   })
 
-  // main.py:926-951 — the availability matrix
+  // main.py:926-951 / optimized_queries.py:828-899 — WITH a `category`
+  // param this is the reference's paginated category explorer (value
+  // grain, limit/offset, has_more); WITHOUT one it keeps serving the
+  // class×type availability matrix (divergence on record: the matrix
+  // predates the explorer here and dashboards use it).
   route("/api/explore/data-availability", { p =>
-    val f = rateFilter(p)
-    resultsJson(QueryApi.filteredRates(spark, dataDir, f)
-      .groupBy("billing_class", "code_type")
-      .agg(count(lit(1)).as("rate_count"),
-        countDistinct(col("billing_code")).as("unique_codes"),
-        pround(avg(col("negotiated_rate")), 2).as("avg_rate"))
-      .orderBy("billing_class", "code_type"))
+    p.get("category") match {
+      case None =>
+        val f = rateFilter(p)
+        resultsJson(QueryApi.filteredRates(spark, dataDir, f)
+          .groupBy("billing_class", "code_type")
+          .agg(count(lit(1)).as("rate_count"),
+            countDistinct(col("billing_code")).as("unique_codes"),
+            pround(avg(col("negotiated_rate")), 2).as("avg_rate"))
+          .orderBy("billing_class", "code_type"))
+      case Some(cat) =>
+        val field = ExploreCategories.getOrElse(cat, throw ApiError(400,
+          s"unknown category '$cat' " +
+            s"(one of: ${ExploreCategories.keys.toSeq.sorted.mkString(", ")})"))
+        val lim = limit(p, 25, cap = StagedMaxLimit)
+        val off = math.max(0, intParam(p, "offset", 0))
+        val arr = comprehensive(p)
+          .filter(col(field).isNotNull && col(field) =!= "")
+          .groupBy(col(field).as("value"))
+          .agg(count(lit(1)).as("record_count"),
+            countDistinct(col("npi")).as("unique_providers"),
+            countDistinct(col("billing_code")).as("unique_procedures"),
+            pround(avg(col("negotiated_rate")), 2).as("avg_rate"),
+            pround(min(col("negotiated_rate")), 2).as("min_rate"),
+            pround(max(col("negotiated_rate")), 2).as("max_rate"))
+          .orderBy(col("record_count").desc, col("value"))
+          .offset(off).limit(lim)
+          .toJSON.collect()
+        ok(s"""{"state":${js(p("state"))},"year_month":${js(p("year_month"))},"category":${js(cat)},"limit":$lim,"offset":$off,"result_count":${arr.length},"has_more":${arr.length == lim},"results":${arr.mkString("[", ",", "]")}}""")
+    }
   })
 
   // ----------------------------- staged search / explore (main.py:586-970)
@@ -619,6 +645,16 @@ object RestServer {
   /** The staged dashboard's own cap (staged_dashboard.py:378:
     * `LIMIT {min(limit, 500)}`) — applied to the drill-down route. */
   val StagedMaxLimit = 500
+
+  /** explore/data-availability category → backing column
+    * (optimized_queries.py:832-860's category_mapping — the 5-entry
+    * explorer subset of [[DrillCategories]]). */
+  private[serving] val ExploreCategories = Map(
+    "payer" -> "payer_slug",
+    "organization" -> "organization_name",
+    "taxonomy" -> "primary_taxonomy_desc",
+    "procedure_set" -> "proc_set",
+    "procedure_class" -> "proc_class")
 
   /** explore/drill-down category → backing column
     * (optimized_queries.py:970-979's category_mapping, field spellings

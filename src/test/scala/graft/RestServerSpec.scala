@@ -298,6 +298,39 @@ class RestServerSpec extends SparkSpec {
       s"&drill_category=payer&state=$st&year_month=$ym")._1 == 400)
   }
 
+  test("explore/data-availability with category: paginated value grain, " +
+      "has_more contract, unknown category 400") {
+    val (c1, n1) = get("/api/explore/data-availability?category=payer" +
+      s"&state=$st&year_month=$ym&limit=2&offset=0")
+    assert(c1 == 200, n1.toString)
+    assert(n1.get("result_count").asInt() <= 2)
+    assert(n1.get("has_more").isBoolean)
+    val page1 = (0 until n1.get("results").size())
+      .map(i => n1.get("results").get(i).get("value").asText())
+    // page 2 must not repeat page 1 (deterministic order + offset)
+    val (c2, n2) = get("/api/explore/data-availability?category=payer" +
+      s"&state=$st&year_month=$ym&limit=2&offset=2")
+    assert(c2 == 200)
+    val page2 = (0 until n2.get("results").size())
+      .map(i => n2.get("results").get(i).get("value").asText())
+    assert(page1.toSet.intersect(page2.toSet).isEmpty)
+    // record counts partition the slice across all pages
+    val slice = graft.queries.QueryApi.filteredRates(spark, sf0001,
+      graft.queries.QueryApi.RateFilter(state = st, yearMonth = ym))
+    val want = slice.count()
+    val (c3, n3) = get("/api/explore/data-availability?category=payer" +
+      s"&state=$st&year_month=$ym&limit=500")
+    assert(c3 == 200)
+    val got = (0 until n3.get("results").size())
+      .map(i => n3.get("results").get(i).get("record_count").asLong()).sum
+    assert(got == want, s"$got != $want")
+    assert(get("/api/explore/data-availability?category=ssn" +
+      s"&state=$st&year_month=$ym")._1 == 400)
+    // the category-less matrix keeps working
+    assert(get(
+      s"/api/explore/data-availability?state=$st&year_month=$ym")._1 == 200)
+  }
+
   test("knn k/nprobe grammar: malformed ints answer 422, not 500") {
     assert(get("/api/knn/5?k=abc")._1 == 422)
     assert(get("/api/knn/5?nprobe=xyz")._1 == 422)
