@@ -237,11 +237,20 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
         s"(one of: ${AutocompleteFields.keys.toSeq.sorted.mkString(", ")})"))
     val q = p.getOrElse("query", "").toLowerCase
     val lim = limit(p, 20)
-    val f = rateFilter(p)
+    // backing frame per field class (main.py:810-905's field_queries):
+    // NPPES fields from the dim, TIN from the xref, procedure taxonomy
+    // from the categorizer over the slice's distinct codes, fact
+    // fields from the filtered fact
     val base =
       if (NppesFields(field))
         EnrichmentDims.dimNpi(Roles.providers(spark, dataDir))
-      else QueryApi.filteredRates(spark, dataDir, f)
+      else if (field == "tin_value")
+        EnrichmentDims.xrefPgMemberTin(Roles.providers(spark, dataDir))
+      else if (ProcFields(field))
+        EnrichmentDims.dimCodeCat(
+          QueryApi.filteredRates(spark, dataDir, rateFilter(p))
+            .select("billing_code"), "billing_code")
+      else QueryApi.filteredRates(spark, dataDir, rateFilter(p))
     resultsJson(base
       .select(col(colName).as("value"))
       .filter(col("value").isNotNull && col("value") =!= "" &&
@@ -673,15 +682,28 @@ object RestServer {
     "code_type", "negotiated_type", "negotiation_arrangement",
     "payer_slug")
 
-  /** autocomplete field → backing column; NPPES-dim fields resolve
-    * against the dim, fact fields against the filtered fact. */
+  /** autocomplete field → backing column — the reference's full
+    * 10-field surface (main.py:810-905) plus our short aliases;
+    * NPPES-dim fields resolve against the dim, tin against the xref,
+    * proc_* against the categorizer, fact fields against the filtered
+    * fact. */
   private[serving] val AutocompleteFields = Map(
     "payer" -> "payer_slug",
     "billing_code" -> "billing_code",
     "billing_class" -> "billing_class",
     "organization" -> "organization_name",
-    "taxonomy" -> "primary_taxonomy_desc")
-  private[serving] val NppesFields = Set("organization", "taxonomy")
+    "organization_name" -> "organization_name",
+    "taxonomy" -> "primary_taxonomy_desc",
+    "primary_taxonomy_desc" -> "primary_taxonomy_desc",
+    "npi" -> "npi",
+    "tin_value" -> "tin_value",
+    "proc_set" -> "proc_set",
+    "proc_class" -> "proc_class",
+    "proc_group" -> "proc_group")
+  private[serving] val NppesFields = Set("organization", "taxonomy",
+    "organization_name", "primary_taxonomy_desc", "npi")
+  private[serving] val ProcFields = Set("proc_set", "proc_class",
+    "proc_group")
 
   final case class ApiError(status: Int, message: String)
     extends RuntimeException(message)

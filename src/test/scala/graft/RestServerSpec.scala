@@ -121,6 +121,20 @@ class RestServerSpec extends SparkSpec {
     assert(vs.forall(_.startsWith("payer_")))
     assert(get(s"/api/autocomplete/ssn?query=x&state=$st&year_month=$ym")
       ._1 == 400)
+    // the reference's full field surface (r14): proc taxonomy via the
+    // categorizer, tin via the xref, npi via the dim
+    val (cp, np) = get(
+      s"/api/autocomplete/proc_class?query=&state=$st&year_month=$ym&limit=5")
+    assert(cp == 200 && np.get("count").asInt() > 0, np.toString)
+    val (ct, nt) = get(
+      s"/api/autocomplete/tin_value?query=&state=$st&year_month=$ym&limit=5")
+    assert(ct == 200 && nt.get("count").asInt() > 0, nt.toString)
+    val (cn, nn) = get(
+      s"/api/autocomplete/npi?query=&state=$st&year_month=$ym&limit=5")
+    assert(cn == 200 && nn.get("count").asInt() > 0, nn.toString)
+    // reference-spelled alias resolves like our short name
+    assert(get(s"/api/autocomplete/organization_name?query=" +
+      s"&state=$st&year_month=$ym&limit=3")._1 == 200)
   }
 
   test("providers/search and explore endpoints answer with rows") {
