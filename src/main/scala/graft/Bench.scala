@@ -54,8 +54,9 @@ object Bench {
     "sim_ivf_topk")
 
   /** Probes whose first run against a fresh dir pays a one-time
-    * fingerprint-cached sidecar build — min-of-2 on synth so the build
-    * never enters the recorded slope. */
+    * fingerprint-cached sidecar build — they get an extra UNTIMED
+    * warmup run on the synth dir before the shared min-of-3, so the
+    * build never enters the recorded slope. */
   private val sidecarBuilders = Set("layout_zorder_box", "search_index_topk")
 
   private def probeFilter: String => Boolean = {
@@ -238,16 +239,25 @@ object Bench {
     * treated as sf0.1, the per-round driver dir every pre-tag full run
     * used. Only the flat `"queries":{...}` object of each line is
     * parsed, so slope maps never leak in. */
+  /** Canonical spelling of an sf dir for history tagging/matching —
+    * trailing slashes, `..` segments and symlinked spellings of the
+    * same directory must not silently split the history (a split
+    * empties best/idleRefs and mutes the drift guard with no signal). */
+  private def canonSf(dir: String): String =
+    try new java.io.File(dir).getCanonicalPath
+    catch { case _: Throwable => dir.stripSuffix("/") }
+
   private def historyValues(sfDir: String): Map[String, Seq[Double]] = try {
     val f = new java.io.File(historyFile)
     if (!f.exists()) return Map.empty
+    val want = canonSf(sfDir)
     val pair = "\"([^\"]+)\":([0-9.Ee+-]+)".r
     val qobj = "\"queries\":\\{([^}]*)\\}".r
     val sfField = "\"sf\":\"([^\"]*)\"".r
     scala.io.Source.fromFile(f).getLines().flatMap { line =>
       val lineSf = sfField.findFirstMatchIn(line).map(_.group(1))
         .getOrElse("/root/testdata/sf0.1")
-      if (lineSf != sfDir) Seq.empty
+      if (canonSf(lineSf) != want) Seq.empty
       else qobj.findFirstMatchIn(line).map(_.group(1)).toSeq.flatMap { body =>
         pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble)
       }
@@ -280,7 +290,7 @@ object Bench {
                             sfDir: String): Unit = try {
     val entries = (queries.filter(_._2 > 0) ++
       ms.toSeq.filter(_._2 > 0).map { case (k, v) => k -> v / 1000.0 })
-    val line = s"""{"ts":"$runTs","tree_hash":"$treeHash","sf":"$sfDir","noise_floor":${"%.4f".formatLocal(java.util.Locale.US, noiseFloor)},"queries":${mapJson(entries.toMap, 4)}}"""
+    val line = s"""{"ts":"$runTs","tree_hash":"$treeHash","sf":"${canonSf(sfDir)}","noise_floor":${"%.4f".formatLocal(java.util.Locale.US, noiseFloor)},"queries":${mapJson(entries.toMap, 4)}}"""
     val w = new java.io.FileWriter(historyFile, true)
     try w.write(line + "\n") finally w.close()
   } catch { case _: Throwable => () }
@@ -650,11 +660,17 @@ object Bench {
           "/api/search/documents?q=order+customer&limit=5",
           "/api/knn/5?k=3",
           s"/api/autocomplete/payer?query=payer&state=$st&year_month=$ym")
-        val client = java.net.http.HttpClient.newHttpClient()
+        // Hard timeouts everywhere (review r14): a wedged endpoint
+        // must fail the workload, never hang the suite's record — the
+        // same failure class the forked probe phase guards with its
+        // 40-minute waitFor.
+        val client = java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofSeconds(10)).build()
         def fire(path: String): Double = {
           val t0 = System.nanoTime()
           val resp = client.send(java.net.http.HttpRequest.newBuilder(
-              java.net.URI.create(base + path)).GET().build(),
+              java.net.URI.create(base + path))
+              .timeout(java.time.Duration.ofSeconds(120)).GET().build(),
             java.net.http.HttpResponse.BodyHandlers.ofString())
           require(resp.statusCode() == 200,
             s"$path -> ${resp.statusCode()}: ${resp.body().take(300)}")
@@ -667,7 +683,7 @@ object Bench {
         val errs = new java.util.concurrent.atomic.AtomicInteger(0)
         val t0 = System.nanoTime()
         val threads = (0 until nThreads).map { t =>
-          new Thread(() => {
+          val th = new Thread(() => {
             var i = 0
             while (i < perThread) {
               try lat.add(fire(mix((t + i) % mix.size)))
@@ -675,9 +691,19 @@ object Bench {
               i += 1
             }
           })
+          th.setDaemon(true) // a stuck worker must not pin the JVM
+          th
         }
         threads.foreach(_.start())
-        threads.foreach(_.join())
+        // bounded join: per-request timeouts bound each worker at
+        // ~perThread * 120 s worst case; cap the whole phase well
+        // under that and count an overrun as an error
+        val deadline = System.nanoTime() + 10L * 60 * 1_000_000_000L
+        threads.foreach { th =>
+          val left = (deadline - System.nanoTime()) / 1_000_000L
+          if (left > 0) th.join(left)
+          if (th.isAlive) errs.incrementAndGet()
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         val ls = {
           import scala.jdk.CollectionConverters._

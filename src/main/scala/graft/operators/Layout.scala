@@ -764,13 +764,17 @@ object Layout extends QueryPack {
           v != null && scala.util.Try(v.toLong).isSuccess) => k }
       .toSet
     // date inference is all-or-nothing too, and strict: the value must
-    // be shaped yyyy-MM-dd AND be a real calendar date (2024-13-40
-    // stays a string), so a mixed or sloppy key never half-types
+    // be shaped yyyy-MM-dd AND be a real calendar date (2024-13-40 AND
+    // 2023-02-29 stay strings), so a mixed or sloppy key never
+    // half-types. LocalDate.parse, NOT java.sql.Date.valueOf — valueOf
+    // silently rolls impossible days forward (2023-02-29 → 2023-03-01),
+    // and a lenient gate would let Spark's non-ANSI cast('date') read
+    // that leaf's partition value as NULL: silent value loss.
     val dateTyped: Set[String] = byKey
       .collect { case (k, vs)
         if !longTyped(k) && vs.map(_._2).forall(v =>
           v != null && v.matches("\\d{4}-\\d{2}-\\d{2}") &&
-            scala.util.Try(java.sql.Date.valueOf(v)).isSuccess) => k }
+            scala.util.Try(java.time.LocalDate.parse(v)).isSuccess) => k }
       .toSet
     selected.map { case (leaf, kv) =>
       kv.foldLeft(zonePrunedRead(spark, leaf, box)) {

@@ -62,16 +62,22 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   def stop(): Unit = {
     server.stop(0)
     // the pool's threads are non-daemon: without this shutdown an
-    // embedding JVM (the bench main) never exits
+    // embedding JVM (the bench main) never exits. Drain in-flight
+    // handlers BEFORE deleting the index dirs they may be reading.
     pool.shutdown()
+    try pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: InterruptedException => () }
     tempDirs.foreach { d =>
       try {
         import java.nio.file.{Files, Path}
         import scala.jdk.CollectionConverters._
         val root = Path.of(d)
-        if (Files.exists(root))
-          Files.walk(root).iterator().asScala.toSeq.reverse
+        if (Files.exists(root)) {
+          val walk = Files.walk(root)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
       } catch { case _: Throwable => () }
     }
   }
@@ -279,7 +285,10 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
             s"(one of: ${ExploreCategories.keys.toSeq.sorted.mkString(", ")})"))
         val lim = limit(p, 25, cap = StagedMaxLimit)
         val off = math.max(0, intParam(p, "offset", 0))
-        val arr = comprehensive(p)
+        // fetch lim+1 and emit lim: has_more is then exact, not the
+        // reference's len==limit heuristic (false positive whenever
+        // the remainder is an exact multiple of the limit)
+        val fetched = comprehensive(p)
           .filter(col(field).isNotNull && col(field) =!= "")
           .groupBy(col(field).as("value"))
           .agg(count(lit(1)).as("record_count"),
@@ -289,9 +298,10 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
             pround(min(col("negotiated_rate")), 2).as("min_rate"),
             pround(max(col("negotiated_rate")), 2).as("max_rate"))
           .orderBy(col("record_count").desc, col("value"))
-          .offset(off).limit(lim)
+          .offset(off).limit(lim + 1)
           .toJSON.collect()
-        ok(s"""{"state":${js(p("state"))},"year_month":${js(p("year_month"))},"category":${js(cat)},"limit":$lim,"offset":$off,"result_count":${arr.length},"has_more":${arr.length == lim},"results":${arr.mkString("[", ",", "]")}}""")
+        val arr = fetched.take(lim)
+        ok(s"""{"state":${js(p("state"))},"year_month":${js(p("year_month"))},"category":${js(cat)},"limit":$lim,"offset":$off,"result_count":${arr.length},"has_more":${fetched.length > lim},"results":${arr.mkString("[", ",", "]")}}""")
     }
   })
 

@@ -460,6 +460,23 @@ class LayoutSpec extends SparkSpec {
     val got2 = Layout.zonePrunedReadLeaves(spark, root2,
       Seq(("l_partkey", 0L, Long.MaxValue)), _ => true)
     assert(got2.schema("ship_date").dataType == StringType)
+    // well-shaped but IMPOSSIBLE dates must also stay string — a
+    // lenient parser (java.sql.Date.valueOf rolls 2023-02-29 to
+    // 2023-03-01) would type the key and NULL that leaf's value under
+    // cast('date')
+    val root3 = java.nio.file.Files.createTempDirectory("graft_leafdate3")
+      .toString + "/fact"
+    spark.range(20).select(col("id"),
+        when(col("id") % 2 === 0, "2024-01-15").otherwise("2023-02-29")
+          .as("ship_date"),
+        (col("id") % 10).as("l_suppkey"), (col("id") % 7).as("l_partkey"))
+      .write.mode("overwrite").partitionBy("ship_date").parquet(root3)
+    Layout.zorderLeaves(spark, root3, Seq("l_suppkey", "l_partkey"),
+      nFiles = 1)
+    val got3 = Layout.zonePrunedReadLeaves(spark, root3,
+      Seq(("l_partkey", 0L, Long.MaxValue)), _ => true)
+    assert(got3.schema("ship_date").dataType == StringType)
+    assert(got3.filter(col("ship_date").isNull).count() == 0)
   }
 
   test("skew advisor: broadcast < aqe < salt ladder, salt n clamped") {

@@ -190,8 +190,13 @@ class RestServerSpec extends SparkSpec {
       s"/api/search/payer?payer_name=$payer&state=$st&year_month=$ym")
     assert(c == 200, n.toString)
     assert(n.get("search_type").asText() == "payer")
-    assert(n.get("result_count").asInt() == 1)
-    val row = n.get("results").get(0)
+    // the route matches by ILIKE-contains, so other slugs containing
+    // this one may ride along — locate the exact row, don't count
+    assert(n.get("result_count").asInt() >= 1)
+    val row = (0 until n.get("results").size())
+      .map(n.get("results").get)
+      .find(_.get("payer_slug").asText() == payer)
+      .getOrElse(fail(s"searched payer $payer missing from results"))
     val want = graft.queries.QueryApi.filteredRates(spark, sf0001,
         graft.queries.QueryApi.RateFilter(state = st, yearMonth = ym))
       .filter(col("payer_slug") === payer)
