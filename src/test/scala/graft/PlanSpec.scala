@@ -17,6 +17,13 @@ class PlanSpec extends SparkSpec {
   private val BoundedDims = Set("nation.parquet", "supplier.parquet",
     "part.parquet")
 
+  /** Persisted derivations whose row count is a fixed CONSTANT at any
+    * SF by construction: a k-means centroid sidecar holds exactly K=8
+    * rows and a PQ codebook exactly M×K=128 — broadcasting a read of
+    * either is safe at any corpus size (r14: sim_knn_graph_pq probes
+    * against the sidecar centroids instead of re-deriving them). */
+  private val ConstantSidecarPatterns = Seq("centroid", "codebook")
+
   private def hintedTables(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf0001)
     df.queryExecution.analyzed.collect {
@@ -70,7 +77,8 @@ class PlanSpec extends SparkSpec {
       .flatMap { q =>
         hintedTables(q)
           .filterNot(t =>
-            BoundedDims.exists(d => t.contains(d.stripSuffix(".parquet"))))
+            BoundedDims.exists(d => t.contains(d.stripSuffix(".parquet"))) ||
+              ConstantSidecarPatterns.exists(t.contains))
           .map(t => s"$q -> $t")
       }
     assert(offenders.isEmpty,
