@@ -274,12 +274,19 @@ object Bench {
     * one-time sidecar builds the round's /tmp state charged — the p25
     * keeps the guard at "an honest quiet run", not "the luckiest run
     * ever". Needs >= `minRecords` values, else the statistic is one
-    * round's mood. */
+    * round's mood. Only the most RECENT `window` values participate
+    * (values arrive in file = chronological order): a reference over
+    * all history would stay stuck at the old cost after a genuine
+    * optimization lands — the same stale-reference escape this
+    * function replaced, driven by stale history instead of a stale
+    * table — while a recent window converges to the new cost within a
+    * few rounds. */
   def idleRefsFrom(history: Map[String, Seq[Double]],
                    q: Double = 0.25,
-                   minRecords: Int = 3): Map[String, Double] =
+                   minRecords: Int = 3,
+                   window: Int = 5): Map[String, Double] =
     history.collect { case (k, vs) if vs.size >= minRecords =>
-      val s = vs.sorted
+      val s = vs.takeRight(window).sorted
       k -> s(math.min(s.length - 1, (q * s.length).toInt))
     }
 
@@ -742,7 +749,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val slopeJson = slopeJsonOf(slope)
     val slope100Json = slopeJsonOf(slope100)
-    val probeNoiseJson = slopeJsonOf(probes.noise)
+    // 4 dp like appendHistory's noise_floor: the per-probe gaps live
+    // in the 0.1%-5% range, which %.2f would quantize to 0.00-0.05
+    val probeNoiseJson = mapJson(probes.noise, 4)
     // Provenance (r11 ADVICE): the exact tree and wall-clock the
     // record was produced from, so an identical-output rerun is
     // distinguishable from a hand-edited round bump.

@@ -293,6 +293,10 @@ object Graph extends QueryPack {
     while (changed && rounds < maxRounds) {
       val next = peelRound(e, k)
       val m = next.count()
+      // the prior round's checkpoint is dead once `next` materialized
+      // (the count above) — unpersist it, or a deep peel accumulates
+      // one full edge-set copy per round in executor storage
+      e.unpersist()
       changed = m != n
       e = next; n = m; rounds += 1
     }

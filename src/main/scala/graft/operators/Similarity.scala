@@ -865,10 +865,21 @@ object Similarity extends QueryPack {
                  nprobe: Int, k: Int, shortlist: Int): DataFrame = {
     graft.functions.CosineSimF32.register(e.sparkSession)
     val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-    // corpus-grain: every vector ranks its nprobe nearest centroids
-    val probes = probeBuckets(
-      e.select(col("vec_id").as("vid"), col("embedding").as("qe")),
-      cents, nprobe).select("vid", "probe") // qe dropped: pairs carry codes
+    // corpus-grain: every vector ranks its nprobe nearest centroids —
+    // the bounded keyed-aggregate form (collect_list capped at K,
+    // array_sort, slice), NOT the window-based probeBuckets: a window
+    // would shuffle-sort N×K rows carrying the 64-float embedding just
+    // to drop it, exactly the raw-vector traffic this build exists to
+    // avoid. Same ranking and tie-break (csim desc, centroid_id asc),
+    // the knnGraphFromIndex probe shape.
+    val probes = e.select(col("vec_id").as("vid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("vid"), col("centroid_id"),
+        cosine(col("qe"), col("cent")).as("csim"))
+      .groupBy("vid")
+      .agg(slice(array_sort(collect_list(struct((-col("csim")).as("ns"),
+        col("centroid_id").as("b")))), 1, nprobe).as("top"))
+      .select(col("vid"), explode(col("top.b")).as("probe"))
     val lut = lutFor(e, cbLit)
     // the quadratic stage: codes only; adc projected out immediately,
     // so the wide LUT array never crosses a shuffle at pair grain

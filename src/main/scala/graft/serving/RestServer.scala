@@ -63,10 +63,14 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     server.stop(0)
     // the pool's threads are non-daemon: without this shutdown an
     // embedding JVM (the bench main) never exits. Drain in-flight
-    // handlers BEFORE deleting the index dirs they may be reading.
+    // handlers BEFORE deleting the index dirs they may be reading —
+    // and if the drain times out, LEAVE the dirs (a leaked temp dir
+    // beats yanking parquet out from under a still-running handler).
     pool.shutdown()
-    try pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
-    catch { case _: InterruptedException => () }
+    val drained =
+      try pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: InterruptedException => false }
+    if (!drained) return
     tempDirs.foreach { d =>
       try {
         import java.nio.file.{Files, Path}

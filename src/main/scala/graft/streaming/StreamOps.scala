@@ -309,9 +309,13 @@ object StreamOps {
           // Store ONLY engaged users (r13 ADVICE): a user whose events
           // never advanced a stage keeps no record, and an unchanged
           // returning user skips the redundant write — state stays
-          // O(engaged users), the documented three-longs contract.
-          if (!prior.contains(s) && s != FunnelState(-1L, -1L, -1L))
-            state.update(s)
+          // O(engaged users), the documented three-longs contract. An
+          // EMPTY record persisted by the pre-gate code (a checkpoint
+          // written before r14) is removed on the key's next batch, so
+          // migrated checkpoints converge to the same bound.
+          val empty = FunnelState(-1L, -1L, -1L)
+          if (s == empty) { if (prior.isDefined) state.remove() }
+          else if (!prior.contains(s)) state.update(s)
           out.result().iterator
       }
   }
