@@ -286,8 +286,17 @@ object Bench {
                    minRecords: Int = 3,
                    window: Int = 5): Map[String, Double] =
     history.collect { case (k, vs) if vs.size >= minRecords =>
+      // INTERPOLATED quantile (r14 ADVICE): the floor index degenerates
+      // to the minimum at the minRecords=3 boundary ((0.25*3).toInt ==
+      // 0) — exactly the "luckiest run ever" reference the p25 exists
+      // to avoid, making the contention guard trigger-happy for thin
+      // histories. Linear interpolation between the bracketing order
+      // statistics never collapses to s(0) unless q == 0.
       val s = vs.takeRight(window).sorted
-      k -> s(math.min(s.length - 1, (q * s.length).toInt))
+      val idx = q * (s.length - 1)
+      val lo = idx.toInt
+      val hi = math.min(s.length - 1, lo + 1)
+      k -> (s(lo) + (idx - lo) * (s(hi) - s(lo)))
     }
 
   private def appendHistory(treeHash: String, runTs: String,

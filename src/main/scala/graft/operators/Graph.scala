@@ -294,14 +294,31 @@ object Graph extends QueryPack {
       val next = peelRound(e, k)
       val m = next.count()
       // the prior round's checkpoint is dead once `next` materialized
-      // (the count above) — unpersist it, or a deep peel accumulates
-      // one full edge-set copy per round in executor storage
-      e.unpersist()
+      // (the count above) — free its blocks, or a deep peel
+      // accumulates one full edge-set copy per round in executor
+      // storage. Dataset.unpersist() would be a NO-OP here (r14
+      // ADVICE): it only evicts CacheManager entries, while
+      // localCheckpoint persists the underlying RDD directly —
+      // reclaimed otherwise only by the ContextCleaner after a driver
+      // GC. Unpersist the checkpointed RDD itself, via the plan's
+      // LogicalRDD leaf.
+      unpersistCheckpoint(e)
       changed = m != n
       e = next; n = m; rounds += 1
     }
     e
   }
+
+  /** Free the persisted blocks behind a `localCheckpoint`'d frame by
+    * unpersisting the checkpointed RDD itself (the LogicalRDD leaf the
+    * checkpoint planted). Blocking=false: eviction may proceed async —
+    * the point is bounded storage across rounds, not a barrier. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Item-item co-purchase affinity edges (part_a < part_b, distinct
     * co-order support >= 2) — the shared edge builder of

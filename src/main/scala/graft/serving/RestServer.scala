@@ -70,7 +70,16 @@ class RestServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     val drained =
       try pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
       catch { case _: InterruptedException => false }
-    if (!drained) return
+    if (!drained) {
+      // r14 ADVICE: the pool threads are non-daemon, so a wedged
+      // handler that never drains would pin an embedding JVM alive
+      // forever — the exact hang this shutdown exists to prevent.
+      // Interrupt the stragglers so the JVM can exit; still skip the
+      // temp-dir deletion (an interrupted handler may be mid-read, and
+      // a leaked temp dir beats yanking parquet from under it).
+      pool.shutdownNow()
+      return
+    }
     tempDirs.foreach { d =>
       try {
         import java.nio.file.{Files, Path}

@@ -1091,7 +1091,7 @@ class OperatorsSpec extends SparkSpec {
     // nprobe=K probes every bucket and a corpus-sized shortlist keeps
     // every candidate, so the exact cosine re-rank must reproduce the
     // raw-vector graph bit-for-bit regardless of quantization error
-    val fromPq = Similarity.knnGraphFromPqIndex(spark, sf0001, idx,
+    val fromPq = Similarity.knnGraphFromPqIndex(spark, idx,
         nprobe = 8, k = 3, shortlist = 10000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
         r.getDouble(3))).toSet
@@ -1104,12 +1104,77 @@ class OperatorsSpec extends SparkSpec {
     assert(fromPq.nonEmpty)
     // at the operating point the approximation still finds most true
     // neighbors (the recall claim of the ADC shortlist)
-    val approx = Similarity.knnGraphFromPqIndex(spark, sf0001, idx,
+    val approx = Similarity.knnGraphFromPqIndex(spark, idx,
         nprobe = 2, k = 3, shortlist = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truePairs = raw.map(t => (t._1, t._2))
     val recall = approx.count(truePairs).toDouble / truePairs.size
     info(f"PQ graph recall@3 at nprobe=2, shortlist=16: $recall%.2f")
     assert(recall >= 0.3, f"recall $recall%.2f under bound")
+  }
+
+  test("ivfpq append: encoded under stored codebook, probe+graph equal " +
+      "one-shot; crash + fold safe") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_ivfpqapp")
+      .toString
+    val idxA = s"$work/idxA" // one shot over the full corpus
+    val idxB = s"$work/idxB" // same sidecars, corpus arriving in waves
+    Similarity.writeIvfPqIndex(spark, sf0001, idxA)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = spark.read.parquet(Similarity.centroidsPathOf(idxA))
+    cents.write.mode("overwrite")
+      .parquet(Similarity.centroidsPathOf(idxB))
+    spark.read.parquet(Similarity.codebookPathOf(idxA))
+      .write.mode("overwrite").parquet(Similarity.codebookPathOf(idxB))
+    val cb = Similarity.readCodebook(spark, Similarity.codebookPathOf(idxB))
+    // base generation: first 300 vectors under the shared sidecars
+    val base = e.filter(col("vec_id") < 300)
+    graft.operators.GenStore.ingest(spark, idxB,
+      Similarity.gensPathOf(idxB), 0L,
+      Similarity.pqEncode(base, cb)
+        .select(col("vec_id").as("cid"), col("codes"))
+        .join(Similarity.assignBuckets(
+            base.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+            "cid", "ce", cents)
+          .select("cid", "ce", "bucket"), Seq("cid")),
+      Seq("bucket"), Seq((300L, 0L)).toDF("n_vecs", "ingest_batch"))
+    Similarity.appendIvfPqIndex(spark, idxB,
+      e.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding")
+    Similarity.appendIvfPqIndex(spark, idxB,
+      e.filter(col("vec_id") >= 400), "vec_id", "embedding")
+    def probe(p: String) = Similarity.probeIvfPqIndex(spark, sf0001, p)
+      .collect().map(_.toSeq).toSet
+    def graph(p: String) = Similarity
+      .knnGraphFromPqIndex(spark, p, nprobe = 2, k = 3, shortlist = 16)
+      .collect().map(_.toSeq).toSet
+    val oneShotProbe = probe(idxA)
+    val oneShotGraph = graph(idxA)
+    assert(probe(idxB) == oneShotProbe,
+      "probe results differ between appended and one-shot IVFPQ index")
+    assert(graph(idxB) == oneShotGraph,
+      "graph differs between appended and one-shot IVFPQ index — the " +
+        "committed union must be the graph's whole universe")
+    // a crashed append (codes landed, no marker) is invisible
+    Similarity.pqEncode(e.filter(col("vec_id") < 50), cb)
+      .select(col("vec_id").as("cid"), col("codes"))
+      .join(Similarity.assignBuckets(
+          e.filter(col("vec_id") < 50)
+            .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+          "cid", "ce", cents).select("cid", "ce", "bucket"), Seq("cid"))
+      .withColumn("ingest_batch", lit(99L))
+      .write.mode("append").partitionBy("ingest_batch", "bucket")
+      .parquet(idxB)
+    assert(probe(idxB) == oneShotProbe,
+      "probe scored an append with no commit marker")
+    // compaction folds generations and changes nothing probes/graphs see
+    assert(Similarity.compactIvfPqIndex(spark, idxB, maxPartials = 1))
+    assert(probe(idxB) == oneShotProbe, "fold changed probe results")
+    assert(graph(idxB) == oneShotGraph, "fold changed the graph")
+    val gens = spark.read.parquet(Similarity.gensPathOf(idxB))
+      .select(col("ingest_batch").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(gens == Set(-1L), s"generations not folded: $gens")
   }
 }

@@ -21,8 +21,13 @@ class PlanSpec extends SparkSpec {
     * SF by construction: a k-means centroid sidecar holds exactly K=8
     * rows and a PQ codebook exactly M×K=128 — broadcasting a read of
     * either is safe at any corpus size (r14: sim_knn_graph_pq probes
-    * against the sidecar centroids instead of re-deriving them). */
-  private val ConstantSidecarPatterns = Seq("centroid", "codebook")
+    * against the sidecar centroids instead of re-deriving them).
+    * Matched by exact path SUFFIX (r14 ADVICE): a substring match
+    * would let any future fact-scaled table with "centroid" in its
+    * name silently bypass this guard — only the sidecar naming
+    * convention ([[graft.operators.Similarity.centroidsPathOf]] /
+    * `codebookPathOf` and the `*_oracle_centroids` twins) qualifies. */
+  private val ConstantSidecarSuffixes = Seq("_centroids", "_codebook")
 
   private def hintedTables(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf0001)
@@ -78,7 +83,7 @@ class PlanSpec extends SparkSpec {
         hintedTables(q)
           .filterNot(t =>
             BoundedDims.exists(d => t.contains(d.stripSuffix(".parquet"))) ||
-              ConstantSidecarPatterns.exists(t.contains))
+              ConstantSidecarSuffixes.exists(t.endsWith))
           .map(t => s"$q -> $t")
       }
     assert(offenders.isEmpty,
