@@ -63,7 +63,18 @@ object Tables {
                         name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val bytes = new java.io.File(s"$dir/$name.parquet").length()
-    val cores = spark.sparkContext.defaultParallelism
+    // Rebalance width — overridable per SESSION (`graft.load.parallelism`):
+    // batch sessions want every core (default), while a SERVING session
+    // wants narrow scans: a 32-task stage over a small hot slice is
+    // dominated by task overhead, and 4 concurrent dashboard requests x
+    // 32 tasks saturate the scheduler with work that isn't data
+    // (r15, measured: the serving legs inflated 3-4x under a 4-client
+    // load while the 1-task gold legs didn't inflate at all).
+    val cores =
+      try spark.conf.get("graft.load.parallelism",
+        spark.sparkContext.defaultParallelism.toString).toInt
+      catch { case _: NumberFormatException =>
+        spark.sparkContext.defaultParallelism }
     val target = math.min(cores.toLong,
       math.max(1L, bytes / (256L << 10))).toInt
     if (target <= 1) df

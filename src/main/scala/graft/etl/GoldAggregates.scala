@@ -341,58 +341,13 @@ object GoldAggregates {
     * cannot re-insert the stale frame after it. */
   def invalidateSlices(path: String): Unit = sliceFrames.invalidate(path)
 
-  /** Keyed resolved-frame cache with the writer-generation protocol —
-    * ONE implementation behind both the slice cache ([[readSlice]])
-    * and the sidecar cache ([[readSidecar]]), because the subtle parts
-    * must stay in lockstep: (a) the path's invalidation generation is
-    * captured BEFORE resolving, and the put is conditional on it being
-    * unchanged — a writer whose final invalidate lands mid-resolution
-    * can never have its pre-rewrite file list re-inserted (the racing
-    * reader returns its frame uncached; one extra resolution next
-    * call, never a stale list); (b) stopped sessions' frames are
-    * purged under the lock so cycling sessions (notebook servers, test
-    * suites) can't pin dead file indexes until LRU eviction; (c) LRU
-    * bound per cache. */
-  private final class ResolvedFrameCache[K <: AnyRef](
-      max: Int, pathOf: K => String, sessionOf: K => SparkSession) {
-    private val gen =
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-    private val cache = java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[K, DataFrame](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[K, DataFrame]) = size() > max
-      })
-    def get(k: K)(resolve: => DataFrame): DataFrame = {
-      val hit = cache.synchronized(cache.get(k))
-      if (hit != null) hit
-      else {
-        val path = pathOf(k)
-        val gen0: Long = gen.getOrDefault(path, 0L)
-        val df = resolve
-        cache.synchronized {
-          val raced = cache.get(k)
-          if (raced != null) raced
-          else if (gen.getOrDefault(path, 0L).longValue != gen0) df
-          else {
-            cache.keySet().removeIf(
-              (e: K) => sessionOf(e).sparkContext.isStopped)
-            cache.put(k, df); df
-          }
-        }
-      }
-    }
-    def invalidate(path: String): Unit = cache.synchronized {
-      gen.merge(path, 1L,
-        (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
-      cache.keySet().removeIf((k: K) => pathOf(k) == path)
-    }
-  }
-
   /** LRU-bounded for the same session-pinning reason as
     * [[graft.plans.GoldCatalog]]'s scan cache; 256 because slices are
-    * per-(state, ym) — a dashboard's working set, not a table count. */
+    * per-(state, ym) — a dashboard's working set, not a table count.
+    * (The cache class moved to [[graft.ResolvedCache]] in r15 so the
+    * GenStore-backed index probes share the one implementation.) */
   private val sliceFrames =
-    new ResolvedFrameCache[(SparkSession, String, String, String)](
+    new graft.ResolvedCache[(SparkSession, String, String, String)](
       256, _._2, _._1)
 
   // --------------------------------------------- distinct-count sketches
@@ -589,7 +544,7 @@ object GoldAggregates {
   def invalidateSidecar(path: String): Unit = sidecarFrames.invalidate(path)
 
   private val sidecarFrames =
-    new ResolvedFrameCache[(SparkSession, String)](64, _._2, _._1)
+    new graft.ResolvedCache[(SparkSession, String)](64, _._2, _._1)
 
   /** Distinct-provider estimate at an arbitrary rollup grain from the
     * register sidecar: filter to the slices of interest (partition

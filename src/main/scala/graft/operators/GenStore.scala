@@ -85,19 +85,41 @@ object GenStore {
       .filter(col("ingest_batch").isin(ids: _*))
   }
 
+  /** Resolved committed-view cache (r15): building the committed view
+    * costs a marker collect (one Spark job) plus a full data-tree
+    * listing PER CALL — on a point-serving path (REST kNN / BM25
+    * probes) that resolution dominated the request. Keyed by
+    * (session, dataPath); every writer in this object ([[ingest]],
+    * [[compact]]) and every full-rebuild entry point
+    * (writeIvfIndex/writeIvfPqIndex/writeTextIndex) invalidates by
+    * dataPath, so a cached view can never miss a committed generation.
+    * GC'd files are tolerated by the view's own ignoreMissingFiles. */
+  private val committedCache =
+    new graft.ResolvedCache[(SparkSession, String)](64, _._2, _._1)
+
+  /** Drop cached committed views under `dataPath`. Writers inside
+    * this object call it automatically; external rebuilds that bypass
+    * the GenStore writers (full `mode("overwrite")` index builds)
+    * must call it after committing. */
+  def invalidateResolved(dataPath: String): Unit =
+    committedCache.invalidate(dataPath)
+
   /** Marked-generations filter for a data read. ignoreMissingFiles:
     * the GC sweep deletes unmarked partitions a concurrent reader may
     * have already file-listed — those partitions are invisible to the
     * marker filter anyway, so skipping their vanished files changes
     * nothing about the rows served, it only keeps the scan from
     * failing mid-flight (readers are unrestricted; only maintenance
-    * is single-writer). */
+    * is single-writer). The resolved view is served from
+    * [[committedCache]]; executions stay fresh reads of the listed
+    * files. */
   def committedData(spark: SparkSession, dataPath: String,
-                    statsPath: String): DataFrame = {
-    val ids = committedIds(spark, statsPath).map(lit(_))
-    spark.read.option("ignoreMissingFiles", "true").parquet(dataPath)
-      .filter(col("ingest_batch").isin(ids: _*))
-  }
+                    statsPath: String): DataFrame =
+    committedCache.get((spark, dataPath)) {
+      val ids = committedIds(spark, statsPath).map(lit(_))
+      spark.read.option("ignoreMissingFiles", "true").parquet(dataPath)
+        .filter(col("ingest_batch").isin(ids: _*))
+    }
 
   /** Land one generation: clear any orphan at this id, write the data
     * partition, then the marker row LAST. `statsRow` must carry
@@ -119,6 +141,8 @@ object GenStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch")
       .parquet(statsPath)
+    // the marker is committed — cached pre-append views are now stale
+    invalidateResolved(dataPath)
   }
 
   /** Drop data partitions that carry no marker — folded sources a
@@ -201,6 +225,8 @@ object GenStore {
     // before this step costs disk, never correctness, and the
     // unconditional sweep at the next maintenance call reclaims it.
     gcUnmarked(spark, dataPath, statsPath, protectGen)
+    // the stats swap re-mapped generation ids — drop cached views
+    invalidateResolved(dataPath)
     true
   }
 }

@@ -197,6 +197,8 @@ object Retrieval extends QueryPack {
       // here is reclaimed by the next maintenance call's sweep)
       GenStore.gcUnmarked(spark, s"$dir/postings", s"$dir/stats")
     }
+    // full rebuild bypasses the GenStore writers — drop cached views
+    GenStore.invalidateResolved(s"$dir/postings")
   }
 
   /** Land one generation of NEW documents under an explicit id:
@@ -388,6 +390,57 @@ object Retrieval extends QueryPack {
       .select("doc_id", "dl", "token", "tf")
     val tstats = posts.groupBy("token").agg(count(lit(1)).as("df"))
     scoreTopK(posts, tstats, corpusStats(spark, dir), terms, topK)
+  }
+
+  /** The per-token document frequencies of the committed index, as a
+    * driver map — vocabulary-bounded (an IR system's token-stats
+    * artifact, not a corpus-sized object). Collected ONCE by a serving
+    * session at warmup so [[probeIndexTopKServing]] can inject df as
+    * literals; valid for as long as the index is unmodified (the REST
+    * shell owns its index for its lifetime). */
+  def tokenDfMap(spark: SparkSession, dir: String): Map[String, Long] =
+    committedPostings(spark, dir).groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** The committed corpus stats as driver values (n_docs, sum_dl). */
+  def corpusStatsValues(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$dir/stats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("sum_dl")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** [[probeIndexTopK]] with the corpus- and term-stats injected as
+    * driver-side LITERAL one-row frames (from [[tokenDfMap]] /
+    * [[corpusStatsValues]], collected once at serving warmup). Same
+    * postings scan, same [[scoreTopK]] fold over the same df/n_docs/
+    * avgdl values — identical scores — but the stats side becomes a
+    * LocalRelation, so the broadcast builds without a Spark job and a
+    * repeat request costs ONE partition-pruned job instead of two
+    * (measured: the stats-broadcast build was half the REST
+    * search-documents leg). */
+  def probeIndexTopKServing(spark: SparkSession, dir: String,
+                            terms: Seq[String], topK: Int,
+                            dfByToken: Map[String, Long],
+                            nDocs: Long, sumDl: Long): DataFrame = {
+    if (nDocs == 0) return emptyTopKFrame(spark)
+    import spark.implicits._
+    val buckets = terms.map(bucketOf).distinct.map(lit(_))
+    val termLits = terms.map(lit(_))
+    val posts = committedPostings(spark, dir)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(termLits: _*))
+      .select("doc_id", "dl", "token", "tf")
+    // absent tokens carry no tstats row, exactly like the live tstats
+    // derived from the (empty) pruned posts — the pivot's coalesce
+    // turns both into df=0
+    val tstats = terms.flatMap(t => dfByToken.get(t).map(t -> _))
+      .toDF("token", "df")
+    // same arithmetic as corpusStats: double division of the two longs
+    val statsRow = Seq((nDocs, sumDl.toDouble / nDocs))
+      .toDF("n_docs", "avgdl")
+    scoreTopK(posts, tstats, statsRow, terms, topK)
   }
 
   /** [[probeIndexTopK]] against a PAST committed snapshot: the index

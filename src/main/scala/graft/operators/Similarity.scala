@@ -611,10 +611,30 @@ object Similarity extends QueryPack {
     Seq((e.count(), 0L)).toDF("n_vecs", "ingest_batch")
       .coalesce(1).write.mode("overwrite").partitionBy("ingest_batch")
       .parquet(gensPathOf(outPath))
+    invalidateIndexCaches(outPath) // full rebuild bypasses GenStore.ingest
   }
 
   /** The centroid sidecar of a materialized index. */
   def centroidsPathOf(indexPath: String): String = s"${indexPath}_centroids"
+
+  /** Cached resolved reads of the index sidecars (r15): a probe used
+    * to pay the centroid/codebook dir's listing + footer read per
+    * request — on the REST kNN path that resolution was a visible
+    * slice of the latency. Rebuild entry points invalidate; appends
+    * never touch sidecars (that is the version contract). */
+  private val sidecarCache =
+    new graft.ResolvedCache[(SparkSession, String)](64, _._2, _._1)
+
+  private def readSidecar(spark: SparkSession, path: String): DataFrame =
+    sidecarCache.get((spark, path))(spark.read.parquet(path))
+
+  /** Invalidate every cached view of a (re)built index: the committed
+    * data view plus both sidecars. */
+  private def invalidateIndexCaches(indexPath: String): Unit = {
+    GenStore.invalidateResolved(indexPath)
+    sidecarCache.invalidate(centroidsPathOf(indexPath))
+    sidecarCache.invalidate(codebookPathOf(indexPath))
+  }
 
   /** A (re)build starts a new generation history, so a persisted
     * stream band derived against the old one
@@ -677,7 +697,7 @@ object Similarity extends QueryPack {
                                             gen: Long): Unit = {
     val assigned = assignBuckets(
       delta.select(col(idCol).as("cid"), col(vecCol).as("ce")),
-      "cid", "ce", spark.read.parquet(centroidsPathOf(indexPath)))
+      "cid", "ce", readSidecar(spark, centroidsPathOf(indexPath)))
       .localCheckpoint() // consumed twice: count + write
     // unpersist when done — the streaming path calls this per
     // micro-batch (see Retrieval.ingestGeneration's identical note)
@@ -782,7 +802,7 @@ object Similarity extends QueryPack {
         "bucket-assignment skew")
     val probes = probeBuckets(e.filter(qPred)
       .select(col("vec_id").as("vid"), col("embedding").as("qe")),
-      spark.read.parquet(centsPath), nprobe)
+      readSidecar(spark, centsPath), nprobe)
     val probedBuckets = probes.select("probe").distinct()
       .collect().map(_.getLong(0))
     val index = committed.filter(col("bucket").isin(probedBuckets: _*))
@@ -813,7 +833,7 @@ object Similarity extends QueryPack {
     val centsPath = centroidsPathOf(indexPath)
     require(graft.FsUtils.committedExists(spark, centsPath),
       s"no centroid sidecar at $centsPath — rebuild with writeIvfIndex")
-    val cents = spark.read.parquet(centsPath)
+    val cents = readSidecar(spark, centsPath)
     val assigned = GenStore
       .committedData(spark, indexPath, gensPathOf(indexPath))
       .select(col("cid"), col("ce"), col("bucket"))
@@ -934,7 +954,7 @@ object Similarity extends QueryPack {
       .committedData(spark, indexPath, gensPathOf(indexPath))
     knnGraphPq(
       committed.select(col("cid").as("vec_id"), col("ce").as("embedding")),
-      spark.read.parquet(centsPath),
+      readSidecar(spark, centsPath),
       readCodebook(spark, cbPath),
       committed.select(col("cid"), col("codes"), col("bucket")),
       nprobe, k, shortlist)
@@ -984,6 +1004,7 @@ object Similarity extends QueryPack {
     Seq((e.count(), 0L)).toDF("n_vecs", "ingest_batch")
       .coalesce(1).write.mode("overwrite").partitionBy("ingest_batch")
       .parquet(gensPathOf(outPath))
+    invalidateIndexCaches(outPath) // full rebuild bypasses GenStore.ingest
   }
 
   /** The codebook sidecar of a materialized IVFPQ index. */
@@ -993,7 +1014,7 @@ object Similarity extends QueryPack {
     * array form every PQ scorer consumes. */
   def readCodebook(spark: SparkSession,
                    cbPath: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(cbPath)
+    val rows = readSidecar(spark, cbPath)
       .select("subspace", "code", "centroid").collect()
     val byKey = rows.map(r => ((r.getInt(0), r.getInt(1)),
       r.getSeq[Double](2).toArray)).toMap
@@ -1034,7 +1055,7 @@ object Similarity extends QueryPack {
     val v = delta.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val assigned = assignBuckets(
       v.select(col("vec_id").as("cid"), col("embedding").as("ce")),
-      "cid", "ce", spark.read.parquet(centsPath))
+      "cid", "ce", readSidecar(spark, centsPath))
     val coded = pqEncode(v, cb).select(col("vec_id").as("cid"), col("codes"))
       .join(assigned.select("cid", "ce", "bucket"), Seq("cid"))
       .localCheckpoint() // consumed twice: count + write
@@ -1079,7 +1100,7 @@ object Similarity extends QueryPack {
     val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     val probes = probeBuckets(e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("vid"), col("embedding").as("qe")),
-      spark.read.parquet(centsPath), nprobe)
+      readSidecar(spark, centsPath), nprobe)
     val probedBuckets = probes.select("probe").distinct()
       .collect().map(_.getLong(0))
     val index = GenStore

@@ -76,16 +76,35 @@ class BenchLineSpec extends AnyFunSuite {
     // drift even when it exceeds its best-record band
     assert(Bench.driftAgainst(best, cur, noiseFloor = 0.05,
       refSec = Map("big" -> 2.5)).isEmpty)
-    // ms metrics pass class-scaled floors: a 0.08s -> 0.5s routed
-    // regression flags (above 3x the 0.15s idle ref), while 0.3s —
-    // within the contention guard's own noise bar — does not
+    // ms metrics pass class-scaled floors AND a 1x contention guard
+    // (guardMult=1.0 — a latency median has no build-cost excuse for
+    // running above its idle reference): a 0.08s -> 0.5s or -> 0.3s
+    // routed regression flags, while 0.14s — under the 0.15s idle
+    // reference itself — does not
     val msBest = Map("routed_ms_p50" -> 0.08)
     def msDrift(cur: Double) = Bench.driftAgainst(msBest,
       Seq("routed_ms_p50" -> cur), noiseFloor = 0.05,
       refSec = Map("routed_ms_p50" -> 0.15), defaultRef = 0.0,
-      minAbsSec = 0.05, minGuardSec = 0.1)
+      minAbsSec = 0.05, minGuardSec = 0.1, guardMult = 1.0)
     assert(msDrift(0.5).contains("routed_ms_p50"))
-    assert(msDrift(0.3).isEmpty)
+    assert(msDrift(0.3).contains("routed_ms_p50"))
+    assert(msDrift(0.14).isEmpty)
+  }
+
+  test("a 1.5x sketch-rollup regression is flagged under the ms-metric " +
+      "guard (r14: 469 -> 690 ms sat unwatched under the 3x guard)") {
+    def roll(cur: Double, guardMult: Double) = Bench.driftAgainst(
+      Map("sketch_rollup_ms_p50" -> 0.469),
+      Seq("sketch_rollup_ms_p50" -> cur), noiseFloor = 0.05,
+      refSec = Map("sketch_rollup_ms_p50" -> 0.5), defaultRef = 0.0,
+      minAbsSec = 0.05, minGuardSec = 0.1, guardMult = guardMult)
+    // the exact r14 escape: 0.690 vs best 0.469 under the old 3x guard
+    assert(roll(0.690, 3.0).isEmpty, "reproduces the r14 escape")
+    val d = roll(0.690, 1.0)
+    assert(d.contains("sketch_rollup_ms_p50"), d.toString)
+    assert(math.abs(d("sketch_rollup_ms_p50") - 0.690 / 0.469) < 1e-9)
+    // within-band wobble still passes
+    assert(roll(0.55, 1.0).isEmpty)
   }
 
   test("history-derived idle refs arm the drift guard the hardcoded " +
@@ -112,6 +131,24 @@ class BenchLineSpec extends AnyFunSuite {
       refSec = staleTable ++ idle)
     assert(d.keySet == Set("q_inflated"), d.toString)
     assert(math.abs(d("q_inflated") - 3.5 / 0.9) < 1e-9)
+  }
+
+  test("contended slopes publish as JSON null, never as a number " +
+      "(r14: pmi slope 31.95 printed beside probe_noise 0.4154)") {
+    val noise = Map("text_pmi_pairs" -> 0.4154, "sim_ivf_topk" -> 0.06,
+      "layout_zorder_box" -> 4.53)
+    // gate = max(3 x floor, 0.10): at the r14 floor (0.034) both
+    // contended probes gate, the quiet one does not
+    val gated = Bench.noiseGated(noise, noiseFloor = 0.034)
+    assert(gated == Set("text_pmi_pairs", "layout_zorder_box"), gated)
+    // a negative/absent floor still applies the 0.10 lower bound
+    assert(Bench.noiseGated(noise, -1.0) == gated)
+    val json = Bench.slopeJsonOf(
+      Map("text_pmi_pairs" -> 31.95, "sim_ivf_topk" -> 1.11), gated)
+    val node = mapper.readTree(json) // stays valid JSON with the null
+    assert(node.get("text_pmi_pairs").isNull,
+      "a gated slope must publish as null")
+    assert(node.get("sim_ivf_topk").asDouble() == 1.11)
   }
 
   test("compact line carries the drift field as JSON") {

@@ -350,6 +350,59 @@ class RestServerSpec extends SparkSpec {
       s"/api/explore/data-availability?state=$st&year_month=$ym")._1 == 200)
   }
 
+  test("root endpoint lists the registered route inventory (main.py:57-60)") {
+    val (c, n) = get("/")
+    assert(c == 200, n.toString)
+    assert(n.get("message").asText().nonEmpty)
+    val eps = (0 until n.get("endpoints").size())
+      .map(i => n.get("endpoints").get(i).asText()).toSet
+    assert(Set("/api/health", "/api/rates/summary", "/api/rates/by-payer",
+      "/api/search/multi-field", "/api/knn", "/api/autocomplete",
+      "/api/explore/drill-down").subsetOf(eps), eps.toString)
+  }
+
+  test("summary/by-payer gold fast path: byte-identical to the live " +
+      "plan, extra predicates fall back, absent slices answer empty") {
+    def raw(path: String): String = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base$path")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    val su = s"/api/rates/summary?state=$st&year_month=$ym"
+    val bp = s"/api/rates/by-payer?state=$st&year_month=$ym&limit=3"
+    val fi = s"/api/rates/summary?state=$st&year_month=$ym&code_type=CPT"
+    val mf = s"/api/search/multi-field?year_month=$ym&states=$st&limit=5"
+    val ac = s"/api/autocomplete/payer?query=payer&state=$st&year_month=$ym"
+    val dq = "/api/search/documents?q=order+customer&limit=5"
+    // pre-warmup: servingReady is false, so these are the LIVE plans
+    val liveSu = raw(su)
+    val liveBp = raw(bp)
+    val liveFi = raw(fi)
+    val liveMf = raw(mf)
+    val liveAc = raw(ac)
+    val liveDq = raw(dq)
+    server.warmup() // builds the gold tables + arms the fast paths
+    // post-warmup: the same requests read the gold slices — the shared
+    // aggregate definition (decimal-sum mean, exact percentile,
+    // collect_set distincts) makes the responses EXACTLY equal, not
+    // merely close
+    assert(raw(su) == liveSu, s"routed summary diverged:\n${raw(su)}\n$liveSu")
+    assert(raw(bp) == liveBp, s"routed by-payer diverged:\n${raw(bp)}\n$liveBp")
+    assert(raw(mf) == liveMf,
+      s"routed multi-field diverged:\n${raw(mf)}\n$liveMf")
+    assert(raw(ac) == liveAc,
+      s"gold autocomplete diverged:\n${raw(ac)}\n$liveAc")
+    assert(raw(dq) == liveDq,
+      s"literal-stats BM25 diverged:\n${raw(dq)}\n$liveDq")
+    // a request with extra predicates is NOT gold-servable and must
+    // keep answering from the live plan, unchanged
+    assert(raw(fi) == liveFi)
+    // a slice absent from the gold table falls back to the live empty
+    // aggregate (count 0), never an empty object mismatch
+    val missing = mapper.readTree(
+      raw(s"/api/rates/summary?state=__nope__&year_month=$ym"))
+    assert(missing.get("summary").get("total_rates").asLong() == 0)
+  }
+
   test("knn k/nprobe grammar: malformed ints answer 422, not 500") {
     assert(get("/api/knn/5?k=abc")._1 == 422)
     assert(get("/api/knn/5?nprobe=xyz")._1 == 422)
