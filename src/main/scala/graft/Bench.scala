@@ -708,7 +708,11 @@ object Bench {
       val server = new graft.serving.RestServer(spark, sfDir)
       val port = server.start()
       try {
-        server.warmup() // untimed: builds the text + IVF indexes
+        server.warmup() // untimed: builds the indexes + gold tables
+        // the workload runs at the END of a 205-query suite JVM —
+        // reclaim the suite's dead broadcasts before timing (GC only:
+        // clearCache would evict the hot-slice/dim pins warmup built)
+        System.gc()
         val base = s"http://127.0.0.1:$port"
         val r = graft.Roles.rates(spark, sfDir)
         val pr = graft.Roles.providers(spark, sfDir)

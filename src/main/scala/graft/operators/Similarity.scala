@@ -750,7 +750,8 @@ object Similarity extends QueryPack {
                           nprobe: Int = 2, topK: Int = 5): DataFrame =
     probeIvfFrom(spark, dir, indexPath,
       GenStore.committedData(spark, indexPath, gensPathOf(indexPath)),
-      nprobe, topK, qPred = col("vec_id").isin(ids.map(Long.box): _*))
+      nprobe, topK, qPred = col("vec_id").isin(ids.map(Long.box): _*),
+      singleQuery = ids.size == 1)
 
   /** [[probeIvfIndex]] against a PAST committed snapshot — the vector
     * twin of `Retrieval.probeIndexTopKAsOf`, same visibility rule
@@ -793,7 +794,8 @@ object Similarity extends QueryPack {
   private def probeIvfFrom(spark: SparkSession, dir: String,
                            indexPath: String, committed: DataFrame,
                            nprobe: Int, topK: Int,
-                           qPred: Column = col("vec_id") < 10): DataFrame = {
+                           qPred: Column = col("vec_id") < 10,
+                           singleQuery: Boolean = false): DataFrame = {
     val e = emb(spark, dir)
     val centsPath = centroidsPathOf(indexPath)
     require(graft.FsUtils.committedExists(spark, centsPath),
@@ -810,10 +812,25 @@ object Similarity extends QueryPack {
         col("probe") === col("bucket") && col("cid") =!= col("vid"))
       .select(col("vid").as("qid"), col("cid"),
         cosine(col("qe"), col("ce")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-      .select(col("qid"), col("cid"), col("rank"),
-        pround(col("sim"), 4).as("cosine"))
+    if (singleQuery) {
+      // point-serving tail (one query id, the REST /api/knn shape): a
+      // global TakeOrdered replaces the qid-partitioned window — no
+      // shuffle stage at all; rank is re-derived over the ≤ topK
+      // collected rows (the scoreTopK limit-then-rank precedent).
+      // Same ordering and tie-break, so values are identical to the
+      // windowed tail.
+      val w = Window.orderBy(col("sim").desc, col("cid"))
+      scored.orderBy(col("sim").desc, col("cid")).limit(topK)
+        .withColumn("rank", row_number().over(w))
+        .select(col("qid"), col("cid"), col("rank"),
+          pround(col("sim"), 4).as("cosine"))
+    } else {
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("qid"), col("cid"), col("rank"),
+          pround(col("sim"), 4).as("cosine"))
+    }
   }
 
   /** Build the kNN GRAPH from a materialized IVF index — the

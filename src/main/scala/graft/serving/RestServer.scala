@@ -365,9 +365,9 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
       (p.keySet -- Set("state", "year_month")).isEmpty
     val fast: Option[String] =
       if (!fastOk) None
-      else goldSummary
+      else jsonRows(servePlan(s"summary-gold|$st|$ym")(goldSummary
         .filter(col("state") === st && col("year_month") === ym)
-        .drop("state", "year_month").toJSON.collect().headOption
+        .drop("state", "year_month"))).headOption
     val body = fast.getOrElse {
       val f = rateFilter(p)
       var df = QueryApi.filteredRates(spark, dataDir, f)
@@ -518,11 +518,11 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
       (p.keySet -- Set("year_month", "states", "limit")).isEmpty
     val summary =
       if (!fastOk) liveSum
-      else servePlan(s"$key|goldsum")(goldSummary
+      else jsonRows(servePlan(s"$key|goldsum")(goldSummary
           .filter(col("state") === f.states.head &&
             col("year_month") === f.yearMonth)
-          .select("total_rates", "avg_rate", "unique_procedures"))
-        .toJSON.collect().headOption.getOrElse(liveSum)
+          .select("total_rates", "avg_rate", "unique_procedures")))
+        .headOption.getOrElse(liveSum)
     val rows = rowsF.get(120, java.util.concurrent.TimeUnit.SECONDS)
     ok(s"""{"summary":$summary,"results":$rows}""")
   })
@@ -602,7 +602,7 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
         // fetch lim+1 and emit lim: has_more is then exact, not the
         // reference's len==limit heuristic (false positive whenever
         // the remainder is an exact multiple of the limit)
-        val fetched = comprehensive(p)
+        val page = servePlan(planKey(s"explore/$cat", p))(comprehensive(p)
           .filter(col(field).isNotNull && col(field) =!= "")
           .groupBy(col(field).as("value"))
           .agg(count(lit(1)).as("record_count"),
@@ -612,8 +612,8 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
             pround(min(col("negotiated_rate")), 2).as("min_rate"),
             pround(max(col("negotiated_rate")), 2).as("max_rate"))
           .orderBy(col("record_count").desc, col("value"))
-          .offset(off).limit(lim + 1)
-          .toJSON.collect()
+          .offset(off).limit(lim + 1))
+        val fetched = jsonRows(page)
         val arr = fetched.take(lim)
         ok(s"""{"state":${js(p("state"))},"year_month":${js(p("year_month"))},"category":${js(cat)},"limit":$lim,"offset":$off,"result_count":${arr.length},"has_more":${fetched.length > lim},"results":${arr.mkString("[", ",", "]")}}""")
     }
@@ -682,7 +682,7 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
     * One collect: the count is the collected array's length. */
   private def searchJson(kind: String, value: String,
                          p: Map[String, String], df: DataFrame): Response = {
-    val arr = df.toJSON.collect()
+    val arr = jsonRows(df)
     ok(s"""{"search_type":${js(kind)},"search_value":${js(value)},"state":${js(p("state"))},"year_month":${js(p("year_month"))},"result_count":${arr.length},"results":${arr.mkString("[", ",", "]")}}""")
   }
 
@@ -991,19 +991,50 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
     ()
   }
 
+  /** Per-frame JSON view cache, keyed by the frame's REFERENCE (no
+    * equals override on Dataset — identity semantics): `df.toJSON`
+    * builds a NEW Dataset per call, whose fresh physical plan re-runs
+    * analysis AND rebuilds every broadcast — measured as most of the
+    * repeat-request cost of the join-bearing legs, because a reused
+    * plan instance's BroadcastExchange computes its relation once and
+    * serves every subsequent collect. servePlan hands out stable frame
+    * references, so the view (and its executed plan) is reused too;
+    * executions remain fresh reads. */
+  private val jsonViews = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        AnyRef, org.apache.spark.sql.Dataset[String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            AnyRef, org.apache.spark.sql.Dataset[String]]) = size() > 1024
+    })
+
+  private def jsonRows(df: DataFrame): Array[String] = {
+    val hit = jsonViews.synchronized(jsonViews.get(df))
+    val view =
+      if (hit != null) hit
+      else {
+        val v = df.toJSON
+        jsonViews.synchronized {
+          val raced = jsonViews.get(df)
+          if (raced != null) raced else { jsonViews.put(df, v); v }
+        }
+      }
+    view.collect()
+  }
+
   /** One DataFrame → `{"count":n,"results":[...]}`. The collect is
     * bounded: every caller limits first (or aggregates to dimension
     * grain). */
   private def resultsJson(df: DataFrame): Response = {
-    val arr = df.toJSON.collect()
+    val arr = jsonRows(df)
     ok(s"""{"count":${arr.length},"results":${arr.mkString("[", ",", "]")}}""")
   }
 
   private def rowsJson(df: DataFrame): String =
-    df.toJSON.collect().mkString("[", ",", "]")
+    jsonRows(df).mkString("[", ",", "]")
 
   private def firstJson(df: DataFrame): String =
-    df.toJSON.collect().headOption.getOrElse("{}")
+    jsonRows(df).headOption.getOrElse("{}")
 }
 
 object RestServer {
