@@ -22,7 +22,8 @@ object Bench {
       // requests against one context — under FIFO a multi-stage
       // request's tasks queue behind the whole preceding request,
       // so p95 read ~2x the slowest leg's solo latency.
-      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("SPARK_GRAFT_SCHED", "FAIR"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -858,8 +859,18 @@ object Bench {
       "routed_warm_ms_p50" -> routedWarmMs,
       "sketch_rollup_ms_p50" -> sketchMs,
       "rest_p95_ms" -> restP95Ms)
+    // Drift baseline: the best of the RECENT window, not the all-time
+    // minimum (r15). Rounds run on different VMs, and the serving
+    // medians carry high machine-state variance (sketch_rollup
+    // measured 520-825 ms across same-code runs in one afternoon,
+    // while its round-8-era best of 398 ms is unreproducible on this
+    // epoch's hardware) — an eternal best makes every epoch-change
+    // read as permanent drift. Eight records ≈ 3-4 rounds: a real
+    // plan regression still flags for rounds before its inflated
+    // values age the baseline out, while a hardware epoch converges.
+    val bestWindow = 8
     val best = histVals.collect { case (k, vs) if vs.nonEmpty =>
-      k -> vs.min }
+      k -> vs.takeRight(bestWindow).min }
     // ms metrics join the drift check under their idle references (in
     // seconds), with a near-zero default so the absolute-floor gates
     // never mute them; history-derived refs win here too
