@@ -151,11 +151,51 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("sim_ivf_topk").asDouble() == 1.11)
   }
 
-  test("compact line carries the drift field as JSON") {
+  test("a contended suite floor nulls the WHOLE slope block " +
+      "(r15: floor 0.2645 ballooned the gate to 0.79 and a contended " +
+      "dedup_span_removal 19.35 printed beside probe_noise 0.0897)") {
+    val noise = Map("dedup_span_removal" -> 0.0897, "sim_ivf_topk" -> 0.02)
+    // quiet floor: the low-gap probes publish
+    assert(Bench.noiseGated(noise, noiseFloor = 0.033).isEmpty)
+    // the exact r15 escape: a 0.2645 floor must gate EVERYTHING —
+    // repeats that are equally contended leave no gap to detect
+    assert(Bench.noiseGated(noise, noiseFloor = 0.2645) == noise.keySet)
+    // boundary: at the cap the per-probe gate still applies
+    assert(Bench.noiseGated(noise, noiseFloor = 0.15).isEmpty)
+    assert(Bench.noiseGated(noise, noiseFloor = 0.151) == noise.keySet)
+  }
+
+  test("slow creep stays visible after the windowed drift baseline " +
+      "ratchets (r16 ask #4: 5 slow records silently become the baseline)") {
+    // a genuine regression that persisted: 8 recent records all ~3x the
+    // old cost — the windowed best (2.9) no longer flags anything, but
+    // windowed/all-time = 2.9 must appear in the creep field
+    val crept = Map("q_crept" ->
+      (Seq(1.0, 1.05, 0.98) ++ Seq.fill(8)(3.0) ++ Seq(2.9)))
+    val c = Bench.creepAgainst(crept, window = 8)
+    assert(c.keySet == Set("q_crept"), c.toString)
+    assert(math.abs(c("q_crept") - 2.9 / 0.98) < 1e-9)
+    // a one-record mood inside the window does NOT creep (the windowed
+    // min skips over it)
+    val mood = Map("q_mood" ->
+      (Seq(1.0, 1.05) ++ Seq(0.98, 5.0, 1.02, 1.0, 1.1, 0.99, 1.03, 1.0)))
+    assert(Bench.creepAgainst(mood, window = 8).isEmpty)
+    // history no longer than the window cannot creep by construction
+    assert(Bench.creepAgainst(Map("q_thin" -> Seq.fill(8)(3.0)),
+      window = 8).isEmpty)
+    // sub-minAbsSec ms-metric wobble stays out even at a high ratio
+    assert(Bench.creepAgainst(Map("m" ->
+      (Seq(0.05) ++ Seq.fill(9)(0.15))), window = 8).isEmpty)
+  }
+
+  test("compact line carries the drift/creep/cold-p95 fields as JSON") {
     val line = Bench.compactLine(mkResults(94), 1.0, 0, 0, 0, "/x",
-      driftJson = """{"q_slow":1.62}""")
+      driftJson = """{"q_slow":1.62}""", restP95ColdMs = 1234.5,
+      creepJson = """{"q_crept":2.31}""")
     val node = mapper.readTree(line)
     assert(node.get("drift").get("q_slow").asDouble() == 1.62)
+    assert(node.get("creep").get("q_crept").asDouble() == 2.31)
+    assert(node.get("rest_p95_cold_ms").asDouble() == 1234.5)
     assert(line.length < 1700)
   }
 
