@@ -1129,7 +1129,16 @@ object Similarity extends QueryPack {
     val scored = cand
       .join(broadcast(queryLut(e, cbLit)), col("vid") === col("qid"))
       .select(col("qid"), col("cid"), adcExpr.as("adc"))
-    adcShortlistRerank(e, scored, topK, shortlist)
+    // Exact re-rank from the INDEX'S OWN committed `ce`, not the
+    // corpus table (r15 ADVICE — the same divergence bug the r14 fix
+    // gave knnGraphFromPqIndex): appendIvfPqIndex makes index-only
+    // vectors possible, and sourcing re-rank vectors from the corpus
+    // silently dropped them AFTER they consumed ADC shortlist slots.
+    // The bucket-filtered frame covers every shortlist member by
+    // construction (candidates come from probed buckets), so the
+    // re-rank read stays partition-pruned to the same files.
+    adcShortlistRerank(e, scored, topK, shortlist,
+      cands = index.select(col("cid"), col("ce")))
   }
 
   // ---------------------------------------------------------------
@@ -1314,13 +1323,19 @@ object Similarity extends QueryPack {
     * ivfPqTopK / probeIvfPqIndex — the tie-breaks and fold arithmetic
     * here are oracle-pinned, so they must not fork per path. */
   private def adcShortlistRerank(e: DataFrame, scored: DataFrame,
-                                 topK: Int, shortlist: Int): DataFrame = {
+                                 topK: Int, shortlist: Int,
+                                 cands: DataFrame = null): DataFrame = {
     val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
     val short = scored.withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= shortlist).select("qid", "cid")
     val qv = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // candidate vectors default to the corpus table (the inline search
+    // paths, where corpus == candidate universe by construction); a
+    // materialized-index probe passes its committed (cid, ce) instead,
+    // so appended index-only vectors survive the exact re-rank
+    val cv = Option(cands).getOrElse(
+      e.select(col("vec_id").as("cid"), col("embedding").as("ce")))
     val exactD = cv.join(broadcast(short.join(qv, "qid")), Seq("cid"))
       .select(col("qid"), col("cid"),
         aggregate(sequence(lit(0), lit(PqM * PqSub - 1)), lit(0.0),

@@ -1177,4 +1177,32 @@ class OperatorsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(gens == Set(-1L), s"generations not folded: $gens")
   }
+
+  test("ivfpq probe re-ranks from the index's own committed vectors: " +
+      "appended index-only ids survive the exact re-rank (r15 ADVICE — " +
+      "they used to consume ADC shortlist slots, then silently drop at " +
+      "a corpus-table re-rank join)") {
+    val work = java.nio.file.Files.createTempDirectory("graft_ivfpqonly")
+      .toString
+    val idx = s"$work/idx"
+    Similarity.writeIvfPqIndex(spark, sf0001, idx)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // index-only delta: exact copies of the query vectors under fresh
+    // ids — present in the INDEX after the append, absent from the
+    // corpus table the probe's queries/LUT read
+    val delta = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    Similarity.appendIvfPqIndex(spark, idx, delta, "vec_id", "embedding")
+    val res = Similarity.probeIvfPqIndex(spark, sf0001, idx).collect()
+    // each query's zero-distance copy assigns to the query's own top
+    // bucket (always probed) and tops the ADC shortlist, so it MUST
+    // surface as the exact-re-rank rank-1 at distance 0
+    val top1 = res.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    (0L until 10L).foreach { q =>
+      assert(top1.get(q).contains((q + 10000L, 0.0)),
+        s"query $q: index-only copy ${q + 10000} missing from the " +
+          s"re-rank (got ${top1.get(q)})")
+    }
+  }
 }
