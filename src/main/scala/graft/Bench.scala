@@ -401,12 +401,15 @@ object Bench {
       // 140-164 ms): a p95 past the retry gate — well above the quiet
       // class AND the reference's own 500 ms target — is ambient load,
       // not the server. GC, re-run the phase once, keep the better
-      // stats (contention only inflates).
+      // stats (contention only inflates). A phase with request ERRORS
+      // (-1) is NOT retried: an intermittent server failure must fail
+      // the record loudly (the original wedged-endpoint contract), not
+      // be papered over by a luckier rerun.
       var (rps, p95) = concurrentPhase()
-      if (p95 < 0 || p95 > RestRetryP95Ms) {
+      if (p95 >= 0 && p95 > RestRetryP95Ms) {
         System.gc()
         val (rps2, p952) = concurrentPhase()
-        if (p952 >= 0 && (p95 < 0 || p952 < p95)) { rps = rps2; p95 = p952 }
+        if (p952 >= 0 && p952 < p95) { rps = rps2; p95 = p952 }
       }
       RestStats(rps, p95, coldP95)
     } finally server.stop()

@@ -43,6 +43,19 @@ object Tables {
 
   def invalidateCache(): Unit = loadCache.clear()
 
+  /** Scoped invalidation (r16): drop only the cached load frames
+    * under `dir`, for every session — a serving refresh of ONE data
+    * dir must not blast the whole JVM's resolved listings (a second
+    * server or a batch session would silently re-list its untouched
+    * tables, and a server whose dir is mid-rewrite could pick the new
+    * files up before its own refresh epoch swapped). */
+  def invalidate(dir: String): Unit = loadCache.synchronized {
+    val prefix = dir.stripSuffix("/") + "/"
+    loadCache.keySet().removeIf(
+      (k: (SparkSession, String)) => k._2.startsWith(prefix))
+    ()
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val key = (spark, s"$dir/$name.parquet")
     val hit = loadCache.synchronized(loadCache.get(key))

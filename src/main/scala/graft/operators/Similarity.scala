@@ -680,8 +680,19 @@ object Similarity extends QueryPack {
     // the GenStore append protocol (shared with the text index): the
     // delta lands as its own generation — vectors first, marker LAST —
     // so a crash leaves an invisible orphan (probes keep serving the
-    // exact pre-append index) and a retry reuses and clears the id
-    ingestVectorGeneration(spark, indexPath, delta, idCol, vecCol,
+    // exact pre-append index) and a retry reuses and clears the id.
+    // Same append-only id enforcement as [[appendIvfPqIndex]]: a
+    // duplicate cid would produce duplicate candidate rows in every
+    // probe (two identical (qid, cid) scored rows both claim topK
+    // ranks). The streaming path (VectorIndexStream) keeps its own
+    // feed contract and calls ingestVectorGeneration directly.
+    val committedIds = GenStore
+      .committedData(spark, indexPath, gensPath)
+      .select(col("cid").as(idCol))
+    val unique = delta.select(col(idCol), col(vecCol))
+      .dropDuplicates(idCol)
+      .join(committedIds, Seq(idCol), "left_anti")
+    ingestVectorGeneration(spark, indexPath, unique, idCol, vecCol,
       GenStore.nextGen(spark, gensPath))
   }
 
@@ -1069,7 +1080,21 @@ object Similarity extends QueryPack {
     graft.streaming.DedupStream.recoverCompaction(spark, indexPath)
     graft.streaming.DedupStream.recoverCompaction(spark, gensPath)
     val cb = readCodebook(spark, cbPath)
-    val v = delta.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    // APPEND-ONLY contract, enforced (r16 review): ids already in the
+    // committed index are SKIPPED (left_anti over the index's pruned
+    // cid column), and the delta is deduped on id — a duplicate cid
+    // would shadow itself in every probe's candidate stream and
+    // SQUARE its rows in the index-sourced exact re-rank (two coded
+    // rows x two ce rows per (qid, cid)). Updating a vector is a
+    // rebuild (writeIvfPqIndex), exactly the codebook-version
+    // contract above.
+    val committedIds = GenStore
+      .committedData(spark, indexPath, gensPath)
+      .select(col("cid").as("vec_id"))
+    val v = delta
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .dropDuplicates("vec_id")
+      .join(committedIds, Seq("vec_id"), "left_anti")
     val assigned = assignBuckets(
       v.select(col("vec_id").as("cid"), col("embedding").as("ce")),
       "cid", "ce", readSidecar(spark, centsPath))

@@ -103,7 +103,12 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
     * RestServerSpec exercises. */
   def warmup(): Unit = {
     searchIndexDir; ivfIndexDir; docStats
-    epoch.warm()
+    // under the refresh lock, reading `epoch` inside it: a
+    // stream-driven refresh() racing warmup would otherwise retire
+    // the epoch MID-WARM — release() runs against a partial pin list
+    // and warmup's remaining pins land on the retired epoch, cached
+    // in the SparkSession forever with nothing left to unpersist them
+    refreshLock.synchronized(epoch.warm())
     servingReady = true
   }
 
@@ -142,20 +147,23 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
     // drop the epoch's memory pins — the SparkSession may outlive
     // this server instance (test suites, notebook restarts)
     epoch.release()
-    tempDirs.foreach { d =>
-      try {
-        import java.nio.file.{Files, Path}
-        import scala.jdk.CollectionConverters._
-        val root = Path.of(d)
-        if (Files.exists(root)) {
-          val walk = Files.walk(root)
-          try walk.iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-          finally walk.close()
-        }
-      } catch { case _: Throwable => () }
-    }
+    tempDirs.foreach(deleteDir)
   }
+
+  /** Best-effort recursive delete of one temp dir (no-op if gone —
+    * the refresh retention sweep and stop() may both visit a dir). */
+  private def deleteDir(d: String): Unit =
+    try {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      val root = Path.of(d)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case _: Throwable => () }
 
   /** Roots of temp dirs owned by this server, removed on [[stop]]. */
   private val tempDirs =
@@ -193,6 +201,11 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
     private def pin(df: DataFrame): DataFrame = {
       val c = df.cache(); c.count(); pins.add(c); c
     }
+    /** Gold temp dirs THIS epoch wrote — kept one full refresh cycle
+      * after retirement (see [[refresh]]'s retention note), also in
+      * [[tempDirs]] for the stop()-time sweep (double delete is a
+      * no-op). */
+    val dirs = new java.util.concurrent.CopyOnWriteArrayList[String]
 
     /** See the class doc of [[RestServer]]: gold tables materialized
       * from the EXACT shared aggregate definitions, so the fast path
@@ -200,7 +213,7 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
     lazy val goldSummary: DataFrame = {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_rest_gold_summary").toString
-      tempDirs += dir
+      tempDirs += dir; dirs.add(dir)
       ratesWithProviders().groupBy("state", "year_month")
         .agg(summaryAggs.head, summaryAggs.tail: _*)
         .write.mode("overwrite").option("compression", "zstd")
@@ -211,7 +224,7 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
     lazy val goldByPayer: DataFrame = {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_rest_gold_bypayer").toString
-      tempDirs += dir
+      tempDirs += dir; dirs.add(dir)
       ratesWithProviders().groupBy("state", "year_month", "payer_slug")
         .agg(byPayerAggs.head, byPayerAggs.tail: _*)
         .write.mode("overwrite").option("compression", "zstd")
@@ -230,7 +243,7 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
     lazy val goldValues: DataFrame = {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_rest_gold_values").toString
-      tempDirs += dir
+      tempDirs += dir; dirs.add(dir)
       val base = ratesWithProviders()
       FactAutocompleteFields.toSeq.sorted.map { field =>
         base.select(col("state"), col("year_month"),
@@ -303,27 +316,67 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
 
   /** Follow a data-dir rewrite WITHOUT a server restart (r16 judge
     * ask #7 — the streaming gold refresh's serving-side half): drop
-    * the old epoch's memory pins, invalidate the engine's resolved
-    * base-table listings (new files are invisible to frozen file
-    * indexes otherwise), build a fresh epoch's gold tables and pins
-    * from the rewritten dir, then swap. Serving never blocks: until
-    * the swap, requests run on the old epoch's plans over the old
-    * (complete, consistent) artifacts; after it, every new request
-    * plans against the new epoch under new cache keys. Fast==live
-    * parity holds across the swap because both sides of the new epoch
-    * derive from the same rebuilt artifacts (RestServerSpec pins it).
-    * Old gold dirs are deleted at [[stop]], not here — in-flight
-    * requests may still be reading them. */
+    * the old epoch's memory pins, invalidate THIS data dir's resolved
+    * base-table listings (scoped — another server's or a batch
+    * session's listings are untouched; new files are invisible to
+    * frozen file indexes otherwise), build a fresh epoch's gold
+    * tables and pins from the rewritten dir, then swap. Serving never
+    * blocks, with one honest divergence during the rebuild window:
+    * CACHED request plans keep serving the old epoch's consistent
+    * artifacts, but a live-path plan-cache MISS resolving mid-rebuild
+    * already lists the rewritten dir — bounded staleness/freshness
+    * skew for the seconds the rebuild takes, the contract of a
+    * serving layer, not a transactional store. The swap happens EVEN
+    * IF the warm build throws (e.g. the dir is still mid-write): a
+    * half-built epoch lazily rebuilds per request from the new dir —
+    * consistent — whereas refusing to swap would leave old gold
+    * beside new live listings permanently. Fast==live parity holds
+    * across the swap because both sides of the new epoch derive from
+    * the same rebuilt artifacts (ServingEpochSpec pins it over real
+    * HTTP).
+    *
+    * Retired gold dirs survive ONE full refresh cycle before
+    * deletion (a cycle is minutes of rebuild work — far beyond the
+    * 120 s request timeout any in-flight reader holds), so a
+    * long-lived refresh feed cannot grow /tmp without bound;
+    * whatever remains is swept at [[stop]]. */
   def refresh(): Unit = refreshLock.synchronized {
     val old = epoch
     old.release() // before the rebuild: canonical-plan collision
-    graft.Tables.invalidateCache() // frozen listings -> re-list
+    graft.Tables.invalidate(dataDir) // frozen listings -> re-list
     val next = new Epoch
-    if (servingReady) next.warm() // build off-path, old epoch serving
-    epoch = next
-    epochId += 1 // retire the old epoch's cached plans by namespace
+    try { if (servingReady) next.warm() } // old epoch serving meanwhile
+    finally {
+      epoch = next
+      epochId += 1 // retire the old epoch's cached plans by namespace
+    }
+    import scala.jdk.CollectionConverters._
+    retiredGoldDirs.foreach(deleteDir) // retired two refreshes ago
+    retiredGoldDirs = old.dirs.asScala.toSeq
   }
   private val refreshLock = new Object
+  private var retiredGoldDirs: Seq[String] = Seq.empty
+
+  /** A debounced [[refresh]] thunk for high-frequency callers — e.g.
+    * [[graft.streaming.ServingRefresh.run]]'s `onRefresh`, which
+    * fires per micro-batch: a full epoch rebuild per delta FILE would
+    * serialize minutes of gold work behind every batch. At most one
+    * refresh per `minIntervalMs`; skipped fires coalesce into the
+    * next eligible one, so while the feed is active the serving tier
+    * trails the stream by at most the interval (after the feed goes
+    * quiet, call [[refresh]] directly for a final sync). */
+  def refresher(minIntervalMs: Long = 60000L): () => Unit = {
+    val last = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    () => {
+      val now = System.nanoTime() / 1000000L // monotonic ms
+      val prev = last.get
+      // first fire always refreshes (MinValue sentinel — the
+      // subtraction would overflow, so test it explicitly)
+      if ((prev == Long.MinValue || now - prev >= minIntervalMs) &&
+          last.compareAndSet(prev, now))
+        refresh()
+    }
+  }
 
   /** The shared fact ⋈ provider-dim frame every slice aggregate runs
     * over (state lives on the dim). */
@@ -623,21 +676,25 @@ class RestServer(outer: SparkSession, dataDir: String, port: Int = 0) {
       nDistinct(col("billing_code"), "unique_procedures"))))
     val fastOk = servingReady && f.states.size == 1 &&
       (p.keySet -- Set("year_month", "states", "limit")).isEmpty
-    val summary =
-      if (!fastOk) liveSum
-      else jsonRows(servePlan(s"$key|goldsum")(goldSummary
-          .filter(col("state") === f.states.head &&
-            col("year_month") === f.yearMonth)
-          .select("total_rates", "avg_rate", "unique_procedures")))
-        .headOption.getOrElse(liveSum)
-    val rows =
-      try rowsF.get(120, java.util.concurrent.TimeUnit.SECONDS)
-      catch { case e: java.util.concurrent.TimeoutException =>
-        // don't leave the leg's Spark job running behind a 500
-        spark.sparkContext.cancelJobGroup(legGroup)
-        throw e
-      }
-    ok(s"""{"summary":$summary,"results":$rows}""")
+    // ANY failure after the leg was submitted — the summary leg
+    // throwing, the get timing out or being interrupted — must cancel
+    // the leg's Spark jobs before the request 500s, or the orphaned
+    // job keeps burning a legPool thread and cluster resources
+    // (cancelling an already-finished group is a no-op).
+    try {
+      val summary =
+        if (!fastOk) liveSum
+        else jsonRows(servePlan(s"$key|goldsum")(goldSummary
+            .filter(col("state") === f.states.head &&
+              col("year_month") === f.yearMonth)
+            .select("total_rates", "avg_rate", "unique_procedures")))
+          .headOption.getOrElse(liveSum)
+      val rows = rowsF.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      ok(s"""{"summary":$summary,"results":$rows}""")
+    } catch { case e: Throwable =>
+      spark.sparkContext.cancelJobGroup(legGroup)
+      throw e
+    }
   })
 
   // main.py:791-907 — typeahead over one whitelisted field; the field

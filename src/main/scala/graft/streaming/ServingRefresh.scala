@@ -52,8 +52,12 @@ object ServingRefresh {
     *
     * `onRefresh` (r16 judge ask #7) fires after each batch that
     * touched slices — the serving-side hook: pass a REST shell's
-    * `server.refresh()` so its gold tables, pins and plan caches
-    * follow the stream's epoch instead of requiring a new server. */
+    * `server.refresher()` (the DEBOUNCED thunk — this stream triggers
+    * per delta file, and a full epoch rebuild per batch would
+    * serialize minutes of gold work behind every trigger; the bare
+    * `server.refresh _` is fine for low-frequency feeds) so its gold
+    * tables, pins and plan caches follow the stream's epoch instead
+    * of requiring a new server. */
   def run(spark: SparkSession, deltaDir: String, dir: String,
           goldPath: String, checkpoint: String,
           sketchPath: String = null, histPath: String = null,

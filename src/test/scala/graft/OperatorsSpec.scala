@@ -1204,5 +1204,14 @@ class OperatorsSpec extends SparkSpec {
         s"query $q: index-only copy ${q + 10000} missing from the " +
           s"re-rank (got ${top1.get(q)})")
     }
+    // append-only id enforcement: re-appending committed ids is a
+    // skip, not a duplicate — a dup cid would square its rows in the
+    // index-sourced re-rank and claim several topK ranks
+    Similarity.appendIvfPqIndex(spark, idx, delta, "vec_id", "embedding")
+    val res2 = Similarity.probeIvfPqIndex(spark, sf0001, idx).collect()
+    assert(res2.map(_.toSeq).toSet == res.map(_.toSeq).toSet,
+      "re-appending existing ids changed probe results")
+    assert(res2.length == res.length,
+      "re-appending existing ids duplicated ranked rows")
   }
 }
