@@ -42,10 +42,21 @@ object Graph extends QueryPack {
                damping: Double = 0.85,
                checkpoint: DataFrame => DataFrame =
                  _.localCheckpoint()): DataFrame = {
+    // The edge set is checkpointed PARTITIONED BY src (r16): the
+    // per-round rank join keys on src, and localCheckpoint preserves
+    // the physical partitioning into the LogicalRDD — so the corpus-
+    // sized edge frame is shuffled ONCE at build time and never again
+    // (the old distinct-partitioned checkpoint re-exchanged the whole
+    // edge set by src in EVERY round — the exact §2.4 shared-exchange
+    // miss the module doc claims to avoid). deg/ranks come out of
+    // id-keyed aggregates, so their checkpoints already sit on the
+    // id key; with alias-preserving projections every round's joins
+    // need only the slim contrib/rank exchanges.
     val und = checkpoint(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"),
         col("src").as("dst")))
-      .distinct())
+      .distinct()
+      .repartition(col("src")))
     val deg = checkpoint(und.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg")))
     // bounded driver-side scalar (node count), same class as the
@@ -53,13 +64,19 @@ object Graph extends QueryPack {
     val n = deg.count()
     var ranks = deg.select(col("id"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iterations) {
+      // SHUFFLE_HASH on the rank/deg build sides (§3.1): both are
+      // node-grain and already co-partitioned with und, so the join
+      // plans with zero exchanges AND zero sorts — sort-merge would
+      // re-sort the streamed edge partitions every round.
       val contrib = und
-        .join(ranks.select(col("id").as("src"), col("rank")), "src")
-        .join(deg.select(col("id").as("src"), col("outdeg")), "src")
+        .join(ranks.select(col("id").as("src"), col("rank"))
+          .hint("shuffle_hash"), "src")
+        .join(deg.select(col("id").as("src"), col("outdeg"))
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("outdeg")).as("c"))
       ranks = checkpoint(deg.select(col("id"))
-        .join(contrib, Seq("id"), "left")
+        .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank")))
@@ -72,12 +89,16 @@ object Graph extends QueryPack {
     * keys are even, supplier keys odd — both sides are dense small
     * ints that would otherwise collide). */
   private def custSuppEdges(s: SparkSession, d: String): DataFrame =
+    // NO distinct here (r16): the one consumer is [[pagerank]], whose
+    // symmetrize step ends in its own `.distinct()` over the union —
+    // distinct-of-union absorbs duplicate raw edges, so the inner
+    // distinct was a second full edge-stream shuffle for the same set
+    // (the SQL twin's e0 keeps DISTINCT; its union dedups identically).
     Tables.load(s, d, "orders")
       .join(Tables.load(s, d, "lineitem"),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
 
   private val custSuppEdgesSql = """
     SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -158,32 +179,33 @@ object Graph extends QueryPack {
     // the operator: candidate volume tracks the frequent-pair count,
     // not the order-size cube.
     "basket_itemsets3" -> ((s, d) => {
-      // The distinct (order, part) base is checkpointed ONCE (r13
-      // drift follow-up): the eager freqPairs checkpoint plus the main
-      // job used to scan + distinct-shuffle lineitem twice each side.
-      // The base is input-bounded (never the k²/2-per-order pair
-      // stream — THAT stays stream-through in both jobs, the choice
-      // that holds at 100 TB where materializing pairs is the one
-      // thing this operator must not do).
-      val li = Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-        .localCheckpoint()
-      val a = li.as("a"); val b = li.as("b"); val c = li.as("c")
-      val pairsInOrder = a.join(b,
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_orderkey").as("ord"),
-          col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      // The per-order sorted part ARRAY is checkpointed ONCE (r16,
+      // upgrading the r13 distinct-base checkpoint): one row per order
+      // instead of one per (order, part), and both the pair stream and
+      // the triple extension generate SCAN-SIDE from it — no
+      // positional self-joins at all. The pair/triple streams stay
+      // stream-through in both jobs (the choice that holds at 100 TB
+      // where materializing pairs is the one thing this operator must
+      // not do); the checkpoint is order-grain, strictly smaller than
+      // the old (order, part) base. The extension join keys on the
+      // order id, which is exactly the checkpointed frame's groupBy
+      // partitioning — the array side re-reads its own partitions with
+      // no new exchange.
+      val ords = orderParts(s, d).localCheckpoint()
+      val pairsInOrder = orderPairs(ords)
       val freqPairs = pairsInOrder.groupBy("pa", "pb")
         .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
         .select("pa", "pb")
         .localCheckpoint() // consumed by three semi-joins
       val pruned = pairsInOrder
         .join(freqPairs, Seq("pa", "pb"), "left_semi")
-      pruned.join(c, col("ord") === col("c.l_orderkey") &&
-          col("pb") < col("c.l_partkey"))
+      // extend each surviving pair with every in-order part > pb: the
+      // same rows the old `JOIN c ON same order AND pb < c.l_partkey`
+      // produced, generated from the order's sorted array
+      pruned.join(ords.select(col("l_orderkey").as("ord"), col("ps")),
+          Seq("ord"))
         .select(col("ord"), col("pa"), col("pb"),
-          col("c.l_partkey").as("pc"))
+          explode(filter(col("ps"), x => x > col("pb"))).as("pc"))
         .join(freqPairs.select(col("pa").as("pb"), col("pb").as("pc")),
           Seq("pb", "pc"), "left_semi")
         .join(freqPairs.select(col("pa"), col("pb").as("pc")),
@@ -203,10 +225,15 @@ object Graph extends QueryPack {
     // support-floored) pair list — slim keys, map-side combined — and
     // the global top-50 is a TakeOrdered, never a full sort.
     "graph_item_similarity" -> ((s, d) => {
-      val li = Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val freq = li.groupBy(col("l_partkey").as("part"))
-        .agg(count(lit(1)).as("n_orders"))
+      // item frequency from the SAME per-order array base as the edge
+      // builder (r16): the two subtrees share the orderParts groupBy
+      // verbatim, so ReuseExchange serves both from one lineitem scan +
+      // one exchange (the old li.distinct freq was its own scan +
+      // distinct shuffle). explode(ps) ≡ the distinct (order, part)
+      // rows — collect_set already deduped per order.
+      val freq = orderParts(s, d)
+        .select(explode(col("ps")).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_orders"))
       copurchaseEdges(s, d)
         .join(freq.select(col("part").as("part_a"),
           col("n_orders").as("na")), "part_a")
@@ -234,13 +261,17 @@ object Graph extends QueryPack {
     // degree aggregate + two slim LEFT SEMI joins; lineage truncates
     // per round (the connectedComponents contract), so the plan does
     // not grow with rounds.
-    "graph_kcore2" -> ((s, d) => {
-      var e = copurchaseEdges(s, d)
-        .select(col("part_a").as("u"), col("part_b").as("v"))
-        .localCheckpoint()
-      for (_ <- 1 to KcoreRounds) e = peelRound(e, 2)
-      coreDegrees(e)
-    }),
+    // r16: the fixed unroll runs through [[kcoreFixpoint]] capped at
+    // KcoreRounds — provably identical output for EVERY input (peeling
+    // only deletes edges, so an unchanged edge COUNT means an unchanged
+    // edge SET, and every later round of the unroll is the identity),
+    // while the measured fixpoint on this corpus lands in ≤ 4 rounds —
+    // the converged tail's rounds (two full degree-aggregate + double
+    // semi-join passes) are skipped instead of recomputed as no-ops.
+    "graph_kcore2" -> ((s, d) =>
+      coreDegrees(kcoreFixpoint(copurchaseEdges(s, d)
+        .select(col("part_a").as("u"), col("part_b").as("v")), 2,
+        maxRounds = KcoreRounds))),
 
     // The convergence-checked twin (r13 judge ask #4): peel until the
     // surviving edge count is stable — the TRUE 2-core on any input,
@@ -320,24 +351,46 @@ object Graph extends QueryPack {
       case _ => ()
     }
 
+  /** Distinct parts per order as ONE sorted array row — the shared
+    * base of the co-purchase family. One exchange (the groupBy on the
+    * order key, collect_set partially combined map-side) replaces the
+    * old distinct + self-join pair (which shuffled the distinct frame
+    * AND re-shuffled both self-join sides by order key — 3 corpus
+    * exchanges plus two sort-merge sorts). The array is bounded by
+    * ORDER SIZE (single-digit items per order at any corpus scale), so
+    * the row is never wide. */
+  private def orderParts(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
+  /** The (order, part_a < part_b) pair stream, generated SCAN-SIDE
+    * from the per-order sorted array (no positional self-join): for
+    * element i, pair it with every later element. Identical rows to
+    * the old `a ⋈ b ON same order AND a.part < b.part` over the
+    * distinct (order, part) base — collect_set dedupes, sort_array +
+    * suffix-slice yields exactly the a < b pairs. */
+  private def orderPairs(parts: DataFrame): DataFrame =
+    parts.select(col("l_orderkey").as("ord"),
+        explode(flatten(transform(col("ps"), (a, i) =>
+          transform(slice(col("ps"), i + 2, greatest(size(col("ps")), lit(1))),
+            b => struct(a.as("pa"), b.as("pb")))))).as("p"))
+      .select(col("ord"), col("p.pa").as("pa"), col("p.pb").as("pb"))
+
   /** Item-item co-purchase affinity edges (part_a < part_b, distinct
     * co-order support >= 2) — the shared edge builder of
     * `graph_copurchase_edges` and `graph_triangle_count`. An order
     * with k items emits k(k-1)/2 pairs; the >= 2 support floor runs
     * AFTER the aggregate, so the shuffle carries one map-side-combined
-    * row per distinct pair. */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.load(s, d, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    val a = li.as("a")
-    val b = li.as("b")
-    a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"),
-        col("b.l_partkey").as("part_b"))
+    * row per distinct pair. The pair stream itself never shuffles: it
+    * is generated in-task from [[orderParts]]' arrays (r16 — the old
+    * self-join shape paid three corpus exchanges for the same rows). */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    orderPairs(orderParts(s, d))
+      .groupBy(col("pa").as("part_a"), col("pb").as("part_b"))
       .agg(count(lit(1)).as("n_coorders"))
       .filter(col("n_coorders") >= 2)
-  }
 
   private val copurchaseSql = """
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

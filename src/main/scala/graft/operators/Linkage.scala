@@ -113,10 +113,19 @@ object Linkage extends QueryPack {
       .withColumn("distance",
         levenshtein(col("dirty_name"), col("master_name"), maxDist))
       .filter(col("distance") >= 0 && col("distance") <= maxDist)
-    scored.withColumn("rn", row_number().over(Window
-        .partitionBy("dirty_id")
-        .orderBy(col("distance"), col("master_id"))))
-      .filter(col("rn") === 1).drop("rn")
+    // argmin as a map-side-combinable aggregate (r16): the old
+    // row_number window shuffled the scored candidates and SORTED each
+    // dirty_id partition for a rank-1 pick; min(struct) collapses to
+    // one row per dirty record before the exchange. Ordering identical
+    // to the window's (distance, master_id); master_name rides the
+    // struct tail and can never flip the min (master_id determines it).
+    scored.groupBy("dirty_id", "dirty_name")
+      .agg(min(struct(col("distance"), col("master_id"),
+        col("master_name"))).as("m"))
+      .select(col("dirty_id"), col("dirty_name"),
+        col("m.master_id").as("master_id"),
+        col("m.master_name").as("master_name"),
+        col("m.distance").as("distance"))
   }
 
   // ------------------------------------------------------- fixture

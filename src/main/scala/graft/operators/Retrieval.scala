@@ -157,14 +157,33 @@ object Retrieval extends QueryPack {
     DedupStream.recoverCompaction(spark, s"$dir/stats")
     val (fs, _) = DedupStream.fsOf(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_base"), false)
-    val (staged, postings) = stagePostings(documents, idCol, textCol)
-    // sum_dl coalesced: an EMPTY corpus sums to NULL, and the stats
-    // fold/merge arithmetic downstream needs (0, 0), not (0, NULL)
-    def statsOf(gen: Long) =
-      staged.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-        .withColumn("ingest_batch", lit(gen))
+    val (_, postings) = stagePostings(documents, idCol, textCol)
+    // Stats WITHOUT a second tokenize pass (r16): the old statsOf
+    // aggregated the staged token stream, so the corpus was scanned +
+    // tokenized TWICE per build (once for postings, once for two
+    // numbers). Both numbers are exactly recoverable cheaper:
+    //  - n_docs = documents.count() — column-pruned scan, no tokenize
+    //    (the staged frame never filters rows, so its count IS the
+    //    document count, token-less docs included);
+    //  - sum_dl = SUM(tf) over the generation's just-written postings
+    //    (Σ_tokens tf per doc = that doc's dl; token-less docs
+    //    contribute no postings and 0 to the sum — same as sum(dl)
+    //    skipping them). Integer-exact, so probe scoring is unchanged
+    //    bit for bit.
+    def statsOf(gen: Long) = {
+      val nDocs = documents.count()
+      // a corpus whose every doc is token-less writes NO posting files
+      // (schema inference over the empty dir throws) — its true
+      // sum_dl is 0, exactly what sum(dl) over all-zero dls gave
+      val sumDl = try {
+        spark.read.parquet(s"$dir/postings")
+          .filter(col("ingest_batch") === gen)
+          .agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+      } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      import spark.implicits._
+      Seq((nDocs, sumDl, gen)).toDF("n_docs", "sum_dl", "ingest_batch")
         .coalesce(1)
+    }
     if (!graft.FsUtils.committedExists(spark, s"$dir/stats")) {
       postings.withColumn("ingest_batch", lit(0L))
         .repartition(col("bucket")).sortWithinPartitions("token")
@@ -538,26 +557,43 @@ object Retrieval extends QueryPack {
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_text_index_oracle").getAbsolutePath
 
+  /** Fresh build of the query-private throwaway index (r16): the
+    * declared queries rebuild [[oracleIndexDir]] EVERY run, and once
+    * the dir existed (any prior run in the same /tmp lifetime) each
+    * build took the rebuild-IN-PLACE path — generation allocation,
+    * dynamic partition overwrite, the two-rename stats swap, and an
+    * old-generation GC sweep, all FS-metadata work the throwaway
+    * build doesn't need. Dropping the dir first keeps every run on the
+    * fresh gen-0 static-overwrite path: same postings, same stats,
+    * same probe answers (RetrievalSpec separately pins the
+    * rebuild-in-place protocol, which long-lived indexes still use). */
+  private def freshOracleIndex(documents: DataFrame): Unit = {
+    val spark = documents.sparkSession
+    val (fs, p) = DedupStream.fsOf(spark, oracleIndexDir)
+    fs.delete(p, true)
+    writeTextIndex(documents, "doc_id", "text", oracleIndexDir)
+  }
+
   def queries: Map[String, QFn] = Map(
     // Index-based BM25: build the inverted index, probe it, and match
     // the corpus-scan twin's oracle verbatim — index ≡ scan, proven
     // cross-engine.
     "search_index_topk" -> ((s, d) => {
-      writeTextIndex(docs(s, d), "doc_id", "text", oracleIndexDir)
+      freshOracleIndex(docs(s, d))
       probeIndexTopK(s, oracleIndexDir, TextAnalysis.Bm25Terms,
         TextAnalysis.Bm25TopK)
     }),
 
     // Positional phrase search over the same index.
     "search_phrase" -> ((s, d) => {
-      writeTextIndex(docs(s, d), "doc_id", "text", oracleIndexDir)
+      freshOracleIndex(docs(s, d))
       probePhrase(s, oracleIndexDir, PhraseW1, PhraseW2)
     }),
 
     // k-word positional phrase search (k = 3 here): the adjacency
     // fold over three pruned posting lists.
     "search_phrase3" -> ((s, d) => {
-      writeTextIndex(docs(s, d), "doc_id", "text", oracleIndexDir)
+      freshOracleIndex(docs(s, d))
       probePhraseSeq(s, oracleIndexDir, Phrase3)
     }),
 
@@ -575,7 +611,7 @@ object Retrieval extends QueryPack {
     // tie-break; both stages' scores are published.
     "search_hybrid_rerank" -> ((s, d) => {
       graft.functions.CosineSimF32.register(s)
-      writeTextIndex(docs(s, d), "doc_id", "text", oracleIndexDir)
+      freshOracleIndex(docs(s, d))
       val cands = probeIndexTopK(s, oracleIndexDir, TextAnalysis.Bm25Terms,
           TextAnalysis.Bm25TopK)
         .select(col("doc_id"), col("score").as("bm25"))

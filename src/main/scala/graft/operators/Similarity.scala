@@ -59,16 +59,34 @@ object Similarity extends QueryPack {
                       cands: DataFrame, candIdCol: String,
                       candVecCol: String): DataFrame = {
     graft.functions.CosineSimF32.register(vecs.sparkSession)
-    vecs.select(col(idCol), col(vecCol).as("__vec"))
-      .crossJoin(broadcast(cands.select(col(candIdCol).as("__cand_id"),
-        col(candVecCol).as("__cand_vec"))))
-      .select(col(idCol), col("__cand_id"),
-        cosine(col("__vec"), col("__cand_vec")).as("cs"))
-      .groupBy(idCol)
-      .agg(max(struct(col("cs"), (-col("__cand_id")).as("nid"))).as("m"))
+    // r16: the argmax is computed PER ROW over the collected candidate
+    // literals instead of crossJoin × broadcast + re-aggregate — the
+    // old shape collapsed the K scored rows map-side but still
+    // EXCHANGED one (id, struct) row per corpus vector; this one has
+    // no exchange at all. Candidates were already bounded by contract
+    // (they were broadcast — collecting them is the same driver-memory
+    // class); array_max over (cs, -cand_id) structs is the identical
+    // max/tie-break the old max(struct) aggregate evaluated.
+    val cl = collectedVecs(cands, candIdCol, candVecCol)
+    val best = array_max(array(cl.map { case (cid, v) =>
+      struct(cosine(col(vecCol), typedlit(v)).as("cs"),
+        lit(-cid).as("nid"))
+    }: _*))
+    vecs.select(col(idCol), best.as("m"))
       .select(col(idCol), (-col("m.nid")).as("nearest_id"),
         col("m.cs").as("cosine"))
   }
+
+  /** Bounded candidate frames (centroids, codebook rows) as driver
+    * literals — (id, vec) pairs, ordered by id for plan determinism.
+    * Same driver-memory class as broadcasting the frame, which every
+    * caller already did. */
+  private def collectedVecs(cands: DataFrame, idCol: String,
+                            vecCol: String): Array[(Long, Seq[Float])] =
+    cands.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
 
   def queries: Map[String, QFn] = Map(
     // Int8 scalar quantization — the storage tier below PQ: per-vector
@@ -216,8 +234,16 @@ object Similarity extends QueryPack {
       val cb = pqCodebook(e)
       pqCodebookDf(s, cb).coalesce(1).write.mode("overwrite")
         .parquet(oraclePqCodebookSidecar)
-      val codes = pqEncode(e, cb)
-      codes.coalesce(1).write.mode("overwrite")
+      // encode DISTRIBUTED, then shuffle the slim code rows to one
+      // output file (r16): .coalesce(1) used to collapse the SCAN into
+      // a single task, so the whole O(M·K·dim)-per-row encode ran on
+      // one core (the fixture is one parquet file — split-starved at
+      // the source, §2.5's unsplittable-input case; at corpus scale
+      // the many-file scan parallelizes by itself and the repartition
+      // is a no-op cost-wise: the exchange carries M bytes per row).
+      val codes = pqEncode(
+        e.repartition(s.sparkContext.defaultParallelism), cb)
+      codes.repartition(1).write.mode("overwrite")
         .parquet(oraclePqCodesSidecar)
       pqTopK(e, s.read.parquet(oraclePqCodesSidecar), cb, topK = 5)
     }),
@@ -239,8 +265,11 @@ object Similarity extends QueryPack {
       val cb = pqCodebook(e)
       pqCodebookDf(s, cb).coalesce(1).write.mode("overwrite")
         .parquet(oracleIvfPqCodebookSidecar)
-      val codes = pqEncode(e, cb)
-      codes.coalesce(1).write.mode("overwrite")
+      // distributed encode + slim one-file shuffle (r16) — see the
+      // sim_pq_topk note: coalesce(1) single-threaded the encode scan
+      val codes = pqEncode(
+        e.repartition(s.sparkContext.defaultParallelism), cb)
+      codes.repartition(1).write.mode("overwrite")
         .parquet(oracleIvfPqCodesSidecar)
       ivfPqTopK(e, cents, cb,
         s.read.parquet(oracleIvfPqCodesSidecar), nprobe = 2, topK = 5)
@@ -375,14 +404,26 @@ object Similarity extends QueryPack {
     val probes = probeBuckets(e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("vid"), col("embedding").as("qe")),
       cents, nprobe)
-    val scored = probes.join(assigned,
+    // the probe side is |queries|·nprobe rows — broadcast it so the
+    // candidate scan never shuffles (r16; the planner had no size
+    // estimate for the derived probe frame and picked a shuffle join)
+    val scored = assigned.join(broadcast(probes),
         col("probe") === col("bucket") && col("cid") =!= col("vid"))
       .select(col("vid").as("qid"), col("cid"),
         cosine(col("qe"), col("ce")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-      .select(col("qid"), col("cid"), col("rank"),
-        pround(col("sim"), 4).as("cosine"))
+    // per-query top-k as a keyed aggregate (r16): collect_list bounded
+    // by the probed buckets' population, array_sort on the bounded
+    // list — the aggregate-collapse shape [[topNeighbors]] already
+    // uses, instead of a row_number window that shuffles AND sorts the
+    // scored stream. Ordering identical: (-sim, cid) asc = sim desc,
+    // cid asc.
+    scored.groupBy("qid")
+      .agg(slice(array_sort(collect_list(struct((-col("sim")).as("ns"),
+        col("cid").as("cid")))), 1, topK).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.cid").as("cid"),
+        (col("pos") + 1).cast("int").as("rank"),
+        pround(-col("t.ns"), 4).as("cosine"))
   }
 
   /** IVF centroids: deterministic sampled spherical k-means over the
@@ -473,25 +514,38 @@ object Similarity extends QueryPack {
     * sort. Ties break to the lowest centroid_id (hence the negated id in
     * the ordering struct). */
   def assignBuckets(vecs: DataFrame, idCol: String, vecCol: String,
-                    cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .select(col(idCol), col(vecCol), col("centroid_id"),
-        cosine(col(vecCol), col("cent")).as("csim"))
-      .groupBy(idCol)
-      .agg(first(col(vecCol)).as(vecCol),
-        max_by(col("centroid_id"),
-          struct(col("csim"), -col("centroid_id"))).as("bucket"))
+                    cents: DataFrame): DataFrame = {
+    graft.functions.CosineSimF32.register(vecs.sparkSession)
+    // r16: per-row argmax over the K collected centroid literals.
+    // The old crossJoin + max_by shape partially combined map-side but
+    // still exchanged one (id, FULL VECTOR via first(), struct) row
+    // per corpus vector — a full-corpus shuffle carrying the embedding
+    // payload, for an argmax over K values that each row can compute
+    // locally. Tie-break identical: max over (csim, -centroid_id).
+    val cl = collectedVecs(cents, "centroid_id", "cent")
+    val best = array_max(array(cl.map { case (cid, v) =>
+      struct(cosine(col(vecCol), typedlit(v)).as("csim"),
+        lit(-cid).as("nid"))
+    }: _*))
+    vecs.select(col(idCol), col(vecCol),
+      (-best.getField("nid")).as("bucket"))
+  }
 
-  /** Top-`nprobe` buckets per query vector (query side is tiny). */
+  /** Top-`nprobe` buckets per query vector — computed PER ROW (r16)
+    * by sorting the K scored (−csim, centroid_id) structs in-task and
+    * slicing, instead of crossJoin + window (which exchanged and
+    * sorted the scored rows). Ordering identical to the old
+    * `ORDER BY csim DESC, centroid_id` window. */
   private def probeBuckets(q: DataFrame, cents: DataFrame,
                            nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col("vid"))
-      .orderBy(col("csim").desc, col("centroid_id"))
-    q.crossJoin(broadcast(cents))
-      .select(col("vid"), col("qe"), col("centroid_id"),
-        cosine(col("qe"), col("cent")).as("csim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
-      .select(col("vid"), col("qe"), col("centroid_id").as("probe"))
+    val cl = collectedVecs(cents, "centroid_id", "cent")
+    val scored = array(cl.map { case (cid, v) =>
+      struct((-cosine(col("qe"), typedlit(v))).as("ns"),
+        lit(cid).as("b"))
+    }: _*)
+    q.select(col("vid"), col("qe"),
+        explode(slice(array_sort(scored), 1, nprobe)).as("t"))
+      .select(col("vid"), col("qe"), col("t.b").as("probe"))
   }
 
   /** The bucketed all-pairs candidate stream shared by [[knnGraph]]
@@ -508,26 +562,28 @@ object Similarity extends QueryPack {
   private def knnScored(e: DataFrame, cents: DataFrame,
                         nprobe: Int): DataFrame = {
     graft.functions.CosineSimF32.register(e.sparkSession)
+    // r16: assignment AND probe selection are per-row expressions over
+    // the K collected centroid literals — the old crossJoin +
+    // keyed-aggregate forms each exchanged one row per corpus vector
+    // WITH its embedding payload (first(ce)/first(qe) rode the
+    // shuffle); here neither side shuffles before the bucket join.
+    // Tie-breaks identical: max(csim, -centroid_id) for assignment,
+    // (-csim, centroid_id) ascending for the probe ranking.
+    val cl = collectedVecs(cents, "centroid_id", "cent")
+    def bestOf(vec: Column): Column = array_max(array(cl.map {
+      case (cid, v) => struct(cosine(vec, typedlit(v)).as("csim"),
+        lit(-cid).as("nid"))
+    }: _*))
     val assigned = e.select(col("vec_id").as("cid"),
-        col("embedding").as("ce"), col("label").as("clabel"))
-      .crossJoin(broadcast(cents))
-      .select(col("cid"), col("ce"), col("clabel"), col("centroid_id"),
-        cosine(col("ce"), col("cent")).as("csim"))
-      .groupBy("cid")
-      .agg(first(col("ce")).as("ce"), first(col("clabel")).as("clabel"),
-        max_by(col("centroid_id"),
-          struct(col("csim"), -col("centroid_id"))).as("bucket"))
+        col("embedding").as("ce"), col("label").as("clabel"),
+        (-bestOf(col("embedding")).getField("nid")).as("bucket"))
+    def scoredArr(vec: Column): Column = array(cl.map { case (cid, v) =>
+      struct((-cosine(vec, typedlit(v))).as("ns"), lit(cid).as("b"))
+    }: _*)
     val probes = e.select(col("vec_id").as("vid"),
-        col("embedding").as("qe"), col("label").as("vlabel"))
-      .crossJoin(broadcast(cents))
-      .select(col("vid"), col("qe"), col("vlabel"), col("centroid_id"),
-        cosine(col("qe"), col("cent")).as("csim"))
-      .groupBy("vid")
-      .agg(first(col("qe")).as("qe"), first(col("vlabel")).as("vlabel"),
-        slice(array_sort(collect_list(struct((-col("csim")).as("ns"),
-          col("centroid_id").as("b")))), 1, nprobe).as("top"))
-      .select(col("vid"), col("qe"), col("vlabel"),
-        explode(col("top.b")).as("probe"))
+        col("embedding").as("qe"), col("label").as("vlabel"),
+        explode(slice(array_sort(scoredArr(col("embedding"))),
+          1, nprobe).getField("b")).as("probe"))
     // each candidate lives in exactly ONE bucket (argmax assignment)
     // and probes are distinct buckets per vector, so every (vid, cid)
     // pair scores at most once — no post-join dedup needed
@@ -1267,10 +1323,10 @@ object Similarity extends QueryPack {
     * each subspace, argmin over the K codebook entries (ties to the
     * lowest code via strict `<`). O(M·K·PqSub) arithmetic per vector,
     * all inside the row's own task. Returns (vec_id, codes int[M]). */
-  def pqEncode(vecs: DataFrame,
-               cb: Array[Array[Array[Double]]]): DataFrame = {
+  def pqEncode(vecs: DataFrame, cb: Array[Array[Array[Double]]],
+               keep: Seq[String] = Seq.empty): DataFrame = {
     val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-    vecs.select(col("vec_id"),
+    vecs.select((col("vec_id") +:
       transform(sequence(lit(0), lit(PqM - 1)), m =>
         aggregate(sequence(lit(0), lit(PqK - 1)),
           struct(lit(Double.MaxValue).as("d2"), lit(-1).as("code")),
@@ -1279,7 +1335,8 @@ object Similarity extends QueryPack {
             when(dd < acc.getField("d2"),
               struct(dd.as("d2"), k.as("code"))).otherwise(acc)
           },
-          acc => acc.getField("code"))).as("codes"))
+          acc => acc.getField("code"))).as("codes") +:
+      keep.map(col)): _*)
   }
 
   /** PQ search, the two-stage shape every production PQ system uses
@@ -1350,9 +1407,15 @@ object Similarity extends QueryPack {
   private def adcShortlistRerank(e: DataFrame, scored: DataFrame,
                                  topK: Int, shortlist: Int,
                                  cands: DataFrame = null): DataFrame = {
-    val wA = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
-    val short = scored.withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= shortlist).select("qid", "cid")
+    // both per-query picks are keyed aggregates (r16): bounded
+    // collect_list + array_sort + slice — no row_number window, so the
+    // candidate stream is never partition-sorted (the topNeighbors
+    // shape; ordering identical to the old (adc, cid) / (dist, cid)
+    // windows).
+    val short = scored.groupBy("qid")
+      .agg(slice(array_sort(collect_list(struct(col("adc"),
+        col("cid")))), 1, shortlist).as("top"))
+      .select(col("qid"), explode(col("top").getField("cid")).as("cid"))
     val qv = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     // candidate vectors default to the corpus table (the inline search
@@ -1369,10 +1432,13 @@ object Similarity extends QueryPack {
               element_at(col("ce"), i + 1).cast("double")
             s + diff * diff
           }).as("dist"))
-    val w = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
-    exactD.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-      .select(col("qid"), col("cid"), col("rank"),
-        pround(col("dist"), 4).as("dist"))
+    exactD.groupBy("qid")
+      .agg(slice(array_sort(collect_list(struct(col("dist"),
+        col("cid")))), 1, topK).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.cid").as("cid"),
+        (col("pos") + 1).cast("int").as("rank"),
+        pround(col("t.dist"), 4).as("dist"))
   }
 
   /** IVFPQ: IVF probing composed with PQ-ADC shortlisting and exact
@@ -1507,16 +1573,20 @@ object Similarity extends QueryPack {
       val e = emb(s, d)
       val cents = centroids(e)
       val cb = pqCodebook(e)
-      val coded = pqEncode(e, cb)
-        .select(col("vec_id").as("cid"), col("codes"))
-        .join(assignBuckets(e.select(col("vec_id").as("cid"),
-            col("embedding").as("ce")), "cid", "ce", cents)
-          .select(col("cid"), col("bucket")), Seq("cid"))
+      // distributed encode (r16, the sim_pq_topk rationale); bucket is
+      // a per-row expression now, so it rides the same projection
+      // instead of a join
+      val coded = pqEncode(assignBuckets(
+          e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", cents)
+          .repartition(s.sparkContext.defaultParallelism),
+          cb, keep = Seq("bucket"))
+        .select(col("vec_id").as("cid"), col("codes"), col("bucket"))
       cents.coalesce(1).write.mode("overwrite")
         .parquet(oracleKnnGraphPqCentroidSidecar)
       pqCodebookDf(s, cb).coalesce(1).write.mode("overwrite")
         .parquet(oracleKnnGraphPqCodebookSidecar)
-      coded.coalesce(1).write.mode("overwrite")
+      coded.repartition(1).write.mode("overwrite")
         .parquet(oracleKnnGraphPqCodesSidecar)
       graft.FsUtils.writeString(s, fpPath, fp)
     }

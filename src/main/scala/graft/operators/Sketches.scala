@@ -432,9 +432,16 @@ object Sketches extends QueryPack {
       hllQuery(events(s, d), "event_type", "user_id")),
     // Bottom-k distinct per return flag: ~2k distinct against k=64
     // exercises the estimation branch; exact side-by-side.
+    // The distinct (key, value) base is checkpointed ONCE (r16): it
+    // feeds the sketch AND the exact count, and without the checkpoint
+    // each consumer re-scans + re-distincts lineitem (no common-subtree
+    // reuse across the join). The frame is VALUE-DOMAIN-bounded (flags
+    // × distinct parts), the same dim-grain class the repo already
+    // materializes — never corpus-sized.
     "sketch_kmv_distinct" -> ((s, d) => {
       val src = lineitem(s, d).filter(col("l_partkey").isNotNull)
         .select(col("l_returnflag"), col("l_partkey").as("v")).distinct()
+        .localCheckpoint()
       kmvEstimate(kmvSketch(src, Seq("l_returnflag"), "v"),
           Seq("l_returnflag"))
         .join(src.groupBy("l_returnflag")
@@ -443,12 +450,20 @@ object Sketches extends QueryPack {
     // Set algebra on sketches: distinct parts appearing under BOTH
     // return flags A and N — the question per-key distinct counts
     // cannot answer without a rescan.
+    // Checkpoint discipline (r16, the kmv_distinct rationale): `src`
+    // (domain-bounded distinct values) is consumed by the sketch and
+    // BOTH sides of the exact intersect; `sk` (≤ 2·k rows) is consumed
+    // by kmvIntersect's union/common/per-side stats legs 3× per side.
+    // Un-checkpointed, the one-shot plan re-ran the lineitem scan +
+    // distinct shuffle EIGHT times (82 Exchange nodes on the r16
+    // before-plan); now lineitem is scanned once.
     "sketch_kmv_intersection" -> ((s, d) => {
       val src = lineitem(s, d)
         .filter(col("l_partkey").isNotNull &&
           col("l_returnflag").isin("A", "N"))
         .select(col("l_returnflag"), col("l_partkey").as("v")).distinct()
-      val sk = kmvSketch(src, Seq("l_returnflag"), "v")
+        .localCheckpoint()
+      val sk = kmvSketch(src, Seq("l_returnflag"), "v").localCheckpoint()
       val exact = src.filter(col("l_returnflag") === "A").select("v")
         .intersect(src.filter(col("l_returnflag") === "N").select("v"))
         .agg(count(lit(1)).as("exact_intersection"))
@@ -489,11 +504,27 @@ object Sketches extends QueryPack {
         s"sketch_kmv_slices needs >= 2 non-empty (state, year_month) " +
           s"slices in the fact; found ${top.length}")
       val Array(sa, sb) = top
-      def slice(sl: (String, String)) = fact
+      // ONE pass over the fact join for both slices, checkpointed (r16):
+      // the sketch sides and the exact intersect consumed the
+      // fact-join subtree EIGHT times (124 Exchange nodes on the r16
+      // before-plan — kmvIntersect alone reads each side 3×). The
+      // checkpointed frame is two market slices' values — the
+      // slice-grain working set a serving rollup holds anyway, a tiny
+      // fraction of the fact at any scale. The per-side sketches
+      // (≤ k rows each) checkpoint too, so kmvIntersect's three legs
+      // read 64-row frames instead of replaying the slice filter.
+      val sliced = fact
+        .filter(col("v").isNotNull &&
+          ((col("state") <=> lit(sa._1) && col("year_month") <=> lit(sa._2)) ||
+            (col("state") <=> lit(sb._1) && col("year_month") <=> lit(sb._2))))
+        .select(col("state"), col("year_month"), col("v"))
+        .localCheckpoint()
+      def slice(sl: (String, String)) = sliced
         .filter(col("state") <=> lit(sl._1) &&
-          col("year_month") <=> lit(sl._2) && col("v").isNotNull)
+          col("year_month") <=> lit(sl._2))
       def side(sl: (String, String)) =
         kmvSketch(slice(sl), Seq("state"), "v").select("kmv_h")
+          .localCheckpoint()
       val exact = slice(sa).select("v").intersect(slice(sb).select("v"))
         .agg(count(lit(1)).as("exact_intersection"))
       kmvIntersect(side(sa), side(sb))

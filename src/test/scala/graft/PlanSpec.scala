@@ -58,6 +58,10 @@ class PlanSpec extends SparkSpec {
     * same by-construction cardinality argument. */
   private val LiteralBoundedHints = Set("sim_cosine_pairs",
     "sim_cosine_native", "sim_ann_topk", "sim_ivf_topk",
+    // the filtered IVF probe broadcasts the same probe frame as
+    // sim_ivf_topk: `vec_id < 10` × nprobe rows at any SF (r16 — the
+    // probe side is hinted so the candidate scan never shuffles)
+    "sim_ivf_filtered",
     // PQ/IVFPQ hint three frames, each literal-bounded: the probe set
     // and ADC LUT derive from `vec_id < 10` (≤ 10 rows at any SF), and
     // the re-rank input is the ADC shortlist (≤ 50 per query by the
