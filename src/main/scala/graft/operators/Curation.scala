@@ -169,7 +169,13 @@ object Curation extends QueryPack {
                              jaccardThreshold: Double = 0.5,
                              checkpoint: DataFrame => DataFrame =
                                _.localCheckpoint()): DataFrame = {
-    val hashed = documents.select(col(idCol), md5(col(textCol)).as("hh"))
+    // checkpointed (r16): the digest frame feeds the root pick AND the
+    // exact-edge join — un-checkpointed each consumer re-scanned and
+    // re-md5'd the corpus text. Doc-grain (id, 16-byte digest): the
+    // "shuffle digests, never text" class, safe to materialize at any
+    // corpus size.
+    val hashed = checkpoint(
+      documents.select(col(idCol), md5(col(textCol)).as("hh")))
     val roots = hashed.groupBy("hh").agg(min(idCol).as("src"))
     val exactE = hashed.join(roots, "hh")
       .filter(col(idCol) =!= col("src"))

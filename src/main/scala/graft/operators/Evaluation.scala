@@ -78,7 +78,12 @@ object Evaluation extends QueryPack {
     }),
 
     "classifier_calibration" -> ((s, d) => {
-      val sc = scoredLabeled(s, d)
+      // checkpointed (r16): the scored frame is consumed THREE times
+      // (total count, score-group offsets, the ranked join) and each
+      // consumer re-ran the tokenize + classifier score over the
+      // corpus. The frame is doc-grain and slim (id, score, label) —
+      // the score table an eval pipeline materializes anyway.
+      val sc = scoredLabeled(s, d).localCheckpoint()
       val n = sc.agg(count(lit(1)).as("n_total"))
       // TWO-LEVEL ranking (the distributed prefix-sum): a global
       // row_number window would funnel the whole corpus through one

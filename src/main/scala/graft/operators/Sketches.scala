@@ -176,7 +176,12 @@ object Sketches extends QueryPack {
     * drops the `exact` branch and keeps everything else. */
   private def hllQuery(base: DataFrame, keyCol: String,
                        valueCol: String): DataFrame = {
+    // checkpointed (r16, the kmv_distinct rationale): the distinct
+    // (key, value) base feeds registers AND the exact count — without
+    // it both consumers re-scan + re-distinct; the frame is
+    // value-domain-bounded (the dim-grain class).
     val dedup = base.select(col(keyCol), col(valueCol).as("v")).distinct()
+      .localCheckpoint()
     val est = hllEstimate(hllRegisters(dedup, Seq(keyCol), "v"), Seq(keyCol))
     val exact = dedup.groupBy(keyCol).agg(count(lit(1)).as("exact_distinct"))
     est.join(exact, keyCol)
