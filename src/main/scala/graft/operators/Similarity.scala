@@ -562,28 +562,36 @@ object Similarity extends QueryPack {
   private def knnScored(e: DataFrame, cents: DataFrame,
                         nprobe: Int): DataFrame = {
     graft.functions.CosineSimF32.register(e.sparkSession)
-    // r16: assignment AND probe selection are per-row expressions over
-    // the K collected centroid literals — the old crossJoin +
-    // keyed-aggregate forms each exchanged one row per corpus vector
-    // WITH its embedding payload (first(ce)/first(qe) rode the
-    // shuffle); here neither side shuffles before the bucket join.
-    // Tie-breaks identical: max(csim, -centroid_id) for assignment,
-    // (-csim, centroid_id) ascending for the probe ranking.
-    val cl = collectedVecs(cents, "centroid_id", "cent")
-    def bestOf(vec: Column): Column = array_max(array(cl.map {
-      case (cid, v) => struct(cosine(vec, typedlit(v)).as("csim"),
-        lit(-cid).as("nid"))
-    }: _*))
+    // r16 NOTE (measured, kept the OLD shape): rewriting assignment /
+    // probe selection as per-row expressions over the K collected
+    // centroid literals (the [[assignBuckets]] pattern) was tried and
+    // measured FASTER WARM (0.95 vs 1.44 s min-of-3 at sf0.1) but 2×
+    // SLOWER on the driver's cold-per-query protocol (4.6-5.0 s vs
+    // 2.5 s solo-cold at sf0.1; no delta at sf0.001) — the first pass
+    // of the heavy inlined-8×cosine projection over the full corpus
+    // runs before JIT compilation catches up, and the driver record is
+    // one cold pass. The crossJoin + map-side-combined aggregate form
+    // below keeps the hot loop tiny and is the measured cold winner.
     val assigned = e.select(col("vec_id").as("cid"),
-        col("embedding").as("ce"), col("label").as("clabel"),
-        (-bestOf(col("embedding")).getField("nid")).as("bucket"))
-    def scoredArr(vec: Column): Column = array(cl.map { case (cid, v) =>
-      struct((-cosine(vec, typedlit(v))).as("ns"), lit(cid).as("b"))
-    }: _*)
+        col("embedding").as("ce"), col("label").as("clabel"))
+      .crossJoin(broadcast(cents))
+      .select(col("cid"), col("ce"), col("clabel"), col("centroid_id"),
+        cosine(col("ce"), col("cent")).as("csim"))
+      .groupBy("cid")
+      .agg(first(col("ce")).as("ce"), first(col("clabel")).as("clabel"),
+        max_by(col("centroid_id"),
+          struct(col("csim"), -col("centroid_id"))).as("bucket"))
     val probes = e.select(col("vec_id").as("vid"),
-        col("embedding").as("qe"), col("label").as("vlabel"),
-        explode(slice(array_sort(scoredArr(col("embedding"))),
-          1, nprobe).getField("b")).as("probe"))
+        col("embedding").as("qe"), col("label").as("vlabel"))
+      .crossJoin(broadcast(cents))
+      .select(col("vid"), col("qe"), col("vlabel"), col("centroid_id"),
+        cosine(col("qe"), col("cent")).as("csim"))
+      .groupBy("vid")
+      .agg(first(col("qe")).as("qe"), first(col("vlabel")).as("vlabel"),
+        slice(array_sort(collect_list(struct((-col("csim")).as("ns"),
+          col("centroid_id").as("b")))), 1, nprobe).as("top"))
+      .select(col("vid"), col("qe"), col("vlabel"),
+        explode(col("top.b")).as("probe"))
     // each candidate lives in exactly ONE bucket (argmax assignment)
     // and probes are distinct buckets per vector, so every (vid, cid)
     // pair scores at most once — no post-join dedup needed
