@@ -52,11 +52,24 @@ object Graph extends QueryPack {
     // id-keyed aggregates, so their checkpoints already sit on the
     // id key; with alias-preserving projections every round's joins
     // need only the slim contrib/rank exchanges.
-    val und = checkpoint(edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"),
-        col("src").as("dst")))
-      .distinct()
-      .repartition(col("src")))
+    // r16 build-side: (a) both directions are generated SCAN-SIDE from
+    // one pass over the edge stream (explode of a 2-struct array) —
+    // the old unionByName of two projections re-executed the edge
+    // builder's join once per branch; (b) repartition(src) runs BEFORE
+    // the distinct: HashPartitioning(src) satisfies the distinct's
+    // ClusteredDistribution(src, dst) (same-src rows are co-located,
+    // so same-(src,dst) rows are too), so the dedup aggregate plans
+    // with ZERO additional exchange and the checkpoint still lands
+    // partitioned by src. Same row set: explode(array) emits exactly
+    // the two union branches' rows; distinct-after-repartition is
+    // distinct.
+    val und = checkpoint(edges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst")))
     val deg = checkpoint(und.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg")))
     // bounded driver-side scalar (node count), same class as the
