@@ -73,7 +73,11 @@ object StarSchemaBuilder {
       col("negotiation_arrangement"), col("negotiated_rate"),
       expirationSentinel(col("expiration_date")).as("expiration_date"),
       col("provider_reference_id").as("provider_group_id_raw"))
-      .dropDuplicates("fact_uid")
+      // full-row distinct ≡ dedup-by-uid here (fact_uid is an md5 over
+      // every other column's preimage) but plans as a sort-free
+      // HashAggregate instead of a 13-string-first() SortAggregate —
+      // see the star_fact_build comment in queries/Inventory.scala
+      .distinct()
 
   /** J11 append-unique: write only new-keyed rows onto an existing
     * parquet dataset (prod_etl/ETL_1.py:359-398). The existing side is

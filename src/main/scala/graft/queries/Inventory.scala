@@ -476,11 +476,16 @@ object Inventory extends QueryPack {
           col("negotiation_arrangement"), col("negotiated_rate"),
           expirationSentinel(col("expiration_date")).as("expiration_date"),
           col("provider_reference_id").as("provider_group_id_raw"))
-        // fact_uid is an md5 over the entire fact grain, so deduping on it
-        // alone is equivalent to a full-row distinct but shuffles one
-        // 32-char column instead of 14 wide ones (same trick as
-        // StarSchemaBuilder.fact). Oracle keeps SELECT DISTINCT.
-        .dropDuplicates("fact_uid")
+        // Full-row distinct, NOT dropDuplicates("fact_uid") (r16): the
+        // keyed form plans as SortAggregate (first() buffers over 13
+        // string columns are not hash-aggregable), paying a full-width
+        // sort on BOTH sides of the exchange; grouping by all columns
+        // plans as a sort-free HashAggregate. Row-identical: fact_uid
+        // is an md5 over every other column's preimage (and the oracle
+        // is already SELECT DISTINCT), so per-uid groups are
+        // homogeneous and both forms keep exactly one row per uid.
+        // Same trick as StarSchemaBuilder.fact.
+        .distinct()
     })
   )
 
