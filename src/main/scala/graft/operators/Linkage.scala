@@ -104,10 +104,17 @@ object Linkage extends QueryPack {
     val mKept = mTok.join(keepTokens, "token")
     val mSide = if (broadcastMaster) broadcast(mKept) else mKept
     val dTok = tokenRows(dirty, "dirty_id", "dirty_name")
-    val cand = dTok.join(mSide, "token")
-      .select("dirty_id", "dirty_name", "master_id", "master_name")
-      .dropDuplicates("dirty_id", "master_id")
-    val scored = cand
+    // NO candidate dedup (r16): the final (distance, master_id,
+    // master_name) min-aggregate is duplicate-insensitive, so a pair
+    // blocked by k shared tokens simply scores k times IN-TASK (k is
+    // bounded by tokens-per-name, a small constant) instead of riding
+    // a corpus-wide (dirty_id, master_id) dedup exchange that shuffled
+    // every candidate pair with both name payloads. The length
+    // pre-filter and the banded levenshtein now run inside the
+    // broadcast-join's map stage, so the only shuffle left in the
+    // whole link is the final argmin's one-row-per-dirty-id-per-task
+    // partial-agg exchange.
+    val scored = dTok.join(mSide, "token")
       .filter(abs(length(col("dirty_name")) - length(col("master_name")))
         <= maxDist)
       .withColumn("distance",
