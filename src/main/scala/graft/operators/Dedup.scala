@@ -653,19 +653,31 @@ object Dedup extends QueryPack {
       // float to fit the kernel's array<float> contract (a ~1e-7
       // rotation — band-collision probabilities are unchanged).
       val sig = srpSignaturesFor(augmentedEmbeddings(s, d), "vec_id", "emb")
-      // Bands carry the embedding so the verify step needs no second
-      // join back to the signature frame.
-      val bands = capBuckets(srpBandRowsOf(sig, extra = Seq("emb")),
+      // Decide with slim rows, attach payloads once (r16, guide §8):
+      // the old band rows carried the 64-float embedding through the
+      // band self-join's exchange (4 band rows per doc, payload ×4)
+      // and the pair dedup then SortAggregated first(array) buffers
+      // over TWO embeddings per candidate row. Now only (doc_id,
+      // band_idx, band_hash) tuples shuffle; the pair dedup is a
+      // HashAggregate on two longs; and the embeddings are attached to
+      // the surviving capped candidate set by two joins back to the
+      // signature frame (column-pruned to (doc_id, emb) — the 32
+      // hyperplane projections are not recomputed on those legs).
+      val bands = capBuckets(srpBandRowsOf(sig),
         Seq("band_idx", "band_hash"))
       val a = bands.as("a")
       val b = bands.as("b")
-      val cand = a.join(b, col("a.band_idx") === col("b.band_idx") &&
+      val pairs = a.join(b, col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.emb").as("ea"), col("b.emb").as("eb"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
-      cand.select(col("doc_a"), col("doc_b"),
+      pairs
+        .join(sig.select(col("doc_id").as("doc_a"), col("emb").as("ea")),
+          "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("emb").as("eb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
           call_function("cosine_f32", col("ea"), col("eb")).as("cos"))
         .filter(col("cos") >= SrpTau)
         .select(col("doc_a"), col("doc_b"), pround(col("cos"), 4).as("cosine"))
